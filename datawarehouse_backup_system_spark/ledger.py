@@ -1,0 +1,64 @@
+"""Processing ledger: the idempotency/audit table.
+
+The reference keeps ``processed_files(file_name, status, created_at)`` in
+Postgres (S12/S13, ``util/data_pushing.py:490-592``) and loads it into a
+Python set for membership tests (``main.py:349-350,364``). Here it is a
+tiny append-only parquet table; membership at scale is an anti-join, and
+the driver-side ``processed_set()`` remains for file routing (the listing
+is O(files), never O(rows)).
+
+Status strings preserve the reference's vocabulary (21 distinct statuses,
+SURVEY §5) — e.g. ``'processed'``, ``'uploaded to ClickHouse'``,
+``'no schema found'``, ``'column count mismatch'``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+LEDGER_SCHEMA = T.StructType(
+    [
+        T.StructField("file_name", T.StringType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("created_at", T.TimestampType(), False),
+    ]
+)
+
+# canonical subset of the reference's status vocabulary
+STATUS_PROCESSED = "processed"
+STATUS_UPLOADED = "uploaded to ClickHouse"
+STATUS_NO_SCHEMA = "no schema found"
+STATUS_COLUMN_MISMATCH = "column count mismatch"
+STATUS_EMPTY = "empty file"
+STATUS_UNEXPECTED = "unexpected error"
+
+
+class Ledger:
+    def __init__(self, spark: SparkSession, path: str | Path):
+        self.spark = spark
+        self.path = str(path)
+
+    def append(self, file_name: str, status: str) -> None:
+        row = self.spark.createDataFrame(
+            [(file_name, status)], "file_name string, status string"
+        ).withColumn("created_at", F.current_timestamp())
+        row.write.mode("append").parquet(self.path)
+
+    def _exists(self) -> bool:
+        p = Path(self.path)
+        return p.exists() and any(p.glob("*.parquet"))
+
+    def read(self) -> DataFrame:
+        """S13: the full ledger."""
+        if not self._exists():
+            return self.spark.createDataFrame([], LEDGER_SCHEMA)
+        return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
+
+    def processed_set(self) -> set[str]:
+        """Driver-side membership set for file routing (reference
+        main.py:350). Stays O(#files)."""
+        return {r["file_name"] for r in self.read().select("file_name").distinct().collect()}

@@ -1,0 +1,34 @@
+"""Content hashing: the canonical ``row_hash`` dedup key.
+
+Reference F1 (``util/data_processing.py:477``) hashes the Python ``repr``
+of the post-rename cell list — an accident of implementation (quirk Q5).
+Per SURVEY decision D2 we define a canonical, engine-portable form:
+
+    row_hash = md5( concat_ws('\\x01', coalesce(col, '<NULL>') ...) )
+
+over an explicit column order. Same information content (every cell value,
+null-distinguishing, order-sensitive), same 32-hex output type, computed
+entirely JVM-side inside whole-stage codegen. Correctness checks assert
+dedup *semantics* (which rows survive), not hash bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_SEP = "\x01"
+NULL_SENTINEL = "<NULL>"
+
+
+def row_hash_col(columns: list[str]) -> Column:
+    """MD5 content key over the given columns (string-cast, null-safe)."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL)) for c in columns]
+    return F.md5(F.concat_ws(HASH_SEP, *parts))
+
+
+def with_row_hash(df: DataFrame, columns: list[str] | None = None, out: str = "row_hash") -> DataFrame:
+    """Append the content hash (reference appends row_hash as the last
+    column, data_processing.py:463-464)."""
+    cols = columns if columns is not None else [c for c in df.columns if c not in ("id", out)]
+    return df.withColumn(out, row_hash_col(cols))

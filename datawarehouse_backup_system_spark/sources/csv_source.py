@@ -1,0 +1,125 @@
+"""CSV source with encoding/delimiter sniffing and zip pre-staging.
+
+Covers reference operators S3-S7 (SURVEY §2.1):
+
+- S3 zip extraction (first member) — ``util/data_processing.py:40-62``
+- S4 encoding sniff (BOM + trial decode, 100 KB sample) —
+  ``util/data_processing.py:71-105``
+- S5 delimiter sniff (mode of candidate counts in the first line) —
+  ``util/data_processing.py:64-69``
+- S6/S7 chunked all-string CSV scan — ``util/data_processing.py:171-176``,
+  ``util/data_pushing.py:311-325``; Spark's partitioned scan subsumes
+  chunking, and the utf-8→latin-1 fallback becomes a retry with
+  ``.option("encoding", "ISO-8859-1")``.
+
+Sniffing is inherently a driver-side pre-pass (Spark cannot sniff
+per-file); it reads only the first ``sample_size`` bytes of each file, so
+it stays O(files), never O(bytes) — at 100 TB the cost is the listing, not
+the data. Files are then grouped by (encoding, delimiter) so each group is
+ONE ``spark.read.csv`` over many paths: the scan itself stays fully
+distributed.
+"""
+
+from __future__ import annotations
+
+import codecs
+import zipfile
+from collections import Counter
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+DEFAULT_SAMPLE_SIZE = 100_000  # parity: detect_encoding(sample_size=100000)
+CANDIDATE_DELIMITERS = (",", ";", "\t", "|")
+
+_BOMS: tuple[tuple[bytes, str], ...] = (
+    (codecs.BOM_UTF8, "utf-8"),
+    (codecs.BOM_UTF32_LE, "utf-32-le"),
+    (codecs.BOM_UTF32_BE, "utf-32-be"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+)
+
+
+def detect_encoding(file_path: str | Path, sample_size: int = DEFAULT_SAMPLE_SIZE) -> str | None:
+    """BOM check first, then trial-decode of a bounded sample.
+
+    Returns a codec name or None when nothing decodes (the caller records a
+    ledger failure instead of raising — D4 total-function discipline).
+    """
+    sample = Path(file_path).open("rb").read(sample_size)
+    if not sample:
+        return "utf-8"
+    for bom, enc in _BOMS:
+        if sample.startswith(bom):
+            return enc
+    for enc in ("utf-8", "utf-16", "iso-8859-1"):
+        try:
+            sample.decode(enc)
+            return enc
+        except (UnicodeDecodeError, UnicodeError):
+            continue
+    return None
+
+
+def detect_delimiter(file_path: str | Path, encoding: str = "utf-8") -> str:
+    """Mode of candidate-delimiter counts in the first line (reference S5)."""
+    with open(file_path, encoding=encoding, errors="replace") as f:
+        first_line = f.readline()
+    counts = Counter({d: first_line.count(d) for d in CANDIDATE_DELIMITERS})
+    best, n = counts.most_common(1)[0]
+    return best if n > 0 else ","
+
+
+def extract_zip_first_member(zip_path: str | Path, output_dir: str | Path) -> Path:
+    """Unzip, return the FIRST member (reference takes ``namelist()[0]``,
+    util/data_processing.py:55). Driver-side pre-stage: zip is not a
+    splittable codec, so at scale this step belongs in the landing zone
+    (or a binaryFile+mapPartitions path for many small zips)."""
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    with zipfile.ZipFile(zip_path) as zf:
+        members = zf.namelist()
+        if not members:
+            raise ValueError(f"empty zip archive: {zip_path}")
+        zf.extract(members[0], out)
+    return out / members[0]
+
+
+def read_raw_csv(
+    spark: SparkSession,
+    paths: str | list[str],
+    encoding: str | None = None,
+    delimiter: str | None = None,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """All-string CSV read (schema-on-read parity with the reference's
+    ``dtype=str``). When ``schema`` is None the header is trusted and every
+    column is StringType; casts happen later (operators.cast).
+
+    utf-8 → latin-1 fallback: callers catch the decode failure surfaced at
+    action time and retry with encoding='iso-8859-1' (reference
+    data_pushing.py:312-323).
+    """
+    first = paths if isinstance(paths, str) else paths[0]
+    if encoding is None:
+        encoding = detect_encoding(first) or "utf-8"
+    if delimiter is None:
+        delimiter = detect_delimiter(first, encoding)
+    reader = (
+        spark.read.option("header", True)
+        .option("sep", delimiter)
+        .option("encoding", encoding)
+        .option("inferSchema", False)
+        .option("multiLine", False)
+        .option("quote", '"')
+        .option("escape", '"')
+    )
+    if schema is not None:
+        df = reader.schema(schema).csv(paths)
+    else:
+        df = reader.csv(paths)
+        # no inference: force every column to string regardless of header tricks
+        df = df.select([df[c].cast("string").alias(c) for c in df.columns])
+    return df

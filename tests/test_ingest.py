@@ -1,0 +1,118 @@
+"""End-to-end ingest pipeline tests over the F-1 dirty-CSV fixtures.
+
+Asserts the reference's semantics (SURVEY §3 E1): which rows survive
+dedup, dense id assignment, dirty-value coercions, ledger idempotency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehouse_backup_system_spark.plans.ingest import IngestJob
+from datawarehouse_backup_system_spark.registry import SchemaRegistry
+from datawarehouse_backup_system_spark.sources.catalog import Router
+
+from fixtures import generate_f1
+
+
+def make_job(spark, tmp_path, fx) -> IngestJob:
+    registry = SchemaRegistry.from_files(fx["schema_path"], fx["rename_path"])
+    router = Router().add(r"^last24h__", "mini_campaign_events")
+    return IngestJob(spark=spark, registry=registry,
+                     warehouse_dir=tmp_path / "warehouse", router=router)
+
+
+def test_full_cycle(spark, tmp_path):
+    fx = generate_f1(tmp_path)
+    job = make_job(spark, tmp_path, fx)
+    results = job.run(tmp_path)
+
+    assert [r.status for r in results] == ["uploaded to ClickHouse"] * 3
+
+    schema = job.registry.get("mini_campaign_events")
+    table = job.read_table(schema)
+
+    # --- dedup semantics: J1 within each file, J2 across files ----------
+    set1 = {tuple(r) for r in fx_rows(fx, 0)}
+    set2 = {tuple(r) for r in fx_rows(fx, 1)} - set1
+    set3 = {tuple(r) for r in fx_rows(fx, 2)}  # 12-col space, no smtp
+    expected_total = len(set1) + len(set2) + len(set3)
+    assert table.count() == expected_total
+    assert results[0].rows_loaded == len(set1)
+    assert results[1].rows_loaded == len(set2)
+    assert results[2].rows_loaded == len(set3)
+
+    # row_hash is a true content key: distinct everywhere
+    assert table.select("row_hash").distinct().count() == expected_total
+
+    # --- dense ids: 1..N, no gaps, watermark carried across files -------
+    ids = table.agg(F.min("id"), F.max("id"), F.count("id"),
+                    F.countDistinct("id")).collect()[0]
+    assert list(ids) == [1, expected_total, expected_total, expected_total]
+
+    # --- typed output ----------------------------------------------------
+    out_schema = dict((f.name, f.dataType.simpleString()) for f in table.schema.fields)
+    assert out_schema["event_datetime"] == "timestamp"
+    assert out_schema["number_of_children"] == "bigint"
+    assert out_schema["total_order_amount_eur"] == "double"
+    assert out_schema["date_of_birth"] == "string"
+
+    # --- dirty-value coercions (F2-F7) -----------------------------------
+    # F5: no trailing '.0' survives on string columns; leading zeros kept
+    assert table.where(F.col("mobile").rlike(r"\.0$")).count() == 0
+    assert table.where(F.col("billing_postal_code").rlike(r"\.0$")).count() == 0
+    assert table.where(F.col("billing_postal_code").startswith("0")).count() > 0
+    # F7: 'nan'/'<NA>' scrubbed to real nulls
+    assert table.where(F.col("email").isin("nan", "<NA>")).count() == 0
+    assert table.where(F.col("email").isNull()).count() > 0
+    # F2: unparseable dates coerced to null, parseable ones kept
+    assert table.where(F.col("event_date").isNull()).count() > 0
+    assert table.where(F.col("event_date").isNotNull()).count() > 0
+    # F3: non-numeric ints coerced to null
+    assert table.where(F.col("number_of_children").isNull()).count() > 0
+    # F6: DOB stored as 'yyyy-MM-dd' string or null
+    bad_dob = table.where(
+        F.col("date_of_birth").isNotNull()
+        & ~F.col("date_of_birth").rlike(r"^\d{4}-\d{2}-\d{2}$")
+    )
+    assert bad_dob.count() == 0
+    # P2: file 3 had no smtp column -> backfilled NULL
+    assert table.where(F.col("smtp_response").isNull()).count() >= len(set3)
+
+    # --- ledger idempotency (P4): second cycle is a no-op ----------------
+    again = job.run(tmp_path)
+    assert again == []
+    assert table.count() == expected_total
+
+
+def fx_rows(fx, i):
+    import csv
+
+    with open(fx["files"][i], encoding="utf-8") as f:
+        rows = list(csv.reader(f, delimiter=";"))
+    return rows[1:]
+
+
+def test_unroutable_file_gets_ledgered(spark, tmp_path):
+    fx = generate_f1(tmp_path, n=40)
+    job = make_job(spark, tmp_path, fx)
+    weird = tmp_path / "mystery_export.csv"
+    weird.write_text("a;b\n1;2\n")
+    res = job.process_file(weird)
+    assert res.status == "no schema found"
+    ledger = job.ledger.read()
+    assert ledger.where(F.col("status") == "no schema found").count() == 1
+
+
+def test_extra_columns_rejected(spark, tmp_path):
+    """Q4 asymmetry: more columns than schema -> reject."""
+    fx = generate_f1(tmp_path, n=40)
+    job = make_job(spark, tmp_path, fx)
+    bad = tmp_path / "last24h__extra.csv"
+    header = "Email;prénom;Campaign Event Type;Event Date;Event Datetime;Mobile;" \
+             "CODEPOSTAL_FACTURATION;DATE DE NAISSANCE;NB_ENFANTS;NB_TOTAL_COMMANDES;" \
+             "MONTANT_TOTAL_COMMANDES_EUR;Campaign Name;SMTP response;BONUS COLUMN"
+    bad.write_text(header + "\n" + ";".join(["x"] * 14) + "\n")
+    res = job.process_file(bad)
+    assert res.status == "column count mismatch"
+    assert "BONUS COLUMN" in (res.error or "")

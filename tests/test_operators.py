@@ -1,0 +1,133 @@
+"""Unit tests for individual operators: ids, dedup, casts, sources, retention."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from datawarehouse_backup_system_spark.operators.cast import (
+    parse_timestamp,
+    scrub_nulls,
+    strip_trailing_dot_zero,
+)
+from datawarehouse_backup_system_spark.operators.dedup import (
+    anti_join_history,
+    replay_guard,
+    self_dedup_first,
+)
+from datawarehouse_backup_system_spark.operators.hashing import with_row_hash
+from datawarehouse_backup_system_spark.operators.ids import (
+    assign_dense_ids,
+    next_id_watermark,
+)
+from datawarehouse_backup_system_spark.operators import retention
+from datawarehouse_backup_system_spark.sources.csv_source import (
+    detect_delimiter,
+    detect_encoding,
+    extract_zip_first_member,
+)
+
+
+def test_assign_dense_ids_both_strategies(spark):
+    df = spark.range(1000).withColumnRenamed("id", "k").repartition(7)
+    for strategy in ("global", "distributed"):
+        out = assign_dense_ids(df, ["k"], start=100, strategy=strategy, id_col="id")
+        rows = out.orderBy("k").select("id").collect()
+        assert [r["id"] for r in rows] == list(range(101, 1101)), strategy
+    assert next_id_watermark(assign_dense_ids(df, ["k"], start=0)) == 1000
+
+
+def test_self_dedup_keeps_first_occurrence(spark):
+    rows = [(1, "a", "x"), (2, "a", "y"), (3, "b", "z"), (4, "a", "w")]
+    df = spark.createDataFrame(rows, "seq int, content string, payload string")
+    df = df.withColumn("row_hash", F.md5("content"))
+    out = self_dedup_first(df, order_col="seq")
+    kept = {(r["seq"], r["content"]) for r in out.collect()}
+    assert kept == {(1, "a"), (3, "b")}  # seq=1 survives, not 2 or 4
+
+
+def test_anti_join_history(spark):
+    new = spark.createDataFrame([("h1", 1), ("h2", 2), ("h3", 3)], "row_hash string, v int")
+    hist = spark.createDataFrame([("h2",), ("h4",)], "row_hash string")
+    out = anti_join_history(new, hist)
+    assert {r["row_hash"] for r in out.collect()} == {"h1", "h3"}
+
+
+def test_replay_guard_range_pruned(spark):
+    batch = spark.createDataFrame([(5,), (6,), (7,)], "id long")
+    target = spark.createDataFrame([(6,), (100,)], "id long")
+    out = replay_guard(batch, target)
+    assert {r["id"] for r in out.collect()} == {5, 7}
+    # empty batch fast path
+    empty = spark.createDataFrame([], "id long")
+    assert replay_guard(empty, target).count() == 0
+
+
+def test_scalar_cleaning_semantics(spark):
+    df = spark.createDataFrame(
+        [("nan", "123.0", "2024-03-05 10:30:00"),
+         ("<NA>", "07500", "05/03/2024 12:40"),
+         (" ok ", "abc.0.0", "31/31/2024")],
+        "a string, b string, c string",
+    )
+    out = df.select(
+        scrub_nulls(F.col("a")).alias("a"),
+        strip_trailing_dot_zero(F.col("b")).alias("b"),
+        parse_timestamp(F.col("c")).alias("c"),
+    ).collect()
+    assert out[0]["a"] is None and out[1]["a"] is None and out[2]["a"] == " ok "
+    assert [r["b"] for r in out] == ["123", "07500", "abc.0"]
+    assert out[0]["c"] is not None and out[1]["c"] is not None and out[2]["c"] is None
+
+
+def test_row_hash_null_vs_empty_distinct(spark):
+    df = spark.createDataFrame([(None, "x"), ("", "x")], "a string, b string")
+    hashes = [r["row_hash"] for r in with_row_hash(df).collect()]
+    assert hashes[0] != hashes[1]  # NULL and '' are different content
+
+
+def test_sniffers(tmp_path):
+    p = tmp_path / "semi.csv"
+    p.write_text("a;b;c\n1;2;3\n", encoding="utf-8")
+    assert detect_encoding(p) == "utf-8"
+    assert detect_delimiter(p) == ";"
+    p16 = tmp_path / "utf16.csv"
+    p16.write_bytes("a,b\n1,2\n".encode("utf-16"))  # writes BOM
+    assert detect_encoding(p16) in ("utf-16", "utf-16-le")
+    assert detect_delimiter(p16, "utf-16") == ","
+
+
+def test_zip_first_member(tmp_path):
+    import zipfile
+
+    z = tmp_path / "x.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("data.csv", "a,b\n1,2\n")
+        zf.writestr("ignored.txt", "nope")
+    out = extract_zip_first_member(z, tmp_path / "staging")
+    assert out.name == "data.csv"
+    assert out.read_text() == "a,b\n1,2\n"
+
+
+def test_retention_policies(tmp_path):
+    d = tmp_path / "uploads"
+    d.mkdir()
+    now = time.time()
+    old, fresh = d / "old.csv", d / "fresh.csv"
+    old.write_bytes(b"x" * 100)
+    fresh.write_bytes(b"y" * 100)
+    os.utime(old, (now - 10 * 86400, now - 10 * 86400))
+    removed = retention.cleanup_old_files(d, max_age_days=7, now=now)
+    assert removed == 1 and fresh.exists() and not old.exists()
+
+    # size-capped eviction: oldest evicted first until <= 90% of cap
+    for i in range(10):
+        p = d / f"f{i}.bin"
+        p.write_bytes(b"z" * 1000)
+        os.utime(p, (now - (10 - i) * 3600, now - (10 - i) * 3600))
+    removed = retention.check_storage_and_cleanup(d, max_bytes=5000, target_ratio=0.9)
+    left = sorted(p.name for p in d.glob("f*.bin"))
+    assert removed == 6  # 10100 bytes total incl fresh.csv -> keep <= 4500
+    assert left == ["f6.bin", "f7.bin", "f8.bin", "f9.bin"]
