@@ -115,6 +115,11 @@ class IngestJob:
             rename_map = self.registry.rename_map(table_key)
 
             raw = read_raw_csv(self.spark, str(path))
+            if raw.isEmpty():
+                # reference records empty inputs distinctly
+                # (util/data_processing.py:467-470)
+                self.ledger.append(name, ledger_mod.STATUS_EMPTY)
+                return FileResult(name, ledger_mod.STATUS_EMPTY)
             target = self.read_table(schema)
             last_id = next_id_watermark(target)
             plan, error = self.build_plan(raw, schema, rename_map, last_id)

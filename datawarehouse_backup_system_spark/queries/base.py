@@ -1,0 +1,54 @@
+"""Query-spec plumbing for the driver contract.
+
+Each :class:`QuerySpec` pairs an idiomatic-Spark callable with the
+equivalent ANSI SQL that DuckDB runs on the same parquet tables. The
+driver compares row count + schema + order-insensitive value hash, so:
+
+- every computed column is aliased identically on both sides;
+- double-typed aggregates are either summed exactly via DECIMAL and cast
+  back, or rounded to a fixed number of decimals on BOTH sides (FP
+  summation order differs between engines; never hash an unrounded
+  float aggregate);
+- LIMIT/top-k queries always order by a unique tiebreak.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read nanos as long and truncate to microseconds
+        # (same truncation DuckDB applies), keeping the public schema.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None   # None → driver records a weaker rows-only check
+    doc: str = ""
+
+
+def as_query_dict(specs: list[QuerySpec]) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {s.name: s.spark_fn for s in specs}
+
+
+def as_oracle_dict(specs: list[QuerySpec]) -> dict[str, str]:
+    return {s.name: s.oracle for s in specs if s.oracle is not None}

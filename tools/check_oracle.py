@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry from ``__spark_entry__.py`` on Spark and its
+``oracle_sql()`` on DuckDB over the same parquet tables, then compares:
+row count, column-name set, and order-insensitive values (exact, with a
+float-closeness fallback reported separately so we can see whether a
+strict value-hash would pass).
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from datawarehouse_backup_system_spark.queries.base import TABLES  # noqa: E402
+from datawarehouse_backup_system_spark.session import get_spark  # noqa: E402
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            dt = df[c]
+            if getattr(dt.dtype, "tz", None) is not None:
+                dt = dt.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = dt.astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].where(pd.notna(df[c]), None)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, bool, str]:
+    """Returns (exact_match, close_match, message)."""
+    if len(a) != len(b):
+        return False, False, f"row count {len(a)} vs {len(b)}"
+    if sorted(a.columns) != sorted(b.columns):
+        return False, False, f"columns {sorted(a.columns)} vs {sorted(b.columns)}"
+    a, b = canon(a), canon(b)
+    exact = True
+    close = True
+    msg = []
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            avf = av.astype(float)
+            bvf = bv.astype(float)
+            eq = (avf == bvf) | (avf.isna() & bvf.isna())
+            if not eq.all():
+                exact = False
+                diff = (avf - bvf).abs()
+                cl = (diff < 1e-6) | (avf.isna() & bvf.isna())
+                if not cl.all():
+                    close = False
+                    i = (~cl).idxmax()
+                    msg.append(f"{c}: value mismatch at row {i}: {avf[i]} vs {bvf[i]}")
+                else:
+                    i = (~eq).idxmax()
+                    msg.append(f"{c}: float-only diff e.g. {avf[i]} vs {bvf[i]}")
+        else:
+            eq = (av == bv) | (av.isna() & bv.isna())
+            if not eq.all():
+                exact = False
+                close = False
+                i = (~eq).idxmax()
+                msg.append(f"{c}: mismatch at row {i}: {av[i]!r} vs {bv[i]!r}")
+    return exact, close, "; ".join(msg) or "ok"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    spark = get_spark(app_name="check-oracle")
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+        exact, close, msg = compare(sdf, ddf)
+        status = "EXACT" if exact else ("CLOSE" if close else "FAIL")
+        if not close:
+            failures.append(name)
+        print(f"{status}  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)  {msg if not exact else ''}")
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        return 1
+    print("all queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
