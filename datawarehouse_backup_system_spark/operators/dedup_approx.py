@@ -1,0 +1,200 @@
+"""Approximate / content-similarity deduplication at scale.
+
+Beyond the reference's exact row_hash dedup (SURVEY §2.3), a training-data
+pipeline needs near-duplicate detection. All operators here are pure
+DataFrame compositions — no UDFs — so they stay JVM-side and scale by
+partitioning:
+
+- **exact_dedup** — hash-groupBy, the 100 TB version of J1 without order
+  semantics (keep min id per content hash).
+- **MinHash + LSH** — shingle → K md5-minhashes → band buckets →
+  candidate pairs from bucket self-join → exact Jaccard verify. The
+  band self-join is the only shuffle that matters; bucket ids are
+  md5-uniform so it parallelizes evenly, and candidate verification
+  touches only the (tiny) candidate set instead of O(N²) pairs.
+- **SimHash** — per-token hash bits, weighted majority vote → compact
+  fingerprint; near-dups have small Hamming distance. Entirely
+  expression-based (hex-digit bit extraction), groupBy(id) is the only
+  shuffle.
+- n-gram Jaccard verify for candidate pairs (shared by LSH + brute paths).
+
+Hashes are md5-derived, so results are deterministic and engine-portable
+(the DuckDB oracles compute byte-identical signatures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datawarehouse_backup_system_spark.operators.hashing import HASH_SEP
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the smallest id per exact content hash (order-free exact dedup;
+    the deterministic-order variant is operators.dedup.self_dedup_first)."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in content_cols]
+    h = F.md5(F.concat_ws(HASH_SEP, *parts))
+    return (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .drop("_h")
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Expression-only: split → sequence → transform → explode. Documents
+    shorter than n words produce no shingles.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)  # valid when size >= n
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return (
+        df.where(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signature(
+    shingles: DataFrame, id_col: str, k: int = 9
+) -> DataFrame:
+    """K minhash values per id. Each hash function h_i(s) = md5(i || s);
+    the signature component is MIN over shingles — string-min of md5 hex
+    is a valid uniform minhash and is portable across engines."""
+    aggs = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame, id_col: str, k: int, band_size: int) -> DataFrame:
+    """Signature → (id, band_idx, band_key) rows; ids sharing a band_key in
+    a band are candidate near-duplicates."""
+    assert k % band_size == 0, "k must be divisible by band_size"
+    bands = []
+    for b in range(k // band_size):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *cols)).alias("band_key"))
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, F.col("b.band_idx"), F.col("b.band_key"))
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Self-join on (band_idx, band_key) → distinct ordered candidate pairs."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_idx") == F.col(f"b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    pairs: DataFrame, shingles: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs: |A∩B| via shingle equi-join,
+    |A∪B| = |A|+|B|-|A∩B|. Only candidate pairs are scored — the
+    verification cost is proportional to the LSH recall set, not N²."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sh_a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])  # shingle present in BOTH docs
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    k: int = 9,
+    band_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline → verified duplicate pairs
+    (id_a < id_b, exact jaccard ≥ threshold)."""
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    sigs = minhash_signature(sh, id_col, k)
+    cands = lsh_candidate_pairs(lsh_bands(sigs, id_col, k, band_size), id_col)
+    scored = jaccard_pairs(cands, sh, id_col)
+    return scored.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard"
+    )
+
+
+def _hex_digit_val(h: Column, pos: int) -> Column:
+    """Value 0..15 of the pos-th (1-based) hex char — portable (instr)."""
+    return F.instr(F.lit("0123456789abcdef"), F.substring(h, pos, 1)) - 1
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprint over whitespace tokens (frequency-weighted).
+
+    bit j of md5(token) = (hexdigit(j//4+1) >> (3 - j%4)) & 1; the
+    fingerprint sets bit j iff Σ_tokens (2·bit_j − 1) > 0. ``bits`` ≤ 32
+    keeps the expression tree small; the library default 16 matches the
+    oracle query, production use can raise it.
+    """
+    assert bits % 4 == 0 and bits <= 128
+    tok = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+        )
+        .withColumn("h", F.md5(F.col("token")))
+    )
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                2 * F.shiftright(_hex_digit_val(F.col("h"), j // 4 + 1), 3 - j % 4)
+                .bitwiseAND(F.lit(1))
+                - 1
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp = term if fp is None else fp + term
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR — pair distance for simhash buckets."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,140 @@
+"""Vector similarity search over embedding columns (``array<float>``).
+
+Two tiers, same output shape, designed for the 100 TB regime:
+
+- **brute_force_topk** — exact cosine top-k. The query side is small by
+  construction (a probe set), so it is BROADCAST; the corpus side streams
+  partition-parallel with no shuffle until the final per-query top-k
+  window (which shuffles only #queries × #candidates-per-partition rows
+  after a partial ``row_number`` prune would — at k ≪ N the window input
+  is the bottleneck, so keep the probe set bounded).
+- **bucketed_ann** — sign-bit LSH (random-hyperplane family degenerated to
+  axis hyperplanes: bucket = sign bits of the first ``n_bits`` dims).
+  Join on bucket equality restricts candidates to ~N/2^bits per query;
+  recall is tunable via multi-probe (not implemented round 1). This is
+  the scale path: the bucket join is an equi-join Spark hash-partitions.
+
+All math is expression-level: ``zip_with`` product + sequential
+``aggregate`` fold in double — deterministic and portable (the DuckDB
+oracle's ``list_dot_product`` folds the same way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query (self-matches excluded).
+
+    Scores are rounded BEFORE ranking so the (score, id) order is a total
+    order identical across engines.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def sign_bucket(vec_col: Column, n_bits: int = 8) -> Column:
+    """Bucket id from the sign bits of the first n_bits dimensions."""
+    b = None
+    for i in range(n_bits):
+        bit = F.when(F.element_at(vec_col, i + 1) > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        b = bit if b is None else b + bit
+    return b.cast("bigint")
+
+
+def bucketed_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_bits: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's sign bucket."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        sign_bucket(_as_double(vec_col), n_bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        sign_bucket(_as_double(vec_col), n_bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """All pairs (a<b) with rounded cosine ≥ threshold — embedding-space
+    near-duplicate detection. O(N²/2) scoring: brute-force baseline; at
+    scale run bucketed_ann per item instead."""
+    a = emb.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), round_digits))
+        .where(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

@@ -1,0 +1,117 @@
+"""Text-analysis operators for document pipelines.
+
+All expression-level (split/filter/aggregate on the token array — no
+UDFs), so they run inside whole-stage codegen and scale linearly with
+partition count:
+
+- token counting (whitespace tokens + a BPE-ish subword regex count)
+- quality scoring (length / punctuation / stopword ratios)
+- language-ID (stopword-hit heuristic over per-language marker lists)
+- document fingerprinting (md5 head/tail/length canonical fingerprint)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est"),
+    "es": ("el", "la", "los", "y", "de", "un", "una", "es"),
+    "de": ("der", "die", "das", "und", "ein", "ist", "zu", "den"),
+}
+
+#: crude BPE-ish subword splitter: letter runs, digit runs, single symbols
+SUBWORD_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def subword_count(text: Column) -> Column:
+    """Count of BPE-ish subword units (regexp_extract_all length)."""
+    return F.size(F.regexp_extract_all(text, F.lit(SUBWORD_RE), 0))
+
+
+def stopword_hits(text: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*words)))
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?'\"()-]", ""))
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features + a simple keep/drop flag.
+
+    Ratios are int/int divisions (exact given same ints) rounded at a
+    fixed precision, so the output is engine-portable.
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars_text"),
+        n_tok.alias("n_tokens"),
+        F.round(
+            (F.length(F.regexp_replace(t, r"\s", "")) * 1.0) / n_tok, 6
+        ).alias("avg_token_len"),
+        F.round(stopword_hits(t, "en") * 1.0 / n_tok, 6).alias("stopword_ratio"),
+        F.round(punct_count(t) * 1.0 / F.length(t), 6).alias("punct_ratio"),
+        (
+            (n_tok >= 10)
+            & (n_tok <= 100_000)
+            & (stopword_hits(t, "en") * 20 >= n_tok)  # ratio >= 0.05, integer form
+        ).alias("quality_keep"),
+    )
+
+
+def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-hit language ID: argmax of per-language marker hits, ties
+    and zero-evidence → 'und'. Deterministic CASE cascade ordered by
+    (hits desc, lang asc)."""
+    t = F.col(text_col)
+    hits = {lang: stopword_hits(t, lang) for lang in STOPWORDS}
+    out = df.select(
+        F.col(id_col), *[h.alias(f"hits_{lang}") for lang, h in hits.items()]
+    )
+    langs = sorted(STOPWORDS)
+    best = None
+    for lang in langs:
+        c = F.col(f"hits_{lang}")
+        cond = (c > 0)
+        for other in langs:
+            if other == lang:
+                continue
+            o = F.col(f"hits_{other}")
+            # strictly greater than later-alphabet langs, >= earlier ones
+            cond = cond & (c >= o if lang < other else c > o)
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    return out.withColumn("predicted_lang", best.otherwise(F.lit("und")))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str, window: int = 64) -> DataFrame:
+    """Canonical document fingerprint: md5 over (length | head | tail).
+
+    Cheap (no tokenization), collision-resistant for exact and
+    head/tail-stable content; the rolling-hash shingle variant is
+    dedup_approx.word_shingles + minhash.
+    """
+    t = F.col(text_col)
+    tail_start = F.greatest(F.length(t) - (window - 1), F.lit(1))
+    fp = F.md5(
+        F.concat_ws(
+            "|",
+            F.length(t).cast("string"),
+            F.substring(t, 1, window),
+            t.substr(tail_start, F.lit(window)),
+        )
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,416 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis.
+
+These extend the reference surface (BASELINE.json north star). The
+synthetic corpus contains no natural near-duplicates (max trigram Jaccard
+≈0.02, max cosine ≈0.5), so the dedup queries construct perturbed copies
+IN-QUERY — deterministically, in both engines — to exercise the machinery
+non-vacuously: candidates and verdicts must then match exactly.
+
+Portability rules as in queries.relational: md5-derived hashes everywhere,
+ratios of exact integers rounded at fixed precision, rounded-then-ranked
+scores with id tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datawarehouse_backup_system_spark.operators import dedup_approx, similarity, text
+from datawarehouse_backup_system_spark.queries.base import QuerySpec, load
+
+
+def _docs_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ perturbed copies (id+100000, first 3 words dropped) —
+    the deterministic near-dup corpus used by d02/d03."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    perturbed = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(toks, 4, F.size(toks) - 3), " ").alias("text"),
+    ).where(F.size(toks) > 6)
+    return docs.unionByName(perturbed)
+
+
+_NEARDUP_CORPUS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(string_split_regex(trim(text), '\\s+')[4:], ' ') AS text
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) > 6
+"""
+
+
+# --------------------------------------------------------------------------
+# d01 — exact dedup at scale: hash-groupBy keep min id
+# --------------------------------------------------------------------------
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    survivors = dedup_approx.exact_dedup(doubled, ["text"], "doc_id")
+    return survivors.select("doc_id", "n_copies")
+
+
+D01_SQL = """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+)
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM doubled
+GROUP BY md5(concat_ws(chr(1), coalesce(text, '<NULL>')))
+"""
+
+
+# --------------------------------------------------------------------------
+# d02 — MinHash + LSH near-dup detection with exact-Jaccard verification
+# --------------------------------------------------------------------------
+def d02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_neardups(spark, sf_dir)
+    pairs = dedup_approx.minhash_lsh_dedup(
+        corpus, "doc_id", "text", shingle_n=3, k=9, band_size=3, threshold=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b", "n_inter", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+D02_SQL = f"""
+WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+  FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+sigs AS (
+  SELECT doc_id,
+    {", ".join(f"MIN(md5('{i}' || '|' || shingle)) AS mh{i}" for i in range(9))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1 || '|' || mh2) AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, md5(mh3 || '|' || mh4 || '|' || mh5) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, md5(mh6 || '|' || mh7 || '|' || mh8) FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, n_inter, za.n_sh AS n_a, zb.n_sh AS n_b,
+       ROUND(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = id_a
+JOIN sizes zb ON zb.doc_id = id_b
+WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# d03 — SimHash fingerprints (16-bit, frequency-weighted)
+# --------------------------------------------------------------------------
+def d03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_approx.simhash(docs, "doc_id", "text", bits=16)
+
+
+def _simhash_sql_bits() -> str:
+    terms = []
+    for j in range(16):
+        digit = f"(strpos('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1)"
+        bit = f"(({digit} >> {3 - j % 4}) & 1)"
+        terms.append(
+            f"CASE WHEN SUM(2 * {bit} - 1) > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+D03_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, md5(u.token) AS h
+  FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS u(token)
+)
+SELECT doc_id, {_simhash_sql_bits()} AS simhash
+FROM tok GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# d04 — character-5-gram Jaccard (brute force on a bounded probe set)
+# --------------------------------------------------------------------------
+def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 4),
+        lambda i: F.col("text").substr(i, F.lit(5)),
+    )
+    sh = (
+        docs.where(F.length("text") >= 5)
+        .select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .where(F.col("jaccard") >= 0.05)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+D04_SQL = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+sh AS (
+  SELECT DISTINCT doc_id, substr(text, i + 1, 5) AS shingle
+  FROM docs, UNNEST(range(len(text) - 4)) AS u(i)
+  WHERE len(text) >= 5
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = id_a
+JOIN sizes zb ON zb.doc_id = id_b
+WHERE ROUND(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 6) >= 0.05
+"""
+
+
+# --------------------------------------------------------------------------
+# d05 — embedding-cosine near-dup pairs
+# --------------------------------------------------------------------------
+def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs(emb, threshold=0.4)
+
+
+D05_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+             6) AS score
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+            6) >= 0.4
+"""
+
+
+# --------------------------------------------------------------------------
+# d06 — brute-force cosine top-k (exact ANN baseline)
+# --------------------------------------------------------------------------
+def d06_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+D06_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qe, e)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))),
+               6) AS score
+  FROM q JOIN v ON v.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# d07 — sign-bucket LSH ANN (the scale path)
+# --------------------------------------------------------------------------
+def d07_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return similarity.bucketed_ann(emb, queries, k=3, n_bits=8)
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN e[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)" for i in range(8)
+)
+
+D07_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vb AS (SELECT vec_id, e, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM vb WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qe, c.e)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.e, c.e))),
+               6) AS score
+  FROM q JOIN vb c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# t01 — token counting (whitespace + BPE-ish subword units)
+# --------------------------------------------------------------------------
+def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.subword_count(F.col("text")).alias("n_subwords"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+T01_SQL = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords,
+       len(text) AS n_chars_calc
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# t02 — quality scoring
+# --------------------------------------------------------------------------
+def t02_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.quality_features(docs, "doc_id", "text")
+
+
+T02_SQL = r"""
+WITH f AS (
+  SELECT doc_id, text,
+         len(text) AS n_chars_text,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+             x -> x IN ('the','a','of','and','to','in','is','it'))) AS stop_hits,
+         len(text) - len(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_chars_text, n_tokens,
+       ROUND(n_nonspace * 1.0 / n_tokens, 6) AS avg_token_len,
+       ROUND(stop_hits * 1.0 / n_tokens, 6) AS stopword_ratio,
+       ROUND(n_punct * 1.0 / n_chars_text, 6) AS punct_ratio,
+       (n_tokens >= 10 AND n_tokens <= 100000 AND stop_hits * 20 >= n_tokens)
+         AS quality_keep
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
+# t03 — language ID (stopword-marker argmax heuristic)
+# --------------------------------------------------------------------------
+def t03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.langid(docs, "doc_id", "text")
+
+
+def _langid_sql() -> str:
+    hit_exprs = []
+    for lang, words in sorted(text.STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        hit_exprs.append(
+            f"len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN ({lst}))) AS hits_{lang}"
+        )
+    langs = sorted(text.STOPWORDS)
+    cases = []
+    for lang in langs:
+        conds = [f"hits_{lang} > 0"]
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">=" if lang < other else ">"
+            conds.append(f"hits_{lang} {op} hits_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+WITH h AS (SELECT doc_id, {', '.join(hit_exprs)} FROM documents)
+SELECT doc_id, {', '.join(f'hits_{lang}' for lang in langs)},
+       {case_sql} AS predicted_lang
+FROM h
+"""
+
+
+T03_SQL = _langid_sql()
+
+
+# --------------------------------------------------------------------------
+# t04 — document fingerprinting
+# --------------------------------------------------------------------------
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "doc_id", "text")
+
+
+T04_SQL = """
+SELECT doc_id,
+       md5(concat_ws('|', CAST(len(text) AS VARCHAR), substr(text, 1, 64),
+                     substr(text, GREATEST(len(text) - 63, 1), 64))) AS fingerprint
+FROM documents
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("d01_dedup_exact", d01_dedup_exact, D01_SQL,
+              "exact dedup: hash-groupBy keep min id"),
+    QuerySpec("d02_minhash_lsh", d02_minhash_lsh, D02_SQL,
+              "MinHash+LSH near-dup with exact-Jaccard verify"),
+    QuerySpec("d03_simhash", d03_simhash, D03_SQL, "16-bit SimHash fingerprints"),
+    QuerySpec("d04_ngram_jaccard", d04_ngram_jaccard, D04_SQL,
+              "char-5-gram Jaccard on bounded probe set"),
+    QuerySpec("d05_embedding_neardup", d05_embedding_neardup, D05_SQL,
+              "embedding-cosine near-dup pairs"),
+    QuerySpec("d06_similarity_topk", d06_similarity_topk, D06_SQL,
+              "brute-force cosine top-k (exact ANN baseline)"),
+    QuerySpec("d07_ann_bucketed", d07_ann_bucketed, D07_SQL,
+              "sign-bucket LSH ANN (scale path)"),
+    QuerySpec("t01_token_count", t01_token_count, T01_SQL,
+              "token + subword counting"),
+    QuerySpec("t02_quality", t02_quality, T02_SQL, "document quality scoring"),
+    QuerySpec("t03_langid", t03_langid, T03_SQL, "stopword-heuristic language ID"),
+    QuerySpec("t04_fingerprint", t04_fingerprint, T04_SQL,
+              "md5 head/tail/length fingerprint"),
+]

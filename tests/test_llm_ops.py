@@ -1,0 +1,111 @@
+"""Tests for the LLM-pipeline operators: approx dedup, similarity,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_backup_system_spark.operators import (
+    dedup_approx,
+    multimodal,
+    similarity,
+    text,
+)
+
+
+def test_minhash_lsh_finds_planted_neardups(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # near-dup of 1
+        (3, "completely different words about spark dataframes and shuffles here"),
+        (4, "unrelated text mentioning benchmarks partitions and broadcast joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup_approx.minhash_lsh_dedup(df, "doc_id", "text", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
+def test_simhash_close_for_neardups(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # one token differs
+        (3, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: r["simhash"] for r in dedup_approx.simhash(df, "doc_id", "text").collect()}
+    d12 = bin(fp[1] ^ fp[2]).count("1")
+    d13 = bin(fp[1] ^ fp[3]).count("1")
+    assert d12 < d13  # near-dup pair is closer in Hamming space
+    assert all(0 <= v < 2 ** 16 for v in fp.values())
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(5, "x"), (9, "x"), (2, "x"), (7, "y")], "doc_id long, text string"
+    )
+    out = {(r["doc_id"], r["n_copies"])
+           for r in dedup_approx.exact_dedup(df, ["text"], "doc_id").collect()}
+    assert out == {(2, 3), (7, 1)}
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") == 0)
+    got = [(r["neighbor_id"], r["rank"])
+           for r in similarity.brute_force_topk(df, q, k=3).orderBy("rank").collect()]
+    assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_bucketed_ann_restricts_candidates(spark):
+    rows = [(i, [float(1 if i < 3 else -1)] * 8) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") == 0)
+    got = {r["neighbor_id"] for r in similarity.bucketed_ann(df, q, k=5).collect()}
+    assert got == {1, 2}  # opposite-sign bucket never scored
+
+
+def test_langid_marker_text(spark):
+    rows = [
+        (1, "the cat is in the house and it is warm"),
+        (2, "le chat est dans la maison et il est chaud"),
+        (3, "der hund ist das tier und ein freund"),
+        (4, "qqq www eee"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["predicted_lang"] for r in text.langid(df, "doc_id", "text").collect()}
+    assert got == {1: "en", 2: "fr", 3: "de", 4: "und"}
+
+
+def test_multimodal_decode_fake_and_error(spark):
+    rows = [
+        (1, "image", "image/png", {"src": "a"}, bytearray(b"\x89PNG fake bytes")),
+        (2, "video", "video/mp4", {}, bytearray(b"\x00\x00 ftyp fake")),
+        (3, "audio", "audio/wav", None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    feats = multimodal.decode_features(df, decode_stub="fake")
+    got = {r["asset_id"]: r for r in feats.collect()}
+    assert got[1]["width"] is not None and got[1]["duration_ms"] is None
+    assert got[2]["duration_ms"] is not None and got[2]["width"] is None
+    assert got[3]["n_bytes"] == 0
+    assert len(got[1]["content_md5"]) == 32
+    # deterministic: same bytes -> same fake dims
+    again = {r["asset_id"]: r for r in multimodal.decode_features(df, "fake").collect()}
+    assert again[1]["width"] == got[1]["width"]
+
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        multimodal.decode_features(df, decode_stub="error").collect()
+
+
+def test_frame_sample_shape(spark):
+    rows = [(1, "video", "video/mp4", None, bytearray(b"abc"))]
+    df = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    frames = multimodal.frame_sample_stub(df, every_ms=1000).collect()
+    assert len(frames) >= 1
+    assert [f["frame_idx"] for f in frames] == list(range(len(frames)))
+    assert frames[-1]["frame_ms"] == (len(frames) - 1) * 1000
