@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q01_pricing_summary": sec, ...}, "sf": <float>}
+
+Each query is forced with the ``noop`` sink so the full plan executes
+(``count()`` would let Catalyst prune unevaluated projections). One warm
+JVM, queries timed sequentially.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from datawarehouse_backup_system_spark.queries import llm_ops, relational  # noqa: E402
+from datawarehouse_backup_system_spark.session import get_spark  # noqa: E402
+
+#: headline set: the flagship aggregate, the dedup family (exact, order-
+#: defined, incremental, minhash), the join/window relational surface, and
+#: the similarity + text extensions — the operators that dominate real use.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q05_self_dedup_first",
+    "q06_crossfile_dedup",
+    "q14_revenue_by_region",
+    "q16_running_total",
+    "q19_tumbling_window",
+    "d01_dedup_exact",
+    "d02_minhash_lsh",
+    "d06_similarity_topk",
+    "t02_quality",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    specs = {s.name: s for s in relational.SPECS + llm_ops.SPECS}
+    spark = get_spark(app_name="dwbss-bench")
+
+    # warm the JVM + file listing with a trivial action (not timed)
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    # best-of-2 per query: the first run includes shuffle-file/codegen
+    # warmup and is exposed to host noise; min() approximates steady state
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].spark_fn
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()  # no cross-run cache reuse: honest timing
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall seconds (noop-forced, warm JVM, best of 2)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -49,14 +49,22 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     Expression-only: split → sequence → transform → explode. Documents
     shorter than n words produce no shingles.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)  # valid when size >= n
+    # Stage the token array once: higher-order functions are interpreted
+    # (no codegen / no common-subexpression elimination), so referencing
+    # the raw split() inside the transform lambda would re-split the text
+    # per element. Also repartition so the explode uses all cores even
+    # when the source is a single small file.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    staged = df.repartition(n_parts).select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    toks = F.col("_toks")
     grams = F.transform(
-        idx,
+        F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
     )
     return (
-        df.where(F.size(toks) >= n)
+        staged.where(F.size(toks) >= n)
         .select(F.col(id_col), F.explode(grams).alias("shingle"))
         .distinct()
     )
@@ -90,8 +98,27 @@ def lsh_bands(sigs: DataFrame, id_col: str, k: int, band_size: int) -> DataFrame
     ).select(id_col, F.col("b.band_idx"), F.col("b.band_key"))
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
-    """Self-join on (band_idx, band_key) → distinct ordered candidate pairs."""
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Self-join on (band_idx, band_key) → distinct ordered candidate pairs.
+
+    ``max_bucket_size`` drops degenerate hot buckets before the self-join
+    (standard LSH practice: a bucket of B members contributes B² join
+    rows; near-dup pairs live in tiny buckets, while mega-buckets are
+    low-signal artifacts — e.g. many documents sharing the globally
+    minimal shingle of a small vocabulary). This bounds worst-case join
+    size and removes stragglers at scale.
+    """
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_key")
+        bands = (
+            bands.withColumn("_bn", F.count("*").over(w))
+            .where(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -141,12 +168,25 @@ def minhash_lsh_dedup(
     k: int = 9,
     band_size: int = 3,
     threshold: float = 0.5,
+    persist_shingles: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → verified duplicate pairs
-    (id_a < id_b, exact jaccard ≥ threshold)."""
+    (id_a < id_b, exact jaccard ≥ threshold).
+
+    The shingle set is referenced by FOUR subtrees (signatures, pair
+    intersection ×2, sizes); without persistence Spark re-scans and
+    re-explodes the corpus for each, which dominates wall time. We
+    persist it (MEMORY_AND_DISK) by default — at cluster scale prefer
+    writing shingles to a staged table once when the corpus is huge.
+    """
     sh = word_shingles(df, id_col, text_col, shingle_n)
+    if persist_shingles:
+        sh = sh.persist()
     sigs = minhash_signature(sh, id_col, k)
-    cands = lsh_candidate_pairs(lsh_bands(sigs, id_col, k, band_size), id_col)
+    cands = lsh_candidate_pairs(
+        lsh_bands(sigs, id_col, k, band_size), id_col, max_bucket_size
+    )
     scored = jaccard_pairs(cands, sh, id_col)
     return scored.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard"

@@ -52,23 +52,31 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document quality features + a simple keep/drop flag.
 
     Ratios are int/int divisions (exact given same ints) rounded at a
-    fixed precision, so the output is engine-portable.
+    fixed precision, so the output is engine-portable. Heavy string work
+    (token split, stopword filter, regex strips) is computed ONCE in a
+    staged projection and reused — higher-order functions are interpreted
+    (not codegen'd), so duplicated subtrees are real per-row cost.
     """
     t = F.col(text_col)
-    n_tok = token_count(t)
-    return df.select(
+    staged = df.select(
         F.col(id_col),
         F.length(t).alias("n_chars_text"),
-        n_tok.alias("n_tokens"),
-        F.round(
-            (F.length(F.regexp_replace(t, r"\s", "")) * 1.0) / n_tok, 6
-        ).alias("avg_token_len"),
-        F.round(stopword_hits(t, "en") * 1.0 / n_tok, 6).alias("stopword_ratio"),
-        F.round(punct_count(t) * 1.0 / F.length(t), 6).alias("punct_ratio"),
+        token_count(t).alias("n_tokens"),
+        F.length(F.regexp_replace(t, r"\s", "")).alias("n_nonspace"),
+        stopword_hits(t, "en").alias("stop_hits"),
+        punct_count(t).alias("n_punct"),
+    )
+    return staged.select(
+        id_col,
+        "n_chars_text",
+        "n_tokens",
+        F.round(F.col("n_nonspace") * 1.0 / F.col("n_tokens"), 6).alias("avg_token_len"),
+        F.round(F.col("stop_hits") * 1.0 / F.col("n_tokens"), 6).alias("stopword_ratio"),
+        F.round(F.col("n_punct") * 1.0 / F.col("n_chars_text"), 6).alias("punct_ratio"),
         (
-            (n_tok >= 10)
-            & (n_tok <= 100_000)
-            & (stopword_hits(t, "en") * 20 >= n_tok)  # ratio >= 0.05, integer form
+            (F.col("n_tokens") >= 10)
+            & (F.col("n_tokens") <= 100_000)
+            & (F.col("stop_hits") * 20 >= F.col("n_tokens"))  # ratio >= 0.05
         ).alias("quality_keep"),
     )
 

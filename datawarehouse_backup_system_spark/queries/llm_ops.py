@@ -72,7 +72,8 @@ GROUP BY md5(concat_ws(chr(1), coalesce(text, '<NULL>')))
 def d02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _docs_with_neardups(spark, sf_dir)
     pairs = dedup_approx.minhash_lsh_dedup(
-        corpus, "doc_id", "text", shingle_n=3, k=9, band_size=3, threshold=0.5
+        corpus, "doc_id", "text", shingle_n=3, k=9, band_size=3, threshold=0.5,
+        max_bucket_size=20,
     )
     return pairs.select(
         "id_a", "id_b", "n_inter", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard")
@@ -92,12 +93,16 @@ sigs AS (
     {", ".join(f"MIN(md5('{i}' || '|' || shingle)) AS mh{i}" for i in range(9))}
   FROM sh GROUP BY doc_id
 ),
-bands AS (
+bands_all AS (
   SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1 || '|' || mh2) AS band_key FROM sigs
   UNION ALL
   SELECT doc_id, 1, md5(mh3 || '|' || mh4 || '|' || mh5) FROM sigs
   UNION ALL
   SELECT doc_id, 2, md5(mh6 || '|' || mh7 || '|' || mh8) FROM sigs
+),
+bands AS (  -- hot-bucket cap mirrors max_bucket_size=20
+  SELECT doc_id, band_idx, band_key FROM bands_all
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_key) <= 20
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
