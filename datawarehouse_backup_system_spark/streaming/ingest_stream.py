@@ -1,0 +1,134 @@
+"""Structured Streaming operators: the streaming analog of the batch
+pipeline (SURVEY §7 step 6 — no reference counterpart; the reference's
+daily daemon loop, main.py:417-424, is the degenerate batch case).
+
+- **stream_source** — file-based streaming scan (the landing-zone
+  directory IS the stream; at scale this is Kafka/queue, same plan).
+- **windowed_counts** — tumbling/sliding event-time windows with a
+  watermark for late data.
+- **sessionized_counts** — native session windows (gap-based).
+- **streaming_dedup** — `dropDuplicatesWithinWatermark` on the content
+  hash: the streaming J1/J2 (state is bounded by the watermark horizon,
+  which is what makes dedup feasible on an unbounded stream).
+- **ingest_stream** — normalize→hash→dedup→append, with `foreachBatch`
+  so each micro-batch can run the batch replay-guard before committing
+  (exactly-once-ish file sink).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datawarehouse_backup_system_spark.operators.hashing import with_row_hash
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_source(
+    spark: SparkSession, path: str, schema: T.StructType = EVENT_SCHEMA, fmt: str = "parquet"
+) -> DataFrame:
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling (slide=None) or sliding event-time window aggregation.
+    The watermark bounds state: windows older than it are finalized and
+    evicted — required for append-mode sinks and unbounded streams."""
+    w = (
+        F.window("ts", window)
+        if slide is None
+        else F.window("ts", window, slide)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Native session windows (dynamic gap-based), per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming first-occurrence dedup on a content hash.
+
+    ``dropDuplicatesWithinWatermark`` keeps hash state only inside the
+    watermark horizon — the streaming equivalent of the reference's
+    cross-file hash set (J2) with bounded memory. Late duplicates beyond
+    the horizon are the documented trade-off (the batch anti-join against
+    the snapshot catches them downstream).
+    """
+    hashed = with_row_hash(events, key_cols)
+    return hashed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["row_hash"]
+    )
+
+
+def ingest_stream(
+    events: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    post_batch: Callable[[DataFrame, int], DataFrame] | None = None,
+):
+    """Streaming ingest: dedup within watermark, then per-micro-batch
+    append via foreachBatch (where the batch replay guard can run against
+    the existing snapshot before committing).
+
+    Returns the started StreamingQuery; caller owns lifecycle.
+    """
+    deduped = streaming_dedup(events, key_cols)
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        out = post_batch(batch, epoch_id) if post_batch is not None else batch
+        out.write.mode("append").parquet(target_dir)
+
+    return (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )

@@ -1,0 +1,123 @@
+"""Structured Streaming tests: file-source micro-batches driven to
+completion synchronously (memory sink + processAllAvailable)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_backup_system_spark.streaming import ingest_stream as st
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, st.EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def _rows(start_id, n, t0, minutes_apart=5, user=1, etype="click"):
+    return [
+        (
+            start_id + i,
+            t0 + dt.timedelta(minutes=i * minutes_apart),
+            user,
+            etype,
+            1.0,
+            "{}",
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.fixture()
+def t0():
+    return dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _run_to_memory(df, name):
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
+
+
+def test_windowed_counts_stream(spark, tmp_path, t0):
+    src = str(tmp_path / "events")
+    _write_batch(spark, src, _rows(0, 12, t0))  # 1 event / 5 min for 1 h
+    stream = st.stream_source(spark, src)
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    q = _run_to_memory(st.windowed_counts(stream, "10 minutes"), name)
+    try:
+        # append mode only emits windows sealed by the watermark; advance it
+        _write_batch(spark, src, _rows(100, 1, t0 + dt.timedelta(hours=3)))
+        q.processAllAvailable()
+        out = spark.sql(f"SELECT * FROM {name}").collect()
+        assert len(out) >= 5  # hour of 10-min windows finalized
+        assert all(r["n"] == 2 for r in out if r["window_start"] >= t0
+                   and r["window_start"] < t0 + dt.timedelta(hours=1))
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path, t0):
+    src = str(tmp_path / "events")
+    rows = _rows(0, 4, t0)
+    dup = [rows[1]]  # exact duplicate arrives again in a later batch
+    _write_batch(spark, src, rows)
+    stream = st.stream_source(spark, src)
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    deduped = st.streaming_dedup(stream, ["event_id", "user_id", "event_type"])
+    q = _run_to_memory(deduped.select("event_id", "row_hash"), name)
+    try:
+        _write_batch(spark, src, dup)
+        q.processAllAvailable()
+        out = spark.sql(f"SELECT event_id FROM {name}").collect()
+        ids = sorted(r["event_id"] for r in out)
+        assert ids == [0, 1, 2, 3]  # duplicate suppressed by hash state
+    finally:
+        q.stop()
+
+
+def test_ingest_stream_end_to_end(spark, tmp_path, t0):
+    src = str(tmp_path / "landing")
+    target = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, src, _rows(0, 5, t0))
+    stream = st.stream_source(spark, src)
+    q = st.ingest_stream(stream, target, ckpt, ["event_id", "user_id", "event_type"])
+    try:
+        q.processAllAvailable()
+        # second landing batch: 2 new rows + 1 duplicate of event 2
+        _write_batch(spark, src, _rows(10, 2, t0 + dt.timedelta(hours=1)))
+        _write_batch(spark, src, _rows(2, 1, t0 + dt.timedelta(minutes=10)))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = spark.read.parquet(target)
+    assert snap.where(F.col("event_id") == 2).count() == 1  # deduped
+    assert snap.count() == 7
+    assert "row_hash" in snap.columns
+
+
+def test_sessionized_counts_stream(spark, tmp_path, t0):
+    src = str(tmp_path / "events")
+    burst1 = _rows(0, 3, t0, minutes_apart=5)            # one session
+    burst2 = _rows(10, 2, t0 + dt.timedelta(hours=2))    # second session
+    _write_batch(spark, src, burst1 + burst2)
+    stream = st.stream_source(spark, src)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = _run_to_memory(st.sessionized_counts(stream, gap="30 minutes"), name)
+    try:
+        _write_batch(spark, src, _rows(99, 1, t0 + dt.timedelta(hours=6)))
+        q.processAllAvailable()
+        out = spark.sql(f"SELECT * FROM {name} ORDER BY session_start").collect()
+        assert [r["n_events"] for r in out[:2]] == [3, 2]
+    finally:
+        q.stop()

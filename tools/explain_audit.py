@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Physical-plan audit: verify the optimizations we rely on actually fire.
+
+For each headline query, prints the formatted plan plus a summary of:
+- parquet PushedFilters (predicate pushdown reached the scan)
+- ReadSchema width (column pruning)
+- join strategies chosen (broadcast vs sort-merge vs shuffled hash)
+- WholeStageCodegen span count (JVM-side execution)
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from datawarehouse_backup_system_spark.queries import llm_ops, relational  # noqa: E402
+from datawarehouse_backup_system_spark.session import get_spark  # noqa: E402
+
+DEFAULT = [
+    "q01_pricing_summary", "q02_scan_filter_project", "q03_id_range_probe",
+    "q05_self_dedup_first", "q06_crossfile_dedup", "q14_revenue_by_region",
+    "d02_minhash_lsh", "d06_similarity_topk",
+]
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def summarize(name: str, text: str) -> str:
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", text)
+    pushed = [p for p in pushed if p.strip()]
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", text)
+    widths = [len(s.split(",")) if s else 0 for s in schemas]
+    joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)", text)
+    # formatted plans mark whole-stage-codegen'd operators with a leading '*'
+    ops = re.findall(r"^\s*(?:[:+\-| ]*)(\*?)\s*\w+", text, re.M)
+    codegen_ops = sum(1 for o in ops if o == "*")
+    return (
+        f"{name}:\n"
+        f"  pushed filters : {pushed or 'none'}\n"
+        f"  scan widths    : {widths}\n"
+        f"  joins          : {sorted(set(joins)) or 'none'} (n={len(joins)})\n"
+        f"  codegen ops    : {codegen_ops}\n"
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or DEFAULT
+    specs = {s.name: s for s in relational.SPECS + llm_ops.SPECS}
+    spark = get_spark(app_name="explain-audit")
+    verbose = len(sys.argv) > 2
+    for name in names:
+        df = specs[name].spark_fn(spark, sf_dir)
+        df.collect()  # execute so AQE finalizes the plan (isFinalPlan=true)
+        text = plan_text(df)
+        print(summarize(name, text))
+        if verbose:
+            print(text)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
