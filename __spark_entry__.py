@@ -15,13 +15,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from datawarehouse_backup_system_spark.queries import relational  # noqa: E402
+from datawarehouse_backup_system_spark.queries import relational, relational_ext  # noqa: E402
 from datawarehouse_backup_system_spark.queries.base import (  # noqa: E402
     as_oracle_dict,
     as_query_dict,
 )
 
-_ALL_SPECS = list(relational.SPECS)
+_ALL_SPECS = list(relational.SPECS) + list(relational_ext.SPECS)
 
 try:  # LLM-pipeline extension queries (dedup/similarity/text)
     from datawarehouse_backup_system_spark.queries import llm_ops

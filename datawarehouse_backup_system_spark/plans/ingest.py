@@ -63,6 +63,10 @@ class IngestJob:
     router: Router = field(default_factory=default_router)
     staging_dir: str | Path | None = None
     id_strategy: str = "distributed"
+    #: partition column value for this run (ISO date); None → today.
+    #: Snapshots are partitioned by ingest_date so retention (C2) becomes
+    #: a metadata-only partition drop and incremental readers can prune.
+    ingest_date: str | None = None
 
     def __post_init__(self) -> None:
         self.warehouse_dir = Path(self.warehouse_dir)
@@ -96,7 +100,14 @@ class IngestJob:
         with_ids = assign_dense_ids(
             casted, order_cols=["_seq"], start=last_id, strategy=self.id_strategy
         ).drop("_seq")
-        final = with_ids.select(*schema.column_names)
+        ingest_date = (
+            F.lit(self.ingest_date).cast("date")
+            if self.ingest_date
+            else F.current_date()
+        )
+        final = with_ids.select(*schema.column_names).withColumn(
+            "ingest_date", ingest_date
+        )
         return final, None
 
     # -- file driver -------------------------------------------------------
@@ -128,7 +139,7 @@ class IngestJob:
                 return FileResult(name, ledger_mod.STATUS_COLUMN_MISMATCH, error=error)
 
             out = self.table_path(schema)
-            plan.write.mode("append").parquet(str(out))
+            plan.write.mode("append").partitionBy("ingest_date").parquet(str(out))
             loaded = int(
                 self.spark.read.parquet(str(out))
                 .where(F.col("id") > last_id).count()

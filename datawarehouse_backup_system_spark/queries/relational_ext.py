@@ -1,0 +1,248 @@
+"""Extended relational surface (q22+): the join/grouping/set-operator
+vocabulary Spark contributes beyond the reference's pipeline operators —
+outer joins, rollup, pivot, set ops, EXISTS, as-of joins, exact
+percentiles. Same portability rules as queries.relational.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datawarehouse_backup_system_spark.queries.base import QuerySpec, load
+from datawarehouse_backup_system_spark.queries.relational import cents
+
+
+# --------------------------------------------------------------------------
+# q22 — TPC-H-Q3-style: top-10 open orders by discounted revenue
+# --------------------------------------------------------------------------
+def q22_topk_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1997-01-01")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") >= "1997-01-01")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(rev) / 100.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q22_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q23 — TPC-H-Q4-style: EXISTS subquery, counts per priority
+# --------------------------------------------------------------------------
+def q23_exists_late_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    # "late": shipped more than 60 days after the order date
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    joined = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+Q23_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# q24 — left outer join preserving zero-order customers
+# --------------------------------------------------------------------------
+def q24_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_big_orders"))  # nulls don't count
+    )
+
+
+Q24_SQL = """
+SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_big_orders
+FROM customer
+LEFT OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+  ON c_custkey = o.o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# q25 — ROLLUP: subtotals + grand total with grouping-null markers
+# --------------------------------------------------------------------------
+def q25_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents(F.col("l_extendedprice"))) / 100.0).alias("sum_price"),
+        )
+    )
+
+
+Q25_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# q26 — pivot: order counts, priority × status matrix
+# --------------------------------------------------------------------------
+def q26_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [*statuses])
+        .withColumnsRenamed({s: f"n_{s}" for s in statuses})
+    )
+
+
+Q26_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# q27 — set operators: INTERSECT / EXCEPT on derived key sets
+# --------------------------------------------------------------------------
+def q27_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 250000).select("o_custkey")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    both = big.intersect(urgent).withColumn("set_kind", F.lit("both"))
+    big_only = big.subtract(urgent).withColumn("set_kind", F.lit("big_only"))
+    return both.unionByName(big_only).select("set_kind", "o_custkey")
+
+
+Q27_SQL = """
+SELECT 'both' AS set_kind, o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+UNION ALL
+SELECT 'big_only', o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 250000
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# q28 — as-of join: each purchase matched to the user's most recent
+# earlier 'view' event (composed from an ignore-nulls running window —
+# Spark has no native as-of join; this is the documented composition)
+# --------------------------------------------------------------------------
+def q28_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    with_prior = ev.withColumn("prior_view_ts", F.last(view_ts, ignorenulls=True).over(w))
+    return (
+        with_prior.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("purchase_us"),
+            F.unix_micros("prior_view_ts").alias("prior_view_us"),
+        )
+    )
+
+
+Q28_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, event_type, ts,
+         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_ts
+  FROM events
+)
+SELECT event_id, user_id, epoch_us(ts) AS purchase_us,
+       epoch_us(prior_view_ts) AS prior_view_us
+FROM w WHERE event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
+# q29 — exact percentiles (linear interpolation) of quantities
+# --------------------------------------------------------------------------
+def q29_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_quantity, 0.99)"), 6).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+Q29_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90,
+       ROUND(quantile_cont(l_quantity, 0.99), 6) AS p99,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("q22_topk_revenue_orders", q22_topk_revenue_orders, Q22_SQL,
+              "TPC-H Q3-style top-k join revenue"),
+    QuerySpec("q23_exists_late_lineitem", q23_exists_late_lineitem, Q23_SQL,
+              "EXISTS with correlated date arithmetic (Q4-style)"),
+    QuerySpec("q24_outer_join_counts", q24_outer_join_counts, Q24_SQL,
+              "left outer join preserving zero-count rows"),
+    QuerySpec("q25_rollup_revenue", q25_rollup_revenue, Q25_SQL,
+              "ROLLUP subtotals/grand total"),
+    QuerySpec("q26_pivot_status", q26_pivot_status, Q26_SQL,
+              "pivot to priority × status matrix"),
+    QuerySpec("q27_set_ops", q27_set_ops, Q27_SQL, "INTERSECT / EXCEPT"),
+    QuerySpec("q28_asof_view_before_purchase", q28_asof_view_before_purchase, Q28_SQL,
+              "as-of join via ignore-nulls running window"),
+    QuerySpec("q29_percentiles", q29_percentiles, Q29_SQL,
+              "exact interpolated percentiles"),
+]

@@ -93,6 +93,45 @@ def fx_rows(fx, i):
     return rows[1:]
 
 
+def test_ingest_date_partitioning_and_retention(spark, tmp_path):
+    """Snapshots are partitioned by ingest_date; retention = partition drop."""
+    from datawarehouse_backup_system_spark.operators.retention import (
+        drop_old_partitions,
+    )
+    from datawarehouse_backup_system_spark.registry import SchemaRegistry
+
+    fx = generate_f1(tmp_path, n=60)
+    registry = SchemaRegistry.from_files(fx["schema_path"], fx["rename_path"])
+    router = Router().add(r"^last24h__", "mini_campaign_events")
+    old_job = IngestJob(spark=spark, registry=registry,
+                        warehouse_dir=tmp_path / "warehouse", router=router,
+                        ingest_date="2024-01-05")
+    old_job.process_file(fx["files"][0])
+    new_job = IngestJob(spark=spark, registry=registry,
+                        warehouse_dir=tmp_path / "warehouse", router=router,
+                        ingest_date="2024-03-01")
+    new_job.process_file(fx["files"][2])
+
+    schema = registry.get("mini_campaign_events")
+    table_dir = old_job.table_path(schema)
+    parts = sorted(d.name for d in table_dir.glob("ingest_date=*"))
+    assert parts == ["ingest_date=2024-01-05", "ingest_date=2024-03-01"]
+
+    # partition pruning: a dated read touches only one directory
+    pruned = spark.read.parquet(str(table_dir)).where(
+        F.col("ingest_date") == "2024-03-01"
+    )
+    assert "2024-01-05" not in pruned._jdf.queryExecution().executedPlan().toString()
+
+    removed = drop_old_partitions(
+        spark, table_dir, "ingest_date", keep_days=30, today="2024-03-02"
+    )
+    assert removed == 1
+    left = spark.read.parquet(str(table_dir))
+    assert {r["ingest_date"].isoformat() for r in left.select("ingest_date").distinct().collect()} \
+        == {"2024-03-01"}
+
+
 def test_unroutable_file_gets_ledgered(spark, tmp_path):
     fx = generate_f1(tmp_path, n=40)
     job = make_job(spark, tmp_path, fx)
