@@ -120,6 +120,60 @@ def bucketed_ann(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def topk_pandas_udf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Brute-force top-k via an Arrow-batched Pandas UDF (numpy matmul).
+
+    The sanctioned slow path (SURVEY §2.6 gap list): when the per-row
+    math outgrows what expressions express cleanly, batch it through
+    Arrow — numpy sees a (batch × dim) matrix per partition and BLAS does
+    the dot products. Same output contract as :func:`brute_force_topk`;
+    kept alongside it so bench can compare the two paths honestly.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    out_schema = "query_id long, neighbor_id long, score double, rank int"
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    spark = corpus.sparkSession
+    b_ids = spark.sparkContext.broadcast(q_ids)
+    b_mat = spark.sparkContext.broadcast(q_mat)
+    b_norm = spark.sparkContext.broadcast(q_norm)
+
+    def score(batches):
+        for pdf in batches:
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (c_mat @ b_mat.value.T) / np.outer(c_norm, b_norm.value)
+            n_c, n_q = sims.shape
+            out = pd.DataFrame(
+                {
+                    "query_id": np.tile(b_ids.value, n_c),
+                    "neighbor_id": np.repeat(pdf[id_col].to_numpy(), n_q),
+                    "score": np.round(sims.ravel(), round_digits),
+                }
+            )
+            yield out[out.query_id != out.neighbor_id]
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def neardup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

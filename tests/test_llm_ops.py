@@ -69,6 +69,16 @@ def test_bucketed_ann_restricts_candidates(spark):
     assert got == {1, 2}  # opposite-sign bucket never scored
 
 
+def test_pandas_udf_topk_matches_expression_path(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    expr_out = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+                for r in similarity.brute_force_topk(emb, q, k=5).collect()}
+    udf_out = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["score"])
+               for r in similarity.topk_pandas_udf(emb, q, k=5).collect()}
+    assert expr_out == udf_out
+
+
 def test_langid_marker_text(spark):
     rows = [
         (1, "the cat is in the house and it is warm"),
