@@ -21,7 +21,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from datawarehouse_backup_system_spark.queries import llm_ops, relational  # noqa: E402
+from datawarehouse_backup_system_spark.queries import (  # noqa: E402
+    llm_ops,
+    relational,
+    relational_ext,
+)
 from datawarehouse_backup_system_spark.session import get_spark  # noqa: E402
 
 #: headline set: the flagship aggregate, the dedup family (exact, order-
@@ -34,10 +38,15 @@ HEADLINE = [
     "q14_revenue_by_region",
     "q16_running_total",
     "q19_tumbling_window",
+    "q22_topk_revenue_orders",
+    "q25_rollup_revenue",
+    "q28_asof_view_before_purchase",
     "d01_dedup_exact",
     "d02_minhash_lsh",
     "d06_similarity_topk",
+    "d07_ann_bucketed",
     "t02_quality",
+    "t03_langid",
 ]
 
 
@@ -46,7 +55,10 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    specs = {s.name: s for s in relational.SPECS + llm_ops.SPECS}
+    specs = {
+        s.name: s
+        for s in relational.SPECS + relational_ext.SPECS + llm_ops.SPECS
+    }
     spark = get_spark(app_name="dwbss-bench")
 
     # warm the JVM + file listing with a trivial action (not timed)

@@ -229,7 +229,24 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# q30 — approximate profiling (SURVEY §2.6 gap list). No oracle: HLL /
+# KLL sketches are engine-specific, so the driver records a rows-only
+# check; exact counterparts are oracle-checked in q21/q29.
+# --------------------------------------------------------------------------
+def q30_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("q30_approx_profile", q30_approx_profile, None,
+              "HLL/KLL approximate profiling (rows-only check)"),
     QuerySpec("q22_topk_revenue_orders", q22_topk_revenue_orders, Q22_SQL,
               "TPC-H Q3-style top-k join revenue"),
     QuerySpec("q23_exists_late_lineitem", q23_exists_late_lineitem, Q23_SQL,
