@@ -144,8 +144,10 @@ def jaccard_pairs(
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sh_a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    # candidate pairs are bounded by LSH recall (tiny vs the shingle set):
+    # broadcast them so the big shingle relation is never shuffled here
     inter = (
-        pairs.join(sh_a, "id_a")
+        F.broadcast(pairs).join(sh_a, "id_a")
         .join(sh_b, ["id_b", "shingle"])  # shingle present in BOTH docs
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))

@@ -1,0 +1,50 @@
+"""Skew mitigation: salted joins for hot keys.
+
+AQE's skew-join handles most runtime skew (enabled in session.py); this
+module is the explicit variant for when the hot keys are KNOWN or when a
+deterministic plan is required (e.g. AQE disabled, or stream-static joins
+where AQE can't re-plan):
+
+- ``salted_join`` — replicate the (small) build side ``salt`` ways and
+  scatter the probe side's hot keys across the replicas, so one hot key
+  fans out over ``salt`` tasks instead of one straggler.
+
+The salt is derived from a hash of probe-row content (not rand()), so
+plans stay deterministic and re-executable (spot-instance retries,
+speculative execution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Equi-join ``probe ⋈ build`` on ``on`` with an ``salt``-way salted
+    key, eliminating stragglers when some join keys are hot.
+
+    ``build`` is replicated ``salt`` times (explode) — use the SMALLER
+    side there. The probe's salt comes from a deterministic hash of
+    ``salt_source`` (default: every probe column), spreading a hot key's
+    rows uniformly over the replicas.
+
+    Supported ``how``: inner / left joins (semantics preserved because
+    each probe row matches exactly one replica of each build row).
+    """
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    src = F.col(salt_source) if salt_source else F.concat_ws("\x01", *probe.columns)
+    probe_s = probe.withColumn("_salt", F.pmod(F.hash(src), F.lit(salt)))
+    build_s = build.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = probe_s.join(build_s, [on, "_salt"], how)
+    return out.drop("_salt")

@@ -65,6 +65,26 @@ def test_replay_guard_range_pruned(spark):
     assert replay_guard(empty, target).count() == 0
 
 
+def test_salted_join_matches_plain_join(spark):
+    from datawarehouse_backup_system_spark.operators.skew import salted_join
+
+    # heavily skewed probe: one hot key with 500 rows
+    probe = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(k, 0) for k in range(2, 10)],
+        "k long, payload long",
+    )
+    build = spark.createDataFrame([(k, f"v{k}") for k in range(1, 6)], "k long, v string")
+    plain = {(r["k"], r["payload"], r["v"]) for r in probe.join(build, "k").collect()}
+    salted = {(r["k"], r["payload"], r["v"])
+              for r in salted_join(probe, build, "k", salt=8).collect()}
+    assert salted == plain and len(plain) == 504
+
+    # left join preserves unmatched probe rows exactly once
+    left_plain = probe.join(build, "k", "left").count()
+    left_salted = salted_join(probe, build, "k", salt=8, how="left").count()
+    assert left_plain == left_salted == 508
+
+
 def test_scalar_cleaning_semantics(spark):
     df = spark.createDataFrame(
         [("nan", "123.0", "2024-03-05 10:30:00"),
