@@ -29,27 +29,35 @@ from pyspark.sql import functions as F
 def self_dedup_first(
     df: DataFrame,
     hash_col: str = "row_hash",
-    order_col: str | None = None,
+    order_col: str | list[str] | None = None,
 ) -> DataFrame:
     """J1: keep the first occurrence per content hash.
 
     First-occurrence semantics are order-DEFINED (SURVEY D3): plain
-    ``dropDuplicates`` keeps an arbitrary row. ``order_col`` is the total
-    order; when None a ``_seq`` is derived from
-    ``monotonically_increasing_id()``, which follows file/partition layout
-    order for a fresh scan.
+    ``dropDuplicates`` keeps an arbitrary row. ``order_col`` (one column
+    or a composite list) is the total order; when None a ``_seq`` is
+    derived from ``monotonically_increasing_id()`` — beware that for
+    multi-block file scans Spark packs blocks by size, so exact file-row
+    order needs a composite like (file_rank, _metadata.file_block_start,
+    mono_id) as used by plans.ingest.
 
     One shuffle on ``hash_col`` (window partition); no global sort.
     """
-    seq = order_col or "_seq"
-    out = df if order_col else df.withColumn(seq, F.monotonically_increasing_id())
-    w = Window.partitionBy(hash_col).orderBy(F.col(seq).asc())
+    if order_col is None:
+        cols = ["_seq"]
+        out = df.withColumn("_seq", F.monotonically_increasing_id())
+        drop_seq = True
+    else:
+        cols = [order_col] if isinstance(order_col, str) else list(order_col)
+        out = df
+        drop_seq = False
+    w = Window.partitionBy(hash_col).orderBy(*[F.col(c).asc() for c in cols])
     out = (
         out.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    return out if order_col else out.drop(seq)
+    return out.drop("_seq") if drop_seq else out
 
 
 def dedup_counts(df: DataFrame, hash_col: str = "row_hash") -> DataFrame:

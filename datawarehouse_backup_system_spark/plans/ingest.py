@@ -6,11 +6,18 @@ a single DataFrame plan per file batch:
 
     scan (all-string) → rename/backfill (P1-P3) → row_hash (F1)
     → self-dedup J1 → history anti-join J2 → typed casts (F2-F7)
-    → dense ids (F8) → replay guard J3 → snapshot append (S9)
+    → dense ids (F8) → snapshot append (S9, partitioned by ingest_date)
 
-Catalyst pipelines the projections and the two anti-joins; nothing
+Catalyst pipelines the projections and the anti-join; nothing
 materializes until the final write. The ledger (S12/S13) provides
 file-level idempotency exactly like the reference's processed_files table.
+
+**Ingest order** (first-occurrence dedup + id order) is exact file order,
+reconstructed distributively as the composite
+``(_file_rank, _metadata.file_block_start, monotonically_increasing_id)``:
+file rank follows listing order, block start orders a file's splits (the
+scheduler packs blocks by size, so mono-id alone does NOT follow file
+order on multi-block files), and mono-id orders rows within a block.
 """
 
 from __future__ import annotations
@@ -44,6 +51,9 @@ from datawarehouse_backup_system_spark.sources.csv_source import (
     extract_zip_first_member,
     read_raw_csv,
 )
+
+#: composite ingest-order columns carried through the plan
+SEQ_COLS = ("_file_rank", "_blk", "_row")
 
 
 @dataclass
@@ -83,23 +93,51 @@ class IngestJob:
             return self.spark.createDataFrame([], schema.to_struct_type())
         return self.spark.read.parquet(str(p))
 
-    # -- the per-file plan -----------------------------------------------
-    def build_plan(self, raw: DataFrame, schema: TableSchema,
-                   rename_map: dict[str, str], last_id: int) -> tuple[DataFrame, str | None]:
-        """Everything between scan and write, as one lazy DataFrame."""
-        normalized, report = normalize(raw, schema.data_columns, rename_map)
+    # -- plan pieces -------------------------------------------------------
+    def _scan_with_seq(self, paths: list[Path]) -> DataFrame:
+        """Multi-path all-string scan + the exact-ingest-order columns."""
+        raw = read_raw_csv(self.spark, [str(p) for p in paths])
+        rank_map = F.create_map(
+            *[
+                x
+                for i, p in enumerate(paths)
+                for x in (F.lit(str(p.resolve())), F.lit(i))
+            ]
+        )
+        # input_file_name() yields a URI (file:///root/...); reduce to the
+        # plain path for the rank lookup
+        fname = F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
+        return (
+            raw.withColumn("_file_rank", rank_map[fname])
+            .withColumn("_blk", F.col("_metadata.file_block_start"))
+            .withColumn("_row", F.monotonically_increasing_id())
+        )
+
+    def build_plan(
+        self,
+        raw: DataFrame,
+        schema: TableSchema,
+        rename_map: dict[str, str],
+        last_id: int,
+    ) -> tuple[DataFrame | None, str | None]:
+        """Everything between scan and write, as one lazy DataFrame.
+        ``raw`` must carry SEQ_COLS (see _scan_with_seq)."""
+        normalized, report = normalize(
+            raw, (*schema.data_columns, *SEQ_COLS), rename_map
+        )
         if not report.ok:
-            return raw, report.error
+            return None, report.error
         hashed = with_row_hash(normalized, list(schema.data_columns))
-        # ingest order: monotonically_increasing_id follows scan layout
-        hashed = hashed.withColumn("_seq", F.monotonically_increasing_id())
-        deduped = self_dedup_first(hashed, order_col="_seq")
+        deduped = self_dedup_first(hashed, order_col=list(SEQ_COLS))
         history = self.read_table(schema)
         novel = anti_join_history(deduped, history)
-        casted = apply_typed_casts(novel, schema, passthrough=("row_hash", "_seq"))
+        casted = apply_typed_casts(
+            novel, schema, passthrough=("row_hash", *SEQ_COLS)
+        )
         with_ids = assign_dense_ids(
-            casted, order_cols=["_seq"], start=last_id, strategy=self.id_strategy
-        ).drop("_seq")
+            casted, order_cols=list(SEQ_COLS), start=last_id,
+            strategy=self.id_strategy,
+        ).drop(*SEQ_COLS)
         ingest_date = (
             F.lit(self.ingest_date).cast("date")
             if self.ingest_date
@@ -110,7 +148,34 @@ class IngestJob:
         )
         return final, None
 
-    # -- file driver -------------------------------------------------------
+    def _ingest(self, paths: list[Path], table_key: str, label: str) -> FileResult:
+        """Shared core: scan → plan → write → ledger, for 1..N files."""
+        schema = self.registry.get(table_key)
+        rename_map = self.registry.rename_map(table_key)
+        raw = self._scan_with_seq(paths)
+        if raw.drop(*SEQ_COLS).isEmpty():
+            # reference records empty inputs distinctly
+            # (util/data_processing.py:467-470)
+            for p in paths:
+                self.ledger.append(p.name, ledger_mod.STATUS_EMPTY)
+            return FileResult(label, ledger_mod.STATUS_EMPTY)
+        target = self.read_table(schema)
+        last_id = next_id_watermark(target)
+        plan, error = self.build_plan(raw, schema, rename_map, last_id)
+        if error is not None:
+            for p in paths:
+                self.ledger.append(p.name, ledger_mod.STATUS_COLUMN_MISMATCH)
+            return FileResult(label, ledger_mod.STATUS_COLUMN_MISMATCH, error=error)
+        out = self.table_path(schema)
+        plan.write.mode("append").partitionBy("ingest_date").parquet(str(out))
+        loaded = int(
+            self.spark.read.parquet(str(out)).where(F.col("id") > last_id).count()
+        )
+        for p in paths:
+            self.ledger.append(p.name, ledger_mod.STATUS_UPLOADED)
+        return FileResult(label, ledger_mod.STATUS_UPLOADED, rows_loaded=loaded)
+
+    # -- file drivers ------------------------------------------------------
     def process_file(self, path: str | Path) -> FileResult:
         path = Path(path)
         name = path.name
@@ -122,38 +187,54 @@ class IngestJob:
             if table_key is None or table_key not in self.registry.tables:
                 self.ledger.append(name, ledger_mod.STATUS_NO_SCHEMA)
                 return FileResult(name, ledger_mod.STATUS_NO_SCHEMA)
-            schema = self.registry.get(table_key)
-            rename_map = self.registry.rename_map(table_key)
-
-            raw = read_raw_csv(self.spark, str(path))
-            if raw.isEmpty():
-                # reference records empty inputs distinctly
-                # (util/data_processing.py:467-470)
-                self.ledger.append(name, ledger_mod.STATUS_EMPTY)
-                return FileResult(name, ledger_mod.STATUS_EMPTY)
-            target = self.read_table(schema)
-            last_id = next_id_watermark(target)
-            plan, error = self.build_plan(raw, schema, rename_map, last_id)
-            if error is not None:
-                self.ledger.append(name, ledger_mod.STATUS_COLUMN_MISMATCH)
-                return FileResult(name, ledger_mod.STATUS_COLUMN_MISMATCH, error=error)
-
-            out = self.table_path(schema)
-            plan.write.mode("append").partitionBy("ingest_date").parquet(str(out))
-            loaded = int(
-                self.spark.read.parquet(str(out))
-                .where(F.col("id") > last_id).count()
-            )
-            self.ledger.append(name, ledger_mod.STATUS_UPLOADED)
-            return FileResult(name, ledger_mod.STATUS_UPLOADED, rows_loaded=loaded)
+            result = self._ingest([path], table_key, name)
+            return result
         except Exception as exc:  # noqa: BLE001 — total function, D4
             status = f"{ledger_mod.STATUS_UNEXPECTED}: {type(exc).__name__}"
             self.ledger.append(name, status)
             return FileResult(name, status, error=str(exc))
 
+    def process_batch(self, paths: list[str | Path], table_key: str) -> FileResult:
+        """Scale path: ingest MANY same-table files as ONE distributed plan.
+
+        A production cycle sees thousands of files; per-file plans
+        serialize scheduling overhead. This runs one multi-path scan with
+        reference-exact dedup order (first occurrence in file order,
+        SEQ_COLS composite). Files must share header layout / encoding /
+        delimiter — group them with the sniffers first. Final table state
+        is identical to sequential process_file calls (asserted in tests).
+        """
+        from datawarehouse_backup_system_spark.sources.csv_source import read_header
+
+        paths = [Path(p) for p in paths]
+        label = f"batch:{paths[0].name}..{paths[-1].name}[{len(paths)}]"
+        try:
+            # Spark applies the first file's header to every file in a
+            # multi-path scan — a divergent file would be silently
+            # misparsed. Pre-check headers (first line per file, O(files))
+            # and ledger/exclude mismatches instead.
+            golden = read_header(paths[0])
+            ok_paths = []
+            for p in paths:
+                if read_header(p) == golden:
+                    ok_paths.append(p)
+                else:
+                    self.ledger.append(p.name, ledger_mod.STATUS_COLUMN_MISMATCH)
+            if not ok_paths:
+                return FileResult(label, ledger_mod.STATUS_COLUMN_MISMATCH,
+                                  error="no files share the batch header")
+            return self._ingest(ok_paths, table_key, label)
+        except Exception as exc:  # noqa: BLE001
+            status = f"{ledger_mod.STATUS_UNEXPECTED}: {type(exc).__name__}"
+            for p in paths:
+                self.ledger.append(p.name, status)
+            return FileResult(label, status, error=str(exc))
+
     def run(self, input_dir: str | Path) -> list[FileResult]:
         """One cycle (reference main(), minus the daemon sleep — cadence is
-        the scheduler's job, C4)."""
+        the scheduler's job, C4). Sequential per file, parity with the
+        reference; :meth:`process_batch` is the many-files-one-scan scale
+        path."""
         processed = self.ledger.processed_set()
         results = []
         for f in discover_files(input_dir, processed):

@@ -87,6 +87,25 @@ def extract_zip_first_member(zip_path: str | Path, output_dir: str | Path) -> Pa
     return out / members[0]
 
 
+def read_header(
+    file_path: str | Path, encoding: str | None = None, delimiter: str | None = None
+) -> list[str]:
+    """Driver-side header peek (first line only — O(1) per file). Used to
+    validate that files batched into one multi-path scan share a header
+    layout: Spark applies the FIRST file's header to every file, so a
+    divergent file would be silently misparsed, not rejected."""
+    if encoding is None:
+        encoding = detect_encoding(file_path) or "utf-8"
+    if delimiter is None:
+        delimiter = detect_delimiter(file_path, encoding)
+    import csv as _csv
+    import io
+
+    with open(file_path, encoding=encoding, newline="") as f:
+        line = f.readline()
+    return next(_csv.reader(io.StringIO(line), delimiter=delimiter), [])
+
+
 def read_raw_csv(
     spark: SparkSession,
     paths: str | list[str],

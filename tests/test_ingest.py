@@ -93,6 +93,35 @@ def fx_rows(fx, i):
     return rows[1:]
 
 
+def test_batch_ingest_equals_sequential(spark, tmp_path):
+    """process_batch (one plan over N files) must produce the same table
+    state as sequential process_file calls — same survivors, same dedup
+    winners, dense ids."""
+    fx = generate_f1(tmp_path)
+    seq_job = make_job(spark, tmp_path / "seq", fx)
+    for f in fx["files"][:2]:  # files 1+2 share the full header layout
+        seq_job.process_file(f)
+    batch_job = make_job(spark, tmp_path / "batch", fx)
+    res = batch_job.process_batch(fx["files"][:2], "mini_campaign_events")
+    assert res.status == "uploaded to ClickHouse"
+
+    schema = seq_job.registry.get("mini_campaign_events")
+    seq_tbl = seq_job.read_table(schema)
+    batch_tbl = batch_job.read_table(schema)
+    assert batch_tbl.count() == seq_tbl.count()
+    # identical surviving content (hash sets equal)
+    seq_h = {r["row_hash"] for r in seq_tbl.select("row_hash").collect()}
+    bat_h = {r["row_hash"] for r in batch_tbl.select("row_hash").collect()}
+    assert seq_h == bat_h
+    # dense ids across the whole batch
+    n = batch_tbl.count()
+    ids = batch_tbl.agg(F.min("id"), F.max("id"), F.countDistinct("id")).collect()[0]
+    assert list(ids) == [1, n, n]
+    # ledger has one entry per source file
+    names = {r["file_name"] for r in batch_job.ledger.read().collect()}
+    assert names == {f.name for f in fx["files"][:2]}
+
+
 def test_ingest_date_partitioning_and_retention(spark, tmp_path):
     """Snapshots are partitioned by ingest_date; retention = partition drop."""
     from datawarehouse_backup_system_spark.operators.retention import (
