@@ -26,6 +26,10 @@ TABLES = (
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # The driver runs these under ITS OWN SparkSession; pin the session
+    # timezone so timestamp literals / date_format render identically to
+    # DuckDB's naive-UTC regardless of the host session's defaults.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if table == "events":
         # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read nanos as long and truncate to microseconds

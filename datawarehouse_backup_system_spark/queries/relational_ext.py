@@ -230,6 +230,115 @@ FROM lineitem GROUP BY l_returnflag
 
 
 # --------------------------------------------------------------------------
+# q31 — semi-structured: JSON field extraction from the props column
+# --------------------------------------------------------------------------
+def q31_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_id", k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+Q31_SQL = """
+WITH x AS (
+  SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT k % 10 AS k_mod, COUNT(*) AS n, SUM(k) AS sum_k
+FROM x GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q32 — vector column stats: per-label norm profile (exact fixed-point)
+# --------------------------------------------------------------------------
+def q32_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datawarehouse_backup_system_spark.operators.similarity import norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    n_micro = cents(norm(F.col("embedding").cast("array<double>")), 1_000_000)
+    cnt = F.count("*")
+    return emb.groupBy("label").agg(
+        cnt.alias("n"),
+        (F.sum(n_micro) / (1_000_000.0 * cnt)).alias("avg_norm"),
+        F.max(F.size("embedding")).alias("dim"),
+    )
+
+
+Q32_SQL = """
+WITH v AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS e, len(embedding) AS dim
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n,
+       SUM(CAST(FLOOR(sqrt(list_dot_product(e, e)) * 1000000 + 0.5) AS BIGINT))
+         / (1000000.0 * COUNT(*)) AS avg_norm,
+       MAX(dim) AS dim
+FROM v GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# q33 — ranking functions: rank / dense_rank / ntile over user activity
+# --------------------------------------------------------------------------
+def q33_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return counts.select(
+        "user_id",
+        "n_events",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+Q33_SQL = """
+WITH c AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+SELECT user_id, n_events,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4)     OVER w AS quartile
+FROM c WINDOW w AS (ORDER BY n_events DESC, user_id ASC)
+"""
+
+
+# --------------------------------------------------------------------------
+# q34 — decorrelated "above my customer's average" (correlated scalar
+# subquery class, expressed as an exact integer comparison: price > avg
+# ⟺ cents(price)·n > Σcents — no division, no FP)
+# --------------------------------------------------------------------------
+def q34_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    pc = cents(F.col("o_totalprice"))
+    w = Window.partitionBy("o_custkey")
+    stats = orders.withColumn("price_c", pc).withColumn(
+        "sum_c", F.sum("price_c").over(w)
+    ).withColumn("n_c", F.count("*").over(w))
+    return (
+        stats.where(F.col("price_c") * F.col("n_c") > F.col("sum_c"))
+        .select("o_orderkey", "o_custkey")
+    )
+
+
+Q34_SQL = """
+WITH s AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+           OVER (PARTITION BY o_custkey) AS sum_c,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n_c
+  FROM orders
+)
+SELECT o_orderkey, o_custkey FROM s WHERE price_c * n_c > sum_c
+"""
+
+
+# --------------------------------------------------------------------------
 # q30 — approximate profiling (SURVEY §2.6 gap list). No oracle: HLL /
 # KLL sketches are engine-specific, so the driver records a rows-only
 # check; exact counterparts are oracle-checked in q21/q29.
@@ -262,4 +371,12 @@ SPECS: list[QuerySpec] = [
               "as-of join via ignore-nulls running window"),
     QuerySpec("q29_percentiles", q29_percentiles, Q29_SQL,
               "exact interpolated percentiles"),
+    QuerySpec("q31_json_extract", q31_json_extract, Q31_SQL,
+              "JSON field extraction + grouped agg"),
+    QuerySpec("q32_vector_stats", q32_vector_stats, Q32_SQL,
+              "array-column norm profile (exact fixed-point)"),
+    QuerySpec("q33_rank_functions", q33_rank_functions, Q33_SQL,
+              "rank/dense_rank/ntile"),
+    QuerySpec("q34_above_customer_avg", q34_above_customer_avg, Q34_SQL,
+              "decorrelated above-average (integer-exact comparison)"),
 ]
