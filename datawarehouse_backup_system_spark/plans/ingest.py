@@ -148,31 +148,43 @@ class IngestJob:
         )
         return final, None
 
-    def _ingest(self, paths: list[Path], table_key: str, label: str) -> FileResult:
-        """Shared core: scan → plan → write → ledger, for 1..N files."""
+    def _ingest(
+        self,
+        paths: list[Path],
+        table_key: str,
+        label: str,
+        ledger_names: list[str] | None = None,
+    ) -> FileResult:
+        """Shared core: scan → plan → write → ledger, for 1..N files.
+
+        ``ledger_names`` are the names recorded for idempotency — the
+        ORIGINAL landing names (e.g. the .zip, not its extracted member),
+        since run()'s skip check compares against the listing.
+        """
+        names = ledger_names or [p.name for p in paths]
         schema = self.registry.get(table_key)
         rename_map = self.registry.rename_map(table_key)
         raw = self._scan_with_seq(paths)
         if raw.drop(*SEQ_COLS).isEmpty():
             # reference records empty inputs distinctly
             # (util/data_processing.py:467-470)
-            for p in paths:
-                self.ledger.append(p.name, ledger_mod.STATUS_EMPTY)
+            for n in names:
+                self.ledger.append(n, ledger_mod.STATUS_EMPTY)
             return FileResult(label, ledger_mod.STATUS_EMPTY)
         target = self.read_table(schema)
         last_id = next_id_watermark(target)
         plan, error = self.build_plan(raw, schema, rename_map, last_id)
         if error is not None:
-            for p in paths:
-                self.ledger.append(p.name, ledger_mod.STATUS_COLUMN_MISMATCH)
+            for n in names:
+                self.ledger.append(n, ledger_mod.STATUS_COLUMN_MISMATCH)
             return FileResult(label, ledger_mod.STATUS_COLUMN_MISMATCH, error=error)
         out = self.table_path(schema)
         plan.write.mode("append").partitionBy("ingest_date").parquet(str(out))
         loaded = int(
             self.spark.read.parquet(str(out)).where(F.col("id") > last_id).count()
         )
-        for p in paths:
-            self.ledger.append(p.name, ledger_mod.STATUS_UPLOADED)
+        for n in names:
+            self.ledger.append(n, ledger_mod.STATUS_UPLOADED)
         return FileResult(label, ledger_mod.STATUS_UPLOADED, rows_loaded=loaded)
 
     # -- file drivers ------------------------------------------------------
@@ -187,8 +199,7 @@ class IngestJob:
             if table_key is None or table_key not in self.registry.tables:
                 self.ledger.append(name, ledger_mod.STATUS_NO_SCHEMA)
                 return FileResult(name, ledger_mod.STATUS_NO_SCHEMA)
-            result = self._ingest([path], table_key, name)
-            return result
+            return self._ingest([path], table_key, name, ledger_names=[name])
         except Exception as exc:  # noqa: BLE001 — total function, D4
             status = f"{ledger_mod.STATUS_UNEXPECTED}: {type(exc).__name__}"
             self.ledger.append(name, status)

@@ -161,6 +161,28 @@ def test_ingest_date_partitioning_and_retention(spark, tmp_path):
         == {"2024-03-01"}
 
 
+def test_zip_ledgered_under_original_name(spark, tmp_path):
+    """Idempotency must key on the LANDING name (the .zip), not the
+    extracted member — otherwise every cycle reprocesses the zip."""
+    import zipfile
+
+    fx = generate_f1(tmp_path, n=30)
+    job = make_job(spark, tmp_path, fx)
+    inner = fx["files"][0]
+    zpath = tmp_path / "last24h__zipped.csv.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.write(inner, inner.name)
+    inner.unlink()  # only the zip remains in the landing dir
+    for f in fx["files"][1:]:
+        f.unlink()
+
+    first = job.run(tmp_path)
+    assert [r.status for r in first] == ["uploaded to ClickHouse"]
+    names = {r["file_name"] for r in job.ledger.read().collect()}
+    assert names == {zpath.name}
+    assert job.run(tmp_path) == []  # second cycle: skipped
+
+
 def test_unroutable_file_gets_ledgered(spark, tmp_path):
     fx = generate_f1(tmp_path, n=40)
     job = make_job(spark, tmp_path, fx)
