@@ -1,0 +1,142 @@
+"""Upsert / MERGE emulation and snapshot maintenance on plain parquet.
+
+Delta/Iceberg (not in this image) provide transactional MERGE INTO and
+OPTIMIZE; these operators emulate the two workhorses on snapshot
+directories (SURVEY §2 S9's parity sink), with the same DataFrame shapes
+a lakehouse MERGE would plan:
+
+- **merge_upsert** — keyed upsert: updates win over target rows with the
+  same key (anti-join + union — one shuffle on the key, broadcast when
+  the update batch is small).
+- **scd2_apply** — slowly-changing-dimension type 2: close the current
+  version of changed keys (valid_to stamped) and append the new version
+  (valid_from stamped, open-ended).
+- **compact_partition** — small-file compaction: rewrite one partition
+  directory into ``target_files`` files (daily appends leave one file
+  per batch; thousands of small files slow every scan at 100 TB).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str | list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """Rows of ``updates`` replace same-key rows of ``target``; new keys
+    append. Pure plan — caller writes the result (overwrite or versioned
+    snapshot).
+
+    A MERGE requires at most one update row per key. When ``order_col``
+    is given, duplicate-key updates resolve last-write-wins by that
+    column (ties broken arbitrarily are not allowed: the column must be a
+    total order per key); when None, ``updates`` MUST be key-unique —
+    duplicates would corrupt the one-row-per-key snapshot downstream.
+    """
+    from pyspark.sql import Window
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if order_col is not None:
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        updates = (
+            updates.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    kept = target.join(updates.select(*keys).distinct(), keys, "left_anti")
+    return kept.unionByName(updates)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key: str | list[str],
+    effective_col: str = "valid_from",
+    end_col: str = "valid_to",
+    change_ts_col: str = "_change_ts",
+) -> DataFrame:
+    """SCD type-2: for each changed key, close the open version at the
+    change timestamp and append the new version as the open row.
+
+    ``dim`` carries (key..., attributes..., valid_from, valid_to NULL for
+    open); ``changes`` carries (key..., attributes..., _change_ts).
+    """
+    from pyspark.sql import Window
+
+    keys = [key] if isinstance(key, str) else list(key)
+    closing_ts = changes.groupBy(*keys).agg(
+        F.min(change_ts_col).alias("_close_ts")
+    )
+    open_rows = dim.where(F.col(end_col).isNull())
+    closed_now = (
+        open_rows.join(closing_ts, keys, "inner")
+        .withColumn(end_col, F.col("_close_ts"))
+        .drop("_close_ts")
+    )
+    untouched_open = open_rows.join(closing_ts.select(*keys), keys, "left_anti")
+    history = dim.where(F.col(end_col).isNotNull())
+    # multiple changes per key in one batch: chain versions — each change
+    # is valid until the NEXT change's timestamp; only the last stays open
+    w = Window.partitionBy(*keys).orderBy(F.col(change_ts_col).asc())
+    new_versions = (
+        changes.withColumn("_next_ts", F.lead(change_ts_col).over(w))
+        .withColumnRenamed(change_ts_col, effective_col)
+        .withColumn(end_col, F.col("_next_ts").cast(dim.schema[end_col].dataType))
+        .drop("_next_ts")
+    )
+    return (
+        history.unionByName(closed_now)
+        .unionByName(untouched_open)
+        .unionByName(new_versions.select(*history.columns))
+    )
+
+
+def compact_partition(
+    spark: SparkSession,
+    table_path: str | Path,
+    partition: str,
+    target_files: int = 1,
+) -> int:
+    """Rewrite one partition dir (e.g. ``ingest_date=2024-01-05``) into
+    ``target_files`` parquet files. Returns files before compaction.
+
+    Staging and backup dirs are ``_``-prefixed, which Spark's file index
+    ignores — concurrent table-root readers never discover half-written
+    or duplicate data. The swap itself is two renames, so a reader racing
+    exactly between them can miss the partition for that instant; a table
+    format (Delta/Iceberg) is the transactional answer, noted in SCALE.md.
+    Crash recovery: a leftover backup with no live partition dir is
+    restored; a stale backup next to a live dir is removed.
+
+    Raises FileNotFoundError for a nonexistent partition (a silent 0
+    would mask operator typos).
+    """
+    table_path = Path(table_path)
+    part_dir = table_path / partition
+    backup = table_path / f"_compact_backup_{partition}"
+    if backup.exists():
+        if part_dir.exists():
+            shutil.rmtree(backup)       # stale: crash after a completed swap
+        else:
+            backup.rename(part_dir)     # crash between the two renames
+    if not part_dir.exists():
+        raise FileNotFoundError(f"no such partition: {part_dir}")
+    files_before = len(list(part_dir.glob("*.parquet")))
+    if files_before <= target_files:
+        return files_before
+    df = spark.read.parquet(str(part_dir))
+    staging = Path(tempfile.mkdtemp(prefix="_compact_tmp_", dir=table_path))
+    df.coalesce(target_files).write.mode("overwrite").parquet(str(staging))
+    part_dir.rename(backup)
+    staging.rename(part_dir)
+    shutil.rmtree(backup)
+    return files_before
