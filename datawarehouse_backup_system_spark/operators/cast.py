@@ -95,10 +95,13 @@ def apply_typed_casts(
             e = parse_timestamp(c, formats)
         elif name in int_cols:
             # pandas to_numeric accepts '3.0' for Int64; try bigint then
-            # round-trip through double for decimal-rendered integers
+            # round-trip through double for decimal-rendered integers.
+            # Both casts must be try_cast: a plain cast of an overflowing
+            # double ('9e99') raises under ANSI mode instead of coercing
+            # that one cell to NULL.
             e = F.coalesce(
                 c.try_cast("bigint"),
-                c.try_cast("double").cast("bigint"),
+                c.try_cast("double").try_cast("bigint"),
             )
         elif name in float_cols:
             e = c.try_cast("double")

@@ -206,11 +206,12 @@ def simhash(
     """SimHash fingerprint over whitespace tokens (frequency-weighted).
 
     bit j of md5(token) = (hexdigit(j//4+1) >> (3 - j%4)) & 1; the
-    fingerprint sets bit j iff Σ_tokens (2·bit_j − 1) > 0. ``bits`` ≤ 32
-    keeps the expression tree small; the library default 16 matches the
-    oracle query, production use can raise it.
+    fingerprint sets bit j iff Σ_tokens (2·bit_j − 1) > 0. The single
+    BIGINT fingerprint bounds ``bits`` to 60 (2^j literals must fit a
+    signed long; bits%4==0); wider fingerprints would need multiple
+    columns. Library default 16 matches the oracle query.
     """
-    assert bits % 4 == 0 and bits <= 128
+    assert bits % 4 == 0 and 4 <= bits <= 60
     tok = (
         df.select(
             F.col(id_col),

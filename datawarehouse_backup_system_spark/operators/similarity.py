@@ -39,7 +39,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm (padding/empty) vector yields NULL instead
+    # of an ANSI DIVIDE_BY_ZERO crash; NULL scores sort last under desc
+    # ranking and fail >= thresholds, which is the wanted semantics.
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def _as_double(col: str) -> Column:
@@ -156,15 +159,21 @@ def topk_pandas_udf(
         for pdf in batches:
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1)
-            sims = (c_mat @ b_mat.value.T) / np.outer(c_norm, b_norm.value)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (c_mat @ b_mat.value.T) / np.outer(c_norm, b_norm.value)
             n_c, n_q = sims.shape
+            scores = np.round(sims.ravel(), round_digits)
             out = pd.DataFrame(
                 {
                     "query_id": np.tile(b_ids.value, n_c),
                     "neighbor_id": np.repeat(pdf[id_col].to_numpy(), n_q),
-                    "score": np.round(sims.ravel(), round_digits),
+                    "score": scores,
                 }
             )
+            # zero-norm vectors → NaN; emit NULL to match the expression
+            # path's try_divide (Spark sorts NaN ABOVE all reals in desc,
+            # which would rank a zero vector first)
+            out.loc[~np.isfinite(scores), "score"] = None
             yield out[out.query_id != out.neighbor_id]
 
     scored = corpus.select(id_col, vec_col).mapInPandas(

@@ -41,6 +41,10 @@ def salted_join(
     """
     if salt < 1:
         raise ValueError("salt must be >= 1")
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # right/full/semi/anti against a salt-replicated build side return
+        # duplicated or inverted results — refuse instead of corrupting
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     src = F.col(salt_source) if salt_source else F.concat_ws("\x01", *probe.columns)
     probe_s = probe.withColumn("_salt", F.pmod(F.hash(src), F.lit(salt)))
     build_s = build.withColumn(

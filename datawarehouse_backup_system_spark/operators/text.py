@@ -66,13 +66,15 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         stopword_hits(t, "en").alias("stop_hits"),
         punct_count(t).alias("n_punct"),
     )
+    # try_divide: empty/NULL documents yield NULL ratios instead of an
+    # ANSI DIVIDE_BY_ZERO crash killing the whole stage
     return staged.select(
         id_col,
         "n_chars_text",
         "n_tokens",
-        F.round(F.col("n_nonspace") * 1.0 / F.col("n_tokens"), 6).alias("avg_token_len"),
-        F.round(F.col("stop_hits") * 1.0 / F.col("n_tokens"), 6).alias("stopword_ratio"),
-        F.round(F.col("n_punct") * 1.0 / F.col("n_chars_text"), 6).alias("punct_ratio"),
+        F.round(F.try_divide(F.col("n_nonspace") * 1.0, F.col("n_tokens")), 6).alias("avg_token_len"),
+        F.round(F.try_divide(F.col("stop_hits") * 1.0, F.col("n_tokens")), 6).alias("stopword_ratio"),
+        F.round(F.try_divide(F.col("n_punct") * 1.0, F.col("n_chars_text")), 6).alias("punct_ratio"),
         (
             (F.col("n_tokens") >= 10)
             & (F.col("n_tokens") <= 100_000)

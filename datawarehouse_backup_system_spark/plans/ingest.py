@@ -95,23 +95,44 @@ class IngestJob:
 
     # -- plan pieces -------------------------------------------------------
     def _scan_with_seq(self, paths: list[Path]) -> DataFrame:
-        """Multi-path all-string scan + the exact-ingest-order columns."""
+        """Multi-path all-string scan + the exact-ingest-order columns.
+
+        File rank comes from a broadcast join against a tiny (name, rank)
+        frame keyed on the scan URI's basename — O(1) per row (a
+        create_map literal would be an O(#files) probe per row and blow
+        codegen at thousands of files). ``input_file_name()`` is
+        URL-encoded, so each file contributes both its raw and its
+        percent-encoded name as join keys; an unmatched file raises
+        loudly rather than silently corrupting the ingest order.
+        """
+        from urllib.parse import quote
+
         raw = read_raw_csv(self.spark, [str(p) for p in paths])
-        rank_map = F.create_map(
-            *[
-                x
-                for i, p in enumerate(paths)
-                for x in (F.lit(str(p.resolve())), F.lit(i))
-            ]
-        )
-        # input_file_name() yields a URI (file:///root/...); reduce to the
-        # plain path for the rank lookup
-        fname = F.regexp_replace(F.input_file_name(), "^file:(//)?", "")
-        return (
-            raw.withColumn("_file_rank", rank_map[fname])
+        keys = []
+        for i, p in enumerate(paths):
+            keys.append((p.name, i))
+            enc = quote(p.name, safe="")
+            if enc != p.name:
+                keys.append((enc, i))
+        ranks = self.spark.createDataFrame(keys, "_fname string, _file_rank int")
+        basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
+        # capture metadata/order columns BEFORE the join: hidden _metadata
+        # (and input_file_name) resolve only on the scan lineage, not
+        # through join outputs
+        base = (
+            raw.withColumn("_fname", basename)
             .withColumn("_blk", F.col("_metadata.file_block_start"))
             .withColumn("_row", F.monotonically_increasing_id())
         )
+        out = base.join(F.broadcast(ranks), "_fname", "left")
+        guarded_rank = F.when(
+            F.col("_file_rank").isNull(),
+            F.raise_error(
+                F.concat(F.lit("unmatchable scan uri for file-rank: "),
+                         F.col("_fname"))
+            ).cast("int"),
+        ).otherwise(F.col("_file_rank"))
+        return out.withColumn("_file_rank", guarded_rank).drop("_fname")
 
     def build_plan(
         self,
@@ -179,10 +200,15 @@ class IngestJob:
                 self.ledger.append(n, ledger_mod.STATUS_COLUMN_MISMATCH)
             return FileResult(label, ledger_mod.STATUS_COLUMN_MISMATCH, error=error)
         out = self.table_path(schema)
-        plan.write.mode("append").partitionBy("ingest_date").parquet(str(out))
-        loaded = int(
-            self.spark.read.parquet(str(out)).where(F.col("id") > last_id).count()
-        )
+        # rows_loaded via an Observation on the written plan itself —
+        # no post-write table re-scan (which would be O(table) per file)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        plan.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "append"
+        ).partitionBy("ingest_date").parquet(str(out))
+        loaded = int(obs.get["n"])
         for n in names:
             self.ledger.append(n, ledger_mod.STATUS_UPLOADED)
         return FileResult(label, ledger_mod.STATUS_UPLOADED, rows_loaded=loaded)

@@ -226,11 +226,11 @@ D05_SQL = """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_dot_product(a.e, b.e)
-             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+             / NULLIF(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0),
              6) AS score
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.e, b.e)
-            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+            / NULLIF(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0),
             6) >= 0.4
 """
 
@@ -250,7 +250,7 @@ q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 100 = 0),
 scored AS (
   SELECT q.query_id, v.vec_id AS neighbor_id,
          ROUND(list_dot_product(qe, e)
-               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))),
+               / NULLIF(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e)), 0),
                6) AS score
   FROM q JOIN v ON v.vec_id <> q.query_id
 )
@@ -282,7 +282,7 @@ q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM vb WHERE vec_id % 100 = 0)
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
          ROUND(list_dot_product(qe, c.e)
-               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.e, c.e))),
+               / NULLIF(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.e, c.e)), 0),
                6) AS score
   FROM q JOIN vb c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
 )
@@ -336,9 +336,9 @@ WITH f AS (
   FROM documents
 )
 SELECT doc_id, n_chars_text, n_tokens,
-       ROUND(n_nonspace * 1.0 / n_tokens, 6) AS avg_token_len,
-       ROUND(stop_hits * 1.0 / n_tokens, 6) AS stopword_ratio,
-       ROUND(n_punct * 1.0 / n_chars_text, 6) AS punct_ratio,
+       ROUND(n_nonspace * 1.0 / NULLIF(n_tokens, 0), 6) AS avg_token_len,
+       ROUND(stop_hits * 1.0 / NULLIF(n_tokens, 0), 6) AS stopword_ratio,
+       ROUND(n_punct * 1.0 / NULLIF(n_chars_text, 0), 6) AS punct_ratio,
        (n_tokens >= 10 AND n_tokens <= 100000 AND stop_hits * 20 >= n_tokens)
          AS quality_keep
 FROM f

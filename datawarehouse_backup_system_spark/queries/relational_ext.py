@@ -52,7 +52,9 @@ def q23_exists_late_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = orders.join(
         li,
         (orders.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+        # INTERVAL keeps time-of-day (date_add would truncate to date,
+        # diverging from the oracle's o_orderdate + INTERVAL 60 DAY)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAY")),
         "left_semi",
     )
     return joined.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))

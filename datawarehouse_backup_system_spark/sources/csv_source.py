@@ -33,12 +33,15 @@ from pyspark.sql import types as T
 DEFAULT_SAMPLE_SIZE = 100_000  # parity: detect_encoding(sample_size=100000)
 CANDIDATE_DELIMITERS = (",", ";", "\t", "|")
 
+# BOM → codec. 16/32-bit BOMs map to the endianness-agnostic codec so
+# both Python and the JVM consume (strip) the BOM during decode instead
+# of surfacing U+FEFF as data in the first header field.
 _BOMS: tuple[tuple[bytes, str], ...] = (
     (codecs.BOM_UTF8, "utf-8"),
-    (codecs.BOM_UTF32_LE, "utf-32-le"),
-    (codecs.BOM_UTF32_BE, "utf-32-be"),
-    (codecs.BOM_UTF16_LE, "utf-16-le"),
-    (codecs.BOM_UTF16_BE, "utf-16-be"),
+    (codecs.BOM_UTF32_LE, "utf-32"),
+    (codecs.BOM_UTF32_BE, "utf-32"),
+    (codecs.BOM_UTF16_LE, "utf-16"),
+    (codecs.BOM_UTF16_BE, "utf-16"),
 )
 
 
@@ -103,6 +106,9 @@ def read_header(
 
     with open(file_path, encoding=encoding, newline="") as f:
         line = f.readline()
+    # a UTF-8 BOM read under plain 'utf-8' leaves U+FEFF on the first
+    # field; strip it so BOM'd and BOM-less siblings batch together
+    line = line.lstrip("\ufeff")
     return next(_csv.reader(io.StringIO(line), delimiter=delimiter), [])
 
 
