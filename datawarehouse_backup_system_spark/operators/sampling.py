@@ -1,0 +1,74 @@
+"""Deterministic sampling / splitting / shuffling for dataset curation.
+
+Seeded-RNG sampling (``df.sample``) is neither reproducible across
+engines nor stable under retries at scale. These operators derive all
+randomness from content hashes instead: the same row always lands in the
+same sample/split/shuffle position, on any engine, any partitioning, any
+rerun — which is what a training-data pipeline needs for auditable
+dataset versions.
+
+- **hash_sample** — keep ~pct% of rows by md5-bucket of a key.
+- **hash_split** — assign train/val/test (any weighted splits) by hash
+  bucket; splits are disjoint and exhaustive.
+- **deterministic_shuffle** — a content-derived global order (for
+  serving examples in a fixed pseudo-random order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: buckets per key: md5's first 8 hex chars → 32-bit uniform int
+_BUCKETS = 1_000_000
+
+
+def _bucket(key: Column, salt: str = "") -> Column:
+    """Uniform bucket 0..999999 from md5 (conv handles the hex)."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _BUCKETS)
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic ~fraction sample: row kept iff its hash bucket falls
+    below fraction·buckets. Different ``salt`` values give independent
+    samples over the same keys."""
+    if not 0 <= fraction <= 1:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.where(_bucket(F.col(key_col), salt) < int(fraction * _BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Disjoint, exhaustive split assignment (e.g. {'train': .9,
+    'val': .05, 'test': .05}) by hash bucket — stable across reruns and
+    engines. Weights must sum to 1 (±1e-9)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = _bucket(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    names = sorted(weights)  # deterministic boundary order
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = b < int(acc * _BUCKETS)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(out_col, expr)
+
+
+def deterministic_shuffle(df: DataFrame, key_col: str, salt: str = "") -> DataFrame:
+    """Global pseudo-random but reproducible order: sort by
+    (md5(salt||key), key). One range shuffle — use for bounded outputs or
+    final export ordering, not as a mid-pipeline step."""
+    return df.orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), F.col(key_col)
+    )

@@ -341,6 +341,37 @@ SELECT o_orderkey, o_custkey FROM s WHERE price_c * n_c > sum_c
 
 
 # --------------------------------------------------------------------------
+# q35 — deterministic hash sampling + train/val/test split (dataset
+# curation surface: reproducible across engines/retries, unlike seeded RNG)
+# --------------------------------------------------------------------------
+def q35_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datawarehouse_backup_system_spark.operators.sampling import hash_split
+
+    docs = load(spark, sf_dir, "documents")
+    split = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r1"
+    )
+    return split.groupBy("split").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("min_id")
+    )
+
+
+Q35_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('r1' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 1000000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 100000 THEN 'test'    -- boundaries follow
+            WHEN bucket < 900000 THEN 'train'   -- sorted split names
+            ELSE 'val' END AS split,
+       COUNT(*) AS n, MIN(doc_id) AS min_id
+FROM b GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # q30 — approximate profiling (SURVEY §2.6 gap list). No oracle: HLL /
 # KLL sketches are engine-specific, so the driver records a rows-only
 # check; exact counterparts are oracle-checked in q21/q29.
@@ -381,4 +412,6 @@ SPECS: list[QuerySpec] = [
               "rank/dense_rank/ntile"),
     QuerySpec("q34_above_customer_avg", q34_above_customer_avg, Q34_SQL,
               "decorrelated above-average (integer-exact comparison)"),
+    QuerySpec("q35_hash_split", q35_hash_split, Q35_SQL,
+              "deterministic hash-bucket train/val/test split"),
 ]

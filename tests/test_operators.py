@@ -65,6 +65,42 @@ def test_replay_guard_range_pruned(spark):
     assert replay_guard(empty, target).count() == 0
 
 
+def test_hash_sampling_and_split(spark):
+    from datawarehouse_backup_system_spark.operators.sampling import (
+        deterministic_shuffle,
+        hash_sample,
+        hash_split,
+    )
+
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    s = hash_sample(df, "k", 0.25)
+    n = s.count()
+    assert abs(n - 2500) < 200              # ~25%, hash-uniform
+    assert s.count() == n                    # rerun-stable
+    # sample is a prefix-property subset: fraction 0.1 ⊂ fraction 0.25
+    small = {r["k"] for r in hash_sample(df, "k", 0.10).collect()}
+    big = {r["k"] for r in s.collect()}
+    assert small <= big
+
+    split = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"]
+              for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 10_000    # exhaustive + disjoint
+    assert abs(counts["train"] - 8000) < 300
+
+    order1 = [r["k"] for r in deterministic_shuffle(df.limit(100), "k").collect()]
+    order2 = [r["k"] for r in deterministic_shuffle(df.limit(100), "k").collect()]
+    assert order1 == order2 and order1 != sorted(order1)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_split(df, "k", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError):
+        hash_sample(df, "k", 1.5)
+
+
 def test_salted_join_matches_plain_join(spark):
     from datawarehouse_backup_system_spark.operators.skew import salted_join
 
