@@ -107,6 +107,74 @@ def streaming_dedup(
     )
 
 
+def user_activity_state(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-user running profile (event count, value sum, last seen) that
+    EMITS a row per user per micro-batch and EXPIRES idle users via an
+    event-time timeout — the arbitrary-state API the built-in windowed
+    aggregations can't express (e.g. cross-window lifetime counters).
+
+    State is one small tuple per active user; the watermark + timeout
+    bound it exactly like dropDuplicatesWithinWatermark bounds dedup
+    state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("lifetime_events", T.LongType()),
+            T.StructField("lifetime_value", T.DoubleType()),
+            T.StructField("last_seen_ms", T.LongType()),
+            T.StructField("expired", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+            T.StructField("last_ms", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, total, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[user_id, n, total, last_ms, True]], columns=out_schema.names
+            )
+            return
+        n, total, last_ms = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
+        state.update((n, total, last_ms))
+        # expire after 1h of event-time inactivity past the watermark
+        state.setTimeoutTimestamp(last_ms + 3_600_000)
+        yield pd.DataFrame(
+            [[user_id, n, total, last_ms, False]], columns=out_schema.names
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def ingest_stream(
     events: DataFrame,
     target_dir: str,

@@ -106,6 +106,37 @@ def test_ingest_stream_end_to_end(spark, tmp_path, t0):
     assert "row_hash" in snap.columns
 
 
+def test_stateful_user_activity(spark, tmp_path, t0):
+    """applyInPandasWithState: lifetime counters accumulate across
+    micro-batches; idle users expire via event-time timeout."""
+    src = str(tmp_path / "events")
+    _write_batch(spark, src, _rows(0, 3, t0, user=1) + _rows(10, 1, t0, user=2))
+    stream = st.stream_source(spark, src)
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    q = _run_to_memory(st.user_activity_state(stream), name)
+    try:
+        # user 1 stays active; user 2 goes idle -> must expire
+        _write_batch(spark, src, _rows(20, 2, t0 + dt.timedelta(hours=3), user=1))
+        q.processAllAvailable()
+        _write_batch(spark, src, _rows(30, 1, t0 + dt.timedelta(hours=9), user=1))
+        q.processAllAvailable()
+        rows = spark.sql(
+            f"SELECT * FROM {name} ORDER BY last_seen_ms, user_id"
+        ).collect()
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r)
+        # user 1's lifetime counter accumulated across batches
+        assert [r["lifetime_events"] for r in by_user[1]] == [3, 5, 6]
+        assert not any(r["expired"] for r in by_user[1])
+        # user 2 emitted once live, then expired with final totals
+        assert [(r["lifetime_events"], r["expired"]) for r in by_user[2]] == [
+            (1, False), (1, True),
+        ]
+    finally:
+        q.stop()
+
+
 def test_sessionized_counts_stream(spark, tmp_path, t0):
     src = str(tmp_path / "events")
     burst1 = _rows(0, 3, t0, minutes_apart=5)            # one session
