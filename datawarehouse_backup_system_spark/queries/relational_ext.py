@@ -372,6 +372,56 @@ FROM b GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# q36 — declarative data-quality report (one aggregation pass + FK check)
+# --------------------------------------------------------------------------
+def q36_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datawarehouse_backup_system_spark.operators import expectations as ex
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    report = ex.run_checks(
+        orders,
+        [
+            ex.not_null("o_custkey"),
+            ex.unique("o_orderkey"),
+            ex.in_range("o_totalprice", 0, 10_000_000),
+            ex.matches("o_orderstatus", "^[FOP]$"),
+            ex.satisfies("priority_known", F.col("o_orderpriority").rlike("^[1-5]-")),
+        ],
+    )
+    fk = ex.fk_exists(lineitem, "l_orderkey", orders, "o_orderkey")
+    return report.unionByName(fk)
+
+
+Q36_SQL = """
+WITH agg AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE o_custkey IS NULL) AS v0,
+         COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v1,
+         COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL
+                            AND o_totalprice NOT BETWEEN 0 AND 10000000) AS v2,
+         COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                            AND NOT regexp_matches(o_orderstatus, '^[FOP]$')) AS v3,
+         COUNT(*) FILTER (WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS v4
+  FROM orders
+)
+SELECT check_name, violations, n_rows, violations = 0 AS passed FROM (
+  SELECT 'not_null(o_custkey)' AS check_name, v0 AS violations, n AS n_rows FROM agg
+  UNION ALL SELECT 'unique(o_orderkey)', v1, n FROM agg
+  UNION ALL SELECT 'in_range(o_totalprice,0,10000000)', v2, n FROM agg
+  UNION ALL SELECT 'matches(o_orderstatus)', v3, n FROM agg
+  UNION ALL SELECT 'priority_known', v4, n FROM agg
+  UNION ALL
+  SELECT 'fk_exists(l_orderkey->o_orderkey)',
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE l.l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+         CAST(NULL AS BIGINT)
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # q30 — approximate profiling (SURVEY §2.6 gap list). No oracle: HLL /
 # KLL sketches are engine-specific, so the driver records a rows-only
 # check; exact counterparts are oracle-checked in q21/q29.
@@ -414,4 +464,6 @@ SPECS: list[QuerySpec] = [
               "decorrelated above-average (integer-exact comparison)"),
     QuerySpec("q35_hash_split", q35_hash_split, Q35_SQL,
               "deterministic hash-bucket train/val/test split"),
+    QuerySpec("q36_data_quality", q36_data_quality, Q36_SQL,
+              "declarative data-quality report (one-pass checks + FK)"),
 ]

@@ -65,6 +65,29 @@ def test_replay_guard_range_pruned(spark):
     assert replay_guard(empty, target).count() == 0
 
 
+def test_expectations_report(spark):
+    from datawarehouse_backup_system_spark.operators import expectations as ex
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, -1.0), (2, "b", 50.0), (3, "zz", 5.0)],
+        "k long, s string, v double",
+    )
+    report = {r["check_name"]: (r["violations"], r["passed"])
+              for r in ex.run_checks(df, [
+                  ex.not_null("s"),
+                  ex.unique("k"),
+                  ex.in_range("v", 0, 10),
+                  ex.matches("s", "^[ab]$"),
+              ]).collect()}
+    assert report["not_null(s)"] == (1, False)
+    assert report["unique(k)"] == (1, False)        # k=2 twice
+    assert report["in_range(v,0,10)"] == (2, False)  # -1 and 50
+    assert report["matches(s)"] == (1, False)        # 'zz'
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+    fk = ex.fk_exists(df, "k", parent, "k").collect()[0]
+    assert (fk["violations"], fk["passed"]) == (1, False)  # k=3 orphan
+
+
 def test_hash_sampling_and_split(spark):
     from datawarehouse_backup_system_spark.operators.sampling import (
         deterministic_shuffle,
