@@ -1,0 +1,41 @@
+"""Driver-contract guards: keys align, entry() produces rows, names stay
+stable (the oracle VALUES are checked by tools/check_oracle.py; this
+pins the contract shape so refactors can't silently break the driver)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entry_mod
+
+
+def test_oracle_keys_subset_of_queries():
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 47
+    # exactly one deliberate rows-only query (approx sketches)
+    assert set(q) - set(o) == {"q30_approx_profile"}
+
+
+def test_query_names_and_callables():
+    q = entry_mod.queries()
+    assert all(callable(f) for f in q.values())
+    # stable naming convention: family prefix + snake_case
+    import re
+
+    assert all(re.fullmatch(r"[qdt]\d{2}_[a-z0-9_]+", n) for n in q)
+
+
+def test_entry_runs_on_smoke_sf(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == [
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc",
+        "count_order",
+    ]
