@@ -63,10 +63,12 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
     )
+    # distinctness per (id, shingle) only needs per-ROW dedup (each doc is
+    # one row): array_distinct before the explode replaces a full
+    # cross-partition DISTINCT shuffle with a narrow per-row operation
     return (
         staged.where(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
+        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
     )
 
 

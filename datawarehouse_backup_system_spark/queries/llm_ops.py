@@ -166,8 +166,7 @@ def d04_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = (
         docs.where(F.length("text") >= 5)
-        .select("doc_id", F.explode(grams).alias("shingle"))
-        .distinct()
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
