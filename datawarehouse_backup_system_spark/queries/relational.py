@@ -468,9 +468,10 @@ def q16_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q16_SQL = """
 SELECT event_id, user_id,
-       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
          OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_cents
 FROM events
 """
 
@@ -500,7 +501,8 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
-SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
 FROM flagged GROUP BY user_id
 """
 
@@ -550,7 +552,7 @@ def q19_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q19_SQL = """
 SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 AS bucket_start,
        event_type, COUNT(*) AS n,
-       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_cents
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1, 2
 """
 

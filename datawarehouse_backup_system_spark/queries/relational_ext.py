@@ -249,7 +249,7 @@ WITH x AS (
   SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events
 )
-SELECT k % 10 AS k_mod, COUNT(*) AS n, SUM(k) AS sum_k
+SELECT k % 10 AS k_mod, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
 FROM x GROUP BY 1
 """
 
@@ -422,23 +422,50 @@ SELECT check_name, violations, n_rows, violations = 0 AS passed FROM (
 
 
 # --------------------------------------------------------------------------
-# q30 — approximate profiling (SURVEY §2.6 gap list). No oracle: HLL /
-# KLL sketches are engine-specific, so the driver records a rows-only
-# check; exact counterparts are oracle-checked in q21/q29.
+# q30 — approximate profiling (SURVEY §2.6 gap list). HLL / KLL sketch
+# values are engine-specific, so the hashable output is (exact counts +
+# tolerance booleans): Spark compares its own approx_count_distinct /
+# percentile_approx against the exact answers computed in the same pass,
+# and emits `*_ok` flags; the DuckDB oracle asserts the same flags TRUE
+# from exact counts alone.  10% relative tolerance is far above HLL++'s
+# default 5% rsd, so the flags are deterministically true (HLL register
+# merge is max-based and partition-order independent).
 # --------------------------------------------------------------------------
 def q30_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+    agg = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("a_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey").alias("a_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_quantity", 0.5).alias("a_med"),
+        F.expr("percentile(l_quantity, 0.5)").alias("med"),
         F.count("*").alias("n_rows"),
+    )
+    tol = 0.10
+    rel = lambda a, b: F.abs(a - b) / F.abs(b)  # noqa: E731
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        "n_rows",
+        (rel(F.col("a_orders"), F.col("exact_orders")) <= tol).alias("orders_ok"),
+        (rel(F.col("a_parts"), F.col("exact_parts")) <= tol).alias("parts_ok"),
+        (rel(F.col("a_med"), F.col("med")) <= tol).alias("median_ok"),
     )
 
 
+Q30_SQL = """
+SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(*) AS n_rows,
+       TRUE AS orders_ok, TRUE AS parts_ok, TRUE AS median_ok
+FROM lineitem
+"""
+
+
 SPECS: list[QuerySpec] = [
-    QuerySpec("q30_approx_profile", q30_approx_profile, None,
-              "HLL/KLL approximate profiling (rows-only check)"),
+    QuerySpec("q30_approx_profile", q30_approx_profile, Q30_SQL,
+              "HLL/KLL approximate profiling (tolerance-boolean oracle)"),
     QuerySpec("q22_topk_revenue_orders", q22_topk_revenue_orders, Q22_SQL,
               "TPC-H Q3-style top-k join revenue"),
     QuerySpec("q23_exists_late_lineitem", q23_exists_late_lineitem, Q23_SQL,

@@ -41,8 +41,26 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _kind(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "other"
+
+
 def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, bool, str]:
-    """Returns (exact_match, close_match, message)."""
+    """Returns (exact_match, close_match, message).
+
+    The driver's value hash is representation-sensitive: a Spark BIGINT
+    column vs a DuckDB HUGEINT (rendered float64 by fetchdf) hash-differ
+    even when the values coerce equal.  So dtype-KIND divergence (int vs
+    float, etc.) is a hard failure here, before any value coercion.
+    """
     if len(a) != len(b):
         return False, False, f"row count {len(a)} vs {len(b)}"
     if sorted(a.columns) != sorted(b.columns):
@@ -53,6 +71,13 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, bool, str]:
     msg = []
     for c in a.columns:
         av, bv = a[c], b[c]
+        ka, kb = _kind(av), _kind(bv)
+        if ka != kb and not (len(a) == 0):
+            exact = False
+            close = False
+            msg.append(f"{c}: dtype kind {ka} (spark) vs {kb} (oracle) — "
+                       "driver hash would mismatch")
+            continue
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             avf = av.astype(float)
             bvf = bv.astype(float)
@@ -106,14 +131,30 @@ def main() -> int:
             print(f"rows-only  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
+            desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+            hazard = [
+                f"{row[0]}:{row[1]}" for row in desc
+                if row[1].upper() in ("HUGEINT", "UHUGEINT", "INT128")
+            ]
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb describe error: {exc}")
+            continue
+        try:
             ddf = con.execute(oracles[name]).fetchdf()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {exc}")
             continue
         exact, close, msg = compare(sdf, ddf)
+        if hazard:
+            exact = False
+            close = False
+            msg = (msg + "; " if msg and msg != "ok" else "") + (
+                f"oracle column(s) typed HUGEINT — driver hash will fail: {hazard}"
+            )
         status = "EXACT" if exact else ("CLOSE" if close else "FAIL")
-        if not close:
+        if not exact:
             failures.append(name)
         print(f"{status}  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)  {msg if not exact else ''}")
     print()
