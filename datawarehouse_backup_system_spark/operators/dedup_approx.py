@@ -75,14 +75,28 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
 def minhash_signature(
     shingles: DataFrame, id_col: str, k: int = 9
 ) -> DataFrame:
-    """K minhash values per id. Each hash function h_i(s) = md5(i || s);
-    the signature component is MIN over shingles — string-min of md5 hex
-    is a valid uniform minhash and is portable across engines."""
+    """K minhash values per id from ONE md5 per shingle.
+
+    ``md5(shingle)`` is split into two 56-bit halves h1, h2 (14 hex chars
+    each); hash function i is the Kirsch-Mitzenmacher affine combination
+    ``h_i = h1 + i*h2`` and the signature component is MIN over shingles.
+    One md5 evaluation per (id, shingle) row instead of K — the k-way
+    fan-out is integer multiply-add, which codegen folds into the
+    aggregate. Bounds: h1, h2 < 2^56, so h1 + (k-1)*h2 < k*2^56; k ≤ 127
+    stays inside signed-64 (no ANSI overflow). Deterministic and portable
+    (DuckDB: ``('0x' || substr(md5(s), ..)')::BIGINT`` halves)."""
+    assert 1 <= k <= 127, "k*2^56 must fit signed 64-bit"
+    h = F.md5(F.col("shingle"))
+    staged = shingles.select(
+        F.col(id_col),
+        F.conv(F.substring(h, 1, 14), 16, 10).cast("bigint").alias("_h1"),
+        F.conv(F.substring(h, 15, 14), 16, 10).cast("bigint").alias("_h2"),
+    )
     aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(f"mh{i}")
+        F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"mh{i}")
         for i in range(k)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return staged.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(sigs: DataFrame, id_col: str, k: int, band_size: int) -> DataFrame:

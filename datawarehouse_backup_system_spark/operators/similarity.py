@@ -99,8 +99,18 @@ def bucketed_ann(
     k: int = 3,
     n_bits: int = 8,
     round_digits: int = 6,
+    multi_probe: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's sign bucket."""
+    """Approximate top-k: candidates share the query's sign bucket.
+
+    ``multi_probe=1`` additionally probes every bucket at Hamming
+    distance 1 from the query's bucket (n_bits extra probes per query) —
+    the standard multi-probe LSH recall/compute trade: near neighbors
+    whose borderline dimensions flipped sign land one bit away. The
+    probe fan-out happens on the (small, broadcast) query side only; a
+    corpus vector lives in exactly one bucket, so no candidate is scored
+    twice. Deeper probing (Hamming 2+) is not implemented.
+    """
     from pyspark.sql import Window
 
     q = queries.select(
@@ -108,6 +118,14 @@ def bucketed_ann(
         _as_double(vec_col).alias("qv"),
         sign_bucket(_as_double(vec_col), n_bits).alias("bucket"),
     )
+    if multi_probe >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(2 ** i)) for i in range(n_bits)],
+        )
+        q = q.select(
+            "query_id", "qv", F.explode(probes).alias("bucket")
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("cv"),
@@ -183,6 +201,51 @@ def topk_pandas_udf(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def neardup_pairs_bucketed(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_bits: int = 8,
+    round_digits: int = 6,
+    multi_probe: int = 1,
+) -> DataFrame:
+    """Near-dup pairs via sign-bucket candidate generation + exact verify.
+
+    The scale path for :func:`neardup_pairs`: candidate pairs must have
+    sign buckets (first ``n_bits`` dims) within Hamming distance
+    ``multi_probe`` (0 = identical bucket), so pair generation is an
+    EQUI-join Spark hash-partitions — expected ~(1+n_bits)·N²/2^n_bits
+    candidate rows at multi_probe=1 instead of the cartesian N²/2 — then
+    the exact rounded-cosine threshold verifies each candidate. The
+    probe fan-out explodes one join side ×(1+n_bits); each qualifying
+    pair matches on exactly one probe value (a vector lives in one real
+    bucket), so no dedup pass is needed. Recall remains bounded: pairs
+    whose buckets differ in ≥2 bits are not considered — raise
+    ``n_bits``/probing or fall back to :func:`neardup_pairs` to measure.
+    """
+    v = emb.select(
+        F.col(id_col).alias("_id"),
+        _as_double(vec_col).alias("_v"),
+        sign_bucket(_as_double(vec_col), n_bits).alias("bucket"),
+    )
+    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "bucket")
+    if multi_probe >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(2 ** i)) for i in range(n_bits)],
+        )
+        a = a.select("id_a", "va", F.explode(probes).alias("bucket"))
+    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), round_digits))
+        .where(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
 def neardup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -191,8 +254,8 @@ def neardup_pairs(
     round_digits: int = 6,
 ) -> DataFrame:
     """All pairs (a<b) with rounded cosine ≥ threshold — embedding-space
-    near-duplicate detection. O(N²/2) scoring: brute-force baseline; at
-    scale run bucketed_ann per item instead."""
+    near-duplicate detection. O(N²/2) scoring: exact brute-force baseline
+    kept for recall measurement; at scale use neardup_pairs_bucketed."""
     a = emb.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
     return (

@@ -88,10 +88,16 @@ sh AS (
   FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
   WHERE len(t) >= 3
 ),
+sh2 AS (  -- one md5 per shingle; K hashes = Kirsch-Mitzenmacher h1 + i*h2
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 15, 14))::BIGINT AS h2
+  FROM sh
+),
 sigs AS (
   SELECT doc_id,
-    {", ".join(f"MIN(md5('{i}' || '|' || shingle)) AS mh{i}" for i in range(9))}
-  FROM sh GROUP BY doc_id
+    {", ".join(f"MIN(h1 + {i} * h2) AS mh{i}" for i in range(9))}
+  FROM sh2 GROUP BY doc_id
 ),
 bands_all AS (
   SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1 || '|' || mh2) AS band_key FROM sigs
@@ -214,20 +220,39 @@ WHERE ROUND(n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter), 6) >= 0.05
 
 
 # --------------------------------------------------------------------------
-# d05 — embedding-cosine near-dup pairs
+# d05 — embedding-cosine near-dup pairs (sign-bucket candidates + verify)
 # --------------------------------------------------------------------------
 def d05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed candidate generation — pairs whose 8-bit sign buckets are
+    within Hamming distance 1 (probe fan-out on one join side) — followed
+    by the exact rounded-cosine verify. The plan is a hash equi-join, not
+    a cartesian: ~9·N²/2^8 expected candidates. The exact all-pairs
+    scorer remains available as similarity.neardup_pairs (recall
+    baseline, not a driver query)."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.neardup_pairs(emb, threshold=0.4)
+    return similarity.neardup_pairs_bucketed(
+        emb, threshold=0.4, n_bits=8, multi_probe=1
+    )
 
 
-D05_SQL = """
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+# sign-bit bucket over the first 8 dims — shared by d05 / d07 / d08
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN e[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)" for i in range(8)
+)
+
+D05_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vb AS (SELECT vec_id, e, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM v),
+ap AS (  -- a-side probes its own bucket + 8 Hamming-1 neighbors
+  SELECT vec_id, e, bucket FROM vb
+  UNION ALL
+  SELECT vec_id, e, xor(bucket, (1::BIGINT << i)) FROM vb, UNNEST(range(8)) AS u(i)
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_dot_product(a.e, b.e)
              / NULLIF(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0),
              6) AS score
-FROM v a JOIN v b ON a.vec_id < b.vec_id
+FROM ap a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.e, b.e)
             / NULLIF(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0),
             6) >= 0.4
@@ -270,10 +295,6 @@ def d07_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.bucketed_ann(emb, queries, k=3, n_bits=8)
 
 
-_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN e[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)" for i in range(8)
-)
-
 D07_SQL = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 vb AS (SELECT vec_id, e, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM v),
@@ -284,6 +305,39 @@ scored AS (
                / NULLIF(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.e, c.e)), 0),
                6) AS score
   FROM q JOIN vb c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# d08 — multi-probe sign-bucket ANN (probe Hamming-1-adjacent buckets)
+# --------------------------------------------------------------------------
+def d08_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return similarity.bucketed_ann(emb, queries, k=3, n_bits=8, multi_probe=1)
+
+
+D08_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vb AS (SELECT vec_id, e, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM vb WHERE vec_id % 100 = 0),
+qp AS (  -- the query's own bucket + its 8 Hamming-1 neighbors
+  SELECT query_id, qe, bucket FROM q
+  UNION ALL
+  SELECT query_id, qe, xor(bucket, (1::BIGINT << i)) FROM q, UNNEST(range(8)) AS u(i)
+),
+scored AS (
+  SELECT qp.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qe, c.e)
+               / NULLIF(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.e, c.e)), 0),
+               6) AS score
+  FROM qp JOIN vb c ON c.bucket = qp.bucket AND c.vec_id <> qp.query_id
 )
 SELECT query_id, neighbor_id, score, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
@@ -411,6 +465,8 @@ SPECS: list[QuerySpec] = [
               "brute-force cosine top-k (exact ANN baseline)"),
     QuerySpec("d07_ann_bucketed", d07_ann_bucketed, D07_SQL,
               "sign-bucket LSH ANN (scale path)"),
+    QuerySpec("d08_ann_multiprobe", d08_ann_multiprobe, D08_SQL,
+              "multi-probe sign-bucket ANN (Hamming-1 probes)"),
     QuerySpec("t01_token_count", t01_token_count, T01_SQL,
               "token + subword counting"),
     QuerySpec("t02_quality", t02_quality, T02_SQL, "document quality scoring"),

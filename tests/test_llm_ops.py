@@ -69,6 +69,50 @@ def test_bucketed_ann_restricts_candidates(spark):
     assert got == {1, 2}  # opposite-sign bucket never scored
 
 
+def test_multiprobe_recovers_hamming1_neighbors(spark):
+    """A query whose sign bucket differs from its true neighbor's by
+    exactly one bit is invisible to probe-0 ANN but must be found at
+    rank 1 by Hamming-1 multi-probe (the recall the probing buys)."""
+    corpus = []
+    for i in range(20):
+        head = [1.0 if (i >> b) & 1 else -1.0 for b in range(8)]
+        onehot = [2.0 if j == i else 0.0 for j in range(20)]  # identity dims
+        corpus.append((i, head + onehot))
+    # query_i = corpus_i with dim0's sign flipped at small magnitude: the
+    # one-hot tail keeps cosine(query_i, corpus_i) ≈ 0.95 — far above any
+    # other corpus vector — while the bucket differs in exactly bit 0
+    queries = [
+        (i + 1000, [-0.05 * v[0]] + v[1:]) for i, v in corpus
+    ]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<float>")
+    p0 = similarity.bucketed_ann(cdf, qdf, k=1, n_bits=8, multi_probe=0)
+    p1 = similarity.bucketed_ann(cdf, qdf, k=1, n_bits=8, multi_probe=1)
+    hits0 = {(r["query_id"], r["neighbor_id"]) for r in p0.collect()}
+    top1 = {r["query_id"]: r["neighbor_id"] for r in p1.collect()}
+    planted = {(i + 1000, i) for i in range(20)}
+    assert hits0 & planted == set()          # probe-0 cannot see across the bit flip
+    assert top1 == {i + 1000: i for i in range(20)}  # probe-1 recovers every one
+
+
+def test_neardup_bucketed_is_same_bucket_subset_of_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 200
+    )
+    exact = {(r["id_a"], r["id_b"]) for r in
+             similarity.neardup_pairs(emb, threshold=0.2).collect()}
+    bucketed = {(r["id_a"], r["id_b"]) for r in
+                similarity.neardup_pairs_bucketed(emb, threshold=0.2).collect()}
+    assert bucketed <= exact  # verify step is exact: no false positives
+    b = similarity.sign_bucket(F.col("embedding").cast("array<double>"), 8)
+    buckets = {r["vec_id"]: r["b"] for r in emb.select("vec_id", b.alias("b")).collect()}
+    hamming1_exact = {
+        (a, bb) for a, bb in exact
+        if bin(buckets[a] ^ buckets[bb]).count("1") <= 1
+    }
+    assert bucketed == hamming1_exact  # finds EVERY Hamming-≤1 pair
+
+
 def test_pandas_udf_topk_matches_expression_path(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") % 100 == 0)
