@@ -36,6 +36,15 @@ STATUS_COLUMN_MISMATCH = "column count mismatch"
 STATUS_EMPTY = "empty file"
 STATUS_UNEXPECTED = "unexpected error"
 
+# -- write-id transaction markers (snapshot append atomicity) -------------
+# A snapshot append is bracketed by ledger rows named "_write:<table>:<id>"
+# so a mid-write crash is detectable and rollbackable (begin without
+# commit → recover_writes deletes that write-id's files).
+WRITE_MARKER_PREFIX = "_write:"
+STATUS_WRITE_BEGIN = "write begin"
+STATUS_WRITE_COMMIT = "write commit"
+STATUS_WRITE_ABORTED = "write aborted"
+
 
 class Ledger:
     def __init__(self, spark: SparkSession, path: str | Path):
@@ -60,5 +69,30 @@ class Ledger:
 
     def processed_set(self) -> set[str]:
         """Driver-side membership set for file routing (reference
-        main.py:350). Stays O(#files)."""
-        return {r["file_name"] for r in self.read().select("file_name").distinct().collect()}
+        main.py:350). Stays O(#files); write-id transaction markers are
+        internal bookkeeping, not landing files."""
+        return {
+            r["file_name"]
+            for r in self.read().select("file_name").distinct().collect()
+            if not r["file_name"].startswith(WRITE_MARKER_PREFIX)
+        }
+
+    def incomplete_writes(self) -> list[tuple[str, str]]:
+        """(table_name, write_id) pairs whose begin marker has no commit
+        and no aborted marker — the rollback set for recover_writes."""
+        rows = (
+            self.read()
+            .where(F.col("file_name").startswith(WRITE_MARKER_PREFIX))
+            .groupBy("file_name")
+            .agg(F.collect_set("status").alias("states"))
+            .collect()
+        )
+        out = []
+        for r in rows:
+            states = set(r["states"])
+            if STATUS_WRITE_BEGIN in states and not (
+                {STATUS_WRITE_COMMIT, STATUS_WRITE_ABORTED} & states
+            ):
+                _, table_name, write_id = r["file_name"].split(":", 2)
+                out.append((table_name, write_id))
+        return out

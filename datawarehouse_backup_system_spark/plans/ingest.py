@@ -107,6 +107,11 @@ class IngestJob:
         """
         from urllib.parse import quote
 
+        if len({p.name for p in paths}) < len(paths):
+            raise ValueError(
+                "duplicate basenames in one scan batch (file rank joins on "
+                f"basename): {sorted(p.name for p in paths)} — split the batch"
+            )
         raw = read_raw_csv(self.spark, [str(p) for p in paths])
         keys = []
         for i, p in enumerate(paths):
@@ -199,19 +204,109 @@ class IngestJob:
             for n in names:
                 self.ledger.append(n, ledger_mod.STATUS_COLUMN_MISMATCH)
             return FileResult(label, ledger_mod.STATUS_COLUMN_MISMATCH, error=error)
-        out = self.table_path(schema)
-        # rows_loaded via an Observation on the written plan itself —
-        # no post-write table re-scan (which would be O(table) per file)
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        plan.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-            "append"
-        ).partitionBy("ingest_date").parquet(str(out))
-        loaded = int(obs.get["n"])
+        loaded = self._atomic_append(plan, schema)
         for n in names:
             self.ledger.append(n, ledger_mod.STATUS_UPLOADED)
         return FileResult(label, ledger_mod.STATUS_UPLOADED, rows_loaded=loaded)
+
+    # -- exports (S10/S11 parity + watermark write-back) -------------------
+    def export_table_csv(
+        self, table_key: str, out_dir: str | Path, single_file: bool = False
+    ) -> Path:
+        """Re-publish a table's cleaned snapshot as headered CSV
+        (reference main.py:296-305 ``processed/{table}/`` handoff)."""
+        from datawarehouse_backup_system_spark.operators.export import (
+            export_snapshot_csv,
+        )
+
+        schema = self.registry.get(table_key)
+        return export_snapshot_csv(
+            self.read_table(schema), out_dir, single_file=single_file
+        )
+
+    def export_watermarks(
+        self, schema_path: str | Path, out_path: str | Path
+    ) -> Path:
+        """Export a registry JSON copy with each table's ``last_id``
+        refreshed from its snapshot MAX(id) (reference
+        util/data_pushing.py:430-460, as a read-only export)."""
+        from datawarehouse_backup_system_spark.operators.export import (
+            export_registry_watermarks,
+        )
+
+        last_ids = {
+            key: next_id_watermark(self.read_table(schema))
+            for key, schema in self.registry.tables.items()
+        }
+        return export_registry_watermarks(schema_path, out_path, last_ids)
+
+    # -- atomic snapshot append -------------------------------------------
+    def _atomic_append(self, plan: DataFrame, schema: TableSchema) -> int:
+        """Append ``plan`` to the snapshot under a ledger-bracketed
+        write-id so a mid-write crash never leaves an unrollbackable
+        partial table.
+
+        Protocol: write the batch to ``_inflight/<write_id>`` (a crash
+        there leaves the live table untouched), ledger ``write begin``,
+        rename each data file into its live partition dir with a
+        ``w<write_id>-`` prefix, ledger ``write commit``. Renames within
+        a filesystem are atomic per file; a crash between begin and
+        commit is rolled back by :meth:`recover_writes`, which deletes
+        exactly the files carrying that write-id prefix. (On an object
+        store, the renames become the FileSystem-API equivalent; the
+        marker protocol is unchanged.)
+
+        Returns rows written, via an Observation on the written plan —
+        no post-write table re-scan (which would be O(table) per file).
+        """
+        import uuid
+
+        from pyspark.sql import Observation
+
+        write_id = uuid.uuid4().hex[:16]
+        out = self.table_path(schema)
+        inflight = Path(self.warehouse_dir) / "_inflight" / write_id
+        obs = Observation()
+        plan.observe(obs, F.count(F.lit(1)).alias("n")).write.partitionBy(
+            "ingest_date"
+        ).parquet(str(inflight))
+        marker = f"{ledger_mod.WRITE_MARKER_PREFIX}{schema.table_name}:{write_id}"
+        self.ledger.append(marker, ledger_mod.STATUS_WRITE_BEGIN)
+        for src in sorted(inflight.rglob("*.parquet")):
+            part_dir = src.parent.relative_to(inflight)
+            dst_dir = out / part_dir
+            dst_dir.mkdir(parents=True, exist_ok=True)
+            src.rename(dst_dir / f"w{write_id}-{src.name}")
+        self.ledger.append(marker, ledger_mod.STATUS_WRITE_COMMIT)
+        import shutil
+
+        shutil.rmtree(inflight, ignore_errors=True)
+        return int(obs.get["n"])
+
+    def recover_writes(self) -> list[str]:
+        """Roll back writes that began but never committed (crash between
+        the begin and commit markers): delete that write-id's prefixed
+        files from the live table, drop its inflight staging dir, and
+        ledger ``write aborted``. The batch's landing files were never
+        ledgered as uploaded, so the next cycle re-ingests them cleanly.
+        Returns the aborted write ids."""
+        import shutil
+
+        aborted = []
+        for table_name, write_id in self.ledger.incomplete_writes():
+            table_dir = Path(self.warehouse_dir) / table_name
+            for f in table_dir.rglob(f"w{write_id}-*.parquet"):
+                f.unlink(missing_ok=True)
+            shutil.rmtree(
+                Path(self.warehouse_dir) / "_inflight" / write_id,
+                ignore_errors=True,
+            )
+            self.ledger.append(
+                f"{ledger_mod.WRITE_MARKER_PREFIX}{table_name}:{write_id}",
+                ledger_mod.STATUS_WRITE_ABORTED,
+            )
+            aborted.append(write_id)
+        return aborted
 
     # -- file drivers ------------------------------------------------------
     def process_file(self, path: str | Path) -> FileResult:
@@ -272,6 +367,7 @@ class IngestJob:
         the scheduler's job, C4). Sequential per file, parity with the
         reference; :meth:`process_batch` is the many-files-one-scan scale
         path."""
+        self.recover_writes()  # roll back any crashed append first
         processed = self.ledger.processed_set()
         results = []
         for f in discover_files(input_dir, processed):

@@ -156,8 +156,12 @@ def user_activity_state(
             total += float(pdf["value"].sum())
             last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
         state.update((n, total, last_ms))
-        # expire after 1h of event-time inactivity past the watermark
-        state.setTimeoutTimestamp(last_ms + 3_600_000)
+        # expire after 1h of event-time inactivity — clamped above the
+        # current watermark: Spark rejects a timeout that is not beyond
+        # the watermark, which a straggler group (max event time far
+        # behind) would otherwise trigger at runtime
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_ms + 3_600_000, wm_ms + 60_000))
         yield pd.DataFrame(
             [[user_id, n, total, last_ms, False]], columns=out_schema.names
         )

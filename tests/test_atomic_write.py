@@ -1,0 +1,182 @@
+"""Atomic snapshot append (write-id protocol), export sinks, BOM scan.
+
+The write-id protocol brackets every snapshot append with ledger markers
+(begin → publish renames → commit); these tests drive the two crash
+windows and the recovery path, plus the S10/S11 CSV export and the
+reference-format watermark write-back (util/data_pushing.py:430-460).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_backup_system_spark import ledger as ledger_mod
+from datawarehouse_backup_system_spark.plans.ingest import IngestJob
+from datawarehouse_backup_system_spark.registry import SchemaRegistry
+from datawarehouse_backup_system_spark.sources.catalog import Router
+
+from fixtures import generate_f1
+
+
+def make_job(spark, tmp_path, fx, warehouse="warehouse") -> IngestJob:
+    registry = SchemaRegistry.from_files(fx["schema_path"], fx["rename_path"])
+    router = Router().add(r"^last24h__", "mini_campaign_events")
+    return IngestJob(spark=spark, registry=registry,
+                     warehouse_dir=tmp_path / warehouse, router=router)
+
+
+def test_recover_deletes_uncommitted_files(spark, tmp_path):
+    """A planted begin-without-commit write (crash mid-publish) is rolled
+    back exactly: its prefixed files deleted, marker aborted, committed
+    data untouched."""
+    fx = generate_f1(tmp_path, n=40)
+    job = make_job(spark, tmp_path, fx)
+    res = job.process_file(fx["files"][0])
+    assert res.status == ledger_mod.STATUS_UPLOADED
+    schema = job.registry.get("mini_campaign_events")
+    baseline = job.read_table(schema).count()
+    table_dir = job.table_path(schema)
+
+    # fake a crashed write: begin marker + one published file, no commit
+    part_dir = next(table_dir.glob("ingest_date=*"))
+    src = next(part_dir.glob("*.parquet"))
+    planted = part_dir / "wdeadbeefdeadbeef-part-crashed.parquet"
+    shutil.copy(src, planted)
+    job.ledger.append(
+        f"{ledger_mod.WRITE_MARKER_PREFIX}{schema.table_name}:deadbeefdeadbeef",
+        ledger_mod.STATUS_WRITE_BEGIN,
+    )
+    assert job.read_table(schema).count() == 2 * baseline  # dup rows visible
+
+    aborted = job.recover_writes()
+    assert aborted == ["deadbeefdeadbeef"]
+    assert not planted.exists()
+    assert job.read_table(schema).count() == baseline
+    # idempotent: a second recovery pass finds nothing
+    assert job.recover_writes() == []
+    states = {
+        (r["file_name"], r["status"]) for r in job.ledger.read().collect()
+        if r["file_name"].startswith(ledger_mod.WRITE_MARKER_PREFIX)
+    }
+    assert any(s == ledger_mod.STATUS_WRITE_ABORTED for _, s in states)
+
+
+def test_crash_during_publish_rolls_back(spark, tmp_path, monkeypatch):
+    """Kill the publish loop on its first rename: the live table must stay
+    empty, recovery aborts the write, and a retry ingests cleanly."""
+    import pathlib
+
+    fx = generate_f1(tmp_path, n=40)
+    job = make_job(spark, tmp_path, fx)
+    schema = job.registry.get("mini_campaign_events")
+
+    real_rename = pathlib.Path.rename
+
+    def exploding_rename(self, target):
+        if "w" in str(target) and str(target).endswith(".parquet"):
+            raise OSError("simulated crash during publish")
+        return real_rename(self, target)
+
+    monkeypatch.setattr(pathlib.Path, "rename", exploding_rename)
+    res = job.process_file(fx["files"][0])
+    assert res.status.startswith(ledger_mod.STATUS_UNEXPECTED)
+    monkeypatch.undo()
+
+    assert job.read_table(schema).count() == 0  # nothing leaked into the table
+    assert len(job.recover_writes()) == 1
+
+    # retry is clean: dense ids from 1, full content
+    res2 = job.process_file(fx["files"][0])
+    assert res2.status == ledger_mod.STATUS_UPLOADED
+    table = job.read_table(schema)
+    ids = table.agg(F.min("id"), F.max("id"), F.countDistinct("id")).collect()[0]
+    assert list(ids) == [1, table.count(), table.count()]
+
+
+def test_run_recovers_before_ingesting(spark, tmp_path):
+    """run() rolls back crashed writes before the cycle, so a crashed
+    batch's landing file is re-ingested without duplicates."""
+    fx = generate_f1(tmp_path, n=40)
+    job = make_job(spark, tmp_path, fx)
+    schema = job.registry.get("mini_campaign_events")
+    job.ledger.append(
+        f"{ledger_mod.WRITE_MARKER_PREFIX}{schema.table_name}:feedfacefeedface",
+        ledger_mod.STATUS_WRITE_BEGIN,
+    )
+    results = job.run(tmp_path)
+    assert [r.status for r in results] == [ledger_mod.STATUS_UPLOADED] * 3
+    assert ("feedfacefeedface" not in
+            {w for _, w in job.ledger.incomplete_writes()})
+
+
+def test_export_csv_roundtrip(spark, tmp_path):
+    """S10/S11 parity: the cleaned snapshot renders back to headered CSV
+    and reads back with identical row content."""
+    fx = generate_f1(tmp_path, n=40)
+    job = make_job(spark, tmp_path, fx)
+    job.process_file(fx["files"][0])
+    schema = job.registry.get("mini_campaign_events")
+    table = job.read_table(schema)
+
+    out = job.export_table_csv("mini_campaign_events", tmp_path / "csv_out",
+                               single_file=True)
+    files = list(out.glob("*.csv"))
+    assert len(files) == 1  # reference-style one-file handoff
+    back = (
+        spark.read.option("header", True).option("inferSchema", False)
+        .csv(str(out))
+    )
+    assert back.count() == table.count()
+    assert back.columns == table.columns
+    assert ({r["email"] for r in back.select("email").collect()}
+            == {r["email"] for r in table.select("email").collect()})
+
+
+def test_export_watermarks_updates_last_id_only(spark, tmp_path):
+    fx = generate_f1(tmp_path, n=40)
+    job = make_job(spark, tmp_path, fx)
+    job.process_file(fx["files"][0])
+    schema = job.registry.get("mini_campaign_events")
+    max_id = job.read_table(schema).agg(F.max("id")).collect()[0][0]
+
+    out = job.export_watermarks(fx["schema_path"], tmp_path / "registry_out.json")
+    exported = json.loads(out.read_text())
+    original = json.loads(open(fx["schema_path"]).read())
+    assert exported["mini_campaign_events"]["last_id"] == max_id
+    for key, decl in original.items():
+        for field, value in decl.items():
+            if field != "last_id":
+                assert exported[key][field] == value
+
+
+def test_export_watermarks_rejects_unknown_table(tmp_path):
+    from datawarehouse_backup_system_spark.operators.export import (
+        export_registry_watermarks,
+    )
+
+    schema_path = tmp_path / "s.json"
+    schema_path.write_text(json.dumps({"t1": {"last_id": 0}}))
+    with pytest.raises(KeyError, match="nope"):
+        export_registry_watermarks(schema_path, tmp_path / "o.json", {"nope": 5})
+
+
+def test_bom_utf8_through_distributed_scan(spark, tmp_path):
+    """Round-1 leftover: a UTF-8-BOM file must come through the
+    DISTRIBUTED scan (read_raw_csv), not just the driver-side
+    read_header, with a clean first column name and value."""
+    from datawarehouse_backup_system_spark.sources.csv_source import (
+        read_header,
+        read_raw_csv,
+    )
+
+    p = tmp_path / "bom.csv"
+    p.write_bytes(b"\xef\xbb\xbfEmail;Name\na@x.com;Ann\n")
+    assert read_header(p) == ["Email", "Name"]
+    df = read_raw_csv(spark, str(p))
+    assert df.columns == ["Email", "Name"]  # no U+FEFF residue
+    row = df.collect()[0]
+    assert (row["Email"], row["Name"]) == ("a@x.com", "Ann")

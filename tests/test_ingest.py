@@ -117,9 +117,8 @@ def test_batch_ingest_equals_sequential(spark, tmp_path):
     n = batch_tbl.count()
     ids = batch_tbl.agg(F.min("id"), F.max("id"), F.countDistinct("id")).collect()[0]
     assert list(ids) == [1, n, n]
-    # ledger has one entry per source file
-    names = {r["file_name"] for r in batch_job.ledger.read().collect()}
-    assert names == {f.name for f in fx["files"][:2]}
+    # ledger has one entry per source file (write markers excluded)
+    assert batch_job.ledger.processed_set() == {f.name for f in fx["files"][:2]}
 
 
 def test_ingest_date_partitioning_and_retention(spark, tmp_path):
@@ -178,8 +177,7 @@ def test_zip_ledgered_under_original_name(spark, tmp_path):
 
     first = job.run(tmp_path)
     assert [r.status for r in first] == ["uploaded to ClickHouse"]
-    names = {r["file_name"] for r in job.ledger.read().collect()}
-    assert names == {zpath.name}
+    assert job.ledger.processed_set() == {zpath.name}
     assert job.run(tmp_path) == []  # second cycle: skipped
 
 
