@@ -28,11 +28,34 @@ LEDGER_SCHEMA = T.StructType(
     ]
 )
 
-# canonical subset of the reference's status vocabulary
+# The reference's full 20-string status vocabulary (every literal passed
+# to insert_processed_file across main.py + util/). Statuses whose stage
+# exists distinctly in this engine are wired into the ingest paths; the
+# per-stage pandas errors (rename / add column / self dedup / cross-file
+# comparison and their 'critical' variants) cannot occur separately here
+# because those stages collapse into ONE lazy Catalyst plan — any failure
+# in that plan surfaces at write time as STATUS_INSERT_ERROR (or
+# STATUS_COLUMN_MISMATCH, which is validated pre-plan). Kept as constants
+# for diagnostics parity with reference dashboards.
 STATUS_PROCESSED = "processed"
 STATUS_UPLOADED = "uploaded to ClickHouse"
 STATUS_NO_SCHEMA = "no schema found"
+STATUS_NO_RENAME_MAP = "no column mapping found"
 STATUS_COLUMN_MISMATCH = "column count mismatch"
+STATUS_NOT_CSV = "not a valid CSV file"
+STATUS_EXTRACTION_FAILED = "extraction failed"
+STATUS_EXTRACTION_CRITICAL = "critical extraction error"
+STATUS_RENAME_ERROR = "rename error"
+STATUS_RENAME_CRITICAL = "critical rename error"
+STATUS_ADD_COLUMN_ERROR = "add column error"
+STATUS_ADD_COLUMN_CRITICAL = "critical add column error"
+STATUS_SELF_DEDUP_ERROR = "self deduplication error"
+STATUS_SELF_DEDUP_CRITICAL = "critical self deduplication error"
+STATUS_CROSSFILE_ERROR = "cross-file comparison error"
+STATUS_CROSSFILE_CRITICAL = "critical cross-file comparison error"
+STATUS_INSERT_ERROR = "insert error"
+STATUS_UPLOAD_ERROR = "upload error"
+STATUS_LAST_ID_ERROR = "update last_id error"
 STATUS_EMPTY = "empty file"
 STATUS_UNEXPECTED = "unexpected error"
 

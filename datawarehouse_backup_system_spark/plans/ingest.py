@@ -204,7 +204,14 @@ class IngestJob:
             for n in names:
                 self.ledger.append(n, ledger_mod.STATUS_COLUMN_MISMATCH)
             return FileResult(label, ledger_mod.STATUS_COLUMN_MISMATCH, error=error)
-        loaded = self._atomic_append(plan, schema)
+        try:
+            loaded = self._atomic_append(plan, schema)
+        except Exception as exc:  # noqa: BLE001 — reference 'insert error'
+            for n in names:
+                self.ledger.append(n, ledger_mod.STATUS_INSERT_ERROR)
+            return FileResult(
+                label, ledger_mod.STATUS_INSERT_ERROR, error=str(exc)
+            )
         for n in names:
             self.ledger.append(n, ledger_mod.STATUS_UPLOADED)
         return FileResult(label, ledger_mod.STATUS_UPLOADED, rows_loaded=loaded)
@@ -310,12 +317,28 @@ class IngestJob:
 
     # -- file drivers ------------------------------------------------------
     def process_file(self, path: str | Path) -> FileResult:
+        import zipfile
+
         path = Path(path)
         name = path.name
         try:
             if path.suffix.lower() == ".zip":
                 staging = Path(self.staging_dir or self.warehouse_dir / "_staging")
-                path = extract_zip_first_member(path, staging)
+                try:
+                    path = extract_zip_first_member(path, staging)
+                except (zipfile.BadZipFile, ValueError):
+                    # corrupt or empty archive (reference main.py:97)
+                    self.ledger.append(name, ledger_mod.STATUS_EXTRACTION_FAILED)
+                    return FileResult(name, ledger_mod.STATUS_EXTRACTION_FAILED)
+                except OSError as exc:
+                    self.ledger.append(name, ledger_mod.STATUS_EXTRACTION_CRITICAL)
+                    return FileResult(
+                        name, ledger_mod.STATUS_EXTRACTION_CRITICAL, error=str(exc)
+                    )
+            if path.suffix.lower() != ".csv":
+                # reference main.py:107 checks the (extracted) name's suffix
+                self.ledger.append(name, ledger_mod.STATUS_NOT_CSV)
+                return FileResult(name, ledger_mod.STATUS_NOT_CSV)
             table_key = self.router.route(name)
             if table_key is None or table_key not in self.registry.tables:
                 self.ledger.append(name, ledger_mod.STATUS_NO_SCHEMA)

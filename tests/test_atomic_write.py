@@ -83,7 +83,7 @@ def test_crash_during_publish_rolls_back(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(pathlib.Path, "rename", exploding_rename)
     res = job.process_file(fx["files"][0])
-    assert res.status.startswith(ledger_mod.STATUS_UNEXPECTED)
+    assert res.status == ledger_mod.STATUS_INSERT_ERROR
     monkeypatch.undo()
 
     assert job.read_table(schema).count() == 0  # nothing leaked into the table
@@ -162,6 +162,25 @@ def test_export_watermarks_rejects_unknown_table(tmp_path):
     schema_path.write_text(json.dumps({"t1": {"last_id": 0}}))
     with pytest.raises(KeyError, match="nope"):
         export_registry_watermarks(schema_path, tmp_path / "o.json", {"nope": 5})
+
+
+def test_status_vocabulary_for_bad_inputs(spark, tmp_path):
+    """Reference status parity: corrupt zip → 'extraction failed',
+    non-CSV landing file → 'not a valid CSV file'."""
+    fx = generate_f1(tmp_path, n=30)
+    job = make_job(spark, tmp_path, fx)
+
+    bad_zip = tmp_path / "last24h__broken.csv.zip"
+    bad_zip.write_bytes(b"this is not a zip archive")
+    assert job.process_file(bad_zip).status == ledger_mod.STATUS_EXTRACTION_FAILED
+
+    not_csv = tmp_path / "last24h__notes.txt"
+    not_csv.write_text("hello")
+    assert job.process_file(not_csv).status == ledger_mod.STATUS_NOT_CSV
+
+    statuses = {r["status"] for r in job.ledger.read().collect()}
+    assert {ledger_mod.STATUS_EXTRACTION_FAILED,
+            ledger_mod.STATUS_NOT_CSV} <= statuses
 
 
 def test_bom_utf8_through_distributed_scan(spark, tmp_path):
