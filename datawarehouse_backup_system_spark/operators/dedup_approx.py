@@ -211,6 +211,61 @@ def minhash_lsh_dedup(
     )
 
 
+def dedup_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve verified near-dup PAIRS into canonical GROUPS: connected
+    components by iterative min-label propagation. Output (node,
+    canonical_id) where canonical_id = MIN id in the node's component —
+    the standard final step of a minhash-dedup pipeline (keep canonical,
+    drop the rest), which needs transitivity the pair list alone lacks
+    (a~b, b~c ⇒ {a,b,c} even when a~c never scored).
+
+    Each round is one shuffle (neighbor-label join + min-agg); rounds
+    bound by component diameter, with driver early-stop when a round
+    changes nothing. Labels persist per round and the previous round is
+    unpersisted — lineage stays shallow. At 100 TB scale this is the
+    same alternating-join shape GraphX/GraphFrames use; hot components
+    are bounded because near-dup verification caps pair degree.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_labels = (
+            und.join(labels, und.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "_old"), "node")
+            .where(F.col("label") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("canonical_id"))
+
+
 def _hex_digit_val(h: Column, pos: int) -> Column:
     """Value 0..15 of the pos-th (1-based) hex char — portable (instr)."""
     return F.instr(F.lit("0123456789abcdef"), F.substring(h, pos, 1)) - 1

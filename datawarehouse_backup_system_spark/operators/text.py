@@ -107,6 +107,80 @@ def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out.withColumn("predicted_lang", best.otherwise(F.lit("und")))
 
 
+#: PII patterns — simple character-class regexes that parse identically
+#: under Java regex (Spark) and DuckDB's RE2 dialect.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUMBER_RE = r"[0-9]{9,}"
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Mask emails and long digit runs (phone/account-shaped) before a
+    corpus feeds training: ``<EMAIL>`` / ``<NUM>`` placeholders, plus
+    per-document match counts for audit. Expression-only
+    (regexp_replace / regexp_extract_all), linear, codegen'd.
+    """
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), LONG_NUMBER_RE, "<NUM>"
+    )
+    # count numbers AFTER email masking: an email's digit run must not
+    # double-count (the replacement order fixes the semantics)
+    n_numbers = F.size(
+        F.regexp_extract_all(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), F.lit(LONG_NUMBER_RE), 0
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed_text"),
+        n_emails.alias("n_emails"),
+        n_numbers.alias("n_numbers"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    capacity: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-pretraining style): within
+    each shard, documents are laid out contiguously in id order and the
+    stream is chunked every ``capacity`` tokens; each document reports
+    the chunk (``local_bin``) and ``offset`` where it STARTS — long or
+    straddling documents simply span into following chunks, no padding
+    waste. Sharding by ``id % n_shards`` keeps the order-defining window
+    partitioned (no global single-partition sort — raise n_shards with
+    the cluster; one sequential stream per shard is the semantics, not a
+    bottleneck).
+
+    Output: (id, shard, local_bin, offset, n_tokens).
+    """
+    from pyspark.sql import Window
+
+    shard = (F.col(id_col) % n_shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = df.select(F.col(id_col), shard, F.col(token_count_col).alias("_n"))
+    cum_excl = F.sum("_n").over(w) - F.col("_n")
+    local_bin = F.floor(cum_excl / capacity).cast("bigint")
+    offset = (cum_excl - local_bin * capacity).cast("bigint")
+    return staged.select(
+        id_col,
+        "shard",
+        local_bin.alias("local_bin"),
+        offset.alias("offset"),
+        F.col("_n").alias("n_tokens"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str, window: int = 64) -> DataFrame:
     """Canonical document fingerprint: md5 over (length | head | tail).
 

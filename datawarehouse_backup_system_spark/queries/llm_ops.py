@@ -451,6 +451,195 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# d09 — dedup GROUP resolution: connected components over verified pairs
+# --------------------------------------------------------------------------
+def d09_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs lack transitivity (a~b, b~c ⊬ a~c scored); group
+    resolution assigns every doc the MIN id of its connected component
+    via iterative min-label propagation (operators.dedup_approx.
+    dedup_groups). Pairs here: word-trigram Jaccard ≥ 0.5 over a corpus
+    with TWO perturbation generations, so components chain 3 deep."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    gen = [docs.select("doc_id", "text")]
+    for g, drop in ((1, 2), (2, 4)):
+        gen.append(
+            docs.where(F.size(toks) > 8).select(
+                (F.col("doc_id") + 1000 * g).alias("doc_id"),
+                F.array_join(
+                    F.slice(toks, drop + 1, F.size(toks) - drop), " "
+                ).alias("text"),
+            )
+        )
+    corpus = gen[0].unionByName(gen[1]).unionByName(gen[2])
+    sh = dedup_approx.word_shingles(corpus, "doc_id", "text", 3)
+    pairs = dedup_approx.jaccard_pairs(
+        dedup_approx.lsh_candidate_pairs(
+            dedup_approx.lsh_bands(
+                dedup_approx.minhash_signature(sh, "doc_id", 9), "doc_id", 9, 3
+            ),
+            "doc_id",
+        ),
+        sh,
+        "doc_id",
+    ).where(F.col("jaccard") >= 0.5)
+    return dedup_approx.dedup_groups(pairs)
+
+
+D09_SQL = """
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 1000,
+         array_to_string(string_split_regex(trim(text), '\\s+')[3:], ' ')
+  FROM documents
+  WHERE doc_id < 40 AND len(string_split_regex(trim(text), '\\s+')) > 8
+  UNION ALL
+  SELECT doc_id + 2000,
+         array_to_string(string_split_regex(trim(text), '\\s+')[5:], ' ')
+  FROM documents
+  WHERE doc_id < 40 AND len(string_split_regex(trim(text), '\\s+')) > 8
+),
+toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+  FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+sh2 AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 15, 14))::BIGINT AS h2
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id,
+    MIN(h1 + 0 * h2) AS mh0, MIN(h1 + 1 * h2) AS mh1, MIN(h1 + 2 * h2) AS mh2,
+    MIN(h1 + 3 * h2) AS mh3, MIN(h1 + 4 * h2) AS mh4, MIN(h1 + 5 * h2) AS mh5,
+    MIN(h1 + 6 * h2) AS mh6, MIN(h1 + 7 * h2) AS mh7, MIN(h1 + 8 * h2) AS mh8
+  FROM sh2 GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1 || '|' || mh2) AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, 1, md5(mh3 || '|' || mh4 || '|' || mh5) FROM sigs
+  UNION ALL
+  SELECT doc_id, 2, md5(mh6 || '|' || mh7 || '|' || mh8) FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+    GROUP BY c.id_a, c.id_b
+  ) c
+  JOIN sizes za ON za.doc_id = c.id_a
+  JOIN sizes zb ON zb.doc_id = c.id_b
+  WHERE c.n_inter * 1.0 / (za.n_sh + zb.n_sh - c.n_inter) >= 0.5
+),
+und AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT DISTINCT s AS node, s AS r FROM und
+  UNION
+  SELECT reach.node, und.d FROM reach JOIN und ON und.s = reach.r
+)
+SELECT node, MIN(r) AS canonical_id FROM reach GROUP BY node
+"""
+
+
+# --------------------------------------------------------------------------
+# t05 — PII scrubbing (emails + long digit runs) with audit counts
+# --------------------------------------------------------------------------
+def t05_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus carries no natural PII, so deterministic PII
+    is injected in-query (both engines identically), then scrubbed; the
+    scrubbed text is hashed to keep the result compact."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call "),
+            F.lpad(F.col("doc_id").cast("string"), 10, "0"),
+        ).alias("text"),
+    )
+    out = text.pii_scrub(injected, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5("scrubbed_text").alias("scrub_md5"),
+        "n_emails",
+        "n_numbers",
+    )
+
+
+T05_SQL = f"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call '
+              || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS text
+  FROM documents WHERE doc_id < 200
+),
+m AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{text.EMAIL_RE}', '<EMAIL>', 'g') AS no_email
+  FROM inj
+)
+SELECT doc_id,
+       md5(regexp_replace(no_email, '{text.LONG_NUMBER_RE}', '<NUM>', 'g'))
+         AS scrub_md5,
+       len(regexp_extract_all(text, '{text.EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(no_email, '{text.LONG_NUMBER_RE}')) AS n_numbers
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# t06 — concat-and-chunk sequence packing for training batches
+# --------------------------------------------------------------------------
+def t06_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    return text.pack_sequences(counted, "doc_id", "n_tokens", capacity=2048)
+
+
+T06_SQL = r"""
+WITH counted AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - n_tokens AS cum_excl
+  FROM counted
+)
+SELECT doc_id, shard, CAST(FLOOR(cum_excl / 2048) AS BIGINT) AS local_bin,
+       CAST(cum_excl - CAST(FLOOR(cum_excl / 2048) AS BIGINT) * 2048 AS BIGINT)
+         AS offset,
+       n_tokens
+FROM c
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("d01_dedup_exact", d01_dedup_exact, D01_SQL,
               "exact dedup: hash-groupBy keep min id"),
@@ -473,4 +662,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("t03_langid", t03_langid, T03_SQL, "stopword-heuristic language ID"),
     QuerySpec("t04_fingerprint", t04_fingerprint, T04_SQL,
               "md5 head/tail/length fingerprint"),
+    QuerySpec("d09_dedup_groups", d09_dedup_groups, D09_SQL,
+              "connected-component dedup group resolution"),
+    QuerySpec("t05_pii_scrub", t05_pii_scrub, T05_SQL,
+              "PII masking (emails, long digit runs) + audit counts"),
+    QuerySpec("t06_pack_sequences", t06_pack_sequences, T06_SQL,
+              "concat-and-chunk sequence packing (sharded)"),
 ]

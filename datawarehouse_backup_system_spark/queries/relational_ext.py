@@ -463,6 +463,40 @@ FROM lineitem
 """
 
 
+# --------------------------------------------------------------------------
+# q37 — fixed-width histogram profile (binned value distribution)
+# --------------------------------------------------------------------------
+def q37_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profile of l_extendedprice in 10k-wide bins: one
+    groupBy on a computed bin key (map-side partial agg, single shuffle
+    of ~#bins rows per partition). Values go through the integer-cent
+    pattern so min/max/sum hash exactly cross-engine."""
+    li = load(spark, sf_dir, "lineitem")
+    c = cents(F.col("l_extendedprice"))
+    staged = li.select(c.alias("_c"))
+    b = F.floor(F.col("_c") / 1_000_000).cast("bigint")  # 10k currency units
+    return (
+        staged.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_c").alias("min_cents"),
+            F.max("_c").alias("max_cents"),
+            F.sum("_c").alias("sum_cents"),
+        )
+    )
+
+
+Q37_SQL = """
+WITH c AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c FROM lineitem
+)
+SELECT CAST(FLOOR(c / 1000000) AS BIGINT) AS bin, COUNT(*) AS n,
+       MIN(c) AS min_cents, MAX(c) AS max_cents,
+       CAST(SUM(c) AS BIGINT) AS sum_cents
+FROM c GROUP BY 1
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("q30_approx_profile", q30_approx_profile, Q30_SQL,
               "HLL/KLL approximate profiling (tolerance-boolean oracle)"),
@@ -493,4 +527,6 @@ SPECS: list[QuerySpec] = [
               "deterministic hash-bucket train/val/test split"),
     QuerySpec("q36_data_quality", q36_data_quality, Q36_SQL,
               "declarative data-quality report (one-pass checks + FK)"),
+    QuerySpec("q37_histogram", q37_histogram, Q37_SQL,
+              "fixed-width histogram profile of a value column"),
 ]

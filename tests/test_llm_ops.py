@@ -123,6 +123,48 @@ def test_pandas_udf_topk_matches_expression_path(spark, sf_dir):
     assert expr_out == udf_out
 
 
+def test_dedup_groups_transitive_chain(spark):
+    """a~b, b~c (a~c never scored) must still group — the transitivity
+    the pair list lacks. Separate component stays separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {(r["node"], r["canonical_id"])
+           for r in dedup_approx.dedup_groups(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    """Chunk boundaries fall every `capacity` tokens of the per-shard
+    concatenated stream; straddling docs keep their start offset."""
+    rows = [(0, 60), (8, 50), (16, 10), (1, 100), (9, 30)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {r["doc_id"]: (r["shard"], r["local_bin"], r["offset"])
+           for r in text.pack_sequences(df, "doc_id", "n_tokens",
+                                        capacity=100, n_shards=8).collect()}
+    # shard 0 stream: doc0 (60) @0, doc8 (50) @60 → straddles into bin 1,
+    # doc16 (10) @110 → bin 1 offset 10
+    assert out[0] == (0, 0, 0)
+    assert out[8] == (0, 0, 60)
+    assert out[16] == (0, 1, 10)
+    # shard 1 stream: doc1 (100) @0 fills bin 0 exactly; doc9 @100 → bin 1
+    assert out[1] == (1, 0, 0)
+    assert out[9] == (1, 1, 0)
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    rows = [
+        (1, "mail me at a.b-c@test.org or 123456789 ok"),
+        (2, "no pii here, just 1234 and words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.pii_scrub(df, "doc_id", "text").collect()}
+    assert got[1]["scrubbed_text"] == "mail me at <EMAIL> or <NUM> ok"
+    assert (got[1]["n_emails"], got[1]["n_numbers"]) == (1, 1)
+    assert got[2]["scrubbed_text"] == rows[1][1]  # untouched
+    assert (got[2]["n_emails"], got[2]["n_numbers"]) == (0, 0)
+
+
 def test_langid_marker_text(spark):
     rows = [
         (1, "the cat is in the house and it is warm"),
