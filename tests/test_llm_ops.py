@@ -198,6 +198,50 @@ def test_multimodal_decode_fake_and_error(spark):
         multimodal.decode_features(df, decode_stub="error").collect()
 
 
+def test_header_metadata_decodes_real_formats(spark):
+    """Container-header parsing is REAL (stdlib struct, no media libs):
+    construct valid PNG/GIF/WAV/JPEG/MP4 headers and assert the parsed
+    dimensions / rates / durations."""
+    import struct
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 4
+    wav = (b"RIFF" + struct.pack("<I", 36 + 88200) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 1, 44100, 88200, 2, 16)
+           + b"data" + struct.pack("<I", 88200))
+    jpeg = (b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 480, 640) + b"\x03" + b"\x00" * 9)
+    mp4 = (struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
+           + struct.pack(">I", 32) + b"mvhd" + b"\x00" * 4  # version+flags
+           + b"\x00" * 8 + struct.pack(">II", 1000, 2500))
+    rows = [
+        (1, "image", "image/png", None, bytearray(png)),
+        (2, "image", "image/gif", None, bytearray(gif)),
+        (3, "audio", "audio/wav", None, bytearray(wav)),
+        (4, "image", "image/jpeg", None, bytearray(jpeg)),
+        (5, "video", "video/mp4", None, bytearray(mp4)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in multimodal.decode_features(df).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("png", 640, 480)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("gif", 320, 200)
+    assert (got[3]["format"], got[3]["sample_rate"], got[3]["duration_ms"]) \
+        == ("wav", 44100, 1000)
+    assert (got[4]["format"], got[4]["width"], got[4]["height"]) == ("jpeg", 640, 480)
+    assert (got[5]["format"], got[5]["duration_ms"]) == ("mp4", 2500)
+
+    # expression-level PNG probe (pure codegen path, no Python)
+    probe = df.select(
+        "asset_id", multimodal.png_dims(F.col("data")).alias("d")
+    ).collect()
+    dims = {r["asset_id"]: r["d"] for r in probe}
+    assert (dims[1]["width"], dims[1]["height"]) == (640, 480)
+    assert dims[2] is None  # non-PNG → NULL
+
+
 def test_frame_sample_shape(spark):
     rows = [(1, "video", "video/mp4", None, bytearray(b"abc"))]
     df = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
