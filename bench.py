@@ -41,12 +41,18 @@ HEADLINE = [
     "q22_topk_revenue_orders",
     "q25_rollup_revenue",
     "q28_asof_view_before_purchase",
+    "q37_histogram",
     "d01_dedup_exact",
     "d02_minhash_lsh",
+    "d05_embedding_neardup",
     "d06_similarity_topk",
     "d07_ann_bucketed",
+    "d08_ann_multiprobe",
+    "d09_dedup_groups",
     "t02_quality",
     "t03_langid",
+    "t05_pii_scrub",
+    "t06_pack_sequences",
 ]
 
 

@@ -24,6 +24,9 @@ from datawarehouse_backup_system_spark.operators.similarity import (
     norm,
     sign_bucket,
 )
+from datawarehouse_backup_system_spark.operators.multimodal import (
+    png_dims,
+)
 from datawarehouse_backup_system_spark.operators.text import (
     punct_count,
     stopword_hits,
@@ -34,7 +37,8 @@ from datawarehouse_backup_system_spark.operators.text import (
 
 __all__ = [
     "cosine", "dob_string", "dot", "hamming_distance", "norm",
-    "parse_timestamp", "punct_count", "row_hash_col", "scrub_nulls",
-    "sign_bucket", "stopword_hits", "strip_trailing_dot_zero",
-    "subword_count", "token_count", "tokens", "with_row_hash",
+    "parse_timestamp", "png_dims", "punct_count", "row_hash_col",
+    "scrub_nulls", "sign_bucket", "stopword_hits",
+    "strip_trailing_dot_zero", "subword_count", "token_count", "tokens",
+    "with_row_hash",
 ]

@@ -16,9 +16,10 @@ def test_oracle_keys_subset_of_queries():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
-    assert len(q) >= 47
-    # exactly one deliberate rows-only query (approx sketches)
-    assert set(q) - set(o) == {"q30_approx_profile"}
+    assert len(q) >= 52
+    # every query is oracle-checked (q30's sketches compare against
+    # exact counts via tolerance booleans since round 2)
+    assert set(q) - set(o) == set()
 
 
 def test_query_names_and_callables():

@@ -20,7 +20,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from datawarehouse_backup_system_spark.queries import llm_ops, relational  # noqa: E402
+from datawarehouse_backup_system_spark.queries import (  # noqa: E402
+    llm_ops,
+    relational,
+    relational_ext,
+)
 from datawarehouse_backup_system_spark.session import get_spark  # noqa: E402
 
 DEFAULT = [
@@ -58,7 +62,8 @@ def summarize(name: str, text: str) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or DEFAULT
-    specs = {s.name: s for s in relational.SPECS + llm_ops.SPECS}
+    specs = {s.name: s for s in
+             relational.SPECS + relational_ext.SPECS + llm_ops.SPECS}
     spark = get_spark(app_name="explain-audit")
     verbose = len(sys.argv) > 2
     for name in names:
