@@ -241,6 +241,7 @@ def dedup_groups(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    changed = 1
     for _ in range(max_iter):
         neighbor_labels = (
             und.join(labels, und.dst == labels.node)
@@ -263,6 +264,14 @@ def dedup_groups(
         if changed == 0:
             break
     und.unpersist()
+    if changed != 0:
+        labels.unpersist()
+        raise RuntimeError(
+            f"dedup_groups did not converge within max_iter={max_iter} "
+            "rounds (a component's diameter exceeds it) — returning "
+            "partial labels would silently split duplicate groups; "
+            "raise max_iter"
+        )
     return labels.select(F.col("node"), F.col("label").alias("canonical_id"))
 
 

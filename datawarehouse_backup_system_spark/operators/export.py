@@ -25,7 +25,7 @@ def export_snapshot_csv(
     df: DataFrame,
     out_dir: str | Path,
     single_file: bool = False,
-    timestamp_format: str = "yyyy-MM-dd HH:mm:ss",
+    timestamp_format: str = "yyyy-MM-dd HH:mm:ss.SSSSSS",
 ) -> Path:
     """Write a snapshot DataFrame as headered CSV under ``out_dir``.
 
@@ -33,6 +33,8 @@ def export_snapshot_csv(
     partition, no driver funnel). ``single_file=True`` coalesces to one
     partition for reference-style one-file-per-table handoff — only for
     ops-plane/small exports, the coalesce serializes the write.
+    The default timestamp format keeps microsecond precision so the
+    handoff is lossless (snapshot timestamps are µs).
     Returns the output directory path.
     """
     out_dir = Path(out_dir)

@@ -70,14 +70,20 @@ def parse_media_header(data: bytes) -> dict:
         return {"format": "bmp", "width": w, "height": abs(h)}
     if data[:2] == b"\xff\xd8":
         out = {"format": "jpeg"}
+        # every SOF marker carries dims at the same offsets (C4/C8/CC are
+        # DHT/JPG/DAC, not SOF)
+        sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
         i = 2
         while i + 9 < len(data) and data[i] == 0xFF:
+            while i + 9 < len(data) and data[i + 1] == 0xFF:
+                i += 1  # legal 0xFF fill bytes before a marker
             marker = data[i + 1]
             if marker == 0x01 or 0xD0 <= marker <= 0xD9:
                 i += 2
                 continue
             (seglen,) = struct.unpack(">H", data[i + 2:i + 4])
-            if marker in (0xC0, 0xC1, 0xC2, 0xC3) and i + 9 <= len(data):
+            if marker in sof and i + 9 <= len(data):
                 h, w = struct.unpack(">HH", data[i + 5:i + 9])
                 out.update(width=w, height=h)
                 break

@@ -91,6 +91,15 @@ def sign_bucket(vec_col: Column, n_bits: int = 8) -> Column:
     return b.cast("bigint")
 
 
+def _hamming1_probes(bucket: Column, n_bits: int) -> Column:
+    """Array of the bucket itself plus its n_bits Hamming-1 neighbors —
+    the multi-probe fan-out shared by bucketed_ann and
+    neardup_pairs_bucketed (deeper probing would extend here once)."""
+    return F.array(
+        bucket, *[bucket.bitwiseXOR(F.lit(2 ** i)) for i in range(n_bits)]
+    )
+
+
 def bucketed_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -119,12 +128,9 @@ def bucketed_ann(
         sign_bucket(_as_double(vec_col), n_bits).alias("bucket"),
     )
     if multi_probe >= 1:
-        probes = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(2 ** i)) for i in range(n_bits)],
-        )
         q = q.select(
-            "query_id", "qv", F.explode(probes).alias("bucket")
+            "query_id", "qv",
+            F.explode(_hamming1_probes(F.col("bucket"), n_bits)).alias("bucket"),
         )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -231,11 +237,10 @@ def neardup_pairs_bucketed(
     )
     a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "bucket")
     if multi_probe >= 1:
-        probes = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(2 ** i)) for i in range(n_bits)],
+        a = a.select(
+            "id_a", "va",
+            F.explode(_hamming1_probes(F.col("bucket"), n_bits)).alias("bucket"),
         )
-        a = a.select("id_a", "va", F.explode(probes).alias("bucket"))
     b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "bucket")
     return (
         a.join(b, "bucket")

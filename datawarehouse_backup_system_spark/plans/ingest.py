@@ -236,15 +236,19 @@ class IngestJob:
     ) -> Path:
         """Export a registry JSON copy with each table's ``last_id``
         refreshed from its snapshot MAX(id) (reference
-        util/data_pushing.py:430-460, as a read-only export)."""
+        util/data_pushing.py:430-460, as a read-only export). Tables this
+        engine never ingested keep their DECLARED last_id — writing 0
+        over a nonzero declared watermark would make reference tooling
+        re-extract everything."""
         from datawarehouse_backup_system_spark.operators.export import (
             export_registry_watermarks,
         )
 
-        last_ids = {
-            key: next_id_watermark(self.read_table(schema))
-            for key, schema in self.registry.tables.items()
-        }
+        last_ids = {}
+        for key, schema in self.registry.tables.items():
+            wm = next_id_watermark(self.read_table(schema))
+            if wm > 0:
+                last_ids[key] = wm
         return export_registry_watermarks(schema_path, out_path, last_ids)
 
     # -- atomic snapshot append -------------------------------------------
@@ -278,26 +282,44 @@ class IngestJob:
             "ingest_date"
         ).parquet(str(inflight))
         marker = f"{ledger_mod.WRITE_MARKER_PREFIX}{schema.table_name}:{write_id}"
-        self.ledger.append(marker, ledger_mod.STATUS_WRITE_BEGIN)
-        for src in sorted(inflight.rglob("*.parquet")):
-            part_dir = src.parent.relative_to(inflight)
-            dst_dir = out / part_dir
-            dst_dir.mkdir(parents=True, exist_ok=True)
-            src.rename(dst_dir / f"w{write_id}-{src.name}")
-        self.ledger.append(marker, ledger_mod.STATUS_WRITE_COMMIT)
         import shutil
 
+        self.ledger.append(marker, ledger_mod.STATUS_WRITE_BEGIN)
+        try:
+            for src in sorted(inflight.rglob("*.parquet")):
+                part_dir = src.parent.relative_to(inflight)
+                dst_dir = out / part_dir
+                dst_dir.mkdir(parents=True, exist_ok=True)
+                src.rename(dst_dir / f"w{write_id}-{src.name}")
+        except Exception:
+            # roll back THIS write immediately: a later file in the same
+            # run() cycle must not see partial rows (watermark/dense-id
+            # corruption); the aborted marker keeps recover_writes moot
+            for f in out.rglob(f"w{write_id}-*.parquet"):
+                f.unlink(missing_ok=True)
+            shutil.rmtree(inflight, ignore_errors=True)
+            self.ledger.append(marker, ledger_mod.STATUS_WRITE_ABORTED)
+            raise
+        self.ledger.append(marker, ledger_mod.STATUS_WRITE_COMMIT)
         shutil.rmtree(inflight, ignore_errors=True)
         return int(obs.get["n"])
 
-    def recover_writes(self) -> list[str]:
+    def recover_writes(self, inflight_ttl_s: float = 3600.0) -> list[str]:
         """Roll back writes that began but never committed (crash between
         the begin and commit markers): delete that write-id's prefixed
         files from the live table, drop its inflight staging dir, and
         ledger ``write aborted``. The batch's landing files were never
         ledgered as uploaded, so the next cycle re-ingests them cleanly.
-        Returns the aborted write ids."""
+        Returns the aborted write ids.
+
+        Also sweeps ORPHANED staging dirs — an ``_inflight/<id>`` with no
+        ledger marker at all comes from a crash during the staging write
+        itself (before the begin marker; the live table was never
+        touched). Those are deleted once older than ``inflight_ttl_s``
+        seconds (the age guard keeps a concurrently-running job's live
+        staging dir safe)."""
         import shutil
+        import time
 
         aborted = []
         for table_name, write_id in self.ledger.incomplete_writes():
@@ -313,6 +335,19 @@ class IngestJob:
                 ledger_mod.STATUS_WRITE_ABORTED,
             )
             aborted.append(write_id)
+        inflight_root = Path(self.warehouse_dir) / "_inflight"
+        if inflight_root.exists():
+            marked = {
+                wid
+                for name in self.ledger.read().select("file_name").distinct().collect()
+                if name["file_name"].startswith(ledger_mod.WRITE_MARKER_PREFIX)
+                for wid in [name["file_name"].rsplit(":", 1)[-1]]
+            }
+            now = time.time()
+            for d in inflight_root.iterdir():
+                if (d.name not in marked
+                        and now - d.stat().st_mtime >= inflight_ttl_s):
+                    shutil.rmtree(d, ignore_errors=True)
         return aborted
 
     # -- file drivers ------------------------------------------------------

@@ -443,14 +443,18 @@ def q30_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
     )
     tol = 0.10
-    rel = lambda a, b: F.abs(a - b) / F.abs(b)  # noqa: E731
+    # (a == b) short-circuits the both-zero case; try_divide keeps an
+    # empty table from an ANSI DIVIDE_BY_ZERO crash
+    ok = lambda a, b: (a == b) | (  # noqa: E731
+        F.try_divide(F.abs(a - b), F.abs(b)) <= tol
+    )
     return agg.select(
         "exact_orders",
         "exact_parts",
         "n_rows",
-        (rel(F.col("a_orders"), F.col("exact_orders")) <= tol).alias("orders_ok"),
-        (rel(F.col("a_parts"), F.col("exact_parts")) <= tol).alias("parts_ok"),
-        (rel(F.col("a_med"), F.col("med")) <= tol).alias("median_ok"),
+        ok(F.col("a_orders"), F.col("exact_orders")).alias("orders_ok"),
+        ok(F.col("a_parts"), F.col("exact_parts")).alias("parts_ok"),
+        ok(F.col("a_med"), F.col("med")).alias("median_ok"),
     )
 
 

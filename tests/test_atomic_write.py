@@ -86,8 +86,9 @@ def test_crash_during_publish_rolls_back(spark, tmp_path, monkeypatch):
     assert res.status == ledger_mod.STATUS_INSERT_ERROR
     monkeypatch.undo()
 
-    assert job.read_table(schema).count() == 0  # nothing leaked into the table
-    assert len(job.recover_writes()) == 1
+    # rollback happened IN-PROCESS: nothing leaked, write already aborted
+    assert job.read_table(schema).count() == 0
+    assert job.recover_writes() == []
 
     # retry is clean: dense ids from 1, full content
     res2 = job.process_file(fx["files"][0])
@@ -134,6 +135,29 @@ def test_export_csv_roundtrip(spark, tmp_path):
     assert back.columns == table.columns
     assert ({r["email"] for r in back.select("email").collect()}
             == {r["email"] for r in table.select("email").collect()})
+    # timestamps survive with full microsecond precision (lossless handoff)
+    back_ts = {r["event_datetime"] for r in back.collect()}
+    snap_ts = {
+        r["event_datetime"].strftime("%Y-%m-%d %H:%M:%S.%f")
+        if r["event_datetime"] is not None else None
+        for r in table.select("event_datetime").collect()
+    }
+    assert back_ts == snap_ts
+
+
+def test_recover_sweeps_orphaned_inflight(spark, tmp_path):
+    """An _inflight dir with NO ledger marker (crash during the staging
+    write, before begin) is swept once past the TTL; a fresh unmarked
+    dir is left alone."""
+    fx = generate_f1(tmp_path, n=30)
+    job = make_job(spark, tmp_path, fx)
+    orphan = job.warehouse_dir / "_inflight" / "0123456789abcdef"
+    orphan.mkdir(parents=True)
+    (orphan / "part-junk.parquet").write_bytes(b"junk")
+    job.recover_writes(inflight_ttl_s=3600)
+    assert orphan.exists()  # younger than TTL: kept (concurrent-job safety)
+    job.recover_writes(inflight_ttl_s=0)
+    assert not orphan.exists()
 
 
 def test_export_watermarks_updates_last_id_only(spark, tmp_path):

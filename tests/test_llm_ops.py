@@ -133,6 +133,13 @@ def test_dedup_groups_transitive_chain(spark):
            for r in dedup_approx.dedup_groups(pairs).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
 
+    # non-convergence must raise, never return silently-wrong labels
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_approx.dedup_groups(chain, max_iter=2)
+
 
 def test_pack_sequences_concat_and_chunk(spark):
     """Chunk boundaries fall every `capacity` tokens of the per-shard
