@@ -65,6 +65,33 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, chosen by hash order —
+    deterministic class-balanced subsampling (the training-data fix for
+    label skew that a global fraction sample can't give you).
+
+    One shuffle: window row_number per stratum ordered by (md5 bucket,
+    key) — the hash order makes the selection uniform-ish and stable
+    across engines/reruns; the key tiebreak makes it total. Per-stratum
+    state is one counter, so a hot stratum costs its partition only."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        _bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
 def deterministic_shuffle(df: DataFrame, key_col: str, salt: str = "") -> DataFrame:
     """Global pseudo-random but reproducible order: sort by
     (md5(salt||key), key). One range shuffle — use for bounded outputs or

@@ -501,6 +501,32 @@ FROM c GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# q38 — stratified sample: exactly N per class, deterministic hash order
+# --------------------------------------------------------------------------
+def q38_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datawarehouse_backup_system_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return stratified_sample(emb, "vec_id", "label", 20, salt="r2")
+
+
+Q38_SQL = """
+SELECT vec_id, label FROM (
+  SELECT vec_id, label,
+         row_number() OVER (
+           PARTITION BY label
+           ORDER BY CAST('0x' || substr(md5('r2' || CAST(vec_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 1000000,
+                    vec_id
+         ) AS rn
+  FROM embeddings
+) WHERE rn <= 20
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("q30_approx_profile", q30_approx_profile, Q30_SQL,
               "HLL/KLL approximate profiling (tolerance-boolean oracle)"),
@@ -533,4 +559,6 @@ SPECS: list[QuerySpec] = [
               "declarative data-quality report (one-pass checks + FK)"),
     QuerySpec("q37_histogram", q37_histogram, Q37_SQL,
               "fixed-width histogram profile of a value column"),
+    QuerySpec("q38_stratified_sample", q38_stratified_sample, Q38_SQL,
+              "deterministic per-class stratified sampling"),
 ]

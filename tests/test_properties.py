@@ -73,3 +73,107 @@ def test_dense_ids_any_partitioning(spark, n, start, parts):
     out = assign_dense_ids(df, ["k"], start=start, num_partitions=parts)
     rows = out.orderBy("k").select("id").collect()
     assert [r["id"] for r in rows] == list(range(start + 1, start + n + 1))
+
+
+@SETTINGS
+@given(
+    tokens=st.lists(st.integers(1, 300), min_size=0, max_size=40),
+    capacity=st.integers(10, 500),
+)
+def test_pack_sequences_layout_invariants(spark, tokens, capacity):
+    """Concat-and-chunk layout: within each shard the documents tile the
+    token stream exactly — global start position == running sum of all
+    earlier docs in the shard — and every offset is inside [0, capacity)."""
+    from datawarehouse_backup_system_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(tokens)], "doc_id long, n_tokens long"
+    )
+    out = pack_sequences(df, "doc_id", "n_tokens", capacity, n_shards=3)
+    rows = sorted(out.collect(), key=lambda r: (r["shard"], r["doc_id"]))
+    running: dict[int, int] = {}
+    for r in rows:
+        pos = running.get(r["shard"], 0)
+        assert 0 <= r["offset"] < capacity
+        assert r["local_bin"] * capacity + r["offset"] == pos
+        running[r["shard"]] = pos + r["n_tokens"]
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=15,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_dedup_groups_matches_union_find(spark, edges):
+    """Spark label propagation == a driver-side union-find ground truth."""
+    from datawarehouse_backup_system_spark.operators.dedup_approx import (
+        dedup_groups,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {(r["node"], r["canonical_id"])
+           for r in dedup_groups(df, max_iter=30).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    expected = {
+        (n, min(members)) for members in comp.values() for n in members
+    }
+    assert got == expected
+
+
+def test_pii_scrub_idempotent(spark):
+    """Scrubbing already-scrubbed text changes nothing (placeholders
+    never re-match the PII patterns)."""
+    from datawarehouse_backup_system_spark.operators.text import pii_scrub
+
+    rows = [(i, t) for i, t in enumerate([
+        "a@b.co and 123456789123",
+        "<EMAIL> stays, <NUM> stays",
+        "mixed x.y@z.org plus <NUM> plus 999999999",
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = pii_scrub(df, "doc_id", "text")
+    twice = pii_scrub(
+        once.withColumnRenamed("scrubbed_text", "text"), "doc_id", "text"
+    )
+    a = {r["doc_id"]: r["scrubbed_text"] for r in once.collect()}
+    b = {r["doc_id"]: r["scrubbed_text"] for r in twice.collect()}
+    assert a == b
+
+
+def test_stratified_sample_counts_and_determinism(spark, sf_dir):
+    from datawarehouse_backup_system_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label"
+    )
+    sizes = {r["label"]: r["n"]
+             for r in emb.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    out = stratified_sample(emb, "vec_id", "label", 5, salt="s")
+    counts = {r["label"]: r["n"]
+              for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert counts == {lab: min(5, n) for lab, n in sizes.items()}
+    again = stratified_sample(emb, "vec_id", "label", 5, salt="s")
+    assert ({tuple(r) for r in out.collect()}
+            == {tuple(r) for r in again.collect()})
