@@ -188,18 +188,26 @@ def minhash_lsh_dedup(
     threshold: float = 0.5,
     persist_shingles: bool = True,
     max_bucket_size: int | None = None,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline → verified duplicate pairs
     (id_a < id_b, exact jaccard ≥ threshold).
 
     The shingle set is referenced by FOUR subtrees (signatures, pair
-    intersection ×2, sizes); without persistence Spark re-scans and
-    re-explodes the corpus for each, which dominates wall time. We
-    persist it (MEMORY_AND_DISK) by default — at cluster scale prefer
-    writing shingles to a staged table once when the corpus is huge.
+    intersection ×2, sizes); without materialization Spark re-scans and
+    re-explodes the corpus for each, which dominates wall time. Two
+    tiers: ``persist_shingles`` (default) caches MEMORY_AND_DISK —
+    right when shingles fit the cluster's storage memory; ``stage_path``
+    writes the shingle table to parquet ONCE and reads it back — the
+    100 TB switch: the four consumers then scan columnar storage with
+    pruning, executor loss doesn't recompute the explode, and the stage
+    is reusable across runs over the same corpus snapshot.
     """
     sh = word_shingles(df, id_col, text_col, shingle_n)
-    if persist_shingles:
+    if stage_path is not None:
+        sh.write.mode("overwrite").parquet(stage_path)
+        sh = df.sparkSession.read.parquet(stage_path)
+    elif persist_shingles:
         sh = sh.persist()
     sigs = minhash_signature(sh, id_col, k)
     cands = lsh_candidate_pairs(

@@ -27,6 +27,29 @@ def test_minhash_lsh_finds_planted_neardups(spark):
     assert got == {(1, 2)}
 
 
+def test_minhash_staged_shingles_matches_persist_path(spark, tmp_path, sf_dir):
+    """stage_path (shingles → parquet → read back; the 100 TB switch)
+    must produce byte-identical pairs to the in-memory persist path."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).where(F.col("doc_id") < 60)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    corpus = docs.unionByName(
+        docs.where(F.size(toks) > 6).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(F.slice(toks, 4, F.size(toks) - 3), " ").alias("text"),
+        )
+    )
+    mem = dedup_approx.minhash_lsh_dedup(corpus, "doc_id", "text", threshold=0.5)
+    staged = dedup_approx.minhash_lsh_dedup(
+        corpus, "doc_id", "text", threshold=0.5,
+        stage_path=str(tmp_path / "shingles"),
+    )
+    key = lambda r: (r["id_a"], r["id_b"], r["n_inter"], r["n_a"], r["n_b"])  # noqa: E731
+    assert {key(r) for r in mem.collect()} == {key(r) for r in staged.collect()}
+    assert (tmp_path / "shingles").exists()
+
+
 def test_simhash_close_for_neardups(spark):
     rows = [
         (1, "alpha beta gamma delta epsilon zeta eta theta"),
