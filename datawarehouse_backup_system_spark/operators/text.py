@@ -181,6 +181,71 @@ def pack_sequences(
     )
 
 
+def repetition_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tok_ratio: float = 0.2,
+    max_dup_trigram_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher/C4-style repetition quality signals: the fraction of tokens
+    taken by the single most frequent token, and the fraction of word
+    trigrams that are duplicates — boilerplate and looped generations
+    score high on both. Ratios are int/int at fixed rounding (portable);
+    the keep flag applies the standard thresholds.
+
+    Two bounded shuffles: explode→count→max for the token mode (keys are
+    (doc, token), uniform), and none for the trigram ratio (array_distinct
+    is per-row).
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.when(F.size(toks) >= 3, F.size(grams)).otherwise(0).alias("n_tri"),
+        F.when(F.size(toks) >= 3, F.size(F.array_distinct(grams)))
+        .otherwise(0)
+        .alias("n_tri_distinct"),
+    )
+    top = (
+        df.select(F.col(id_col), F.explode(tokens(t)).alias("_tok"))
+        .groupBy(id_col, "_tok")
+        .agg(F.count("*").alias("_n"))
+        .groupBy(id_col)
+        .agg(F.max("_n").alias("top_tok_n"))
+    )
+    out = staged.join(top, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("top_tok_n", F.lit(0)).alias("top_tok_n"),
+        F.round(
+            F.try_divide(F.coalesce("top_tok_n", F.lit(0)) * 1.0, F.col("n_tokens")), 6
+        ).alias("top_tok_ratio"),
+        F.round(
+            F.try_divide(
+                (F.col("n_tri") - F.col("n_tri_distinct")) * 1.0, F.col("n_tri")
+            ),
+            6,
+        ).alias("dup_trigram_ratio"),
+    )
+    keep = (
+        (F.coalesce(F.col("top_tok_ratio"), F.lit(0.0)) <= max_tok_ratio)
+        & (F.coalesce(F.col("dup_trigram_ratio"), F.lit(0.0))
+           <= max_dup_trigram_ratio)
+    )
+    return out.withColumn("repetition_keep", keep)
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str, window: int = 64) -> DataFrame:
     """Canonical document fingerprint: md5 over (length | head | tail).
 

@@ -640,6 +640,49 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# t07 — repetition-quality signals (Gopher/C4-style boilerplate filters)
+# --------------------------------------------------------------------------
+def t07_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.repetition_features(docs, "doc_id", "text")
+
+
+T07_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END AS n_tri,
+         CASE WHEN len(t) >= 3 THEN (
+           SELECT COUNT(DISTINCT t[u.i+1] || ' ' || t[u.i+2] || ' ' || t[u.i+3])
+           FROM UNNEST(range(len(t) - 2)) AS u(i)
+         ) ELSE 0 END AS n_tri_distinct
+  FROM toks
+),
+top AS (
+  SELECT doc_id, MAX(n) AS top_tok_n FROM (
+    SELECT doc_id, COUNT(*) AS n
+    FROM toks, UNNEST(t) AS u(tok)
+    GROUP BY doc_id, u.tok
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(top.top_tok_n, 0) AS top_tok_n,
+       ROUND(COALESCE(top.top_tok_n, 0) * 1.0 / NULLIF(b.n_tokens, 0), 6)
+         AS top_tok_ratio,
+       ROUND((b.n_tri - b.n_tri_distinct) * 1.0 / NULLIF(b.n_tri, 0), 6)
+         AS dup_trigram_ratio,
+       (COALESCE(ROUND(COALESCE(top.top_tok_n, 0) * 1.0
+                       / NULLIF(b.n_tokens, 0), 6), 0) <= 0.2
+        AND COALESCE(ROUND((b.n_tri - b.n_tri_distinct) * 1.0
+                           / NULLIF(b.n_tri, 0), 6), 0) <= 0.3)
+         AS repetition_keep
+FROM base b LEFT JOIN top ON top.doc_id = b.doc_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("d01_dedup_exact", d01_dedup_exact, D01_SQL,
               "exact dedup: hash-groupBy keep min id"),
@@ -668,4 +711,6 @@ SPECS: list[QuerySpec] = [
               "PII masking (emails, long digit runs) + audit counts"),
     QuerySpec("t06_pack_sequences", t06_pack_sequences, T06_SQL,
               "concat-and-chunk sequence packing (sharded)"),
+    QuerySpec("t07_repetition", t07_repetition, T07_SQL,
+              "repetition-quality signals (top-token + dup-trigram ratios)"),
 ]

@@ -527,6 +527,38 @@ SELECT vec_id, label FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# q39 — rolling-window feature: trailing 7-event mean per user
+# --------------------------------------------------------------------------
+def q39_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-engineering shape: a bounded ROWS window per entity (the
+    partition key distributes; frame state is O(7)). Integer-cent sums
+    divided once keep the mean bit-identical cross-engine."""
+    ev = load(spark, sf_dir, "events").withColumn("cents", cents(F.col("value")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    s = F.sum("cents").over(w)
+    n = F.count("*").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(s * 1.0 / n, 6).alias("rolling_avg_cents"),
+    )
+
+
+Q39_SQL = """
+SELECT event_id, user_id,
+       ROUND(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+             * 1.0 / COUNT(*) OVER w, 6) AS rolling_avg_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("q30_approx_profile", q30_approx_profile, Q30_SQL,
               "HLL/KLL approximate profiling (tolerance-boolean oracle)"),
@@ -561,4 +593,6 @@ SPECS: list[QuerySpec] = [
               "fixed-width histogram profile of a value column"),
     QuerySpec("q38_stratified_sample", q38_stratified_sample, Q38_SQL,
               "deterministic per-class stratified sampling"),
+    QuerySpec("q39_rolling_mean", q39_rolling_mean, Q39_SQL,
+              "trailing 7-event rolling mean per user (bounded frame)"),
 ]

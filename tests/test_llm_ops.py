@@ -195,6 +195,22 @@ def test_pii_scrub_masks_and_counts(spark):
     assert (got[2]["n_emails"], got[2]["n_numbers"]) == (0, 0)
 
 
+def test_repetition_features_flags_boilerplate(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam spam"),  # looped
+        (2, "each word here differs from every other word nearby today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r
+           for r in text.repetition_features(df, "doc_id", "text").collect()}
+    assert got[1]["top_tok_ratio"] == 1.0
+    assert got[1]["dup_trigram_ratio"] > 0.8  # 8 trigrams, 1 distinct
+    assert got[1]["repetition_keep"] is False
+    assert got[2]["top_tok_ratio"] <= 0.2
+    assert got[2]["dup_trigram_ratio"] == 0.0
+    assert got[2]["repetition_keep"] is True
+
+
 def test_langid_marker_text(spark):
     rows = [
         (1, "the cat is in the house and it is warm"),
