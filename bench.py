@@ -53,6 +53,7 @@ HEADLINE = [
     "t03_langid",
     "t05_pii_scrub",
     "t06_pack_sequences",
+    "t07_repetition",
 ]
 
 

@@ -196,10 +196,16 @@ def repetition_features(
 
     Two bounded shuffles: explode→count→max for the token mode (keys are
     (doc, token), uniform), and none for the trigram ratio (array_distinct
-    is per-row).
+    is per-row). The token ARRAY is staged in its own projection first —
+    higher-order lambdas are interpreted with no common-subexpression
+    elimination, so referencing the raw split() inside them would
+    re-split the text once per element.
     """
-    t = F.col(text_col)
-    toks = tokens(t)
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    arr = df.repartition(n_parts).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 3),
         lambda i: F.concat_ws(
@@ -209,16 +215,16 @@ def repetition_features(
             F.element_at(toks, i + 3),
         ),
     )
-    staged = df.select(
+    staged = arr.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
-        F.when(F.size(toks) >= 3, F.size(grams)).otherwise(0).alias("n_tri"),
+        F.when(F.size(toks) >= 3, F.size(toks) - 2).otherwise(0).alias("n_tri"),
         F.when(F.size(toks) >= 3, F.size(F.array_distinct(grams)))
         .otherwise(0)
         .alias("n_tri_distinct"),
     )
     top = (
-        df.select(F.col(id_col), F.explode(tokens(t)).alias("_tok"))
+        arr.select(F.col(id_col), F.explode(toks).alias("_tok"))
         .groupBy(id_col, "_tok")
         .agg(F.count("*").alias("_n"))
         .groupBy(id_col)
