@@ -152,3 +152,49 @@ def test_sessionized_counts_stream(spark, tmp_path, t0):
         assert [r["n_events"] for r in out[:2]] == [3, 2]
     finally:
         q.stop()
+
+
+def test_text_curation_ops_are_streaming_safe(spark, tmp_path):
+    """The text-curation expression layer (PII scrub, langid) is
+    stateless, so the SAME operators run unchanged over a readStream —
+    the batch/streaming parity Structured Streaming promises for
+    expression-only plans. Two sinks over one source; no stateful op,
+    no watermark needed."""
+    import uuid as _uuid
+
+    from datawarehouse_backup_system_spark.operators import text
+
+    src = str(tmp_path / "docs")
+    rows = [
+        (1, "the cat is in the house and it is warm says a@b.co"),
+        (2, "le chat est dans la maison et il est chaud 123456789"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    tag = _uuid.uuid4().hex[:8]
+    q_pii = (
+        text.pii_scrub(stream, "doc_id", "text")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(f"pii_{tag}").start()
+    )
+    q_lang = (
+        text.langid(stream, "doc_id", "text")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(f"lang_{tag}").start()
+    )
+    try:
+        q_pii.processAllAvailable()
+        q_lang.processAllAvailable()
+        pii = {r["doc_id"]: r for r in spark.sql(f"SELECT * FROM pii_{tag}").collect()}
+        assert pii[1]["scrubbed_text"].endswith("<EMAIL>")
+        assert pii[1]["n_emails"] == 1
+        assert pii[2]["scrubbed_text"].endswith("<NUM>")
+        assert pii[2]["n_numbers"] == 1
+        lang = {r["doc_id"]: r["predicted_lang"]
+                for r in spark.sql(f"SELECT * FROM lang_{tag}").collect()}
+        assert lang == {1: "en", 2: "fr"}
+    finally:
+        q_pii.stop()
+        q_lang.stop()
