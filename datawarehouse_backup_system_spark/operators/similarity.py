@@ -207,6 +207,142 @@ def topk_pandas_udf(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def train_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    n_iter: int = 5,
+    sample_rows: int = 10_000,
+    salt: str = "ivf",
+) -> list[list[float]]:
+    """Lloyd k-means on a bounded, deterministic sample — the IVF coarse
+    quantizer trainer. The sample is the ``sample_rows`` smallest
+    ``md5(salt||id)`` rows (hash-ordered, so partition-layout independent)
+    collected to the driver; numpy runs the iterations there. Training on
+    a sample is the standard IVF recipe (FAISS trains on ~256·k points);
+    the full corpus never leaves the cluster — only the sample does.
+    Returns plain centroid vectors for :func:`ivf_topk`.
+    """
+    import numpy as np
+
+    rows = (
+        emb.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
+        .orderBy(F.md5(F.concat(F.lit(salt), F.col("_id").cast("string"))), F.col("_id"))
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.array([r["_v"] for r in rows], dtype=np.float64)
+    if len(x) < n_centroids:
+        raise ValueError(f"sample ({len(x)}) smaller than n_centroids ({n_centroids})")
+    # normalize → spherical k-means (cosine geometry, matching ivf_topk)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    xn = np.divide(x, norms, out=np.zeros_like(x), where=norms > 0)
+    cents = xn[:n_centroids].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(xn @ cents.T, axis=1)
+        for j in range(n_centroids):
+            members = xn[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[j] = m / n
+    return cents.tolist()
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    round_digits: int = 6,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    into ``n_centroids`` lists, probe only the query's ``n_probe``
+    nearest lists, score exactly within them.
+
+    The three IVF stages, each shuffle-aware:
+
+    1. **Assign** — every corpus vector scores against the (broadcast,
+       tiny) centroid set and keeps its argmax-cosine list id via
+       ``max(struct(score, -cid))``: a partial-aggregatable ``groupBy``
+       that map-side combines the K candidate rows back down to N before
+       any shuffle (no window over N·K rows). Cost N·K dot products —
+       inherent to IVF, embarrassingly parallel.
+    2. **Probe** — each query fans out to its ``n_probe`` nearest lists
+       (window over the small probe set only).
+    3. **Search** — candidates come from an EQUI-join on ``list_id``
+       (queries broadcast), so Spark touches ~``n_probe/K`` of the corpus
+       per query instead of all of it; exact rounded-cosine top-k window
+       ranks them.
+
+    At 100 TB the assignment is computed once and persisted with the
+    corpus (repartition/bucket by ``list_id``: the inverted file), making
+    probes partition-pruned scans. Centroids default to the
+    ``n_centroids`` smallest-id corpus vectors — deterministic and
+    oracle-expressible; pass ``centroids=train_centroids(...)`` for
+    k-means quality (recall floor asserted in tests).
+    """
+    from pyspark.sql import Window
+
+    spark = corpus.sparkSession
+    if centroids is not None:
+        cent = spark.createDataFrame(
+            [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+            "cid long, ce array<double>",
+        )
+    else:
+        cent = (
+            corpus.orderBy(F.col(id_col)).limit(n_centroids)
+            .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("ce"))
+        )
+    # coalesce(score, -2): cosine ∈ [-1,1]∪{NULL(zero-norm)}; -2 sorts a
+    # null score below every real one identically in Spark and DuckDB
+    cscore = F.coalesce(
+        F.round(cosine(F.col("_v"), F.col("ce")), round_digits), F.lit(-2.0)
+    )
+    assigned = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "neighbor_id", "_v",
+            F.struct(cscore.alias("s"), (-F.col("cid")).alias("neg_cid")).alias("sc"),
+        )
+        .groupBy("neighbor_id")
+        .agg(F.max("sc").alias("best"), F.first("_v").alias("cv"))
+        .select(
+            "neighbor_id", "cv", (-F.col("best.neg_cid")).alias("list_id")
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ps"), F.asc("cid"))
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "ps",
+            F.coalesce(
+                F.round(cosine(F.col("qv"), F.col("ce")), round_digits), F.lit(-2.0)
+            ),
+        )
+        .withColumn("prn", F.row_number().over(wq))
+        .where(F.col("prn") <= n_probe)
+        .select("query_id", "qv", F.col("cid").alias("list_id"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def neardup_pairs_bucketed(
     emb: DataFrame,
     id_col: str = "vec_id",

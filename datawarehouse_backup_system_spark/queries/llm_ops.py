@@ -348,6 +348,62 @@ SELECT query_id, neighbor_id, score, rank FROM (
 
 
 # --------------------------------------------------------------------------
+# d10 — IVF ANN (coarse quantizer + inverted lists + n_probe search)
+# --------------------------------------------------------------------------
+def d10_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the deterministic seed quantizer (centroids = 8 smallest
+    vec_ids) so the DuckDB oracle can replay it; the k-means-trained
+    quantizer path (similarity.train_centroids) is recall-tested in
+    tests/test_similarity_ops.py instead."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return similarity.ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"ROUND(list_dot_product({a}, {b}) / NULLIF(sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})), 0), 6)"
+    )
+
+
+D10_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+assign AS (
+  SELECT neighbor_id, cv, cid AS list_id FROM (
+    SELECT v.vec_id AS neighbor_id, v.e AS cv, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY COALESCE({_cos_sql('v.e', 'c.ce')}, -2) DESC, c.cid ASC
+           ) AS rn
+    FROM v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qv, cid AS list_id FROM (
+    SELECT q.vec_id AS query_id, q.e AS qv, c.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY COALESCE({_cos_sql('q.e', 'c.ce')}, -2) DESC, c.cid ASC
+           ) AS rn
+    FROM v q CROSS JOIN cents c WHERE q.vec_id % 100 = 0
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id, {_cos_sql('p.qv', 'a.cv')} AS score
+  FROM probes p JOIN assign a
+    ON a.list_id = p.list_id AND a.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
 # t01 — token counting (whitespace + BPE-ish subword units)
 # --------------------------------------------------------------------------
 def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -713,4 +769,6 @@ SPECS: list[QuerySpec] = [
               "concat-and-chunk sequence packing (sharded)"),
     QuerySpec("t07_repetition", t07_repetition, T07_SQL,
               "repetition-quality signals (top-token + dup-trigram ratios)"),
+    QuerySpec("d10_ivf_ann", d10_ivf_ann, D10_SQL,
+              "IVF ANN: coarse quantize, probe 2 of 8 inverted lists"),
 ]

@@ -118,6 +118,48 @@ def test_multiprobe_recovers_hamming1_neighbors(spark):
     assert top1 == {i + 1000: i for i in range(20)}  # probe-1 recovers every one
 
 
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """With n_probe = n_centroids every inverted list is searched, so IVF
+    degenerates to exact brute force — the correctness anchor for the
+    whole assign/probe/search machinery (any assignment or join bug
+    would surface as a missing or extra neighbor)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    exact = {(r["query_id"], r["neighbor_id"], r["rank"])
+             for r in similarity.brute_force_topk(emb, q, k=3).collect()}
+    full = {(r["query_id"], r["neighbor_id"], r["rank"])
+            for r in similarity.ivf_topk(
+                emb, q, k=3, n_centroids=8, n_probe=8).collect()}
+    assert full == exact
+
+
+def test_ivf_trained_centroids_beat_seed_and_scale_with_probes(spark, sf_dir):
+    """Recall properties on fixture embeddings (measured: seed/probe-2
+    0.42, trained 0.35/0.55/0.73 at probes 1/2/3): k-means-trained
+    centroids beat the seed quantizer at equal n_probe, and recall is
+    monotone in n_probe. train_centroids is deterministic (hash-ordered
+    sample, fixed Lloyd iterations), so floors are stable."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    gt = {(r["query_id"], r["neighbor_id"])
+          for r in similarity.brute_force_topk(emb, q, k=3).collect()}
+    cents = similarity.train_centroids(emb, n_centroids=8, n_iter=5)
+    assert len(cents) == 8
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(got & gt) / len(gt)
+
+    r_seed = recall(similarity.ivf_topk(emb, q, k=3, n_centroids=8, n_probe=2))
+    r1, r2, r3 = (
+        recall(similarity.ivf_topk(emb, q, k=3, n_probe=p, centroids=cents))
+        for p in (1, 2, 3)
+    )
+    assert r1 <= r2 <= r3
+    assert r2 >= r_seed
+    assert r3 >= 0.6
+
+
 def test_neardup_bucketed_is_same_bucket_subset_of_exact(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
         F.col("vec_id") < 200
