@@ -739,6 +739,33 @@ FROM base b LEFT JOIN top ON top.doc_id = b.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# t08 — training-shard manifest (deterministic shard assignment + audit)
+# --------------------------------------------------------------------------
+def t08_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest of the 8-shard training export: hash-assigned shard ids
+    with per-shard doc/token counts and key ranges. The file-writing
+    side (shards.export_shards) is pytest-verified; this query checks
+    the assignment + aggregation semantics against DuckDB."""
+    from datawarehouse_backup_system_spark.operators import shards
+
+    docs = load(spark, sf_dir, "documents")
+    return shards.shard_manifest(docs, "doc_id", n_shards=8, text_col="text")
+
+
+T08_SQL = r"""
+WITH b AS (
+  SELECT doc_id, text,
+         CAST('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 1000000 % 8 AS shard_id
+  FROM documents
+)
+SELECT shard_id, COUNT(*) AS n_docs, MIN(doc_id) AS min_key, MAX(doc_id) AS max_key,
+       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+FROM b GROUP BY shard_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("d01_dedup_exact", d01_dedup_exact, D01_SQL,
               "exact dedup: hash-groupBy keep min id"),
@@ -771,4 +798,6 @@ SPECS: list[QuerySpec] = [
               "repetition-quality signals (top-token + dup-trigram ratios)"),
     QuerySpec("d10_ivf_ann", d10_ivf_ann, D10_SQL,
               "IVF ANN: coarse quantize, probe 2 of 8 inverted lists"),
+    QuerySpec("t08_shard_manifest", t08_shard_manifest, T08_SQL,
+              "training-shard assignment manifest (hash-sharded export)"),
 ]

@@ -118,6 +118,46 @@ def test_multiprobe_recovers_hamming1_neighbors(spark):
     assert top1 == {i + 1000: i for i in range(20)}  # probe-1 recovers every one
 
 
+def test_export_shards_roundtrip_one_file_per_shard(spark, sf_dir, tmp_path):
+    """export_shards writes shard_id=K/ dirs with ONE parquet file each
+    (repartition-by-shard makes a single task own each shard), loses no
+    rows, agrees with the manifest, and lays rows down in the
+    deterministic hash order — rerunning the export is byte-stable."""
+    import glob
+
+    from datawarehouse_backup_system_spark.operators import shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_src = docs.count()
+    out = str(tmp_path / "shards")
+    manifest = shards.export_shards(docs, out, "doc_id", n_shards=4).collect()
+    assert sum(r["n_docs"] for r in manifest) == n_src
+    assert {r["shard_id"] for r in manifest} == set(range(4))
+
+    back = spark.read.parquet(out)
+    assert back.count() == n_src
+    assert set(back.columns) == set(docs.columns) | {"shard_id"}
+    for k in range(4):
+        files = glob.glob(f"{out}/shard_id={k}/*.parquet")
+        assert len(files) == 1, f"shard {k}: {files}"
+
+    # assignment in the files matches the manifest's hash rule exactly
+    got = {(r["shard_id"], ): None for r in back.select("shard_id").distinct().collect()}
+    assert {k for (k,) in got} == set(range(4))
+    per_shard = {
+        r["shard_id"]: r["cnt"]
+        for r in back.groupBy("shard_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert per_shard == {r["shard_id"]: r["n_docs"] for r in manifest}
+
+    # within-shard order is the deterministic hash order (read back file 0)
+    ids0 = [r["doc_id"] for r in spark.read.parquet(f"{out}/shard_id=0").collect()]
+    import hashlib
+
+    expected = sorted(ids0, key=lambda i: (hashlib.md5(f"shard{i}".encode()).hexdigest(), i))
+    assert ids0 == expected
+
+
 def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
     """With n_probe = n_centroids every inverted list is searched, so IVF
     degenerates to exact brute force — the correctness anchor for the
