@@ -43,6 +43,32 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     )
 
 
+def contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ≥1 word ``n``-gram
+    with any eval/benchmark document, with the count of distinct shared
+    shingles — the overlap audit every pretraining corpus runs before
+    training (eval answers leaking into train data inflate scores).
+
+    The eval side is small by construction (benchmarks are thousands of
+    docs, the corpus is billions), so its distinct shingle set BROADCASTs
+    into an equi-join against the train shingles: the corpus is touched
+    in one linear pass, no corpus-side shuffle before the per-doc count.
+    """
+    t_sh = word_shingles(train, id_col, text_col, n)
+    e_sh = word_shingles(eval_df, id_col, text_col, n).select("shingle").distinct()
+    return (
+        t_sh.join(F.broadcast(e_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 

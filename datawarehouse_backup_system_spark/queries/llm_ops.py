@@ -462,7 +462,8 @@ def t03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.langid(docs, "doc_id", "text")
 
 
-def _langid_sql() -> str:
+def _langid_fragments() -> tuple[str, str]:
+    """(hit column exprs, argmax CASE) — shared by T03 and T10 oracles."""
     hit_exprs = []
     for lang, words in sorted(text.STOPWORDS.items()):
         lst = ", ".join(f"'{w}'" for w in words)
@@ -480,8 +481,14 @@ def _langid_sql() -> str:
             conds.append(f"hits_{lang} {op} hits_{other}")
         cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
     case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return ", ".join(hit_exprs), case_sql
+
+
+def _langid_sql() -> str:
+    hit_exprs, case_sql = _langid_fragments()
+    langs = sorted(text.STOPWORDS)
     return f"""
-WITH h AS (SELECT doc_id, {', '.join(hit_exprs)} FROM documents)
+WITH h AS (SELECT doc_id, {hit_exprs} FROM documents)
 SELECT doc_id, {', '.join(f'hits_{lang}' for lang in langs)},
        {case_sql} AS predicted_lang
 FROM h
@@ -766,6 +773,108 @@ FROM b GROUP BY shard_id
 """
 
 
+# --------------------------------------------------------------------------
+# t09 — benchmark decontamination (word-5-gram overlap vs an eval set)
+# --------------------------------------------------------------------------
+def t09_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs sharing ≥1 word 3-gram with the pseudo-benchmark set
+    (doc_id % 97 == 0) and their distinct-overlap counts. Eval shingle
+    set broadcasts; corpus is one linear pass. n=3 keeps the fixture
+    overlap non-trivial (171 contaminated docs at sf0.01); production
+    decontamination uses the same operator at n=8..13."""
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    tr = docs.where(F.col("doc_id") % 97 != 0)
+    return dedup_approx.contamination(tr, ev, "doc_id", "text", n=3)
+
+
+T09_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+  FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+FROM sh JOIN ev USING (shingle)
+WHERE sh.doc_id % 97 <> 0
+GROUP BY sh.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# t10 — composed curation pipeline (lang + quality + repetition + dedup)
+# --------------------------------------------------------------------------
+def t10_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datawarehouse_backup_system_spark.operators import curation
+
+    docs = load(spark, sf_dir, "documents")
+    return curation.curation_report(docs, "doc_id", "text", keep_langs=("en",))
+
+
+def _t10_sql() -> str:
+    hit_exprs, case_sql = _langid_fragments()
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+q AS (
+  SELECT doc_id,
+         (len(t) >= 10 AND len(t) <= 100000 AND
+          len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it'))) * 20
+            >= len(t)) AS quality_keep
+  FROM toks
+),
+rbase AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END AS n_tri,
+         CASE WHEN len(t) >= 3 THEN (
+           SELECT COUNT(DISTINCT t[u.i+1] || ' ' || t[u.i+2] || ' ' || t[u.i+3])
+           FROM UNNEST(range(len(t) - 2)) AS u(i)
+         ) ELSE 0 END AS n_tri_distinct
+  FROM toks
+),
+rtop AS (
+  SELECT doc_id, MAX(n) AS top_tok_n FROM (
+    SELECT doc_id, COUNT(*) AS n
+    FROM toks, UNNEST(t) AS u(tok)
+    GROUP BY doc_id, u.tok
+  ) GROUP BY doc_id
+),
+rep AS (
+  SELECT b.doc_id,
+         (COALESCE(ROUND(COALESCE(rtop.top_tok_n, 0) * 1.0
+                         / NULLIF(b.n_tokens, 0), 6), 0) <= 0.2
+          AND COALESCE(ROUND((b.n_tri - b.n_tri_distinct) * 1.0
+                             / NULLIF(b.n_tri, 0), 6), 0) <= 0.3)
+           AS repetition_keep
+  FROM rbase b LEFT JOIN rtop ON rtop.doc_id = b.doc_id
+),
+h AS (SELECT doc_id, {hit_exprs} FROM documents),
+lang AS (SELECT doc_id, {case_sql} AS predicted_lang FROM h),
+ded AS (
+  SELECT doc_id,
+         doc_id = MIN(doc_id) OVER (
+           PARTITION BY md5(concat_ws(chr(1), coalesce(text, '<NULL>')))
+         ) AS dedup_keep
+  FROM documents
+)
+SELECT lang.doc_id, lang.predicted_lang,
+       lang.predicted_lang IN ('en') AS lang_keep,
+       q.quality_keep, rep.repetition_keep, ded.dedup_keep,
+       (lang.predicted_lang IN ('en') AND q.quality_keep
+        AND rep.repetition_keep AND ded.dedup_keep) AS keep
+FROM lang JOIN q USING (doc_id) JOIN rep USING (doc_id) JOIN ded USING (doc_id)
+"""
+
+
+T10_SQL = _t10_sql()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("d01_dedup_exact", d01_dedup_exact, D01_SQL,
               "exact dedup: hash-groupBy keep min id"),
@@ -800,4 +909,8 @@ SPECS: list[QuerySpec] = [
               "IVF ANN: coarse quantize, probe 2 of 8 inverted lists"),
     QuerySpec("t08_shard_manifest", t08_shard_manifest, T08_SQL,
               "training-shard assignment manifest (hash-sharded export)"),
+    QuerySpec("t09_decontaminate", t09_decontaminate, T09_SQL,
+              "benchmark decontamination: word-3-gram overlap vs eval set"),
+    QuerySpec("t10_curation_pipeline", t10_curation_pipeline, T10_SQL,
+              "composed curation verdict: lang+quality+repetition+dedup"),
 ]

@@ -118,6 +118,53 @@ def test_multiprobe_recovers_hamming1_neighbors(spark):
     assert top1 == {i + 1000: i for i in range(20)}  # probe-1 recovers every one
 
 
+def test_contamination_counts_planted_overlap(spark):
+    """One train doc shares exactly two distinct 3-grams with the eval
+    set, another shares one, a third shares none — counts must be exact
+    and the clean doc absent."""
+    ev = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (10, "the quick brown fox sits"),      # 'the quick brown', 'quick brown fox'
+            (11, "a lazy fox jumps high today"),   # 'fox jumps high'
+            (12, "completely different words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_overlap"]
+           for r in dedup_approx.contamination(tr, ev, "doc_id", "text", n=3).collect()}
+    assert got == {10: 2, 11: 1}
+
+
+def test_curation_report_each_gate_fires_independently(spark):
+    """Four docs, each failing exactly one gate (language, quality,
+    repetition, dedup) plus one passing all — the composed keep must be
+    the AND of the gates and each flag must identify its failure."""
+    from datawarehouse_backup_system_spark.operators import curation
+
+    good = ("the cat is in the house and it is warm so the dog sleeps "
+            "by the fire and all of it is calm")
+    rows = [
+        (1, good),                                   # keeps everything
+        (2, "le chat est dans la maison et il est chaud et le chien dort"),  # lang
+        (3, "short text only"),                      # quality (<10 tokens)
+        (4, ("spam " * 40 + "the a of and to in is it").strip()),  # repetition
+        (5, good),                                   # duplicate of 1 → dedup_keep False
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           curation.curation_report(df, "doc_id", "text").collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["lang_keep"] is False and got[2]["keep"] is False
+    assert got[3]["quality_keep"] is False and got[3]["keep"] is False
+    assert got[4]["repetition_keep"] is False and got[4]["keep"] is False
+    assert got[5]["dedup_keep"] is False and got[5]["keep"] is False
+    assert got[1]["dedup_keep"] is True  # canonical copy survives
+
+
 def test_export_shards_roundtrip_one_file_per_shard(spark, sf_dir, tmp_path):
     """export_shards writes shard_id=K/ dirs with ONE parquet file each
     (repartition-by-shard makes a single task own each shard), loses no
