@@ -49,11 +49,15 @@ HEADLINE = [
     "d07_ann_bucketed",
     "d08_ann_multiprobe",
     "d09_dedup_groups",
+    "d10_ivf_ann",
     "t02_quality",
     "t03_langid",
     "t05_pii_scrub",
     "t06_pack_sequences",
     "t07_repetition",
+    "t08_shard_manifest",
+    "t09_decontaminate",
+    "t10_curation_pipeline",
 ]
 
 
