@@ -251,6 +251,90 @@ def train_centroids(
     return cents.tolist()
 
 
+def _centroid_frame(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    centroids: list[list[float]] | None,
+) -> DataFrame:
+    """(cid, ce) frame: explicit trained centroids, or the n smallest-id
+    corpus vectors (deterministic seed quantizer)."""
+    if centroids is not None:
+        return corpus.sparkSession.createDataFrame(
+            [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+            "cid long, ce array<double>",
+        )
+    return (
+        corpus.orderBy(F.col(id_col)).limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("ce"))
+    )
+
+
+def _assign_lists(
+    corpus: DataFrame, cent: DataFrame, id_col: str, vec_col: str, round_digits: int
+) -> DataFrame:
+    """(neighbor_id, cv, list_id): each corpus vector's argmax-cosine
+    centroid via max(struct(score, -cid)) — partial-aggregatable, so the
+    N·K assign rows map-side combine back to N before any shuffle."""
+    # coalesce(score, -2): cosine ∈ [-1,1]∪{NULL(zero-norm)}; -2 sorts a
+    # null score below every real one identically in Spark and DuckDB
+    cscore = F.coalesce(
+        F.round(cosine(F.col("_v"), F.col("ce")), round_digits), F.lit(-2.0)
+    )
+    return (
+        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "neighbor_id", "_v",
+            F.struct(cscore.alias("s"), (-F.col("cid")).alias("neg_cid")).alias("sc"),
+        )
+        .groupBy("neighbor_id")
+        .agg(F.max("sc").alias("best"), F.first("_v").alias("cv"))
+        .select("neighbor_id", "cv", (-F.col("best.neg_cid")).alias("list_id"))
+    )
+
+
+def _probe_lists(
+    queries: DataFrame, cent: DataFrame, id_col: str, vec_col: str,
+    n_probe: int, round_digits: int,
+) -> DataFrame:
+    """(query_id, qv, list_id): each query's n_probe nearest centroids
+    (window over the small probe set only)."""
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ps"), F.asc("cid"))
+    return (
+        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "ps",
+            F.coalesce(
+                F.round(cosine(F.col("qv"), F.col("ce")), round_digits), F.lit(-2.0)
+            ),
+        )
+        .withColumn("prn", F.row_number().over(wq))
+        .where(F.col("prn") <= n_probe)
+        .select("query_id", "qv", F.col("cid").alias("list_id"))
+    )
+
+
+def _score_candidates(
+    assigned: DataFrame, probes: DataFrame, k: int, round_digits: int
+) -> DataFrame:
+    """Equi-join candidates on list_id, exact rounded-cosine top-k."""
+    from pyspark.sql import Window
+
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -282,65 +366,64 @@ def ivf_topk(
        ranks them.
 
     At 100 TB the assignment is computed once and persisted with the
-    corpus (repartition/bucket by ``list_id``: the inverted file), making
-    probes partition-pruned scans. Centroids default to the
-    ``n_centroids`` smallest-id corpus vectors — deterministic and
+    corpus (``build_ivf_index`` → ``search_ivf_index``: the inverted
+    file), making probes partition-pruned scans. Centroids default to
+    the ``n_centroids`` smallest-id corpus vectors — deterministic and
     oracle-expressible; pass ``centroids=train_centroids(...)`` for
     k-means quality (recall floor asserted in tests).
     """
-    from pyspark.sql import Window
+    cent = _centroid_frame(corpus, id_col, vec_col, n_centroids, centroids)
+    assigned = _assign_lists(corpus, cent, id_col, vec_col, round_digits)
+    probes = _probe_lists(queries, cent, id_col, vec_col, n_probe, round_digits)
+    return _score_candidates(assigned, probes, k, round_digits)
 
-    spark = corpus.sparkSession
-    if centroids is not None:
-        cent = spark.createDataFrame(
-            [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
-            "cid long, ce array<double>",
-        )
-    else:
-        cent = (
-            corpus.orderBy(F.col(id_col)).limit(n_centroids)
-            .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("ce"))
-        )
-    # coalesce(score, -2): cosine ∈ [-1,1]∪{NULL(zero-norm)}; -2 sorts a
-    # null score below every real one identically in Spark and DuckDB
-    cscore = F.coalesce(
-        F.round(cosine(F.col("_v"), F.col("ce")), round_digits), F.lit(-2.0)
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    round_digits: int = 6,
+    centroids: list[list[float]] | None = None,
+) -> None:
+    """Materialize the inverted file: corpus rows with their list
+    assignment, written ``partitionBy(list_id)`` so every list is its own
+    partition directory, plus the centroids as a ``_centroids`` sidecar
+    (underscore prefix: Spark's file index ignores it when scanning the
+    data). Build once per corpus version; searches then never recompute
+    the N·K assignment."""
+    cent = _centroid_frame(corpus, id_col, vec_col, n_centroids, centroids)
+    assigned = _assign_lists(corpus, cent, id_col, vec_col, round_digits)
+    (
+        assigned.repartition(F.col("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(path)
     )
-    assigned = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_v"))
-        .crossJoin(F.broadcast(cent))
-        .select(
-            "neighbor_id", "_v",
-            F.struct(cscore.alias("s"), (-F.col("cid")).alias("neg_cid")).alias("sc"),
-        )
-        .groupBy("neighbor_id")
-        .agg(F.max("sc").alias("best"), F.first("_v").alias("cv"))
-        .select(
-            "neighbor_id", "cv", (-F.col("best.neg_cid")).alias("list_id")
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("ps"), F.asc("cid"))
-    probes = (
-        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
-        .crossJoin(F.broadcast(cent))
-        .withColumn(
-            "ps",
-            F.coalesce(
-                F.round(cosine(F.col("qv"), F.col("ce")), round_digits), F.lit(-2.0)
-            ),
-        )
-        .withColumn("prn", F.row_number().over(wq))
-        .where(F.col("prn") <= n_probe)
-        .select("query_id", "qv", F.col("cid").alias("list_id"))
-    )
-    scored = (
-        assigned.join(F.broadcast(probes), "list_id")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
-        .select("query_id", "neighbor_id", "score")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_probe: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Search a :func:`build_ivf_index` index with static partition
+    pruning: the probed list ids are computed driver-side (n_queries ×
+    n_probe rows — bounded) and pushed into the scan as a
+    ``list_id IN (...)`` PartitionFilter, so Spark READS only the probed
+    ~n_probe/K fraction of the index files. This is the on-disk analogue
+    of ivf_topk's candidate restriction — the part that matters at
+    100 TB, where the unprobed lists never leave object storage."""
+    cent = spark.read.parquet(f"{path}/_centroids")
+    probes = _probe_lists(queries, cent, id_col, vec_col, n_probe, round_digits)
+    probe_lists = [r["list_id"] for r in probes.select("list_id").distinct().collect()]
+    assigned = spark.read.parquet(path).where(F.col("list_id").isin(probe_lists))
+    return _score_candidates(assigned, probes, k, round_digits)
 
 
 def neardup_pairs_bucketed(

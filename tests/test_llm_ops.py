@@ -205,6 +205,37 @@ def test_export_shards_roundtrip_one_file_per_shard(spark, sf_dir, tmp_path):
     assert ids0 == expected
 
 
+def test_ivf_index_search_matches_direct_and_prunes_partitions(spark, sf_dir, tmp_path):
+    """build_ivf_index + search_ivf_index must (a) return exactly what
+    the in-memory ivf_topk returns, (b) push the probed list ids into
+    the parquet scan as PartitionFilters, and (c) ignore the _centroids
+    sidecar when reading the data."""
+    import io
+    from contextlib import redirect_stdout
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, idx, n_centroids=8)
+
+    direct = {(r["query_id"], r["neighbor_id"], r["rank"])
+              for r in similarity.ivf_topk(emb, q, k=3, n_centroids=8, n_probe=2).collect()}
+    searched_df = similarity.search_ivf_index(spark, idx, q, k=3, n_probe=2)
+    searched = {(r["query_id"], r["neighbor_id"], r["rank"])
+                for r in searched_df.collect()}
+    assert searched == direct and searched
+
+    # the sidecar is invisible to the data scan
+    assert spark.read.parquet(idx).count() == emb.count()
+
+    # the probed list ids reach the scan as partition filters
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        searched_df.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "list_id" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
     """With n_probe = n_centroids every inverted list is searched, so IVF
     degenerates to exact brute force — the correctness anchor for the
