@@ -1,0 +1,100 @@
+"""Generic as-of join: for each left row, the most recent right row at
+or before (``backward``) / the earliest at or after (``forward``) its
+timestamp, per key.
+
+Spark has no ASOF JOIN operator; the naive emulation is a range
+theta-join (quadratic blowup per key) or a join-then-window (two
+shuffles + a full candidate materialization). This implementation is the
+**union trick**: tag both inputs, union them, and carry the right
+payload across the sorted stream with ``last(..., ignorenulls)`` — ONE
+shuffle on the key, no join node at all, state per row is a single
+struct. The same shape Flink uses for temporal joins and kdb for aj;
+scales as a plain window (skewed keys salt like any window).
+
+Tie rule: at equal timestamps the right row sorts BEFORE the left row,
+so an exactly-simultaneous right match is taken (inclusive <=/>=,
+matching DuckDB's ASOF JOIN, which oracles this operator). Right rows
+should be unique per (key, time) — with duplicates, the latest by input
+order wins, which is not deterministic; pre-dedup if that matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left rows plus the matched right row's payload columns (suffixed)
+    and its timestamp as ``{right_ts}{suffix}``; no match → NULLs.
+
+    ``tolerance_seconds`` voids matches farther than the tolerance from
+    the left timestamp (pandas ``merge_asof`` semantics).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    payload = [c for c in right.columns if c not in on and c != right_ts]
+    carried = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in payload]
+
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_src"),
+        F.struct(
+            F.col(right_ts).alias(f"{right_ts}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        ).alias("_rs"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in on and c != left_ts],
+    )
+    l = left.select(
+        *on,
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_src"),
+        F.lit(None).cast(
+            r.schema["_rs"].dataType
+        ).alias("_rs"),
+        *[F.col(c) for c in left.columns if c not in on and c != left_ts],
+    )
+    # backward: ascending time, right (src=0) first at ties → last carried
+    # right has _t <= left _t, inclusive. forward: descending time, same
+    # tie order → last carried right has _t >= left _t.
+    order = (
+        [F.col("_t").asc(), F.col("_src").asc()]
+        if direction == "backward"
+        else [F.col("_t").desc(), F.col("_src").asc()]
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(l)
+        .withColumn("_m", F.last("_rs", ignorenulls=True).over(w))
+        .where(F.col("_src") == 1)
+    )
+    if tolerance_seconds is not None:
+        us = int(tolerance_seconds * 1_000_000)
+        gap = F.unix_micros(F.col("_t")) - F.unix_micros(
+            F.col("_m")[f"{right_ts}{suffix}"]
+        )
+        in_tol = (gap >= -us) & (gap <= us)
+        matched = matched.withColumn(
+            "_m", F.when(in_tol, F.col("_m"))
+        )
+    return matched.select(
+        *[F.col(c) for c in on],
+        F.col("_t").alias(left_ts),
+        *[F.col(c) for c in left.columns if c not in on and c != left_ts],
+        *[F.col("_m")[c].alias(c) for c in carried],
+    )

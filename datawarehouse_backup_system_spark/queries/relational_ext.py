@@ -559,6 +559,48 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+# --------------------------------------------------------------------------
+# q40 — generic cross-table as-of join (union-trick operator)
+# --------------------------------------------------------------------------
+def q40_asof_join_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reusable operators.asof.asof_join (ONE shuffle union trick, no
+    join node) joining purchases to their most recent prior-or-equal view
+    per user. Oracled by DuckDB's NATIVE ASOF JOIN — an independent
+    implementation of the same semantics. Right side pre-deduped to one
+    row per (user_id, ts) so the match is deterministic in both engines."""
+    from datawarehouse_backup_system_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(purchases, views, on=["user_id"], left_ts="ts", right_ts="ts")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.col("view_event_id_right").alias("view_event_id"),
+        F.unix_micros("ts_right").alias("view_us"),
+    )
+
+
+Q40_SQL = """
+WITH v AS (
+  SELECT user_id, ts, MAX(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+       v.view_event_id, epoch_us(v.ts) AS view_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("q30_approx_profile", q30_approx_profile, Q30_SQL,
               "HLL/KLL approximate profiling (tolerance-boolean oracle)"),
@@ -593,6 +635,8 @@ SPECS: list[QuerySpec] = [
               "fixed-width histogram profile of a value column"),
     QuerySpec("q38_stratified_sample", q38_stratified_sample, Q38_SQL,
               "deterministic per-class stratified sampling"),
+    QuerySpec("q40_asof_join_generic", q40_asof_join_generic, Q40_SQL,
+              "generic as-of join operator vs DuckDB native ASOF JOIN"),
     QuerySpec("q39_rolling_mean", q39_rolling_mean, Q39_SQL,
               "trailing 7-event rolling mean per user (bounded frame)"),
 ]
