@@ -1,4 +1,6 @@
-"""Generic as-of join: for each left row, the most recent right row at
+"""Temporal joins Spark lacks as operators: as-of join and range join.
+
+Generic as-of join: for each left row, the most recent right row at
 or before (``backward``) / the earliest at or after (``forward``) its
 timestamp, per key.
 
@@ -97,4 +99,54 @@ def asof_join(
         F.col("_t").alias(left_ts),
         *[F.col(c) for c in left.columns if c not in on and c != left_ts],
         *[F.col("_m")[c].alias(c) for c in carried],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Inner join of point rows to every interval containing them
+    (``start <= ts <= end``, inclusive), per key — without the
+    range-theta-join Spark would otherwise plan (a per-key cartesian
+    with a post-filter).
+
+    **Bucketing trick**: each interval is exploded to the time buckets
+    it covers, each point maps to its single bucket, and the join is an
+    EQUI-join on (key, bucket) + an exact containment filter. A point
+    matches each qualifying interval exactly once (in the point's own
+    bucket), so no dedup pass. Replication factor per interval is
+    ``len/bucket_seconds + 1`` — set ``bucket_seconds`` near the typical
+    interval length; the equi-join then hash-partitions and AQE handles
+    skew, which the theta-join never could.
+
+    Point and interval payload columns must not collide (raises);
+    ``on`` + all payload columns of both sides come through.
+    """
+    clash = (set(points.columns) & set(intervals.columns)) - set(on)
+    if clash:
+        raise ValueError(f"column collision between sides: {sorted(clash)}")
+    us = F.lit(int(bucket_seconds) * 1_000_000)
+    p = points.withColumn("_b", F.floor(F.unix_micros(F.col(point_ts)) / us))
+    i = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_ts)) / us),
+                F.floor(F.unix_micros(F.col(end_ts)) / us),
+            )
+        ),
+    )
+    return (
+        p.join(i, on + ["_b"])
+        .where(
+            (F.col(point_ts) >= F.col(start_ts))
+            & (F.col(point_ts) <= F.col(end_ts))
+        )
+        .drop("_b")
     )

@@ -601,6 +601,48 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
 """
 
 
+# --------------------------------------------------------------------------
+# q41 — range join: views inside each purchase's 1-hour attribution window
+# --------------------------------------------------------------------------
+def q41_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.asof.range_join (interval-bucketing equi-join, no range
+    theta-join) counting views in [purchase-1h, purchase] per user —
+    the classic attribution-window join. Oracle is DuckDB's native
+    BETWEEN join (IEJoin), again an independent implementation."""
+    from datawarehouse_backup_system_spark.operators.asof import range_join
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    j = range_join(
+        views, purchases, on=["user_id"],
+        point_ts="vts", start_ts="w_start", end_ts="w_end",
+        bucket_seconds=3600,
+    )
+    return j.groupBy("purchase_id", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_views_1h")
+    )
+
+
+Q41_SQL = """
+WITH v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase')
+SELECT p.purchase_id, p.user_id, CAST(COUNT(*) AS BIGINT) AS n_views_1h
+FROM p JOIN v
+  ON v.user_id = p.user_id
+ AND v.vts BETWEEN p.pts - INTERVAL 1 HOUR AND p.pts
+GROUP BY p.purchase_id, p.user_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("q30_approx_profile", q30_approx_profile, Q30_SQL,
               "HLL/KLL approximate profiling (tolerance-boolean oracle)"),
@@ -637,6 +679,8 @@ SPECS: list[QuerySpec] = [
               "deterministic per-class stratified sampling"),
     QuerySpec("q40_asof_join_generic", q40_asof_join_generic, Q40_SQL,
               "generic as-of join operator vs DuckDB native ASOF JOIN"),
+    QuerySpec("q41_range_join_attribution", q41_range_join_attribution, Q41_SQL,
+              "bucketed range join vs DuckDB native BETWEEN (IEJoin)"),
     QuerySpec("q39_rolling_mean", q39_rolling_mean, Q39_SQL,
               "trailing 7-event rolling mean per user (bounded frame)"),
 ]

@@ -240,3 +240,34 @@ def test_asof_join_directions_tolerance_and_ties(spark):
                      tolerance_seconds=60).collect()}
     # lid 13 matched 'b' at gap 4800s > 60s -> nulled; lid 12 gap 99s -> nulled
     assert tol == {10: None, 11: "a", 12: None, 13: None, 14: None, 15: None}
+
+
+def test_range_join_buckets_match_naive_theta(spark):
+    """Bucketed range join == the naive theta join on every (point,
+    interval) pair: inclusive bounds, intervals spanning many buckets,
+    overlapping intervals (a point matches both exactly once each), and
+    no cross-key leakage."""
+    from datawarehouse_backup_system_spark.operators.asof import range_join
+
+    intervals = spark.createDataFrame(
+        [(1, 100, 100, 200), (1, 101, 150, 10_000), (2, 102, 0, 50)],
+        "k long, iid long, s long, e long",
+    ).select("k", "iid",
+             F.timestamp_seconds("s").alias("s"),
+             F.timestamp_seconds("e").alias("e"))
+    points = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 200), (1, 12, 175), (1, 13, 9_999),
+         (1, 14, 201000), (2, 15, 50), (3, 16, 100)],
+        "k long, pid long, t long",
+    ).select("k", "pid", F.timestamp_seconds("t").alias("t"))
+
+    got = {(r["pid"], r["iid"]) for r in
+           range_join(points, intervals, ["k"], "t", "s", "e",
+                      bucket_seconds=60).collect()}
+    naive = {(r["pid"], r["iid"]) for r in
+             points.join(intervals, "k")
+             .where((F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e")))
+             .collect()}
+    assert got == naive
+    assert got == {(10, 100), (11, 100), (11, 101), (12, 100), (12, 101),
+                   (13, 101), (15, 102)}
