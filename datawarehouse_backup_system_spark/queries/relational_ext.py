@@ -643,6 +643,45 @@ GROUP BY p.purchase_id, p.user_id
 """
 
 
+# --------------------------------------------------------------------------
+# q42 — hypertable rollup cascade (minute→hour→day re-aggregation)
+# --------------------------------------------------------------------------
+def q42_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.rollup.rollup_cascade over events: per event_type
+    count/sum/min/max of integer cents at minute, hour, and day
+    resolution — hour and day are RE-AGGREGATED from the minute tier.
+    The oracle aggregates each tier DIRECTLY from raw rows, so an exact
+    match proves partial re-aggregation loses nothing."""
+    from datawarehouse_backup_system_spark.operators.rollup import rollup_cascade
+
+    ev = load(spark, sf_dir, "events")
+    tiers = rollup_cascade(
+        ev, "ts", cents(F.col("value")), key_cols=["event_type"]
+    )
+    out = None
+    for name, df in tiers.items():
+        tagged = df.select(F.lit(name).alias("resolution"), "*")
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
+def _q42_tier_sql(name: str, step: int) -> str:
+    return f"""
+SELECT '{name}' AS resolution,
+       CAST(FLOOR(epoch_us(ts) / {step * 1_000_000}) AS BIGINT) * {step} AS bucket_s,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_v,
+       CAST(MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_v,
+       CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_v
+FROM events GROUP BY 2, 3"""
+
+
+Q42_SQL = "\nUNION ALL\n".join(
+    _q42_tier_sql(n, s) for n, s in (("minute", 60), ("hour", 3600), ("day", 86400))
+)
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("q30_approx_profile", q30_approx_profile, Q30_SQL,
               "HLL/KLL approximate profiling (tolerance-boolean oracle)"),
@@ -681,6 +720,8 @@ SPECS: list[QuerySpec] = [
               "generic as-of join operator vs DuckDB native ASOF JOIN"),
     QuerySpec("q41_range_join_attribution", q41_range_join_attribution, Q41_SQL,
               "bucketed range join vs DuckDB native BETWEEN (IEJoin)"),
+    QuerySpec("q42_rollup_cascade", q42_rollup_cascade, Q42_SQL,
+              "hypertable rollup cascade: re-aggregated tiers vs direct"),
     QuerySpec("q39_rolling_mean", q39_rolling_mean, Q39_SQL,
               "trailing 7-event rolling mean per user (bounded frame)"),
 ]

@@ -271,3 +271,31 @@ def test_range_join_buckets_match_naive_theta(spark):
     assert got == naive
     assert got == {(10, 100), (11, 100), (11, 101), (12, 100), (12, 101),
                    (13, 101), (15, 102)}
+
+
+def test_rollup_cascade_reaggregation_and_nulls(spark):
+    """Coarser tiers derive from finer partials: counts include
+    null-value rows, sums/mins/maxes ignore them (all-null bucket gives
+    NULL sum), and non-nested resolution lists are rejected."""
+    import pytest
+
+    from datawarehouse_backup_system_spark.operators.rollup import rollup_cascade
+
+    rows = [
+        (30, 1.0), (90, 2.0), (3700, None), (3800, 5.0), (90000, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "t long, v double").select(
+        F.timestamp_seconds("t").alias("ts"),
+        F.col("v"),
+    )
+    cents = F.floor(F.col("v") * 100 + 0.5).cast("bigint")
+    tiers = rollup_cascade(df, "ts", cents)
+    day = {r["bucket_s"]: r for r in tiers["day"].collect()}
+    assert day[0]["n"] == 4 and day[0]["sum_v"] == 800
+    assert day[0]["min_v"] == 100 and day[0]["max_v"] == 500
+    assert day[86400]["n"] == 1 and day[86400]["sum_v"] == 700
+    hour = {r["bucket_s"]: r for r in tiers["hour"].collect()}
+    assert hour[0]["n"] == 2 and hour[3600]["n"] == 2 and hour[3600]["sum_v"] == 500
+
+    with pytest.raises(ValueError):
+        rollup_cascade(df, "ts", cents, resolutions=["hour", "minute"])
