@@ -42,6 +42,9 @@ HEADLINE = [
     "q25_rollup_revenue",
     "q28_asof_view_before_purchase",
     "q37_histogram",
+    "q40_asof_join_generic",
+    "q41_range_join_attribution",
+    "q42_rollup_cascade",
     "d01_dedup_exact",
     "d02_minhash_lsh",
     "d05_embedding_neardup",
