@@ -177,3 +177,82 @@ def test_stratified_sample_counts_and_determinism(spark, sf_dir):
     again = stratified_sample(emb, "vec_id", "label", 5, salt="s")
     assert ({tuple(r) for r in out.collect()}
             == {tuple(r) for r in again.collect()})
+
+
+@SETTINGS
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)), min_size=0, max_size=25
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)), min_size=0, max_size=25
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, lefts, rights, direction):
+    """pandas merge_asof is an independent reference implementation of
+    as-of semantics (inclusive match, per-key isolation) — the Spark
+    union-trick operator must agree on arbitrary inputs."""
+    import pandas as pd
+
+    from datawarehouse_backup_system_spark.operators.asof import asof_join
+
+    rights = sorted({(k, t) for k, t in rights})
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], "lid long, k long, lts long"
+    )
+    rdf = spark.createDataFrame(rights, "k long, rts long")
+    got = {
+        r["lid"]: r["rts_right"]
+        for r in asof_join(ldf, rdf, ["k"], "lts", "rts", direction).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], columns=["lid", "k", "lts"]
+    ).sort_values("lts", kind="stable")
+    rp = pd.DataFrame(rights, columns=["k", "rts"]).sort_values("rts", kind="stable")
+    if len(lp) == 0 or len(rp) == 0:
+        exp = {i: None for i in range(len(lefts))}
+    else:
+        m = pd.merge_asof(
+            lp, rp, left_on="lts", right_on="rts", by="k", direction=direction
+        )
+        exp = {
+            int(r.lid): (None if pd.isna(r.rts) else int(r.rts))
+            for r in m.itertuples()
+        }
+    assert got == exp
+
+
+@SETTINGS
+@given(
+    points=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 400)), min_size=0, max_size=20
+    ),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 400), st.integers(0, 120)),
+        min_size=0, max_size=15,
+    ),
+    bucket=st.sampled_from([7, 60, 250]),
+)
+def test_range_join_matches_theta_any_bucket_width(spark, points, ivs, bucket):
+    """The bucketing trick must be invisible: for ANY bucket width the
+    result equals the naive per-key theta join."""
+    from datawarehouse_backup_system_spark.operators.asof import range_join
+
+    pdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(points)], "pid long, k long, t long"
+    ).select("pid", "k", F.timestamp_seconds("t").alias("t"))
+    idf = spark.createDataFrame(
+        [(j, k, s, s + w) for j, (k, s, w) in enumerate(ivs)],
+        "iid long, k long, s long, e long",
+    ).select("iid", "k",
+             F.timestamp_seconds("s").alias("s"),
+             F.timestamp_seconds("e").alias("e"))
+    got = {(r["pid"], r["iid"]) for r in
+           range_join(pdf, idf, ["k"], "t", "s", "e", bucket_seconds=bucket).collect()}
+    naive = {(r["pid"], r["iid"]) for r in
+             pdf.join(idf, "k")
+             .where((F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e")))
+             .collect()}
+    assert got == naive
