@@ -46,6 +46,12 @@ def asof_join(
         raise ValueError("direction must be 'backward' or 'forward'")
     payload = [c for c in right.columns if c not in on and c != right_ts]
     carried = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in payload]
+    clash = set(carried) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"left columns collide with suffixed right columns: {sorted(clash)}"
+            " — pass a different suffix"
+        )
 
     r = right.select(
         *on,

@@ -154,6 +154,56 @@ def test_sessionized_counts_stream(spark, tmp_path, t0):
         q.stop()
 
 
+def test_rollup_finest_tier_streams_with_watermark(spark, tmp_path):
+    """The rollup cascade's finest tier is a plain time-bucket groupBy,
+    so it runs as a watermarked streaming aggregation unchanged — the
+    continuous-aggregate deployment shape: stream maintains the minute
+    tier, batch re-rolls coarser tiers from it. Complete-mode totals
+    must equal the batch tier exactly."""
+    import uuid as _uuid
+
+    from datawarehouse_backup_system_spark.operators.rollup import (
+        _bucket_s,
+        rollup_cascade,
+    )
+
+    src = str(tmp_path / "ev")
+    rows = [(30, 1.0), (90, 2.0), (95, None), (3700, 5.0)]
+    spark.createDataFrame(rows, "t long, v double").select(
+        F.timestamp_seconds("t").alias("ts"), "v"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    cents = F.floor(F.col("v") * 100 + 0.5).cast("bigint")
+    batch_minute = {
+        r["bucket_s"]: (r["n"], r["sum_v"])
+        for r in rollup_cascade(
+            spark.read.parquet(src), "ts", cents
+        )["minute"].collect()
+    }
+
+    stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(_bucket_s(F.col("ts"), 60).alias("bucket_s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("sum_v"),
+        )
+    )
+    name = f"roll_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["bucket_s"]: (r["n"], r["sum_v"])
+               for r in spark.sql(f"SELECT * FROM {name}").collect()}
+        assert got == batch_minute
+    finally:
+        q.stop()
+
+
 def test_text_curation_ops_are_streaming_safe(spark, tmp_path):
     """The text-curation expression layer (PII scrub, langid) is
     stateless, so the SAME operators run unchanged over a readStream —
