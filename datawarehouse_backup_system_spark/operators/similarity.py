@@ -91,13 +91,21 @@ def sign_bucket(vec_col: Column, n_bits: int = 8) -> Column:
     return b.cast("bigint")
 
 
-def _hamming1_probes(bucket: Column, n_bits: int) -> Column:
-    """Array of the bucket itself plus its n_bits Hamming-1 neighbors —
-    the multi-probe fan-out shared by bucketed_ann and
-    neardup_pairs_bucketed (deeper probing would extend here once)."""
-    return F.array(
-        bucket, *[bucket.bitwiseXOR(F.lit(2 ** i)) for i in range(n_bits)]
-    )
+def _hamming_probes(bucket: Column, n_bits: int, radius: int) -> Column:
+    """Array of every bucket within Hamming distance ``radius`` of the
+    input — the multi-probe fan-out shared by bucketed_ann and
+    neardup_pairs_bucketed. Fan-out is C(n_bits,0..radius):
+    1 / 1+n / 1+n+n(n-1)/2 for radius 0/1/2."""
+    masks = [0]
+    if radius >= 1:
+        masks += [2 ** i for i in range(n_bits)]
+    if radius >= 2:
+        masks += [
+            2 ** i | 2 ** j for i in range(n_bits) for j in range(i + 1, n_bits)
+        ]
+    if radius >= 3:
+        raise NotImplementedError("probe radius > 2 not supported")
+    return F.array(*[bucket.bitwiseXOR(F.lit(m)) for m in masks])
 
 
 def bucketed_ann(
@@ -112,13 +120,13 @@ def bucketed_ann(
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's sign bucket.
 
-    ``multi_probe=1`` additionally probes every bucket at Hamming
-    distance 1 from the query's bucket (n_bits extra probes per query) —
-    the standard multi-probe LSH recall/compute trade: near neighbors
-    whose borderline dimensions flipped sign land one bit away. The
-    probe fan-out happens on the (small, broadcast) query side only; a
-    corpus vector lives in exactly one bucket, so no candidate is scored
-    twice. Deeper probing (Hamming 2+) is not implemented.
+    ``multi_probe=r`` probes every bucket within Hamming distance r of
+    the query's bucket (r ≤ 2; fan-out 1+n_bits at r=1, +C(n_bits,2) at
+    r=2) — the standard multi-probe LSH recall/compute trade: near
+    neighbors whose borderline dimensions flipped sign land a few bits
+    away. The probe fan-out happens on the (small, broadcast) query side
+    only; a corpus vector lives in exactly one bucket, so no candidate
+    is scored twice.
     """
     from pyspark.sql import Window
 
@@ -130,7 +138,9 @@ def bucketed_ann(
     if multi_probe >= 1:
         q = q.select(
             "query_id", "qv",
-            F.explode(_hamming1_probes(F.col("bucket"), n_bits)).alias("bucket"),
+            F.explode(
+                _hamming_probes(F.col("bucket"), n_bits, multi_probe)
+            ).alias("bucket"),
         )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -458,7 +468,9 @@ def neardup_pairs_bucketed(
     if multi_probe >= 1:
         a = a.select(
             "id_a", "va",
-            F.explode(_hamming1_probes(F.col("bucket"), n_bits)).alias("bucket"),
+            F.explode(
+                _hamming_probes(F.col("bucket"), n_bits, multi_probe)
+            ).alias("bucket"),
         )
     b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "bucket")
     return (

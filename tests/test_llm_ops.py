@@ -278,6 +278,28 @@ def test_ivf_trained_centroids_beat_seed_and_scale_with_probes(spark, sf_dir):
     assert r3 >= 0.6
 
 
+def test_multiprobe_radius2_recovers_two_bit_flips(spark):
+    """A true neighbor whose sign bucket differs in exactly TWO bits is
+    invisible at probe radius 0 and 1 but found at radius 2."""
+    corpus = []
+    for i in range(12):
+        head = [1.0 if (i >> b) & 1 else -1.0 for b in range(8)]
+        onehot = [2.0 if j == i else 0.0 for j in range(12)]
+        corpus.append((i, head + onehot))
+    queries = [
+        (i + 1000, [-0.05 * v[0], -0.05 * v[1]] + v[2:]) for i, v in corpus
+    ]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<float>")
+    planted = {(i + 1000, i) for i in range(12)}
+    p1 = {(r["query_id"], r["neighbor_id"]) for r in
+          similarity.bucketed_ann(cdf, qdf, k=1, n_bits=8, multi_probe=1).collect()}
+    p2 = {r["query_id"]: r["neighbor_id"] for r in
+          similarity.bucketed_ann(cdf, qdf, k=1, n_bits=8, multi_probe=2).collect()}
+    assert p1 & planted == set()
+    assert p2 == {i + 1000: i for i in range(12)}
+
+
 def test_neardup_bucketed_is_same_bucket_subset_of_exact(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
         F.col("vec_id") < 200
