@@ -299,3 +299,30 @@ def test_rollup_cascade_reaggregation_and_nulls(spark):
 
     with pytest.raises(ValueError):
         rollup_cascade(df, "ts", cents, resolutions=["hour", "minute"])
+
+
+def test_rollup_incremental_merge_equals_full_recompute(spark):
+    """Cascading ONLY a late-arriving delta and merging per tier must
+    equal recomputing the cascade over all rows — including deltas that
+    land in existing buckets and ones that open new buckets."""
+    from datawarehouse_backup_system_spark.operators.rollup import (
+        merge_tiers,
+        rollup_cascade,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "t long, v double").select(
+            F.timestamp_seconds("t").alias("ts"), "v"
+        )
+
+    cents = F.floor(F.col("v") * 100 + 0.5).cast("bigint")
+    batch1 = [(30, 1.0), (90, 2.0), (3700, 5.0)]
+    batch2 = [(35, 0.5), (90000, 7.0)]  # same minute as t=30, plus a new day
+
+    full = rollup_cascade(mk(batch1 + batch2), "ts", cents)
+    t1 = rollup_cascade(mk(batch1), "ts", cents)
+    t2 = rollup_cascade(mk(batch2), "ts", cents)
+    for res in ("minute", "hour", "day"):
+        merged = {tuple(r) for r in merge_tiers(t1[res], t2[res]).collect()}
+        expect = {tuple(r) for r in full[res].collect()}
+        assert merged == expect, res
