@@ -49,6 +49,7 @@ def contamination(
     id_col: str,
     text_col: str,
     n: int = 5,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: training docs sharing ≥1 word ``n``-gram
     with any eval/benchmark document, with the count of distinct shared
@@ -59,11 +60,16 @@ def contamination(
     docs, the corpus is billions), so its distinct shingle set BROADCASTs
     into an equi-join against the train shingles: the corpus is touched
     in one linear pass, no corpus-side shuffle before the per-doc count.
+    Set ``broadcast_eval=False`` when the eval set outgrows the broadcast
+    threshold — the same equi-join then hash-partitions on shingle
+    (shuffles both sides once; still never quadratic).
     """
     t_sh = word_shingles(train, id_col, text_col, n)
     e_sh = word_shingles(eval_df, id_col, text_col, n).select("shingle").distinct()
+    if broadcast_eval:
+        e_sh = F.broadcast(e_sh)
     return (
-        t_sh.join(F.broadcast(e_sh), "shingle")
+        t_sh.join(e_sh, "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
     )

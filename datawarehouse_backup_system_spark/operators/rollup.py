@@ -35,11 +35,18 @@ def rollup_cascade(
     value_col: Column,
     key_cols: list[str] | None = None,
     resolutions: list[str] | None = None,
+    persist: bool = False,
 ) -> dict[str, DataFrame]:
     """Per-resolution aggregates ``(bucket_s, *keys, n, sum_v, min_v,
     max_v)``; ``value_col`` should already be an exact-integer expression
     (e.g. cents) so sums are engine-portable. Only the finest tier reads
-    ``df``; coarser tiers re-aggregate the finer tier."""
+    ``df``; coarser tiers re-aggregate the finer tier.
+
+    ``persist=True`` caches each tier before deriving the next — needed
+    when multiple tiers feed ONE downstream plan (Spark recomputes
+    shared lazy subtrees per consumer, which would re-scan raw data once
+    per tier). In the usual deployment each tier is WRITTEN before the
+    next reads it, which materializes the cascade for free."""
     keys = list(key_cols or [])
     res = list(resolutions or RESOLUTIONS)
     steps = [RESOLUTIONS[r] for r in res]
@@ -62,6 +69,8 @@ def rollup_cascade(
             F.max("_v").cast("bigint").alias("max_v"),
         )
     )
+    if persist:
+        finest = finest.persist()
     out = {res[0]: finest}
     prev = finest
     for name, step in zip(res[1:], steps[1:]):
@@ -78,6 +87,8 @@ def rollup_cascade(
                 F.max("max_v").cast("bigint").alias("max_v"),
             )
         )
+        if persist:
+            prev = prev.persist()
         out[name] = prev
     return out
 

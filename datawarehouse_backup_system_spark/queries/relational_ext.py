@@ -656,7 +656,7 @@ def q42_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     tiers = rollup_cascade(
-        ev, "ts", cents(F.col("value")), key_cols=["event_type"]
+        ev, "ts", cents(F.col("value")), key_cols=["event_type"], persist=True
     )
     out = None
     for name, df in tiers.items():
