@@ -91,6 +91,46 @@ def sign_bucket(vec_col: Column, n_bits: int = 8) -> Column:
     return b.cast("bigint")
 
 
+def deterministic_planes(
+    dim: int, n_bits: int, salt: str = "lsh"
+) -> list[list[float]]:
+    """Pseudo-random hyperplane coefficients in [-1, 1), derived from
+    md5 so they are identical on every engine/run without an RNG —
+    the same portability recipe as the hash-sampling operators. 6-decimal
+    rounding keeps the literals exactly representable in SQL text."""
+    import hashlib
+
+    return [
+        [
+            round(
+                int(hashlib.md5(f"{salt}|{i}|{j}".encode()).hexdigest()[:8], 16)
+                / 2 ** 31
+                - 1.0,
+                6,
+            )
+            for j in range(dim)
+        ]
+        for i in range(n_bits)
+    ]
+
+
+def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """True random-hyperplane LSH bucket: bit i = sign(planes[i]·v).
+
+    Unlike :func:`sign_bucket` (axis-aligned: signs of the FIRST n
+    dims), every hyperplane mixes ALL dimensions, so bucket collision
+    probability follows the SimHash cosine bound ``1 - θ/π`` per bit
+    regardless of where the signal lives in the vector. Both engines
+    fold the dot product sequentially over identical literals, so the
+    bit pattern is deterministic cross-engine."""
+    b = None
+    for i, p in enumerate(planes):
+        d = dot(vec_col, F.array(*[F.lit(float(c)) for c in p]))
+        bit = F.when(d > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        b = bit if b is None else b + bit
+    return b.cast("bigint")
+
+
 def _hamming_probes(bucket: Column, n_bits: int, radius: int) -> Column:
     """Array of every bucket within Hamming distance ``radius`` of the
     input — the multi-probe fan-out shared by bucketed_ann and
@@ -117,8 +157,14 @@ def bucketed_ann(
     n_bits: int = 8,
     round_digits: int = 6,
     multi_probe: int = 0,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's sign bucket.
+
+    ``planes`` switches the hash family from axis-aligned sign bits to
+    true random hyperplanes (:func:`hyperplane_bucket`,
+    ``deterministic_planes``) — better bucket balance when the signal
+    is spread across dimensions; ``n_bits`` is then ``len(planes)``.
 
     ``multi_probe=r`` probes every bucket within Hamming distance r of
     the query's bucket (r ≤ 2; fan-out 1+n_bits at r=1, +C(n_bits,2) at
@@ -130,10 +176,19 @@ def bucketed_ann(
     """
     from pyspark.sql import Window
 
+    if planes is not None:
+        n_bits = len(planes)
+
+        def _bucket(v: Column) -> Column:
+            return hyperplane_bucket(v, planes)
+    else:
+        def _bucket(v: Column) -> Column:
+            return sign_bucket(v, n_bits)
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(vec_col).alias("qv"),
-        sign_bucket(_as_double(vec_col), n_bits).alias("bucket"),
+        _bucket(_as_double(vec_col)).alias("bucket"),
     )
     if multi_probe >= 1:
         q = q.select(
@@ -145,7 +200,7 @@ def bucketed_ann(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("cv"),
-        sign_bucket(_as_double(vec_col), n_bits).alias("bucket"),
+        _bucket(_as_double(vec_col)).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")

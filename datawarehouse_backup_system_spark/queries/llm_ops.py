@@ -404,6 +404,56 @@ SELECT query_id, neighbor_id, score, rank FROM (
 
 
 # --------------------------------------------------------------------------
+# d11 — random-hyperplane LSH ANN (true SimHash planes, not axis signs)
+# --------------------------------------------------------------------------
+def d11_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucketed_ann with md5-derived random hyperplanes mixing ALL 64
+    dims (cosine-LSH collision bound per bit), Hamming-1 multi-probe.
+    The oracle rebuilds the identical plane literals and folds the same
+    sequential dot product, so bucket bits match bit-for-bit."""
+    emb = load(spark, sf_dir, "embeddings")
+    planes = similarity.deterministic_planes(64, 8)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return similarity.bucketed_ann(emb, queries, k=3, multi_probe=1, planes=planes)
+
+
+def _d11_sql() -> str:
+    planes = similarity.deterministic_planes(64, 8)
+    lits = [
+        "[" + ", ".join(repr(c) for c in p) + "]" for p in planes
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {lit}) > 0 THEN {2 ** i} ELSE 0 END)"
+        for i, lit in enumerate(lits)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vb AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM vb WHERE vec_id % 100 = 0),
+qp AS (
+  SELECT query_id, qe, bucket FROM q
+  UNION ALL
+  SELECT query_id, qe, xor(bucket, (1::BIGINT << i)) FROM q, UNNEST(range(8)) AS u(i)
+),
+scored AS (
+  SELECT qp.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qe, c.e)
+               / NULLIF(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.e, c.e)), 0),
+               6) AS score
+  FROM qp JOIN vb c ON c.bucket = qp.bucket AND c.vec_id <> qp.query_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+D11_SQL = _d11_sql()
+
+
+# --------------------------------------------------------------------------
 # t01 — token counting (whitespace + BPE-ish subword units)
 # --------------------------------------------------------------------------
 def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -911,6 +961,8 @@ SPECS: list[QuerySpec] = [
               "training-shard assignment manifest (hash-sharded export)"),
     QuerySpec("t09_decontaminate", t09_decontaminate, T09_SQL,
               "benchmark decontamination: word-3-gram overlap vs eval set"),
+    QuerySpec("d11_ann_hyperplane", d11_ann_hyperplane, D11_SQL,
+              "random-hyperplane LSH ANN (all-dim cosine sketch bits)"),
     QuerySpec("t10_curation_pipeline", t10_curation_pipeline, T10_SQL,
               "composed curation verdict: lang+quality+repetition+dedup"),
 ]

@@ -300,6 +300,36 @@ def test_multiprobe_radius2_recovers_two_bit_flips(spark):
     assert p2 == {i + 1000: i for i in range(12)}
 
 
+def test_hyperplane_buckets_discriminate_where_axis_cannot(spark):
+    """Vectors whose FIRST 8 dims are a shared constant: axis sign
+    buckets collapse to ONE bucket (zero pruning — every query scans the
+    whole corpus), while random hyperplanes mix all 64 dims and keep
+    discriminating. Exact duplicates still collide under any plane set,
+    so planted twins are found at rank 1 with no probing."""
+    rows = []
+    for i in range(30):
+        tail = [((i * 53 + j * 11) % 101 - 50) / 50.0 for j in range(56)]
+        rows.append((i, [1.0] * 8 + tail))
+    twins = [(i + 1000, v) for i, v in rows]
+    cdf = spark.createDataFrame(rows + twins, "vec_id long, embedding array<float>")
+    planes = similarity.deterministic_planes(64, 8)
+
+    vec = F.col("embedding").cast("array<double>")
+    n_axis = cdf.select(
+        similarity.sign_bucket(vec, 8).alias("b")
+    ).distinct().count()
+    n_hyper = cdf.select(
+        similarity.hyperplane_bucket(vec, planes).alias("b")
+    ).distinct().count()
+    assert n_axis == 1
+    assert n_hyper > 4
+
+    qdf = spark.createDataFrame(twins, "vec_id long, embedding array<float>")
+    top1 = {r["query_id"]: r["neighbor_id"] for r in
+            similarity.bucketed_ann(cdf, qdf, k=1, planes=planes).collect()}
+    assert top1 == {i + 1000: i for i in range(30)}
+
+
 def test_neardup_bucketed_is_same_bucket_subset_of_exact(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
         F.col("vec_id") < 200
