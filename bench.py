@@ -53,6 +53,7 @@ HEADLINE = [
     "d08_ann_multiprobe",
     "d09_dedup_groups",
     "d10_ivf_ann",
+    "d11_ann_hyperplane",
     "t02_quality",
     "t03_langid",
     "t05_pii_scrub",

@@ -358,6 +358,49 @@ def simhash(
     return sums.select(F.col(id_col), fp.alias("simhash"))
 
 
+def simhash_expr(text_col: Column, bits: int = 16) -> Column:
+    """Per-ROW SimHash — identical semantics to :func:`simhash` (parity
+    test pins it) but as a pure expression: no explode, no groupBy, NO
+    SHUFFLE. This makes the fingerprint usable inside append-mode
+    Structured Streaming (stateless projection +
+    ``dropDuplicatesWithinWatermark`` = streaming signature dedup) and
+    turns the batch fingerprint pass into a linear map.
+
+    The token array is staged and md5'd ONCE per token (interpreted
+    HOFs have no CSE — extracting 16 bits from a lambda-recomputed md5
+    would hash every token 16×); the fold then accumulates the ±1 bit
+    sums in one pass over the hash array.
+    """
+    assert bits % 4 == 0 and 4 <= bits <= 60
+    hashes = F.transform(
+        F.split(F.trim(text_col), r"\s+"), lambda t: F.md5(t)
+    )
+
+    def _bits(h: Column) -> Column:
+        return F.array(
+            *[
+                F.shiftright(_hex_digit_val(h, j // 4 + 1), 3 - j % 4)
+                .bitwiseAND(F.lit(1))
+                for j in range(bits)
+            ]
+        )
+
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, _bits(h), lambda a, b: a + 2 * b - 1),
+    )
+    weights = F.array(*[F.lit(2 ** j).cast("bigint") for j in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            sums, weights,
+            lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
 def hamming_distance(a: Column, b: Column) -> Column:
     """Popcount of XOR — pair distance for simhash buckets."""
     return F.bit_count(a.bitwiseXOR(b))

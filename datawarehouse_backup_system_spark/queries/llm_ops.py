@@ -136,8 +136,12 @@ WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.5
 # d03 — SimHash fingerprints (16-bit, frequency-weighted)
 # --------------------------------------------------------------------------
 def d03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free per-row SimHash (simhash_expr; parity with the
+    explode+groupBy reference implementation is pytest-pinned)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return dedup_approx.simhash(docs, "doc_id", "text", bits=16)
+    return docs.select(
+        "doc_id", dedup_approx.simhash_expr(F.col("text"), bits=16).alias("simhash")
+    )
 
 
 def _simhash_sql_bits() -> str:

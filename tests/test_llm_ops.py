@@ -507,3 +507,19 @@ def test_frame_sample_shape(spark):
     assert len(frames) >= 1
     assert [f["frame_idx"] for f in frames] == list(range(len(frames)))
     assert frames[-1]["frame_ms"] == (len(frames) - 1) * 1000
+
+
+def test_simhash_expr_matches_groupby_simhash(spark, sf_dir):
+    """The shuffle-free per-row SimHash must equal the explode+groupBy
+    implementation on real corpus text, token frequencies included."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 100
+    )
+    via_groupby = {r["doc_id"]: r["simhash"]
+                   for r in dedup_approx.simhash(docs, "doc_id", "text").collect()}
+    via_expr = {r["doc_id"]: r["sh"]
+                for r in docs.select(
+                    "doc_id",
+                    dedup_approx.simhash_expr(F.col("text")).alias("sh"),
+                ).collect()}
+    assert via_expr == via_groupby and via_expr

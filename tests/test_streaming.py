@@ -248,3 +248,48 @@ def test_text_curation_ops_are_streaming_safe(spark, tmp_path):
     finally:
         q_pii.stop()
         q_lang.stop()
+
+
+def test_streaming_signature_dedup_with_simhash_expr(spark, tmp_path):
+    """simhash_expr is a pure expression, so signature-level dedup runs
+    in-stream: project the fingerprint, dropDuplicatesWithinWatermark on
+    it — duplicate-signature docs arriving within the horizon are
+    suppressed, the first occurrence survives."""
+    import uuid as _uuid
+
+    from datawarehouse_backup_system_spark.operators.dedup_approx import simhash_expr
+
+    src = str(tmp_path / "docs")
+    base = "the quick brown fox jumps over the lazy dog"
+    epoch0 = 1_704_067_200  # 2024-01-01: rows at epoch 0 would sit exactly
+    # on the INITIAL watermark and be dropped as late by the stateful op
+
+    def write(rows):
+        spark.createDataFrame(rows, "doc_id long, t long, text string").select(
+            "doc_id", F.timestamp_seconds(F.col("t") + epoch0).alias("ts"), "text"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write([(1, 0, base),
+           (3, 120, "completely different text about spark shuffles")])
+
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(src)
+    deduped = (
+        stream.select("doc_id", "ts", simhash_expr(F.col("text")).alias("sig"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["sig"])
+    )
+    name = f"sig_{_uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+        # duplicate-signature doc arrives in a LATER micro-batch, within
+        # the watermark horizon: the signature state must suppress it
+        write([(2, 60, base)])
+        q.processAllAvailable()
+        ids = {r["doc_id"] for r in spark.sql(f"SELECT doc_id FROM {name}").collect()}
+        assert ids == {1, 3}
+    finally:
+        q.stop()
