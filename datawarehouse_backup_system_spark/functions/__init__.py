@@ -13,6 +13,7 @@ from datawarehouse_backup_system_spark.operators.cast import (
 )
 from datawarehouse_backup_system_spark.operators.dedup_approx import (
     hamming_distance,
+    simhash_expr,
 )
 from datawarehouse_backup_system_spark.operators.hashing import (
     row_hash_col,
@@ -20,7 +21,9 @@ from datawarehouse_backup_system_spark.operators.hashing import (
 )
 from datawarehouse_backup_system_spark.operators.similarity import (
     cosine,
+    deterministic_planes,
     dot,
+    hyperplane_bucket,
     norm,
     sign_bucket,
 )
@@ -36,9 +39,10 @@ from datawarehouse_backup_system_spark.operators.text import (
 )
 
 __all__ = [
-    "cosine", "dob_string", "dot", "hamming_distance", "norm",
+    "cosine", "deterministic_planes", "dob_string", "dot",
+    "hamming_distance", "hyperplane_bucket", "norm",
     "parse_timestamp", "png_dims", "punct_count", "row_hash_col",
-    "scrub_nulls", "sign_bucket", "stopword_hits",
+    "scrub_nulls", "sign_bucket", "simhash_expr", "stopword_hits",
     "strip_trailing_dot_zero", "subword_count", "token_count", "tokens",
     "with_row_hash",
 ]
