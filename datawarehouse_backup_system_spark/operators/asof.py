@@ -52,8 +52,18 @@ def asof_join(
             f"left columns collide with suffixed right columns: {sorted(clash)}"
             " — pass a different suffix"
         )
+    reserved = {"_t", "_src", "_rs", "_m"}
+    internal_clash = reserved & (set(left.columns) | set(right.columns))
+    if internal_clash:
+        raise ValueError(
+            f"column names reserved by asof_join: {sorted(internal_clash)}"
+        )
 
-    r = right.select(
+    # NULL-timestamp right rows can never be an as-of match (DuckDB ASOF
+    # and pandas merge_asof agree: ts <= NULL is no match) — but under
+    # the ascending window order they would sort FIRST and their payload
+    # would be carried into every otherwise-unmatched left row. Drop them.
+    r = right.where(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_src"),
@@ -90,6 +100,10 @@ def asof_join(
         r.unionByName(l)
         .withColumn("_m", F.last("_rs", ignorenulls=True).over(w))
         .where(F.col("_src") == 1)
+        # a NULL-timestamp LEFT row has no defined as-of position (it
+        # sorts nulls-last under desc order and would pick up the final
+        # carried struct) — both reference engines return no match
+        .withColumn("_m", F.when(F.col("_t").isNotNull(), F.col("_m")))
     )
     if tolerance_seconds is not None:
         us = int(tolerance_seconds * 1_000_000)
@@ -137,6 +151,8 @@ def range_join(
     clash = (set(points.columns) & set(intervals.columns)) - set(on)
     if clash:
         raise ValueError(f"column collision between sides: {sorted(clash)}")
+    if "_b" in points.columns or "_b" in intervals.columns:
+        raise ValueError("column name '_b' is reserved by range_join")
     us = F.lit(int(bucket_seconds) * 1_000_000)
     p = points.withColumn("_b", F.floor(F.unix_micros(F.col(point_ts)) / us))
     i = intervals.withColumn(

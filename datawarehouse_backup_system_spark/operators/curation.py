@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datawarehouse_backup_system_spark.operators import text
-from datawarehouse_backup_system_spark.operators.hashing import HASH_SEP
+from datawarehouse_backup_system_spark.operators.hashing import row_hash_col
 
 
 def curation_report(
@@ -42,9 +42,7 @@ def curation_report(
     rep = text.repetition_features(df, id_col, text_col).select(
         id_col, "repetition_keep"
     )
-    h = F.md5(
-        F.concat_ws(HASH_SEP, F.coalesce(F.col(text_col).cast("string"), F.lit("<NULL>")))
-    )
+    h = row_hash_col([text_col])  # the SAME canonical rule exact_dedup uses
     dedup = df.select(
         F.col(id_col),
         (F.col(id_col) == F.min(id_col).over(Window.partitionBy(h))).alias(

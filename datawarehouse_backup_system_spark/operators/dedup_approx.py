@@ -27,14 +27,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from datawarehouse_backup_system_spark.operators.hashing import HASH_SEP
+from datawarehouse_backup_system_spark.operators.hashing import row_hash_col
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Keep the smallest id per exact content hash (order-free exact dedup;
     the deterministic-order variant is operators.dedup.self_dedup_first)."""
-    parts = [F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in content_cols]
-    h = F.md5(F.concat_ws(HASH_SEP, *parts))
+    h = row_hash_col(content_cols)
     return (
         df.withColumn("_h", h)
         .groupBy("_h")
@@ -370,6 +369,10 @@ def simhash_expr(text_col: Column, bits: int = 16) -> Column:
     HOFs have no CSE — extracting 16 bits from a lambda-recomputed md5
     would hash every token 16×); the fold then accumulates the ±1 bit
     sums in one pass over the hash array.
+
+    NULL text yields a NULL fingerprint (expression semantics); the
+    groupBy variant OMITS such rows instead (explode drops them) —
+    filter ``text IS NOT NULL`` first where row-set parity matters.
     """
     assert bits % 4 == 0 and 4 <= bits <= 60
     hashes = F.transform(

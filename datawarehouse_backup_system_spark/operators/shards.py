@@ -44,6 +44,32 @@ def shard_assign(
     )
 
 
+def _manifest_from_assigned(
+    assigned: DataFrame, key_col: str, n_shards: int, text_col: str | None
+) -> DataFrame:
+    """Aggregate an already-assigned frame into the manifest, emitting a
+    row for EVERY shard id — an empty shard shows n_docs=0 (NULL ranges)
+    rather than vanishing, so a training job planning worker/shard
+    assignment can tell 'empty' from 'missing'."""
+    aggs = [
+        F.count(key_col).cast("bigint").alias("n_docs"),
+        F.min(key_col).alias("min_key"),
+        F.max(key_col).alias("max_key"),
+    ]
+    if text_col is not None:
+        aggs.append(
+            F.sum(text.token_count(F.col(text_col))).cast("bigint").alias("n_tokens")
+        )
+    per_shard = assigned.groupBy("shard_id").agg(*aggs)
+    all_ids = assigned.sparkSession.range(n_shards).select(
+        F.col("id").cast("bigint").alias("shard_id")
+    )
+    return (
+        all_ids.join(per_shard, "shard_id", "left")
+        .na.fill({"n_docs": 0})
+    )
+
+
 def shard_manifest(
     df: DataFrame,
     key_col: str,
@@ -53,18 +79,10 @@ def shard_manifest(
 ) -> DataFrame:
     """Per-shard manifest: row count, key range, and (when ``text_col``
     given) total whitespace tokens — the planning input for a training
-    job's worker/shard assignment. One partial-aggregatable groupBy."""
+    job's worker/shard assignment. One partial-aggregatable groupBy;
+    every shard id appears (empty shards as n_docs=0)."""
     assigned = shard_assign(df, key_col, n_shards, salt)
-    aggs = [
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min(key_col).alias("min_key"),
-        F.max(key_col).alias("max_key"),
-    ]
-    if text_col is not None:
-        aggs.append(
-            F.sum(text.token_count(F.col(text_col))).cast("bigint").alias("n_tokens")
-        )
-    return assigned.groupBy("shard_id").agg(*aggs)
+    return _manifest_from_assigned(assigned, key_col, n_shards, text_col)
 
 
 def export_shards(
@@ -73,9 +91,13 @@ def export_shards(
     key_col: str,
     n_shards: int,
     salt: str = "shard",
+    text_col: str | None = None,
 ) -> DataFrame:
     """Write ``path/shard_id=K/`` parquet, one file per shard, rows in
-    deterministic hash order within the shard; returns the manifest.
+    deterministic hash order within the shard; returns the manifest
+    computed FROM THE WRITTEN FILES (one corpus pass total — a manifest
+    recomputed from ``df``'s lineage would scan everything twice and
+    could diverge from the files if upstream is non-deterministic).
 
     ``repartition(n_shards, shard_id)`` + ``partitionBy(shard_id)``:
     every shard is written by exactly one task (one file), and
@@ -99,4 +121,5 @@ def export_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
-    return shard_manifest(df, key_col, n_shards, salt=salt)
+    written = df.sparkSession.read.parquet(path)
+    return _manifest_from_assigned(written, key_col, n_shards, text_col)

@@ -137,9 +137,11 @@ WHERE n_inter * 1.0 / (za.n_sh + zb.n_sh - n_inter) >= 0.5
 # --------------------------------------------------------------------------
 def d03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free per-row SimHash (simhash_expr; parity with the
-    explode+groupBy reference implementation is pytest-pinned)."""
+    explode+groupBy reference implementation is pytest-pinned). NULL
+    texts are filtered to match the oracle's UNNEST row set (which drops
+    them), not mapped to NULL fingerprints."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.select(
+    return docs.where(F.col("text").isNotNull()).select(
         "doc_id", dedup_approx.simhash_expr(F.col("text"), bits=16).alias("simhash")
     )
 
@@ -820,10 +822,16 @@ WITH b AS (
          CAST('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
            % 1000000 % 8 AS shard_id
   FROM documents
+),
+agg AS (
+  SELECT shard_id, CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
+         MIN(doc_id) AS min_key, MAX(doc_id) AS max_key,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+  FROM b GROUP BY shard_id
 )
-SELECT shard_id, COUNT(*) AS n_docs, MIN(doc_id) AS min_key, MAX(doc_id) AS max_key,
-       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
-FROM b GROUP BY shard_id
+SELECT r.range AS shard_id, COALESCE(agg.n_docs, 0) AS n_docs,
+       agg.min_key, agg.max_key, agg.n_tokens
+FROM range(8) r LEFT JOIN agg ON agg.shard_id = r.range
 """
 
 

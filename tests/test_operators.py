@@ -219,27 +219,33 @@ def test_asof_join_directions_tolerance_and_ties(spark):
     from datawarehouse_backup_system_spark.operators.asof import asof_join
 
     right = spark.createDataFrame(
-        [(1, 100, "a"), (1, 200, "b"), (2, 150, "c")],
+        [(1, 100, "a"), (1, 200, "b"), (2, 150, "c"), (1, None, "nullts")],
         "k long, rts long, tag string",
     ).select("k", F.timestamp_seconds("rts").alias("rts"), "tag")
     left = spark.createDataFrame(
-        [(10, 1, 50), (11, 1, 100), (12, 1, 199), (13, 1, 5000), (14, 2, 149), (15, 3, 100)],
+        [(10, 1, 50), (11, 1, 100), (12, 1, 199), (13, 1, 5000), (14, 2, 149),
+         (15, 3, 100), (16, 1, None)],
         "lid long, k long, lts long",
     ).select("lid", "k", F.timestamp_seconds("lts").alias("lts"))
 
+    # NULL-timestamp rows (right 'nullts', left lid 16) must never match
+    # in either direction — DuckDB ASOF / pandas merge_asof semantics
     back = {r["lid"]: r["tag_right"] for r in
             asof_join(left, right, ["k"], "lts", "rts", "backward").collect()}
-    assert back == {10: None, 11: "a", 12: "a", 13: "b", 14: None, 15: None}
+    assert back == {10: None, 11: "a", 12: "a", 13: "b", 14: None, 15: None,
+                    16: None}
 
     fwd = {r["lid"]: r["tag_right"] for r in
            asof_join(left, right, ["k"], "lts", "rts", "forward").collect()}
-    assert fwd == {10: "a", 11: "a", 12: "b", 13: None, 14: "c", 15: None}
+    assert fwd == {10: "a", 11: "a", 12: "b", 13: None, 14: "c", 15: None,
+                   16: None}
 
     tol = {r["lid"]: r["tag_right"] for r in
            asof_join(left, right, ["k"], "lts", "rts", "backward",
                      tolerance_seconds=60).collect()}
     # lid 13 matched 'b' at gap 4800s > 60s -> nulled; lid 12 gap 99s -> nulled
-    assert tol == {10: None, 11: "a", 12: None, 13: None, 14: None, 15: None}
+    assert tol == {10: None, 11: "a", 12: None, 13: None, 14: None, 15: None,
+                   16: None}
 
 
 def test_range_join_buckets_match_naive_theta(spark):
