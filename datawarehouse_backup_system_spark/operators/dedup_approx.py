@@ -265,7 +265,11 @@ def dedup_groups(
 
     Each round is one shuffle (neighbor-label join + min-agg); rounds
     bound by component diameter, with driver early-stop when a round
-    changes nothing. Labels persist per round and the previous round is
+    changes nothing. Convergence detection is a single aggregation, not
+    a join: each node's label is min(old ∪ neighbor labels), so labels
+    are monotone non-increasing and the label SUM strictly decreases
+    iff any label changed (summed as decimal(38,0) — no overflow at any
+    node count). Labels persist per round and the previous round is
     unpersisted — lineage stays shallow. At 100 TB scale this is the
     same alternating-join shape GraphX/GraphFrames use; hot components
     are bounded because near-dup verification caps pair degree.
@@ -280,7 +284,14 @@ def dedup_groups(
         .withColumn("label", F.col("node"))
         .persist()
     )
-    changed = 1
+
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         neighbor_labels = (
             und.join(labels, und.dst == labels.node)
@@ -292,18 +303,15 @@ def dedup_groups(
             .agg(F.min("label").alias("label"))
             .persist()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "_old"), "node")
-            .where(F.col("label") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
+            converged = True
             break
+        prev_sum = new_sum
     und.unpersist()
-    if changed != 0:
+    if not converged:
         labels.unpersist()
         raise RuntimeError(
             f"dedup_groups did not converge within max_iter={max_iter} "
