@@ -686,6 +686,51 @@ Q42_SQL = "\nUNION ALL\n".join(
 )
 
 
+# --------------------------------------------------------------------------
+# q43 — native session_window aggregation (vs q17's hand-rolled islands)
+# --------------------------------------------------------------------------
+def q43_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN session_window (dynamic-gap event-time sessions,
+    the same operator Structured Streaming uses for streaming sessions):
+    one session row per (user, burst), window end = last event + gap.
+    Oracle replays the semantics as a gaps-and-islands SQL — an
+    independent formulation of the same sessions."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+Q43_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) + 30*60*1000000 AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM islands GROUP BY user_id, session_id
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("q30_approx_profile", q30_approx_profile, Q30_SQL,
               "HLL/KLL approximate profiling (tolerance-boolean oracle)"),
@@ -726,6 +771,8 @@ SPECS: list[QuerySpec] = [
               "bucketed range join vs DuckDB native BETWEEN (IEJoin)"),
     QuerySpec("q42_rollup_cascade", q42_rollup_cascade, Q42_SQL,
               "hypertable rollup cascade: re-aggregated tiers vs direct"),
+    QuerySpec("q43_session_window", q43_session_window, Q43_SQL,
+              "native session_window vs gaps-and-islands oracle"),
     QuerySpec("q39_rolling_mean", q39_rolling_mean, Q39_SQL,
               "trailing 7-event rolling mean per user (bounded frame)"),
 ]
