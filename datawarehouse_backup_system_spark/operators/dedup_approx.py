@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from datawarehouse_backup_system_spark.operators.hashing import row_hash_col
 
@@ -265,14 +266,20 @@ def dedup_groups(
 
     Each round is one shuffle (neighbor-label join + min-agg); rounds
     bound by component diameter, with driver early-stop when a round
-    changes nothing. Convergence detection is a single aggregation, not
-    a join: each node's label is min(old ∪ neighbor labels), so labels
-    are monotone non-increasing and the label SUM strictly decreases
-    iff any label changed (summed as decimal(38,0) — no overflow at any
-    node count). Labels persist per round and the previous round is
-    unpersisted — lineage stays shallow. At 100 TB scale this is the
-    same alternating-join shape GraphX/GraphFrames use; hot components
-    are bounded because near-dup verification caps pair degree.
+    changes nothing. Convergence detection for NUMERIC ids is a single
+    aggregation, not a join: each node's label is min(old ∪ neighbor
+    labels), so labels are monotone non-increasing and the label SUM
+    strictly decreases iff any label changed (summed as decimal(38,0) —
+    no overflow at any node count). For NON-numeric ids (string doc ids
+    are common in real corpora) the sum would cast to NULL and NULL ==
+    NULL would fake convergence after one hop, silently splitting any
+    component of diameter ≥ 2 — so those fall back to a changed-row
+    count (old-vs-new label join per round; labels are still monotone
+    under lexicographic min, so zero changes ⇒ fixpoint). Labels persist
+    per round and the previous round is unpersisted — lineage stays
+    shallow. At 100 TB scale this is the same alternating-join shape
+    GraphX/GraphFrames use; hot components are bounded because near-dup
+    verification caps pair degree.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     und = edges.union(
@@ -285,12 +292,32 @@ def dedup_groups(
         .persist()
     )
 
-    def _label_sum(df: DataFrame):
-        return df.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+    numeric_ids = isinstance(
+        labels.schema["label"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.FloatType, T.DoubleType, T.DecimalType),
+    )
 
-    prev_sum = _label_sum(labels)
+    def _label_sum(df: DataFrame):
+        s = df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        if s["s"] is None and s["n"] > 0:  # cast produced NULLs — unsound
+            raise TypeError(
+                "dedup_groups: label sum is NULL for a non-empty label set"
+            )
+        return s["s"]
+
+    def _changed(old: DataFrame, new: DataFrame) -> int:
+        return (
+            old.select("node", F.col("label").alias("_old"))
+            .join(new, "node")
+            .where(F.col("_old") != F.col("label"))
+            .count()
+        )
+
+    prev_sum = _label_sum(labels) if numeric_ids else None
     converged = False
     for _ in range(max_iter):
         neighbor_labels = (
@@ -303,13 +330,17 @@ def dedup_groups(
             .agg(F.min("label").alias("label"))
             .persist()
         )
-        new_sum = _label_sum(new_labels)
+        if numeric_ids:
+            new_sum = _label_sum(new_labels)
+            settled = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            settled = _changed(labels, new_labels) == 0
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:
+        if settled:
             converged = True
             break
-        prev_sum = new_sum
     und.unpersist()
     if not converged:
         labels.unpersist()

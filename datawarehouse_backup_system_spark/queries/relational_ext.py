@@ -646,6 +646,9 @@ GROUP BY p.purchase_id, p.user_id
 # --------------------------------------------------------------------------
 # q42 — hypertable rollup cascade (minute→hour→day re-aggregation)
 # --------------------------------------------------------------------------
+_Q42_LIVE_TIERS: list[DataFrame] = []
+
+
 def q42_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators.rollup.rollup_cascade over events: per event_type
     count/sum/min/max of integer cents at minute, hour, and day
@@ -656,12 +659,16 @@ def q42_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # repeated runs (bench best-of-2, gate loops) would otherwise
     # accumulate this query's tier caches — new DataFrame objects each
-    # call, so never reused, never evicted until memory pressure
-    spark.catalog.clearCache()
+    # call, so never reused, never evicted until memory pressure. Evict
+    # exactly the PRIOR invocation's tiers (not clearCache(), which
+    # would nuke unrelated caches a harness holds in the same session).
+    while _Q42_LIVE_TIERS:
+        _Q42_LIVE_TIERS.pop().unpersist()
     ev = load(spark, sf_dir, "events")
     tiers = rollup_cascade(
         ev, "ts", cents(F.col("value")), key_cols=["event_type"], persist=True
     )
+    _Q42_LIVE_TIERS.extend(tiers.values())
     out = None
     for name, df in tiers.items():
         tagged = df.select(F.lit(name).alias("resolution"), "*")
