@@ -7,13 +7,16 @@ implemented operator from SURVEY.md §2 (+ LLM-pipeline extensions);
 
 from __future__ import annotations
 
+import json
+import re
 import sys
 from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+_REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(_REPO))
 
 from datawarehouse_backup_system_spark.queries import relational, relational_ext  # noqa: E402
 from datawarehouse_backup_system_spark.queries.base import (  # noqa: E402
@@ -29,6 +32,47 @@ try:  # LLM-pipeline extension queries (dedup/similarity/text)
     _ALL_SPECS += list(llm_ops.SPECS)
 except ImportError:
     pass
+
+try:  # multimodal / recall / streaming-parity extension queries
+    from datawarehouse_backup_system_spark.queries import extras
+
+    _ALL_SPECS += list(extras.SPECS)
+except ImportError:
+    pass
+
+
+def _last_green_round(name: str) -> int:
+    """Latest driver round whose CORRECTNESS_r{N}.json has a green row.
+
+    The driver verifies only the first 50 ``queries()`` entries per round,
+    so we order specs least-recently-verified first (never-verified at the
+    very front).  This is the rotation policy from COVERAGE.md: every
+    query cycles through the verification window automatically, and newly
+    added queries are verified in their first round.
+    """
+    best = -1
+    for p in _REPO.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if rnd <= best:
+            continue
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        row = rows.get(name)
+        if not row or row.get("err") is not None:
+            continue
+        if row.get("rows_match") and row.get("schema_match") is not False \
+                and row.get("hash_match") is not False:
+            best = rnd
+    return best
+
+
+_BY_STALENESS = {s.name: i for i, s in enumerate(_ALL_SPECS)}
+_ALL_SPECS.sort(key=lambda s: (_last_green_round(s.name), _BY_STALENESS[s.name]))
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -292,11 +292,15 @@ def dedup_groups(
         .persist()
     )
 
+    # Sum-based convergence is only sound for INTEGRAL labels: a
+    # fractional label cast to decimal(38,0) rounds, so distinct labels
+    # can collide and the sum test could fake convergence (same failure
+    # class the string fallback guards against). Float/double/scaled
+    # decimals take the changed-count path.
+    label_type = labels.schema["label"].dataType
     numeric_ids = isinstance(
-        labels.schema["label"].dataType,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-         T.FloatType, T.DoubleType, T.DecimalType),
-    )
+        label_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ) or (isinstance(label_type, T.DecimalType) and label_type.scale == 0)
 
     def _label_sum(df: DataFrame):
         s = df.agg(
@@ -317,30 +321,40 @@ def dedup_groups(
             .count()
         )
 
-    prev_sum = _label_sum(labels) if numeric_ids else None
     converged = False
-    for _ in range(max_iter):
-        neighbor_labels = (
-            und.join(labels, und.dst == labels.node)
-            .select(F.col("src").alias("node"), "label")
-        )
-        new_labels = (
-            labels.unionByName(neighbor_labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .persist()
-        )
-        if numeric_ids:
-            new_sum = _label_sum(new_labels)
-            settled = new_sum == prev_sum
-            prev_sum = new_sum
-        else:
-            settled = _changed(labels, new_labels) == 0
+    new_labels = None
+    try:
+        prev_sum = _label_sum(labels) if numeric_ids else None
+        for _ in range(max_iter):
+            neighbor_labels = (
+                und.join(labels, und.dst == labels.node)
+                .select(F.col("src").alias("node"), "label")
+            )
+            new_labels = (
+                labels.unionByName(neighbor_labels)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .persist()
+            )
+            if numeric_ids:
+                new_sum = _label_sum(new_labels)
+                settled = new_sum == prev_sum
+                prev_sum = new_sum
+            else:
+                settled = _changed(labels, new_labels) == 0
+            labels.unpersist()
+            labels = new_labels
+            new_labels = None
+            if settled:
+                converged = True
+                break
+    except Exception:
+        # mirror the non-convergence branch: never leak persisted frames
+        und.unpersist()
         labels.unpersist()
-        labels = new_labels
-        if settled:
-            converged = True
-            break
+        if new_labels is not None:
+            new_labels.unpersist()
+        raise
     und.unpersist()
     if not converged:
         labels.unpersist()

@@ -31,14 +31,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # DuckDB's naive-UTC regardless of the host session's defaults.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if table == "events":
-        # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to microseconds
-        # (same truncation DuckDB applies), keeping the public schema.
+        # events.parquet has shipped with two physical ts encodings across
+        # testdata generations: TIMESTAMP(NANOS) (which Spark's vectorized
+        # reader rejects — read nanos as long, truncate to micros like
+        # DuckDB) and plain TIMESTAMP(MICROS) with isAdjustedToUTC=false
+        # (which Spark reads as TIMESTAMP_NTZ). Branch on the decoded type
+        # so either generation yields the same session-UTC TimestampType.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, T.TimestampNTZType):
+            # Session tz is pinned to UTC above, so NTZ -> TZ preserves the
+            # wall-clock instant and matches DuckDB's naive reading.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

@@ -663,7 +663,14 @@ def q42_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly the PRIOR invocation's tiers (not clearCache(), which
     # would nuke unrelated caches a harness holds in the same session).
     while _Q42_LIVE_TIERS:
-        _Q42_LIVE_TIERS.pop().unpersist()
+        stale = _Q42_LIVE_TIERS.pop()
+        try:
+            stale.unpersist()
+        except Exception:
+            # the session that cached this tier may have been stopped and
+            # recreated between invocations (bench rounds); the cache died
+            # with it — just drop the stale handle.
+            pass
     ev = load(spark, sf_dir, "events")
     tiers = rollup_cascade(
         ev, "ts", cents(F.col("value")), key_cols=["event_type"], persist=True
