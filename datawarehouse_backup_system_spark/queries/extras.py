@@ -1,0 +1,257 @@
+"""Extension queries: multimodal oracle, ANN recall, streaming parity.
+
+Three families the round-2 verdict asked to put under the hard
+(driver/DuckDB) correctness signal:
+
+- **m01** — first oracle-checked multimodal query: the expression-level
+  PNG header probe (``multimodal.png_dims``) runs over blobs synthesized
+  deterministically from ``doc_id``; the oracle recomputes the expected
+  dimensions arithmetically, so the bytes→dims parse is checked against
+  independent ground truth (not a re-parse).
+- **r01–r04** — measured recall@k of every approximate ANN family
+  (sign-bucket, multi-probe, IVF, random-hyperplane) against the exact
+  brute-force baseline, one row per probe query. Both the approximate
+  and the exact side are replayed by the DuckDB oracle, so the recall
+  numbers themselves are hash-verified — this is the artifact a real
+  user asks of any ANN ("what recall does this config actually get?").
+- **s01** — batch replay of bounded-state streaming dedup
+  (``streaming.ingest_stream.streaming_dedup``): a duplicate content
+  hash arriving within the watermark horizon of the previous occurrence
+  is dropped; beyond the horizon it survives (bounded state ⇒ late
+  duplicates are the documented trade-off). Expressed as gap-islands
+  over a keyed window so the exact same semantics run on both engines.
+
+At 100 TB: m01 stays in whole-stage codegen (pure hex/substring
+expressions — a metadata predicate usable before any decode); r* reuse
+the bucketed candidate-generation joins (the exact baseline is the only
+quadratic piece and it is restricted to the bounded probe set); s01 is
+one keyed shuffle (hash-partition by content hash), no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ..operators import similarity
+from ..operators.hashing import HASH_SEP
+from ..operators.multimodal import png_dims
+from .base import QuerySpec, load
+
+
+# --------------------------------------------------------------------------
+# m01 — expression-level PNG dimension probe over synthesized blobs
+# --------------------------------------------------------------------------
+def m01_png_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a 24-byte PNG header (signature + IHDR length/tag + dims)
+    per document with hex expressions, then parse it back with the
+    production ``png_dims`` probe. The oracle computes the same dims
+    straight from ``doc_id`` — independent ground truth for the parser.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 1920 + 1).cast("bigint")
+    h = (F.col("doc_id") % 1080 + 1).cast("bigint")
+    blob = F.unhex(
+        F.concat(
+            # PNG signature (8B) + IHDR chunk length 13 (4B) + "IHDR" (4B)
+            F.lit("89504E470D0A1A0A" "0000000D" "49484452"),
+            F.lpad(F.hex(w), 8, "0"),
+            F.lpad(F.hex(h), 8, "0"),
+        )
+    )
+    dims = png_dims(blob)
+    return docs.select(
+        "doc_id",
+        dims["width"].alias("width"),
+        dims["height"].alias("height"),
+    )
+
+
+M01_SQL = """
+SELECT doc_id,
+       CAST(doc_id % 1920 + 1 AS INT) AS width,
+       CAST(doc_id % 1080 + 1 AS INT) AS height
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# r01–r04 — recall@3 of each ANN family vs the exact baseline
+# --------------------------------------------------------------------------
+_K = 3
+
+
+def _recall_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall = |approx ∩ exact| / |exact| over (query,neighbor)
+    pairs. Approx pairs are deduped first so multi-probe candidate
+    duplication can never inflate recall."""
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.select("query_id", "neighbor_id")
+        .join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("n_hit"),
+        )
+        .withColumn("recall", F.round(F.col("n_hit") / F.col("n_exact"), 6))
+    )
+
+
+def _emb_queries(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb, emb.where(F.col("vec_id") % 100 == 0)
+
+
+def r01_recall_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, q = _emb_queries(spark, sf_dir)
+    exact = similarity.brute_force_topk(emb, q, k=_K)
+    approx = similarity.bucketed_ann(emb, q, k=_K, n_bits=8)
+    return _recall_frame(exact, approx)
+
+
+def r02_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, q = _emb_queries(spark, sf_dir)
+    exact = similarity.brute_force_topk(emb, q, k=_K)
+    approx = similarity.bucketed_ann(emb, q, k=_K, n_bits=8, multi_probe=1)
+    return _recall_frame(exact, approx)
+
+
+def r03_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, q = _emb_queries(spark, sf_dir)
+    exact = similarity.brute_force_topk(emb, q, k=_K)
+    approx = similarity.ivf_topk(emb, q, k=_K, n_centroids=8, n_probe=2)
+    return _recall_frame(exact, approx)
+
+
+def r04_recall_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, q = _emb_queries(spark, sf_dir)
+    planes = similarity.deterministic_planes(64, 8)
+    exact = similarity.brute_force_topk(emb, q, k=_K)
+    approx = similarity.bucketed_ann(emb, q, k=_K, multi_probe=1, planes=planes)
+    return _recall_frame(exact, approx)
+
+
+def _exact_topk_sql(k: int) -> str:
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qe, e)
+               / NULLIF(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e)), 0),
+               6) AS score
+  FROM q JOIN v ON v.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def _recall_sql(approx_sql: str, k: int = _K) -> str:
+    """Wrap an existing ANN oracle statement (its own WITH is legal in a
+    parenthesized subquery) into the recall computation. BIGINT/BIGINT
+    division is float in DuckDB, matching Spark's long/long → double."""
+    return f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({_exact_topk_sql(k)}) x),
+approx AS (SELECT DISTINCT query_id, neighbor_id FROM ({approx_sql}) a)
+SELECT e.query_id,
+       COUNT(*) AS n_exact,
+       COUNT(ap.neighbor_id) AS n_hit,
+       ROUND(COUNT(ap.neighbor_id) / COUNT(*), 6) AS recall
+FROM exact e
+LEFT JOIN approx ap
+  ON ap.query_id = e.query_id AND ap.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+# --------------------------------------------------------------------------
+# s01 — batch replay of bounded-state streaming dedup (watermark horizon)
+# --------------------------------------------------------------------------
+_S01_GAP_MIN = 30
+
+
+def s01_watermark_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch query pinning the SEMANTICS of ``streaming_dedup``
+    (``streaming/ingest_stream.py:91``): duplicates of a content hash
+    within the 30-minute state horizon of the previous occurrence are
+    dropped; a duplicate arriving after the horizon expires survives
+    (bounded state). Gap-islands over a keyed window express exactly
+    that: keep a row iff it is the first of its hash or follows the
+    previous occurrence by more than the horizon.
+    """
+    ev = load(spark, sf_dir, "events")
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+        for c in ("user_id", "event_type")
+    ]
+    hashed = ev.withColumn("row_hash", F.md5(F.concat_ws(HASH_SEP, *parts)))
+    w = Window.partitionBy("row_hash").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    gap_us = ts_us - F.lag(ts_us).over(w)
+    return (
+        hashed.withColumn("gap_us", gap_us)
+        .where(
+            F.col("gap_us").isNull()
+            | (F.col("gap_us") > _S01_GAP_MIN * 60 * 1_000_000)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            ts_us.alias("ts_us"),
+            "row_hash",
+        )
+    )
+
+
+S01_SQL = f"""
+WITH hashed AS (
+  SELECT event_id, user_id, event_type, ts,
+         md5(concat_ws(chr(1),
+             coalesce(CAST(user_id AS VARCHAR), '<NULL>'),
+             coalesce(event_type, '<NULL>'))) AS row_hash
+  FROM events
+),
+gapped AS (
+  SELECT *,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY row_hash ORDER BY ts, event_id
+         ) AS gap_us
+  FROM hashed
+)
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, row_hash
+FROM gapped
+WHERE gap_us IS NULL OR gap_us > {_S01_GAP_MIN} * 60 * 1000000
+"""
+
+
+def _build_specs() -> list[QuerySpec]:
+    from .llm_ops import D07_SQL, D08_SQL, D10_SQL, D11_SQL
+
+    return [
+        QuerySpec("m01_png_dims", m01_png_dims, M01_SQL,
+                  "expression-level PNG header probe vs arithmetic oracle"),
+        QuerySpec("r01_recall_bucketed", r01_recall_bucketed, _recall_sql(D07_SQL),
+                  "recall@3 of sign-bucket ANN vs exact baseline"),
+        QuerySpec("r02_recall_multiprobe", r02_recall_multiprobe, _recall_sql(D08_SQL),
+                  "recall@3 of Hamming-1 multi-probe ANN vs exact baseline"),
+        QuerySpec("r03_recall_ivf", r03_recall_ivf, _recall_sql(D10_SQL),
+                  "recall@3 of IVF(n_probe=2) ANN vs exact baseline"),
+        QuerySpec("r04_recall_hyperplane", r04_recall_hyperplane, _recall_sql(D11_SQL),
+                  "recall@3 of random-hyperplane LSH ANN vs exact baseline"),
+        QuerySpec("s01_watermark_dedup_batch", s01_watermark_dedup_batch, S01_SQL,
+                  "batch replay of dropDuplicatesWithinWatermark semantics"),
+    ]
+
+
+SPECS = _build_specs()
