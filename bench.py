@@ -47,6 +47,7 @@ HEADLINE = [
     "q42_rollup_cascade",
     "d01_dedup_exact",
     "d02_minhash_lsh",
+    "d02_minhash_lsh_staged",
     "d05_embedding_neardup",
     "d06_similarity_topk",
     "d07_ann_bucketed",
@@ -65,7 +66,32 @@ HEADLINE = [
 ]
 
 
+def _d02_staged(stage_root: str):
+    """Bench-only variant of d02 exercising the ``stage_path`` tier (the
+    100 TB switch: shingles staged to parquet once instead of persisted
+    in executor storage memory). The staging write is INSIDE the timed
+    region — it is part of the real cost of that strategy."""
+    from datawarehouse_backup_system_spark.operators import dedup_approx
+    from datawarehouse_backup_system_spark.queries.llm_ops import _docs_with_neardups
+
+    def run(spark, sf_dir):
+        corpus = _docs_with_neardups(spark, sf_dir)
+        pairs = dedup_approx.minhash_lsh_dedup(
+            corpus, "doc_id", "text", shingle_n=3, k=9, band_size=3,
+            threshold=0.5, max_bucket_size=20,
+            stage_path=f"{stage_root}/shingles",
+        )
+        return pairs.select(
+            "id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard"
+        )
+
+    return run
+
+
 def main() -> int:
+    import shutil
+    import tempfile
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -74,6 +100,8 @@ def main() -> int:
         s.name: s
         for s in relational.SPECS + relational_ext.SPECS + llm_ops.SPECS
     }
+    stage_root = tempfile.mkdtemp(prefix="dwbss-bench-stage-")
+    extra_fns = {"d02_minhash_lsh_staged": _d02_staged(stage_root)}
     spark = get_spark(app_name="dwbss-bench")
 
     # warm the JVM + file listing with a trivial action (not timed)
@@ -83,7 +111,7 @@ def main() -> int:
     # warmup and is exposed to host noise; min() approximates steady state
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = specs[name].spark_fn
+        fn = extra_fns[name] if name in extra_fns else specs[name].spark_fn
         best = float("inf")
         for _ in range(2):
             spark.catalog.clearCache()  # no cross-run cache reuse: honest timing
@@ -91,6 +119,7 @@ def main() -> int:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+    shutil.rmtree(stage_root, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(

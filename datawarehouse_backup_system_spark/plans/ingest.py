@@ -290,7 +290,7 @@ class IngestJob:
                 part_dir = src.parent.relative_to(inflight)
                 dst_dir = out / part_dir
                 dst_dir.mkdir(parents=True, exist_ok=True)
-                src.rename(dst_dir / f"w{write_id}-{src.name}")
+                self._publish_file(src, dst_dir / f"w{write_id}-{src.name}")
         except Exception:
             # roll back THIS write immediately: a later file in the same
             # run() cycle must not see partial rows (watermark/dense-id
@@ -303,6 +303,26 @@ class IngestJob:
         self.ledger.append(marker, ledger_mod.STATUS_WRITE_COMMIT)
         shutil.rmtree(inflight, ignore_errors=True)
         return int(obs.get["n"])
+
+    def _publish_file(self, src: Path, dst: Path) -> None:
+        """Move one staged data file into the live table. Override point
+        for non-POSIX storage.
+
+        On a local/HDFS filesystem ``rename`` is atomic: readers see the
+        whole file or nothing. On object stores "rename" is copy+delete
+        (S3A) — NOT atomic as an operation — but the protocol's crash
+        safety does not depend on it: the destination carries the
+        ``w<write_id>-`` prefix from the first byte, so a crash mid-copy
+        leaves a partial object that :meth:`recover_writes` deletes BY
+        NAME, never needing to read it (pytest: corrupt-partial recovery
+        test). What IS lost off-POSIX is reader isolation during the
+        copy window: a concurrent reader can observe a truncated object
+        on stores that expose in-progress writes. On real S3 this does
+        not occur (objects appear only at PUT completion); for stores
+        where it can, override this to upload to the final key in one
+        multipart commit, or route readers through the ledger's
+        committed-write view."""
+        src.rename(dst)
 
     def recover_writes(self, inflight_ttl_s: float = 3600.0) -> list[str]:
         """Roll back writes that began but never committed (crash between

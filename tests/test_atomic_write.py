@@ -98,6 +98,50 @@ def test_crash_during_publish_rolls_back(spark, tmp_path, monkeypatch):
     assert list(ids) == [1, table.count(), table.count()]
 
 
+def test_nonatomic_publish_crash_recovers_without_reading(spark, tmp_path,
+                                                          monkeypatch):
+    """Object-store semantics: 'rename' is copy+delete, and a crash
+    mid-copy leaves a PARTIAL (corrupt) destination object. The marker
+    protocol must recover by NAME — deleting the partial without ever
+    parsing it — and leave the table exactly at baseline."""
+    from datawarehouse_backup_system_spark.plans.ingest import IngestJob
+
+    fx = generate_f1(tmp_path, n=40)
+    job = make_job(spark, tmp_path, fx)
+    res = job.process_file(fx["files"][0])
+    assert res.status == ledger_mod.STATUS_UPLOADED
+    schema = job.registry.get("mini_campaign_events")
+    baseline = job.read_table(schema).count()
+
+    def copy_then_die(self, src, dst):
+        # simulated S3A copy cut off mid-stream by a process kill (no
+        # in-process rollback runs): a torn object lands at the final key
+        data = src.read_bytes()
+        dst.write_bytes(data[: max(1, len(data) // 2)])
+        raise KeyboardInterrupt("simulated process kill mid-copy")
+
+    monkeypatch.setattr(IngestJob, "_publish_file", copy_then_die)
+    with pytest.raises(KeyboardInterrupt):
+        # BaseException models a kill: the except-Exception rollback in
+        # _atomic_append must NOT swallow it; recovery happens on restart
+        job.process_file(fx["files"][1])
+    monkeypatch.undo()
+
+    # the torn object exists and would corrupt any reader that opened it
+    leaked = list(job.table_path(schema).rglob("w*-*.parquet"))
+    # recovery deletes the crashed write's files purely by prefix
+    aborted = job.recover_writes()
+    assert len(aborted) == 1
+    for f in leaked:
+        assert f.exists() is (f"w{aborted[0]}-" not in f.name)
+    assert job.read_table(schema).count() == baseline
+
+    # retry ingests the same landing file cleanly after recovery
+    res2 = job.process_file(fx["files"][1])
+    assert res2.status == ledger_mod.STATUS_UPLOADED
+    assert job.read_table(schema).count() > baseline
+
+
 def test_run_recovers_before_ingesting(spark, tmp_path):
     """run() rolls back crashed writes before the cycle, so a crashed
     batch's landing file is re-ingested without duplicates."""
