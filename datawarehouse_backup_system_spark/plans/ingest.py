@@ -79,19 +79,30 @@ class IngestJob:
     ingest_date: str | None = None
 
     def __post_init__(self) -> None:
+        from datawarehouse_backup_system_spark.plans.table_format import (
+            WriteIdParquetFormat,
+        )
+
         self.warehouse_dir = Path(self.warehouse_dir)
         self.warehouse_dir.mkdir(parents=True, exist_ok=True)
         self.ledger = Ledger(self.spark, self.warehouse_dir / "_ledger")
+        # the Delta/Iceberg seam: every snapshot read/append/recover goes
+        # through this format object (see plans/table_format.py); the
+        # publish hook stays late-bound so storage overrides on the job
+        # class apply
+        self.fmt = WriteIdParquetFormat(
+            self.ledger, self.warehouse_dir,
+            move=lambda src, dst: self._publish_file(src, dst),
+        )
 
     # -- snapshot table helpers ------------------------------------------
     def table_path(self, schema: TableSchema) -> Path:
         return Path(self.warehouse_dir) / schema.table_name
 
     def read_table(self, schema: TableSchema) -> DataFrame:
-        p = self.table_path(schema)
-        if not p.exists() or not any(p.rglob("*.parquet")):
-            return self.spark.createDataFrame([], schema.to_struct_type())
-        return self.spark.read.parquet(str(p))
+        return self.fmt.read(
+            self.spark, self.table_path(schema), schema.to_struct_type()
+        )
 
     # -- plan pieces -------------------------------------------------------
     def _scan_with_seq(self, paths: list[Path]) -> DataFrame:
@@ -253,56 +264,14 @@ class IngestJob:
 
     # -- atomic snapshot append -------------------------------------------
     def _atomic_append(self, plan: DataFrame, schema: TableSchema) -> int:
-        """Append ``plan`` to the snapshot under a ledger-bracketed
-        write-id so a mid-write crash never leaves an unrollbackable
-        partial table.
-
-        Protocol: write the batch to ``_inflight/<write_id>`` (a crash
-        there leaves the live table untouched), ledger ``write begin``,
-        rename each data file into its live partition dir with a
-        ``w<write_id>-`` prefix, ledger ``write commit``. Renames within
-        a filesystem are atomic per file; a crash between begin and
-        commit is rolled back by :meth:`recover_writes`, which deletes
-        exactly the files carrying that write-id prefix. (On an object
-        store, the renames become the FileSystem-API equivalent; the
-        marker protocol is unchanged.)
-
-        Returns rows written, via an Observation on the written plan —
-        no post-write table re-scan (which would be O(table) per file).
-        """
-        import uuid
-
-        from pyspark.sql import Observation
-
-        write_id = uuid.uuid4().hex[:16]
-        out = self.table_path(schema)
-        inflight = Path(self.warehouse_dir) / "_inflight" / write_id
-        obs = Observation()
-        plan.observe(obs, F.count(F.lit(1)).alias("n")).write.partitionBy(
-            "ingest_date"
-        ).parquet(str(inflight))
-        marker = f"{ledger_mod.WRITE_MARKER_PREFIX}{schema.table_name}:{write_id}"
-        import shutil
-
-        self.ledger.append(marker, ledger_mod.STATUS_WRITE_BEGIN)
-        try:
-            for src in sorted(inflight.rglob("*.parquet")):
-                part_dir = src.parent.relative_to(inflight)
-                dst_dir = out / part_dir
-                dst_dir.mkdir(parents=True, exist_ok=True)
-                self._publish_file(src, dst_dir / f"w{write_id}-{src.name}")
-        except Exception:
-            # roll back THIS write immediately: a later file in the same
-            # run() cycle must not see partial rows (watermark/dense-id
-            # corruption); the aborted marker keeps recover_writes moot
-            for f in out.rglob(f"w{write_id}-*.parquet"):
-                f.unlink(missing_ok=True)
-            shutil.rmtree(inflight, ignore_errors=True)
-            self.ledger.append(marker, ledger_mod.STATUS_WRITE_ABORTED)
-            raise
-        self.ledger.append(marker, ledger_mod.STATUS_WRITE_COMMIT)
-        shutil.rmtree(inflight, ignore_errors=True)
-        return int(obs.get["n"])
+        """Append ``plan`` to the snapshot through the table format
+        (:mod:`~.table_format`): the shipped
+        :class:`~.table_format.WriteIdParquetFormat` brackets the write
+        with ledger markers so a mid-write crash never leaves an
+        unrollbackable partial table; a Delta/Iceberg format would get
+        atomicity from its transaction log instead. Returns rows written
+        (Observation on the written plan — no post-write re-scan)."""
+        return self.fmt.append(plan, self.table_path(schema), schema.table_name)
 
     def _publish_file(self, src: Path, dst: Path) -> None:
         """Move one staged data file into the live table. Override point
@@ -330,45 +299,12 @@ class IngestJob:
         files from the live table, drop its inflight staging dir, and
         ledger ``write aborted``. The batch's landing files were never
         ledgered as uploaded, so the next cycle re-ingests them cleanly.
-        Returns the aborted write ids.
-
-        Also sweeps ORPHANED staging dirs — an ``_inflight/<id>`` with no
-        ledger marker at all comes from a crash during the staging write
-        itself (before the begin marker; the live table was never
-        touched). Those are deleted once older than ``inflight_ttl_s``
-        seconds (the age guard keeps a concurrently-running job's live
-        staging dir safe)."""
-        import shutil
-        import time
-
-        aborted = []
-        for table_name, write_id in self.ledger.incomplete_writes():
-            table_dir = Path(self.warehouse_dir) / table_name
-            for f in table_dir.rglob(f"w{write_id}-*.parquet"):
-                f.unlink(missing_ok=True)
-            shutil.rmtree(
-                Path(self.warehouse_dir) / "_inflight" / write_id,
-                ignore_errors=True,
-            )
-            self.ledger.append(
-                f"{ledger_mod.WRITE_MARKER_PREFIX}{table_name}:{write_id}",
-                ledger_mod.STATUS_WRITE_ABORTED,
-            )
-            aborted.append(write_id)
-        inflight_root = Path(self.warehouse_dir) / "_inflight"
-        if inflight_root.exists():
-            marked = {
-                wid
-                for name in self.ledger.read().select("file_name").distinct().collect()
-                if name["file_name"].startswith(ledger_mod.WRITE_MARKER_PREFIX)
-                for wid in [name["file_name"].rsplit(":", 1)[-1]]
-            }
-            now = time.time()
-            for d in inflight_root.iterdir():
-                if (d.name not in marked
-                        and now - d.stat().st_mtime >= inflight_ttl_s):
-                    shutil.rmtree(d, ignore_errors=True)
-        return aborted
+        Returns the aborted write ids (details + the orphaned-staging
+        sweep: :meth:`~.table_format.WriteIdParquetFormat.recover`)."""
+        return self.fmt.recover(
+            lambda table_name: Path(self.warehouse_dir) / table_name,
+            inflight_ttl_s,
+        )
 
     # -- file drivers ------------------------------------------------------
     def process_file(self, path: str | Path) -> FileResult:

@@ -1,0 +1,157 @@
+"""Snapshot table-format seam: where Delta/Iceberg would plug in.
+
+``BASELINE``-grade deployments want a real ACID table format (snapshot
+isolation for concurrent readers, time travel). This container has no
+Delta/Iceberg jars, so the shipped implementation is the write-id marker
+protocol over plain parquet (:class:`WriteIdParquetFormat`) — but every
+snapshot read/append/recover in :class:`~.ingest.IngestJob` goes through
+this interface, so a log-based format drops in as one new class:
+
+- ``DeltaFormat.append`` would be ``df.write.format("delta")
+  .mode("append")`` (atomicity from the transaction log — no markers,
+  no publish renames) and ``recover`` a no-op;
+- ``read`` would be ``spark.read.format("delta")`` and gain time travel
+  via ``option("versionAsOf", ...)``.
+
+The interface is deliberately tiny — read / append / recover — because
+that is the entire surface the ingest plan needs from storage; retention
+partition drops stay in ``operators/retention.py`` (metadata-only either
+way).
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+import uuid
+from abc import ABC, abstractmethod
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datawarehouse_backup_system_spark import ledger as ledger_mod
+from datawarehouse_backup_system_spark.ledger import Ledger
+
+
+class SnapshotFormat(ABC):
+    """Storage contract for snapshot tables: atomic append, consistent
+    read, crash recovery. Implementations own their atomicity mechanism."""
+
+    @abstractmethod
+    def read(
+        self, spark: SparkSession, path: Path, fallback: T.StructType
+    ) -> DataFrame:
+        """Read the table at ``path``; empty/absent → empty ``fallback``."""
+
+    @abstractmethod
+    def append(self, plan: DataFrame, path: Path, table_name: str) -> int:
+        """Atomically append ``plan`` (partitioned by ``ingest_date``);
+        a crash must never leave an unrollbackable partial table.
+        Returns rows written."""
+
+    @abstractmethod
+    def recover(self, table_dirs: Callable[[str], Path],
+                inflight_ttl_s: float) -> list[str]:
+        """Roll back writes that began but never committed; returns the
+        aborted write ids (formats with a transactional log return [])."""
+
+
+class WriteIdParquetFormat(SnapshotFormat):
+    """Plain parquet + ledger-bracketed write-id markers.
+
+    Protocol (the emulation of a commit log without one): stage the batch
+    under ``_inflight/<write_id>`` (a crash there never touches the live
+    table), ledger ``write begin``, publish each data file into its live
+    partition dir under a ``w<write_id>-`` name prefix, ledger ``write
+    commit``. :meth:`recover` deletes exactly the files carrying an
+    uncommitted write-id prefix — by NAME, never reading them, so a torn
+    object from a non-atomic copy is removed just as safely (see
+    ``IngestJob._publish_file`` for the object-store semantics).
+    """
+
+    def __init__(
+        self,
+        ledger: Ledger,
+        warehouse_dir: Path,
+        move: Callable[[Path, Path], None],
+    ) -> None:
+        self.ledger = ledger
+        self.warehouse_dir = Path(warehouse_dir)
+        self._move = move
+
+    def read(
+        self, spark: SparkSession, path: Path, fallback: T.StructType
+    ) -> DataFrame:
+        if not path.exists() or not any(path.rglob("*.parquet")):
+            return spark.createDataFrame([], fallback)
+        return spark.read.parquet(str(path))
+
+    def append(self, plan: DataFrame, path: Path, table_name: str) -> int:
+        from pyspark.sql import Observation
+
+        write_id = uuid.uuid4().hex[:16]
+        inflight = self.warehouse_dir / "_inflight" / write_id
+        obs = Observation()
+        # rows counted via Observation on the written plan — no O(table)
+        # post-write re-scan
+        plan.observe(obs, F.count(F.lit(1)).alias("n")).write.partitionBy(
+            "ingest_date"
+        ).parquet(str(inflight))
+        marker = f"{ledger_mod.WRITE_MARKER_PREFIX}{table_name}:{write_id}"
+        self.ledger.append(marker, ledger_mod.STATUS_WRITE_BEGIN)
+        try:
+            for src in sorted(inflight.rglob("*.parquet")):
+                part_dir = src.parent.relative_to(inflight)
+                dst_dir = path / part_dir
+                dst_dir.mkdir(parents=True, exist_ok=True)
+                self._move(src, dst_dir / f"w{write_id}-{src.name}")
+        except Exception:
+            # roll back THIS write immediately: a later file in the same
+            # run() cycle must not see partial rows (watermark/dense-id
+            # corruption); the aborted marker keeps recover() moot
+            for f in path.rglob(f"w{write_id}-*.parquet"):
+                f.unlink(missing_ok=True)
+            shutil.rmtree(inflight, ignore_errors=True)
+            self.ledger.append(marker, ledger_mod.STATUS_WRITE_ABORTED)
+            raise
+        self.ledger.append(marker, ledger_mod.STATUS_WRITE_COMMIT)
+        shutil.rmtree(inflight, ignore_errors=True)
+        return int(obs.get["n"])
+
+    def recover(self, table_dirs: Callable[[str], Path],
+                inflight_ttl_s: float = 3600.0) -> list[str]:
+        aborted = []
+        for table_name, write_id in self.ledger.incomplete_writes():
+            table_dir = table_dirs(table_name)
+            for f in table_dir.rglob(f"w{write_id}-*.parquet"):
+                f.unlink(missing_ok=True)
+            shutil.rmtree(
+                self.warehouse_dir / "_inflight" / write_id,
+                ignore_errors=True,
+            )
+            self.ledger.append(
+                f"{ledger_mod.WRITE_MARKER_PREFIX}{table_name}:{write_id}",
+                ledger_mod.STATUS_WRITE_ABORTED,
+            )
+            aborted.append(write_id)
+        # sweep ORPHANED staging dirs: an _inflight/<id> with no ledger
+        # marker at all (crash during the staging write itself — the live
+        # table was never touched), once older than the TTL (the age
+        # guard keeps a concurrently-running job's live staging safe)
+        inflight_root = self.warehouse_dir / "_inflight"
+        if inflight_root.exists():
+            marked = {
+                wid
+                for name in self.ledger.read().select("file_name").distinct().collect()
+                if name["file_name"].startswith(ledger_mod.WRITE_MARKER_PREFIX)
+                for wid in [name["file_name"].rsplit(":", 1)[-1]]
+            }
+            now = time.time()
+            for d in inflight_root.iterdir():
+                if (d.name not in marked
+                        and now - d.stat().st_mtime >= inflight_ttl_s):
+                    shutil.rmtree(d, ignore_errors=True)
+        return aborted

@@ -142,6 +142,43 @@ def test_nonatomic_publish_crash_recovers_without_reading(spark, tmp_path,
     assert job.read_table(schema).count() > baseline
 
 
+def test_snapshot_format_seam_swappable(spark, tmp_path):
+    """The table-format seam: a custom SnapshotFormat (stand-in for a
+    Delta/Iceberg backend) receives every snapshot read/append/recover
+    the job issues, with no other job code aware of the storage."""
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        SnapshotFormat,
+    )
+
+    calls = []
+
+    class RecordingFormat(SnapshotFormat):
+        def __init__(self, inner):
+            self.inner = inner
+
+        def read(self, spark_, path, fallback):
+            calls.append(("read", path.name))
+            return self.inner.read(spark_, path, fallback)
+
+        def append(self, plan, path, table_name):
+            calls.append(("append", table_name))
+            return self.inner.append(plan, path, table_name)
+
+        def recover(self, table_dirs, inflight_ttl_s=3600.0):
+            calls.append(("recover", None))
+            return self.inner.recover(table_dirs, inflight_ttl_s)
+
+    fx = generate_f1(tmp_path, n=40)
+    job = make_job(spark, tmp_path, fx)
+    job.fmt = RecordingFormat(job.fmt)
+    res = job.process_file(fx["files"][0])
+    assert res.status == ledger_mod.STATUS_UPLOADED
+    assert ("append", "mini_campaign_events") in calls
+    assert any(op == "read" for op, _ in calls)
+    job.recover_writes()
+    assert ("recover", None) in calls
+
+
 def test_run_recovers_before_ingesting(spark, tmp_path):
     """run() rolls back crashed writes before the cycle, so a crashed
     batch's landing file is re-ingested without duplicates."""
