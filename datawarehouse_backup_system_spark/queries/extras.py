@@ -36,7 +36,7 @@ from pyspark.sql import Window
 
 from ..operators import similarity
 from ..operators.hashing import HASH_SEP
-from ..operators.multimodal import png_dims
+from ..operators.multimodal import decode_features, png_dims
 from .base import QuerySpec, load
 
 
@@ -72,6 +72,66 @@ M01_SQL = """
 SELECT doc_id,
        CAST(doc_id % 1920 + 1 AS INT) AS width,
        CAST(doc_id % 1080 + 1 AS INT) AS height
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# m02 — REAL WAV header parser (mapInPandas, stdlib struct) vs arithmetic
+# oracle over synthesized RIFF/WAVE headers
+# --------------------------------------------------------------------------
+def _le_hex(col: F.Column, nbytes: int) -> F.Column:
+    """Little-endian hex of an integral column, ``nbytes`` wide — the
+    byte order RIFF containers use (Spark's hex() is big-endian)."""
+    parts = [
+        F.lpad(
+            F.hex(F.shiftrightunsigned(col.cast("long"), 8 * i).bitwiseAND(F.lit(255))),
+            2, "0",
+        )
+        for i in range(nbytes)
+    ]
+    return F.concat(*parts)
+
+
+def m02_wav_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a complete 44-byte WAV header per document (canonical
+    RIFF/WAVE/fmt/data layout, little-endian fields built with hex
+    expressions) and run the PRODUCTION header decoder —
+    ``multimodal.decode_features``, the stdlib ``struct`` parser inside
+    ``mapInPandas`` — over the blobs. The oracle recomputes sample rate
+    and duration arithmetically from ``doc_id``: independent ground
+    truth for both the parser and the Arrow-batch plumbing.
+    """
+    docs = load(spark, sf_dir, "documents")
+    rate = (F.lit(8000) * (F.col("doc_id") % 6 + 1)).cast("long")
+    byte_rate = rate * 2                       # 16-bit mono PCM
+    data_size = byte_rate * (F.col("doc_id") % 10 + 1)   # whole seconds
+    hexstr = F.concat(
+        F.lit("52494646"), _le_hex(data_size + 36, 4),   # "RIFF" + size
+        F.lit("57415645"),                               # "WAVE"
+        F.lit("666D7420"), F.lit("10000000"),            # "fmt " + 16
+        F.lit("0100"), F.lit("0100"),                    # PCM, mono
+        _le_hex(rate, 4), _le_hex(byte_rate, 4),
+        F.lit("0200"), F.lit("1000"),                    # align 2, 16 bit
+        F.lit("64617461"), _le_hex(data_size, 4),        # "data" + size
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("audio").alias("kind"),
+        F.unhex(hexstr).alias("data"),
+    )
+    return decode_features(assets).select(
+        "asset_id", "kind", "format", "n_bytes", "duration_ms", "sample_rate"
+    )
+
+
+M02_SQL = """
+SELECT doc_id AS asset_id,
+       'audio' AS kind,
+       'wav' AS format,
+       CAST(44 AS BIGINT) AS n_bytes,
+       CAST((1 + doc_id % 10) * 1000 AS INT) AS duration_ms,
+       CAST(8000 * (1 + doc_id % 6) AS INT) AS sample_rate
 FROM documents
 """
 
@@ -241,6 +301,8 @@ def _build_specs() -> list[QuerySpec]:
     return [
         QuerySpec("m01_png_dims", m01_png_dims, M01_SQL,
                   "expression-level PNG header probe vs arithmetic oracle"),
+        QuerySpec("m02_wav_headers", m02_wav_headers, M02_SQL,
+                  "real stdlib WAV header parser (mapInPandas) vs arithmetic oracle"),
         QuerySpec("r01_recall_bucketed", r01_recall_bucketed, _recall_sql(D07_SQL),
                   "recall@3 of sign-bucket ANN vs exact baseline"),
         QuerySpec("r02_recall_multiprobe", r02_recall_multiprobe, _recall_sql(D08_SQL),

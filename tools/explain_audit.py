@@ -21,6 +21,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from datawarehouse_backup_system_spark.queries import (  # noqa: E402
+    extras,
     llm_ops,
     relational,
     relational_ext,
@@ -63,7 +64,8 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or DEFAULT
     specs = {s.name: s for s in
-             relational.SPECS + relational_ext.SPECS + llm_ops.SPECS}
+             relational.SPECS + relational_ext.SPECS + llm_ops.SPECS
+             + extras.SPECS}
     spark = get_spark(app_name="explain-audit")
     verbose = len(sys.argv) > 2
     for name in names:
