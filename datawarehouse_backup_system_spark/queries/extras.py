@@ -235,6 +235,84 @@ GROUP BY e.query_id
 
 
 # --------------------------------------------------------------------------
+# f01 — fuzzy entity resolution (n-gram-blocked Levenshtein join)
+# --------------------------------------------------------------------------
+def f01_fuzzy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve dirty customer names against the master table. Each dirty
+    record is the customer's name with a deterministic typo (the 'o' of
+    "Customer" dropped); the blocked fuzzy join must recover the true
+    customer as the best match — the true pair is distance 1, while any
+    other key's name is ≥2, so min-distance resolution is unambiguous.
+    Both the blocking (shared rare 3-gram, df ≤ 100 across both sides)
+    and the verification (Levenshtein) replay exactly in DuckDB.
+    """
+    from ..operators.fuzzy import fuzzy_join, resolve_best
+
+    cust = load(spark, sf_dir, "customer")
+    dirty = cust.select(
+        (F.col("c_custkey") + 1_000_000).alias("dirty_id"),
+        # "Customer#000000042" -> "Custmer#000000042"
+        F.concat(
+            F.substring("c_name", 1, 4), F.substring("c_name", 6, 2_000)
+        ).alias("dirty_name"),
+    )
+    clean = cust.select("c_custkey", "c_name")
+    matches = fuzzy_join(
+        dirty, clean, "dirty_id", "c_custkey", "dirty_name", "c_name",
+        gram_n=3, max_df=100, max_distance=2,
+    )
+    return resolve_best(matches, "dirty_id_l", "c_custkey_r").select(
+        F.col("dirty_id_l").alias("dirty_id"),
+        F.col("c_custkey_r").alias("matched_custkey"),
+        "dist",
+    )
+
+
+F01_SQL = """
+WITH dirty AS (
+  SELECT c_custkey + 1000000 AS _lid,
+         regexp_replace(lower(trim(substr(c_name, 1, 4) || substr(c_name, 6))),
+                        '\\s+', ' ', 'g') AS _lp
+  FROM customer
+),
+clean AS (
+  SELECT c_custkey AS _rid,
+         regexp_replace(lower(trim(c_name)), '\\s+', ' ', 'g') AS _rp
+  FROM customer
+),
+gl AS (
+  SELECT DISTINCT _lid, _lp, substr(_lp, CAST(i AS INT), 3) AS gram
+  FROM dirty, UNNEST(range(1, greatest(len(_lp) - 2, 1) + 1)) AS u(i)
+),
+gr AS (
+  SELECT DISTINCT _rid, _rp, substr(_rp, CAST(i AS INT), 3) AS gram
+  FROM clean, UNNEST(range(1, greatest(len(_rp) - 2, 1) + 1)) AS u(i)
+),
+df AS (
+  SELECT gram FROM (
+    SELECT gram, count(*) AS n
+    FROM (SELECT gram FROM gl UNION ALL SELECT gram FROM gr)
+    GROUP BY gram
+  ) WHERE n <= 100
+),
+cands AS (
+  SELECT DISTINCT _lid, _rid, _lp, _rp
+  FROM (SELECT * FROM gl JOIN df USING (gram)) a
+  JOIN (SELECT * FROM gr JOIN df USING (gram)) b USING (gram)
+),
+matches AS (
+  SELECT _lid, _rid, CAST(levenshtein(_lp, _rp) AS INT) AS dist
+  FROM cands WHERE levenshtein(_lp, _rp) <= 2
+)
+SELECT dirty_id, matched_custkey, dist FROM (
+  SELECT _lid AS dirty_id, _rid AS matched_custkey, dist,
+         row_number() OVER (PARTITION BY _lid ORDER BY dist, _rid) AS rn
+  FROM matches
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # s01 — batch replay of bounded-state streaming dedup (watermark horizon)
 # --------------------------------------------------------------------------
 _S01_GAP_MIN = 30
@@ -313,6 +391,8 @@ def _build_specs() -> list[QuerySpec]:
                   "recall@3 of random-hyperplane LSH ANN vs exact baseline"),
         QuerySpec("s01_watermark_dedup_batch", s01_watermark_dedup_batch, S01_SQL,
                   "batch replay of dropDuplicatesWithinWatermark semantics"),
+        QuerySpec("f01_fuzzy_resolve", f01_fuzzy_resolve, F01_SQL,
+                  "n-gram-blocked Levenshtein entity resolution vs master table"),
     ]
 
 

