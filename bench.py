@@ -22,6 +22,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from datawarehouse_backup_system_spark.queries import (  # noqa: E402
+    extras,
     llm_ops,
     relational,
     relational_ext,
@@ -63,6 +64,10 @@ HEADLINE = [
     "t08_shard_manifest",
     "t09_decontaminate",
     "t10_curation_pipeline",
+    "m02_wav_headers",
+    "r02_recall_multiprobe",
+    "s01_watermark_dedup_batch",
+    "f01_fuzzy_resolve",
 ]
 
 
@@ -99,6 +104,7 @@ def main() -> int:
     specs = {
         s.name: s
         for s in relational.SPECS + relational_ext.SPECS + llm_ops.SPECS
+        + extras.SPECS
     }
     stage_root = tempfile.mkdtemp(prefix="dwbss-bench-stage-")
     extra_fns = {"d02_minhash_lsh_staged": _d02_staged(stage_root)}

@@ -235,6 +235,41 @@ GROUP BY e.query_id
 
 
 # --------------------------------------------------------------------------
+# k01 — skew-salted join under the hard signal (parity with the plain join)
+# --------------------------------------------------------------------------
+def k01_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment computed through ``skew.salted_join``
+    (orders probe × customer build, 8-way salt): the salted plan must be
+    RESULT-IDENTICAL to the plain equi-join the oracle runs — salting is
+    a physical rewrite, never a semantic one. Fixed-point cents keep the
+    double aggregation engine-portable (see ``relational.cents``).
+    """
+    from ..operators.skew import salted_join
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, customer, on="custkey", salt=8)
+    total = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum(total) / 100.0).alias("revenue"),
+    )
+
+
+K01_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
 # f01 — fuzzy entity resolution (n-gram-blocked Levenshtein join)
 # --------------------------------------------------------------------------
 def f01_fuzzy_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,6 +428,8 @@ def _build_specs() -> list[QuerySpec]:
                   "batch replay of dropDuplicatesWithinWatermark semantics"),
         QuerySpec("f01_fuzzy_resolve", f01_fuzzy_resolve, F01_SQL,
                   "n-gram-blocked Levenshtein entity resolution vs master table"),
+        QuerySpec("k01_salted_join_revenue", k01_salted_join_revenue, K01_SQL,
+                  "skew-salted join parity vs plain equi-join oracle"),
     ]
 
 
