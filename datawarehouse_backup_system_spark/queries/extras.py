@@ -348,6 +348,69 @@ SELECT dirty_id, matched_custkey, dist FROM (
 
 
 # --------------------------------------------------------------------------
+# u01 — SCD type-2 dimension maintenance under the hard signal
+# --------------------------------------------------------------------------
+def u01_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a change batch to a type-2 customer dimension through the
+    production ``upsert.scd2_apply``: late-1997 orders are the change
+    stream (one change per key per day, MAX price as the deterministic
+    attribute), the open row closes at the key's first change, chained
+    versions each end at the next change, the last stays open. The
+    oracle replays the same close/chain logic in SQL — the operator the
+    MERGE/SCD2 suite previously pinned with pytest only.
+    """
+    from ..operators.upsert import scd2_apply
+
+    dim = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    changes = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "1997-06-01")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("c_acctbal"))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "c_acctbal",
+            F.col("o_orderdate").alias("_change_ts"),
+        )
+    )
+    return scd2_apply(dim, changes, key="c_custkey")
+
+
+U01_SQL = """
+WITH dim AS (
+  SELECT c_custkey, c_acctbal,
+         TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer
+),
+changes AS (
+  SELECT o_custkey AS c_custkey, MAX(o_totalprice) AS c_acctbal,
+         o_orderdate AS _change_ts
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+  GROUP BY o_custkey, o_orderdate
+),
+closing AS (
+  SELECT c_custkey, MIN(_change_ts) AS _close_ts FROM changes GROUP BY c_custkey
+)
+SELECT d.c_custkey, d.c_acctbal, d.valid_from, c._close_ts AS valid_to
+FROM dim d JOIN closing c USING (c_custkey)
+UNION ALL
+SELECT d.c_custkey, d.c_acctbal, d.valid_from, d.valid_to
+FROM dim d ANTI JOIN closing c USING (c_custkey)
+UNION ALL
+SELECT c_custkey, c_acctbal, _change_ts AS valid_from,
+       lead(_change_ts) OVER (PARTITION BY c_custkey ORDER BY _change_ts)
+         AS valid_to
+FROM changes
+"""
+
+
+# --------------------------------------------------------------------------
 # s01 — batch replay of bounded-state streaming dedup (watermark horizon)
 # --------------------------------------------------------------------------
 _S01_GAP_MIN = 30
@@ -430,6 +493,8 @@ def _build_specs() -> list[QuerySpec]:
                   "n-gram-blocked Levenshtein entity resolution vs master table"),
         QuerySpec("k01_salted_join_revenue", k01_salted_join_revenue, K01_SQL,
                   "skew-salted join parity vs plain equi-join oracle"),
+        QuerySpec("u01_scd2_versions", u01_scd2_versions, U01_SQL,
+                  "SCD2 dimension maintenance vs SQL close/chain replay"),
     ]
 
 
