@@ -40,6 +40,13 @@ try:  # multimodal / recall / streaming-parity extension queries
 except ImportError:
     pass
 
+try:  # round-4 curation extensions (line dedup, mixture, vocab, tfidf, SQ8)
+    from datawarehouse_backup_system_spark.queries import curation_ext
+
+    _ALL_SPECS += list(curation_ext.SPECS)
+except ImportError:
+    pass
+
 
 def _last_green_round(name: str) -> int:
     """Latest driver round whose CORRECTNESS_r{N}.json has a green row.

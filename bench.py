@@ -22,6 +22,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from datawarehouse_backup_system_spark.queries import (  # noqa: E402
+    curation_ext,
     extras,
     llm_ops,
     relational,
@@ -68,6 +69,13 @@ HEADLINE = [
     "r02_recall_multiprobe",
     "s01_watermark_dedup_batch",
     "f01_fuzzy_resolve",
+    "k01_salted_join_revenue",
+    "u01_scd2_versions",
+    "t11_line_dedup",
+    "t12_domain_mixture",
+    "t13_vocab_topk",
+    "t14_tfidf_terms",
+    "e01_quantize_embeddings",
 ]
 
 
@@ -104,7 +112,7 @@ def main() -> int:
     specs = {
         s.name: s
         for s in relational.SPECS + relational_ext.SPECS + llm_ops.SPECS
-        + extras.SPECS
+        + extras.SPECS + curation_ext.SPECS
     }
     stage_root = tempfile.mkdtemp(prefix="dwbss-bench-stage-")
     extra_fns = {"d02_minhash_lsh_staged": _d02_staged(stage_root)}

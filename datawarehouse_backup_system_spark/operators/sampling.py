@@ -99,3 +99,52 @@ def deterministic_shuffle(df: DataFrame, key_col: str, salt: str = "") -> DataFr
     return df.orderBy(
         F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), F.col(key_col)
     )
+
+
+def domain_mixture(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    tokens_col: str,
+    targets: DataFrame,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling to a per-domain TOKEN
+    budget — the data-mixing step of a pretraining pipeline ("x% web,
+    y% code, z% books" by tokens, not documents).
+
+    ``targets`` is a tiny (domain, target_tokens) table. Per domain the
+    keep fraction is min(1, target_tokens / total_tokens); a document is
+    kept iff its md5 hash bucket falls below floor(fraction * buckets) —
+    the same content-derived randomness as :func:`hash_sample`, so the
+    selection is reproducible across engines, retries, and partitionings,
+    and a domain's sample only grows when its budget does (buckets are
+    nested: threshold_1 < threshold_2 selects a superset).
+
+    Expected sampled tokens per domain ≈ target (hash buckets are
+    uniform; exactness would need a global sort — the deterministic
+    knapsack variant — which no 100 TB mixing pass does).
+
+    Scale shape: ONE groupBy on domain for token totals (domains are
+    few — partial agg collapses it), broadcast of the per-domain plan
+    back onto the corpus, then a stateless filter. The corpus is read
+    once per pass and never shuffled.
+    """
+    totals = df.groupBy(domain_col).agg(
+        F.sum(F.col(tokens_col)).alias("_total_tokens")
+    )
+    plan = totals.join(targets, domain_col).withColumn(
+        "_thresh",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.col("target_tokens") * 1.0 / F.col("_total_tokens"),
+            )
+            * _BUCKETS
+        ).cast("bigint"),
+    )
+    return (
+        df.join(F.broadcast(plan), domain_col)
+        .where(_bucket(F.col(key_col), salt) < F.col("_thresh"))
+        .drop("_thresh", "_total_tokens")
+    )

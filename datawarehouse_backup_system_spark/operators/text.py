@@ -275,3 +275,162 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, window: int = 64) -> 
         )
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    delim: str = "\n",
+) -> DataFrame:
+    """Cross-document LINE-level boilerplate removal (the CCNet /
+    RefinedWeb pass that doc-level dedup cannot express): a line whose
+    md5 appears in >= ``min_df`` DISTINCT documents is boilerplate
+    (nav bars, cookie banners, license footers) and is dropped from
+    every document; surviving lines are reassembled in original order.
+
+    Output: (id, n_lines, n_kept, clean_text) — one row per input
+    document, ``clean_text`` empty when every line was boilerplate.
+
+    Scale shape: posexplode → ONE groupBy on line-hash (doc-distinct
+    count, partial-aggregated) → anti-join (the boilerplate side is the
+    frequent-line set — tiny by Zipf, AQE broadcasts it) → ONE groupBy
+    on doc id to reassemble. No global sort; within-doc order is
+    restored by array_sort over (pos, line) structs, per row. At 100 TB
+    the line-hash agg is the only corpus-wide shuffle and its keys are
+    near-unique, so it partial-aggregates to almost nothing.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    ).withColumn("lh", F.md5(F.col("line")))
+    boiler = (
+        lines.groupBy("lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
+        .where(F.col("line_df") >= min_df)
+        .select("lh")
+    )
+    kept = lines.join(boiler, "lh", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias("clean_text"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), delim)).alias("n_lines")
+    )
+    return totals.join(reassembled, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str, k: int = 25, include_bigrams: bool = True
+) -> DataFrame:
+    """Corpus-wide vocabulary profile: top-k terms per n-gram order
+    ('uni', 'bi') by frequency — the counting pass a BPE/vocab build or
+    a corpus health check starts from.
+
+    Output: (kind, term, cnt, rank), rank 1..k per kind, ties broken by
+    term so the cut is total and engine-portable.
+
+    ONE groupBy on (kind, term) with map-side partial aggregation (term
+    frequencies are Zipfian — the hot keys combine before the exchange),
+    then a per-kind window over the surviving counts. The bigram array
+    is built per-row from the staged token array (no second explode
+    pass over text).
+    """
+    from pyspark.sql import Window
+
+    arr = df.select(tokens(F.col(text_col)).alias("t"))
+    uni = arr.select(F.explode("t").alias("term")).withColumn(
+        "kind", F.lit("uni")
+    )
+    parts = [uni]
+    if include_bigrams:
+        toks = F.col("t")
+        grams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(2), F.size(toks)),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i - 1), F.element_at(toks, i)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        bi = arr.select(F.explode(grams).alias("term")).withColumn(
+            "kind", F.lit("bi")
+        )
+        parts.append(bi)
+    terms = parts[0]
+    for p in parts[1:]:
+        terms = terms.unionByName(p)
+    counts = terms.groupBy("kind", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("kind").orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("kind", "term", "cnt", "rank")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 3
+) -> DataFrame:
+    """Per-document top-N TF-IDF terms — the classic relevance score,
+    used in curation for topic tagging and near-duplicate triage.
+
+    score = (tf_count / doc_tokens) * ln(N_docs / doc_freq), rounded at
+    6 dp. Both factors are exact-int divisions evaluated in double with
+    the SAME expression shape the oracle uses, so the doubles (and the
+    tie order) are bit-identical cross-engine; rank ties break on term.
+
+    Shuffles: (doc, term) count groupBy, term doc-freq groupBy (both
+    partial-aggregated), one broadcast of the corpus-size scalar, one
+    hash join term→doc_freq, and the per-doc ranking window. The
+    doc-freq side is |vocab| rows — small relative to the corpus, and
+    the join key is the term itself so skew follows Zipf (AQE
+    skew-split handles the head terms).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf_count"))
+    )
+    doc_len = tf.groupBy(id_col).agg(F.sum("tf_count").alias("doc_tokens"))
+    doc_freq = tf.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("doc_freq")
+    )
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(doc_len, id_col)
+        .join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf_count") * 1.0 / F.col("doc_tokens"))
+            * F.log(F.col("n_docs") * 1.0 / F.col("doc_freq")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            id_col,
+            "term",
+            F.round(F.col("score"), 6).alias("tfidf"),
+            "rank",
+        )
+    )

@@ -1,0 +1,515 @@
+"""Curation-extension queries: the round-4 training-data operators.
+
+Five new first-class LLM-pipeline capabilities, each an operator under
+the hard (driver/DuckDB) correctness signal:
+
+- **t11** — cross-document LINE-level boilerplate removal
+  (:func:`~..operators.text.line_dedup`, the CCNet/RefinedWeb pass):
+  multi-line documents are synthesized deterministically (8-token body
+  lines + a header line shared by ALL docs + a footer shared by half),
+  so the oracle proves the frequent lines vanish from every document
+  while unique lines survive in order.
+- **t12** — deterministic domain-mixture sampling to per-domain token
+  budgets (:func:`~..operators.sampling.domain_mixture`): the mixing
+  step of a pretraining pipeline, hash-derived so the sample is
+  reproducible across engines/retries; verified via the per-domain
+  achieved-vs-target summary.
+- **t13** — corpus-wide vocabulary top-k (unigrams + bigrams) — the
+  counting pass a BPE/vocab build starts from.
+- **t14** — per-document TF-IDF top terms (exact-int divisions evaluated
+  in double with oracle-identical expression shape).
+- **e01** — int8 scalar quantization of the embedding corpus
+  (FAISS-SQ8-style): codes and code-sums are exact integers, so the
+  quantizer itself is hash-verified, plus a bounded reconstruction
+  error column.
+
+At 100 TB: t11 is one near-unique-key agg + an AQE-broadcast anti-join;
+t12 never shuffles the corpus (one domain agg + broadcast plan +
+stateless filter); t13/t14 are Zipf-friendly partial-agg groupBys; e01
+is a pure per-row projection writing 1/4 the bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.quantize import quantize_embeddings
+from ..operators.sampling import domain_mixture
+from ..operators.text import line_dedup, tfidf_top_terms, token_count, vocab_topk
+from .base import QuerySpec, load
+
+# --------------------------------------------------------------------------
+# t11 — line-level boilerplate dedup over synthesized multi-line docs
+# --------------------------------------------------------------------------
+_T11_HEADER = "== site header: all rights reserved =="
+_T11_FOOTER = "standard footer text"
+_T11_MIN_DF = 10
+_T11_LINE_TOKENS = 8
+
+
+def _synth_multiline(docs: DataFrame) -> DataFrame:
+    """documents.text has no newlines; build deterministic multi-line
+    docs: body = 8-token lines from the real text, plus a header line
+    every doc shares and a footer line even doc_ids share. The same
+    synthesis runs in the oracle, so the line_dedup comparison is over
+    identical inputs."""
+    t = F.split(F.trim(F.col("text")), " ")
+    n_lines = F.ceil(F.size(t) / F.lit(8.0)).cast("int")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(
+                F.slice(t, i * _T11_LINE_TOKENS + 1, _T11_LINE_TOKENS), " "
+            ),
+        ),
+        "\n",
+    )
+    text = F.concat(
+        F.lit(_T11_HEADER + "\n"),
+        body,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("\n" + _T11_FOOTER)).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+def t11_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _synth_multiline(load(spark, sf_dir, "documents"))
+    return line_dedup(docs, "doc_id", "text", min_df=_T11_MIN_DF)
+
+
+T11_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+synth AS (
+  SELECT doc_id,
+    '{_T11_HEADER}' || chr(10) ||
+    array_to_string(
+      list_transform(range(0, CAST(ceil(len(t)/8.0) AS BIGINT)),
+                     i -> array_to_string(t[(i*{_T11_LINE_TOKENS}+1):(i*{_T11_LINE_TOKENS}+{_T11_LINE_TOKENS})], ' ')),
+      chr(10))
+    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || '{_T11_FOOTER}' ELSE '' END
+      AS text
+  FROM toks
+),
+split_docs AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth
+),
+lines AS (
+  SELECT doc_id, u.s['pos'] AS pos, u.s['line'] AS line, md5(u.s['line']) AS lh
+  FROM split_docs,
+       unnest(list_transform(range(0, len(ls)),
+                             i -> {{'pos': i, 'line': ls[i+1]}})) u(s)
+),
+boiler AS (
+  SELECT lh FROM lines GROUP BY lh
+  HAVING count(DISTINCT doc_id) >= {_T11_MIN_DF}
+),
+kept AS (
+  SELECT l.* FROM lines l ANTI JOIN boiler b ON l.lh = b.lh
+),
+reassembled AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(len(s.ls) AS INT) AS n_lines,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(r.clean_text, '') AS clean_text
+FROM split_docs s LEFT JOIN reassembled r ON s.doc_id = r.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# t12 — domain-mixture sampling to per-domain token budgets
+# --------------------------------------------------------------------------
+_T12_SALT = "mx"
+
+
+def t12_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    src_num = F.substring(F.col("source"), 4, 10).cast("int")
+    targets = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "target_tokens", (300 * (src_num % 4 + 1)).cast("bigint")
+        )
+    )
+    mix = domain_mixture(
+        docs, "doc_id", "source", "n_tokens", targets, salt=_T12_SALT
+    )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    sampled = mix.groupBy("source").agg(
+        F.count(F.lit(1)).alias("sampled_docs"),
+        F.sum("n_tokens").alias("sampled_tokens"),
+    )
+    return (
+        totals.join(targets, "source")
+        .join(sampled, "source", "left")
+        .select(
+            "source",
+            "total_docs",
+            "total_tokens",
+            "target_tokens",
+            F.coalesce("sampled_docs", F.lit(0)).alias("sampled_docs"),
+            F.coalesce("sampled_tokens", F.lit(0)).alias("sampled_tokens"),
+        )
+    )
+
+
+T12_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens
+  FROM documents
+),
+targets AS (
+  SELECT DISTINCT source,
+         CAST(300 * (CAST(substr(source, 4) AS INT) % 4 + 1) AS BIGINT)
+           AS target_tokens
+  FROM documents
+),
+totals AS (
+  SELECT source, count(*) AS total_docs, sum(n_tokens) AS total_tokens
+  FROM docs GROUP BY source
+),
+plan AS (
+  SELECT t.source, t.total_docs, t.total_tokens, g.target_tokens,
+         CAST(floor(least(1.0, g.target_tokens * 1.0 / t.total_tokens)
+                    * 1000000) AS BIGINT) AS thresh
+  FROM totals t JOIN targets g USING (source)
+),
+sampled AS (
+  SELECT d.source, count(*) AS sampled_docs, sum(d.n_tokens) AS sampled_tokens
+  FROM docs d JOIN plan p USING (source)
+  WHERE CAST('0x' || substr(md5('{_T12_SALT}' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+             AS BIGINT) % 1000000 < p.thresh
+  GROUP BY d.source
+)
+SELECT p.source,
+       CAST(p.total_docs AS BIGINT) AS total_docs,
+       CAST(p.total_tokens AS BIGINT) AS total_tokens,
+       p.target_tokens,
+       CAST(coalesce(s.sampled_docs, 0) AS BIGINT) AS sampled_docs,
+       CAST(coalesce(s.sampled_tokens, 0) AS BIGINT) AS sampled_tokens
+FROM plan p LEFT JOIN sampled s ON p.source = s.source
+"""
+
+
+# --------------------------------------------------------------------------
+# t13 — corpus vocabulary top-k (unigrams + bigrams)
+# --------------------------------------------------------------------------
+_T13_K = 25
+
+
+def t13_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return vocab_topk(docs, "text", k=_T13_K)
+
+
+T13_SQL = f"""
+WITH toks AS (
+  SELECT string_split(trim(text), ' ') AS t FROM documents
+),
+uni AS (SELECT 'uni' AS kind, unnest(t) AS term FROM toks),
+bi AS (
+  SELECT 'bi' AS kind,
+         unnest(list_transform(range(2, len(t) + 1),
+                               i -> t[i-1] || ' ' || t[i])) AS term
+  FROM toks WHERE len(t) >= 2
+),
+counts AS (
+  SELECT kind, term, count(*) AS cnt
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+  GROUP BY kind, term
+)
+SELECT kind, term, cnt, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY kind
+                               ORDER BY cnt DESC, term) AS rank
+  FROM counts
+) WHERE rank <= {_T13_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# t14 — per-document TF-IDF top terms
+# --------------------------------------------------------------------------
+_T14_TOP_N = 3
+
+
+def t14_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", top_n=_T14_TOP_N)
+
+
+T14_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+),
+cnt AS (
+  SELECT doc_id, term, count(*) AS tf_count FROM tf GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf_count) AS doc_tokens FROM cnt GROUP BY doc_id),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM cnt GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT c.doc_id, c.term,
+         (c.tf_count * 1.0 / dl.doc_tokens)
+           * ln(nd.n_docs * 1.0 / dfreq.doc_freq) AS score
+  FROM cnt c JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, round(score, 6) AS tfidf, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rank
+  FROM scored
+) WHERE rank <= {_T14_TOP_N}
+"""
+
+
+# --------------------------------------------------------------------------
+# e01 — int8 scalar quantization of the embedding corpus
+# --------------------------------------------------------------------------
+def e01_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+    return q.select(
+        "vec_id",
+        F.size("q").alias("n_dims"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("q_sum"),
+        F.element_at("q", 1).alias("q_first"),
+        F.element_at("q", -1).alias("q_last"),
+        F.array_min("q").alias("code_min"),
+        F.array_max("q").alias("code_max"),
+        F.round("q_min", 6).alias("v_min"),
+        F.round("max_abs_err", 6).alias("max_err"),
+    )
+
+
+E01_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v, list_min(v) AS q_min,
+         (list_max(v) - list_min(v)) / 255 AS q_scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, v, q_min, q_scale,
+         CASE WHEN q_scale = 0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(
+                     v, x -> CAST(floor((x - q_min) / q_scale + 0.5) AS BIGINT))
+         END AS q
+  FROM s
+)
+SELECT vec_id,
+       CAST(len(q) AS INT) AS n_dims,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       q[1] AS q_first,
+       q[-1] AS q_last,
+       CAST(list_min(q) AS BIGINT) AS code_min,
+       CAST(list_max(q) AS BIGINT) AS code_max,
+       round(q_min, 6) AS v_min,
+       round(list_max(list_transform(range(1, len(v) + 1),
+                                     i -> abs(v[i] - (q_min + q[i] * q_scale)))),
+             6) AS max_err
+FROM q
+"""
+
+
+# --------------------------------------------------------------------------
+# r05 — recall@3 of exact search over the SQ8-quantized corpus
+# --------------------------------------------------------------------------
+def r05_recall_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number that justifies e01 at scale: top-k over the
+    DEQUANTIZED int8 corpus vs top-k over the original float corpus.
+    High recall ⇒ the 4× smaller representation is safe to index; the
+    recall rows themselves are hash-verified by the oracle (which
+    replays quantize→dequantize→score in SQL)."""
+    from ..operators.quantize import dequantize
+    from ..operators import similarity
+    from .extras import _emb_queries, _recall_frame
+
+    emb, probes = _emb_queries(spark, sf_dir)
+    qz = quantize_embeddings(emb, "vec_id", "embedding", bits=8)
+    deq = qz.select(
+        "vec_id",
+        dequantize(F.col("q"), F.col("q_min"), F.col("q_scale")).alias(
+            "embedding"
+        ),
+    )
+    exact = similarity.brute_force_topk(emb, probes, k=3)
+    approx = similarity.brute_force_topk(
+        deq, deq.where(F.col("vec_id") % 100 == 0), k=3
+    )
+    return _recall_frame(exact, approx)
+
+
+_R05_APPROX_SQL = """
+WITH vsrc AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sq AS (
+  SELECT vec_id, v, list_min(v) AS q_min,
+         (list_max(v) - list_min(v)) / 255 AS q_scale
+  FROM vsrc
+),
+qz AS (
+  SELECT vec_id, q_min, q_scale,
+         CASE WHEN q_scale = 0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(
+                     v, x -> CAST(floor((x - q_min) / q_scale + 0.5) AS BIGINT))
+         END AS q
+  FROM sq
+),
+dv AS (
+  SELECT vec_id, list_transform(q, c -> q_min + c * q_scale) AS e FROM qz
+),
+qr AS (SELECT vec_id AS query_id, e AS qe FROM dv WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT qr.query_id, dv.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qe, e)
+               / NULLIF(sqrt(list_dot_product(qe, qe))
+                        * sqrt(list_dot_product(e, e)), 0),
+               6) AS score
+  FROM qr JOIN dv ON dv.vec_id <> qr.query_id
+)
+SELECT query_id, neighbor_id FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+def _r05_sql() -> str:
+    from .extras import _recall_sql
+
+    return _recall_sql(_R05_APPROX_SQL)
+
+
+# --------------------------------------------------------------------------
+# c01 — canonical-representative selection per near-dup group
+# --------------------------------------------------------------------------
+def c01_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a pipeline actually DOES with d09's connected components:
+    keep one representative per duplicate group and drop the rest. The
+    standard heuristic keeps the longest member (perturbed variants are
+    truncations); ties break on doc id so the choice is total. Output is
+    the per-group decision record — group id, member count, the kept doc
+    and its length — i.e. the audit log of the dedup pass.
+
+    Scale: reuses the d09 component labels (one bounded iterative
+    pass over near-dup pairs — components are small by construction);
+    the selection itself is ONE window over members keyed by group, and
+    member counts ride the same shuffle. No new corpus-wide work.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.dedup_approx import dedup_groups
+    from .llm_ops import _neardup_corpus_and_pairs
+
+    corpus, pairs = _neardup_corpus_and_pairs(spark, sf_dir)
+    groups = dedup_groups(pairs)
+    n_tok = corpus.select(
+        F.col("doc_id"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    members = groups.join(n_tok, groups.node == n_tok.doc_id).select(
+        "canonical_id", "node", "n_tokens"
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("n_tokens"), F.asc("node")
+    )
+    kept = (
+        members.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "canonical_id",
+            F.col("node").alias("kept_doc_id"),
+            F.col("n_tokens").alias("kept_n_tokens"),
+        )
+    )
+    stats = members.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return stats.join(kept, "canonical_id").select(
+        "canonical_id", "n_members", "kept_doc_id", "kept_n_tokens"
+    )
+
+
+def _c01_sql() -> str:
+    from .llm_ops import D09_SQL
+
+    return f"""
+WITH groups AS (SELECT node, canonical_id FROM ({D09_SQL}) g),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 1000,
+         array_to_string(string_split_regex(trim(text), '\\s+')[3:], ' ')
+  FROM documents
+  WHERE doc_id < 40 AND len(string_split_regex(trim(text), '\\s+')) > 8
+  UNION ALL
+  SELECT doc_id + 2000,
+         array_to_string(string_split_regex(trim(text), '\\s+')[5:], ' ')
+  FROM documents
+  WHERE doc_id < 40 AND len(string_split_regex(trim(text), '\\s+')) > 8
+),
+ntok AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
+  FROM corpus
+),
+members AS (
+  SELECT g.canonical_id, g.node, n.n_tokens
+  FROM groups g JOIN ntok n ON n.doc_id = g.node
+),
+kept AS (
+  SELECT canonical_id, node AS kept_doc_id, n_tokens AS kept_n_tokens
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY canonical_id
+                                 ORDER BY n_tokens DESC, node) AS rk
+    FROM members
+  ) WHERE rk = 1
+),
+stats AS (
+  SELECT canonical_id, count(*) AS n_members FROM members GROUP BY canonical_id
+)
+SELECT s.canonical_id, s.n_members, k.kept_doc_id, k.kept_n_tokens
+FROM stats s JOIN kept k USING (canonical_id)
+"""
+
+
+SPECS = [
+    QuerySpec("t11_line_dedup", t11_line_dedup, T11_SQL,
+              "cross-document line-level boilerplate removal (CCNet-style)"),
+    QuerySpec("t12_domain_mixture", t12_domain_mixture, T12_SQL,
+              "deterministic domain-mixture sampling to token budgets"),
+    QuerySpec("t13_vocab_topk", t13_vocab_topk, T13_SQL,
+              "corpus vocabulary top-k (unigram + bigram counts)"),
+    QuerySpec("t14_tfidf_terms", t14_tfidf_terms, T14_SQL,
+              "per-document TF-IDF top terms"),
+    QuerySpec("e01_quantize_embeddings", e01_quantize_embeddings, E01_SQL,
+              "int8 scalar quantization of the embedding corpus"),
+    QuerySpec("r05_recall_quantized", r05_recall_quantized, _r05_sql(),
+              "recall@3 of exact search over the SQ8-dequantized corpus"),
+    QuerySpec("c01_canonical_selection", c01_canonical_selection, _c01_sql(),
+              "canonical-representative selection per near-dup group"),
+]

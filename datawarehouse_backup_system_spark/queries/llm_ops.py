@@ -573,12 +573,11 @@ FROM documents
 # --------------------------------------------------------------------------
 # d09 — dedup GROUP resolution: connected components over verified pairs
 # --------------------------------------------------------------------------
-def d09_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs lack transitivity (a~b, b~c ⊬ a~c scored); group
-    resolution assigns every doc the MIN id of its connected component
-    via iterative min-label propagation (operators.dedup_approx.
-    dedup_groups). Pairs here: word-trigram Jaccard ≥ 0.5 over a corpus
-    with TWO perturbation generations, so components chain 3 deep."""
+def _neardup_corpus_and_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared by d09/c01: the two-generation perturbed corpus and its
+    verified near-dup pairs (word-trigram Jaccard ≥ 0.5)."""
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     gen = [docs.select("doc_id", "text")]
@@ -603,6 +602,16 @@ def d09_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh,
         "doc_id",
     ).where(F.col("jaccard") >= 0.5)
+    return corpus, pairs
+
+
+def d09_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs lack transitivity (a~b, b~c ⊬ a~c scored); group
+    resolution assigns every doc the MIN id of its connected component
+    via iterative min-label propagation (operators.dedup_approx.
+    dedup_groups). Pairs here: word-trigram Jaccard ≥ 0.5 over a corpus
+    with TWO perturbation generations, so components chain 3 deep."""
+    _, pairs = _neardup_corpus_and_pairs(spark, sf_dir)
     return dedup_approx.dedup_groups(pairs)
 
 

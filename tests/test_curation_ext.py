@@ -1,0 +1,172 @@
+"""Unit tests for the round-4 curation operators: line-level boilerplate
+dedup, domain-mixture sampling, vocabulary top-k, TF-IDF, int8
+quantization."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from datawarehouse_backup_system_spark.operators.quantize import (
+    quantize_embeddings,
+)
+from datawarehouse_backup_system_spark.operators.sampling import (
+    domain_mixture,
+)
+from datawarehouse_backup_system_spark.operators.text import (
+    line_dedup,
+    tfidf_top_terms,
+    vocab_topk,
+)
+
+
+# --------------------------------------------------------------------------
+# line_dedup
+# --------------------------------------------------------------------------
+def _line_docs(spark):
+    boiler = "copyright footer"
+    rows = [
+        (1, f"{boiler}\nunique one\nalpha beta"),
+        (2, f"{boiler}\nunique two"),
+        (3, f"{boiler}\nunique three"),
+        (4, boiler),  # all-boilerplate doc
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_line_dedup_removes_frequent_lines_keeps_order(spark):
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(
+            _line_docs(spark), "doc_id", "text", min_df=3
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "unique one\nalpha beta"
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 2
+    assert out[2]["clean_text"] == "unique two"
+    # every line boilerplate -> present with empty text, not dropped
+    assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0
+
+
+def test_line_dedup_min_df_above_frequency_keeps_everything(spark):
+    docs = _line_docs(spark)
+    out = line_dedup(docs, "doc_id", "text", min_df=10)
+    joined = (
+        out.join(docs, "doc_id")
+        .where(F.col("clean_text") != F.col("text"))
+        .count()
+    )
+    assert joined == 0
+
+
+# --------------------------------------------------------------------------
+# domain_mixture
+# --------------------------------------------------------------------------
+def _mix_docs(spark):
+    rows = [(i, "web" if i % 2 else "code", 100) for i in range(200)]
+    return spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+
+
+def test_domain_mixture_full_budget_keeps_domain(spark):
+    docs = _mix_docs(spark)
+    targets = spark.createDataFrame(
+        [("web", 1_000_000), ("code", 2_000)], ["source", "target_tokens"]
+    )
+    out = domain_mixture(docs, "doc_id", "source", "n_tokens", targets)
+    web = out.where(F.col("source") == "web").count()
+    code = out.where(F.col("source") == "code").count()
+    assert web == 100  # fraction 1 -> whole domain kept
+    # fraction 2000/10000 = 0.2 -> expected ~20 of 100; hash-uniform
+    assert 5 <= code <= 45
+
+
+def test_domain_mixture_deterministic_and_nested(spark):
+    docs = _mix_docs(spark)
+    small = spark.createDataFrame(
+        [("web", 2_000), ("code", 2_000)], ["source", "target_tokens"]
+    )
+    big = spark.createDataFrame(
+        [("web", 5_000), ("code", 5_000)], ["source", "target_tokens"]
+    )
+    pick = lambda t: {  # noqa: E731
+        r["doc_id"]
+        for r in domain_mixture(
+            docs, "doc_id", "source", "n_tokens", t
+        ).collect()
+    }
+    a1, a2, b = pick(small), pick(small), pick(big)
+    assert a1 == a2  # rerun-stable
+    assert a1 <= b  # nested thresholds: bigger budget is a superset
+
+
+# --------------------------------------------------------------------------
+# quantize_embeddings
+# --------------------------------------------------------------------------
+def test_quantize_codes_bounded_and_error_within_half_step(spark):
+    rows = [
+        (1, [0.0, 1.0, 0.25, 0.75]),
+        (2, [-5.0, 5.0, 0.0, 2.5]),
+        (3, [3.25, 3.25, 3.25, 3.25]),  # zero range
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in quantize_embeddings(df, "vec_id", "embedding").collect()}
+    for vid, r in out.items():
+        assert all(0 <= c <= 255 for c in r["q"])
+        if vid == 3:
+            assert r["max_abs_err"] == 0.0 and set(r["q"]) == {0}
+        else:
+            assert r["max_abs_err"] <= r["q_scale"] / 2 + 1e-12
+    # endpoints hit the extreme codes exactly
+    assert out[1]["q"][0] == 0 and out[1]["q"][1] == 255
+
+
+# --------------------------------------------------------------------------
+# vocab_topk / tfidf
+# --------------------------------------------------------------------------
+def test_vocab_topk_counts_and_rank(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c")], ["doc_id", "text"]
+    )
+    rows = vocab_topk(df, "text", k=10).collect()
+    uni = {r["term"]: (r["cnt"], r["rank"]) for r in rows if r["kind"] == "uni"}
+    bi = {r["term"]: r["cnt"] for r in rows if r["kind"] == "bi"}
+    assert uni["a"] == (3, 1)
+    assert uni["b"][0] == 1 and uni["c"][0] == 1
+    assert bi == {"a b": 1, "b a": 1, "a c": 1}
+
+
+def test_tfidf_distinctive_term_ranks_first(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common common common"),
+            (3, "common yak yak"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", top_n=1).collect()
+    best = {r["doc_id"]: r["term"] for r in out}
+    assert best[1] == "zebra" and best[3] == "yak"
+    # doc 2 only has the ubiquitous term: idf = ln(1) = 0
+    two = [r for r in out if r["doc_id"] == 2][0]
+    assert math.isclose(two["tfidf"], 0.0, abs_tol=1e-9)
+
+
+# --------------------------------------------------------------------------
+# c01 canonical selection (on top of d09 groups)
+# --------------------------------------------------------------------------
+def test_canonical_selection_keeps_longest_member(spark, sf_dir):
+    from datawarehouse_backup_system_spark.queries.curation_ext import (
+        c01_canonical_selection,
+    )
+
+    rows = c01_canonical_selection(spark, sf_dir).collect()
+    assert rows, "perturbed corpus must produce at least one dup group"
+    for r in rows:
+        # groups come from PAIRS, so every group has >= 2 members, and
+        # the base (untruncated) doc is the longest -> id < 1000
+        assert r["n_members"] >= 2
+        # truncated variants (ids 1000+) are strictly shorter than their
+        # base docs, so the longest member is always a base doc
+        assert r["kept_doc_id"] < 1000
