@@ -76,6 +76,8 @@ HEADLINE = [
     "t13_vocab_topk",
     "t14_tfidf_terms",
     "e01_quantize_embeddings",
+    "t15_chunk_overlap",
+    "i01_incremental_neardup",
 ]
 
 

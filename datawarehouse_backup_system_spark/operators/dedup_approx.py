@@ -460,3 +460,88 @@ def simhash_expr(text_col: Column, bits: int = 16) -> Column:
 def hamming_distance(a: Column, b: Column) -> Column:
     """Popcount of XOR — pair distance for simhash buckets."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def incremental_neardup_pairs(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    k: int = 9,
+    band_size: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and the EXISTING corpus only —
+    the incremental form of :func:`minhash_lsh_dedup` that a 100 TB
+    pipeline actually runs per ingest: history is never re-paired with
+    itself, so the cost scales with the batch, not the corpus.
+
+    Candidate generation is a band-key equi-join of the (tiny) new-batch
+    LSH bands AGAINST the history bands — at scale the history side is
+    the persisted LSH index of the corpus (computed once, appended per
+    batch; cf. ``stage_path`` in :func:`minhash_lsh_dedup`), and the
+    new side broadcasts into it. Verification (exact Jaccard) touches
+    only candidate documents' shingles. The hot-bucket cap applies to
+    the HISTORY side (a mega-bucket there is the low-signal artifact
+    that would fan every future batch out quadratically).
+
+    Output: (id_new, id_hist, n_inter, n_new, n_hist, jaccard) for
+    pairs with exact Jaccard >= threshold.
+    """
+    sh_new = word_shingles(new_df, id_col, text_col, shingle_n)
+    sh_hist = word_shingles(history_df, id_col, text_col, shingle_n)
+    bands_new = lsh_bands(minhash_signature(sh_new, id_col, k), id_col, k, band_size)
+    bands_hist = lsh_bands(
+        minhash_signature(sh_hist, id_col, k), id_col, k, band_size
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_key")
+        bands_hist = (
+            bands_hist.withColumn("_bn", F.count("*").over(w))
+            .where(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    cand = (
+        F.broadcast(
+            bands_new.select(
+                F.col(id_col).alias("id_new"), "band_idx", "band_key"
+            )
+        )
+        .join(
+            bands_hist.select(
+                F.col(id_col).alias("id_hist"), "band_idx", "band_key"
+            ),
+            ["band_idx", "band_key"],
+        )
+        .select("id_new", "id_hist")
+        .distinct()
+    )
+    sizes_new = sh_new.groupBy(id_col).agg(F.count("*").alias("n_new"))
+    sizes_hist = sh_hist.groupBy(id_col).agg(F.count("*").alias("n_hist"))
+    inter = (
+        F.broadcast(cand)
+        .join(sh_new.select(F.col(id_col).alias("id_new"), "shingle"), "id_new")
+        .join(
+            sh_hist.select(F.col(id_col).alias("id_hist"), "shingle"),
+            ["id_hist", "shingle"],
+        )
+        .groupBy("id_new", "id_hist")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes_new.withColumnRenamed(id_col, "id_new"), "id_new"
+        )
+        .join(sizes_hist.withColumnRenamed(id_col, "id_hist"), "id_hist")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_new") + F.col("n_hist") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_new", "id_hist", "n_inter", "n_new", "n_hist", "jaccard")
+    )

@@ -148,3 +148,38 @@ def domain_mixture(
         .where(_bucket(F.col(key_col), salt) < F.col("_thresh"))
         .drop("_thresh", "_total_tokens")
     )
+
+
+def quantile_filter(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    score_col: str,
+    drop_frac: float = 0.25,
+) -> DataFrame:
+    """Drop the bottom ``drop_frac`` of every stratum by score — the
+    "cut the worst quartile per domain" curation rule, EXACT-rank
+    variant: within each stratum rows are ordered by (score, key) and
+    the lowest floor(drop_frac · n) rows are removed, so the cut is a
+    total order and reproducible on any engine.
+
+    One shuffle: a per-stratum window computing (row_number, count).
+    At 100 TB with severely hot strata, swap the exact rank for an
+    approx_percentile threshold computed in a first pass (sketch
+    partial-aggregates map-side) and filter on score >= threshold —
+    same semantics up to sketch error, no windowed sort.
+    """
+    from pyspark.sql import Window
+
+    if not 0 <= drop_frac < 1:
+        raise ValueError("drop_frac must be in [0, 1)")
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col(score_col).asc(), F.col(key_col).asc()
+    )
+    wn = Window.partitionBy(stratum_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .where(F.col("_rk") > F.floor(F.col("_n") * drop_frac))
+        .drop("_rk", "_n")
+    )

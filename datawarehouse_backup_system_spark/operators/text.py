@@ -434,3 +434,53 @@ def tfidf_top_terms(
             "rank",
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking (RAG / pretraining example
+    prep): token windows of ``chunk_tokens`` advancing by
+    ``chunk_tokens - overlap``, so consecutive chunks share ``overlap``
+    tokens and no token is dropped. A document shorter than one chunk
+    yields exactly one chunk.
+
+    Output: (id, chunk_id, n_chunk_tokens, chunk_text), chunk_id dense
+    from 0 per document.
+
+    Expression-only (staged token array → transform/slice → explode):
+    linear per-row work, zero shuffles — at 100 TB chunking happens in
+    the scan projection and the ×(1 + overlap/stride) token replication
+    is the storage cost you chose, not a join blowup.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    arr = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    t = F.col("_toks")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(t) - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(t, i * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    exploded = arr.select(F.col(id_col), F.explode(chunks).alias("c"))
+    return exploded.select(
+        id_col,
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size(F.split(F.col("c.chunk_text"), " ")).alias("n_chunk_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

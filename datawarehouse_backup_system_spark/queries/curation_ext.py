@@ -497,6 +497,170 @@ FROM stats s JOIN kept k USING (canonical_id)
 """
 
 
+# --------------------------------------------------------------------------
+# t15 — sliding-window document chunking (RAG / pretraining prep)
+# --------------------------------------------------------------------------
+_T15_CHUNK = 32
+_T15_OVERLAP = 8
+
+
+def t15_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text",
+        chunk_tokens=_T15_CHUNK, overlap=_T15_OVERLAP,
+    )
+
+
+_T15_STRIDE = _T15_CHUNK - _T15_OVERLAP
+T15_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+chunked AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, greatest(1, CAST(ceil((len(t) - {_T15_OVERLAP}) / {_T15_STRIDE}.0) AS BIGINT))),
+           i -> {{'chunk_id': i,
+                 'chunk_text': array_to_string(
+                     t[(i*{_T15_STRIDE}+1):(i*{_T15_STRIDE}+{_T15_CHUNK})], ' ')}}
+         )) AS c
+  FROM toks
+)
+SELECT doc_id,
+       CAST(c['chunk_id'] AS INT) AS chunk_id,
+       CAST(len(string_split(c['chunk_text'], ' ')) AS INT) AS n_chunk_tokens,
+       c['chunk_text'] AS chunk_text
+FROM chunked
+"""
+
+
+# --------------------------------------------------------------------------
+# t16 — per-domain exact-rank quantile filter (cut the worst quartile)
+# --------------------------------------------------------------------------
+def t16_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import quantile_filter
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return quantile_filter(
+        docs, "doc_id", "source", "n_chars", drop_frac=0.25
+    )
+
+
+T16_SQL = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+) WHERE rk > floor(n * 0.25)
+"""
+
+
+# --------------------------------------------------------------------------
+# i01 — incremental near-dup: new batch vs existing corpus
+# --------------------------------------------------------------------------
+def i01_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest near-dup pass: a perturbed 'new batch' (every 7th doc,
+    first 3 tokens dropped, re-idd +500000) is deduped AGAINST the full
+    corpus without history ever re-pairing with itself — the cost shape
+    a 100 TB pipeline needs (batch × index, not corpus × corpus)."""
+    from ..operators.dedup_approx import incremental_neardup_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    new = docs.where((F.col("doc_id") % 7 == 0) & (F.size(toks) > 6)).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.array_join(F.slice(toks, 4, F.size(toks) - 3), " ").alias("text"),
+    )
+    pairs = incremental_neardup_pairs(
+        new, docs, "doc_id", "text",
+        shingle_n=3, k=9, band_size=3, threshold=0.5, max_bucket_size=20,
+    )
+    return pairs.select(
+        "id_new", "id_hist", "n_inter", "n_new", "n_hist",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+_I01_MH = ", ".join(f"MIN(h1 + {i} * h2) AS mh{i}" for i in range(9))
+
+
+def _i01_bands(side: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(mh{3*b} || '|' || mh{3*b+1} || '|' || mh{3*b+2}) AS band_key "
+        f"FROM sigs_{side}"
+        for b in range(3)
+    )
+
+
+I01_SQL = f"""
+WITH hist AS (SELECT doc_id, text FROM documents),
+new_batch AS (
+  SELECT doc_id + 500000 AS doc_id,
+         array_to_string(string_split_regex(trim(text), '\\s+')[4:], ' ') AS text
+  FROM documents
+  WHERE doc_id % 7 = 0 AND len(string_split_regex(trim(text), '\\s+')) > 6
+),
+toks_hist AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM hist),
+toks_new AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM new_batch),
+sh_hist AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+  FROM toks_hist, UNNEST(range(len(t) - 2)) AS u(i) WHERE len(t) >= 3
+),
+sh_new AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+  FROM toks_new, UNNEST(range(len(t) - 2)) AS u(i) WHERE len(t) >= 3
+),
+h_hist AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 15, 14))::BIGINT AS h2
+  FROM sh_hist
+),
+h_new AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 14))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 15, 14))::BIGINT AS h2
+  FROM sh_new
+),
+sigs_hist AS (SELECT doc_id, {_I01_MH} FROM h_hist GROUP BY doc_id),
+sigs_new AS (SELECT doc_id, {_I01_MH} FROM h_new GROUP BY doc_id),
+bands_hist_all AS ({_i01_bands('hist')}),
+bands_new AS ({_i01_bands('new')}),
+bands_hist AS (
+  SELECT doc_id, band_idx, band_key FROM bands_hist_all
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_key) <= 20
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS id_new, h.doc_id AS id_hist
+  FROM bands_new n JOIN bands_hist h
+    ON n.band_idx = h.band_idx AND n.band_key = h.band_key
+),
+sizes_new AS (SELECT doc_id, COUNT(*) AS n_new FROM sh_new GROUP BY doc_id),
+sizes_hist AS (SELECT doc_id, COUNT(*) AS n_hist FROM sh_hist GROUP BY doc_id),
+inter AS (
+  SELECT c.id_new, c.id_hist, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh_new sa ON sa.doc_id = c.id_new
+  JOIN sh_hist sb ON sb.doc_id = c.id_hist AND sb.shingle = sa.shingle
+  GROUP BY c.id_new, c.id_hist
+)
+SELECT id_new, id_hist, n_inter, zn.n_new, zh.n_hist,
+       ROUND(n_inter * 1.0 / (zn.n_new + zh.n_hist - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes_new zn ON zn.doc_id = id_new
+JOIN sizes_hist zh ON zh.doc_id = id_hist
+WHERE n_inter * 1.0 / (zn.n_new + zh.n_hist - n_inter) >= 0.5
+"""
+
+
 SPECS = [
     QuerySpec("t11_line_dedup", t11_line_dedup, T11_SQL,
               "cross-document line-level boilerplate removal (CCNet-style)"),
@@ -512,4 +676,10 @@ SPECS = [
               "recall@3 of exact search over the SQ8-dequantized corpus"),
     QuerySpec("c01_canonical_selection", c01_canonical_selection, _c01_sql(),
               "canonical-representative selection per near-dup group"),
+    QuerySpec("t15_chunk_overlap", t15_chunk_overlap, T15_SQL,
+              "sliding-window document chunking with overlap (RAG prep)"),
+    QuerySpec("t16_quantile_filter", t16_quantile_filter, T16_SQL,
+              "per-domain exact-rank quantile filter (drop worst quartile)"),
+    QuerySpec("i01_incremental_neardup", i01_incremental_neardup, I01_SQL,
+              "incremental near-dup: new batch vs persisted corpus index"),
 ]

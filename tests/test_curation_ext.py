@@ -170,3 +170,77 @@ def test_canonical_selection_keeps_longest_member(spark, sf_dir):
         # truncated variants (ids 1000+) are strictly shorter than their
         # base docs, so the longest member is always a base doc
         assert r["kept_doc_id"] < 1000
+
+
+# --------------------------------------------------------------------------
+# chunk_documents
+# --------------------------------------------------------------------------
+def test_chunk_overlap_covers_all_tokens_in_order(spark):
+    from datawarehouse_backup_system_spark.operators.text import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame([(1, text), (2, "tiny doc")], ["doc_id", "text"])
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=16, overlap=4)
+    rows = sorted(
+        [r for r in out.collect() if r["doc_id"] == 1],
+        key=lambda r: r["chunk_id"],
+    )
+    stride = 12
+    rebuilt = rows[0]["chunk_text"].split(" ")
+    for r in rows[1:]:
+        toks = r["chunk_text"].split(" ")
+        # consecutive chunks share exactly `overlap` tokens
+        assert rebuilt[-4:] == toks[:4]
+        rebuilt.extend(toks[4:])
+    assert rebuilt == text.split(" ")
+    assert all(r["chunk_id"] == i for i, r in enumerate(rows))
+    # short doc -> exactly one chunk containing everything
+    tiny = [r for r in out.collect() if r["doc_id"] == 2]
+    assert len(tiny) == 1 and tiny[0]["chunk_text"] == "tiny doc"
+
+
+# --------------------------------------------------------------------------
+# quantile_filter
+# --------------------------------------------------------------------------
+def test_quantile_filter_drops_exact_bottom_fraction(spark):
+    from datawarehouse_backup_system_spark.operators.sampling import (
+        quantile_filter,
+    )
+
+    rows = [(i, "a", i) for i in range(8)] + [(100 + i, "b", -i) for i in range(5)]
+    df = spark.createDataFrame(rows, ["k", "s", "score"])
+    out = quantile_filter(df, "k", "s", "score", drop_frac=0.25)
+    a = sorted(r["k"] for r in out.collect() if r["s"] == "a")
+    b = sorted(r["k"] for r in out.collect() if r["s"] == "b")
+    assert a == [2, 3, 4, 5, 6, 7]  # floor(8*.25)=2 lowest scores dropped
+    assert b == [100, 101, 102, 103]  # floor(5*.25)=1 dropped (score -4)
+
+
+# --------------------------------------------------------------------------
+# incremental_neardup_pairs
+# --------------------------------------------------------------------------
+def test_incremental_neardup_only_cross_batch_pairs(spark):
+    from datawarehouse_backup_system_spark.operators.dedup_approx import (
+        incremental_neardup_pairs,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    hist = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "completely different words here now")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(101, " ".join(base.split()[2:]))],  # near-dup of doc 1 (and 2)
+        ["doc_id", "text"],
+    )
+    pairs = incremental_neardup_pairs(
+        new, hist, "doc_id", "text", threshold=0.5
+    ).collect()
+    got = {(r["id_new"], r["id_hist"]) for r in pairs}
+    assert (101, 1) in got
+    # history docs 1 and 2 are near-dups of EACH OTHER but must never
+    # be re-paired by the incremental pass
+    assert all(p[0] == 101 for p in got)
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
