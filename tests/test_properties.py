@@ -256,3 +256,96 @@ def test_range_join_matches_theta_any_bucket_width(spark, points, ivs, bucket):
              .where((F.col("t") >= F.col("s")) & (F.col("t") <= F.col("e")))
              .collect()}
     assert got == naive
+
+
+# --------------------------------------------------------------------------
+# chunk_documents: every token covered exactly once ignoring overlap;
+# consecutive chunks share exactly `overlap` tokens; ids dense
+# --------------------------------------------------------------------------
+@SETTINGS
+@given(
+    n_tokens=st.integers(1, 60),
+    chunk=st.integers(2, 20),
+    overlap_frac=st.floats(0, 0.9),
+)
+def test_chunk_documents_coverage_any_params(spark, n_tokens, chunk, overlap_frac):
+    from datawarehouse_backup_system_spark.operators.text import chunk_documents
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    stride = chunk - overlap
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(
+            df, "doc_id", "text", chunk_tokens=chunk, overlap=overlap
+        ).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+    rebuilt: list[str] = []
+    for r in rows:
+        toks = r["chunk_text"].split(" ")
+        assert len(toks) <= chunk
+        if rebuilt:
+            shared = min(overlap, len(rebuilt))
+            assert rebuilt[-shared:] == toks[:shared] if shared else True
+            rebuilt.extend(toks[shared:])
+        else:
+            rebuilt = toks
+    assert rebuilt == text.split(" ")
+
+
+# --------------------------------------------------------------------------
+# quantize: reconstruction error bounded by half a step for any vector
+# --------------------------------------------------------------------------
+@SETTINGS
+@given(
+    vec=st.lists(
+        st.floats(-1e3, 1e3, allow_nan=False, width=32), min_size=1, max_size=16
+    )
+)
+def test_quantize_roundtrip_error_bounded(spark, vec):
+    from datawarehouse_backup_system_spark.operators.quantize import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame([(1, [float(x) for x in vec])], ["vec_id", "embedding"])
+    r = quantize_embeddings(df, "vec_id", "embedding").collect()[0]
+    assert all(0 <= c <= 255 for c in r["q"])
+    assert r["max_abs_err"] <= (r["q_scale"] or 0.0) / 2 + 1e-9
+
+
+# --------------------------------------------------------------------------
+# line_dedup: doc set preserved; clean docs contain no boilerplate line;
+# idempotent (re-running on cleaned text removes nothing new)
+# --------------------------------------------------------------------------
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=5),
+        min_size=1,
+        max_size=8,
+    ),
+    min_df=st.integers(2, 4),
+)
+def test_line_dedup_invariants(spark, docs, min_df):
+    from collections import Counter
+
+    from datawarehouse_backup_system_spark.operators.text import line_dedup
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in line_dedup(df, "doc_id", "text", min_df=min_df).collect()}
+    assert set(out) == {i for i, _ in rows}
+    # independently computed boilerplate set
+    freq = Counter()
+    for i, lines in enumerate(docs):
+        for line in set(lines):
+            freq[line] += 1
+    boiler = {l for l, c in freq.items() if c >= min_df}
+    for i, lines in enumerate(docs):
+        expect = [l for l in lines if l not in boiler]
+        got = out[i]["clean_text"].split("\n") if out[i]["clean_text"] else []
+        assert got == expect
+        assert out[i]["n_kept"] == len(expect)
+        assert out[i]["n_lines"] == len(lines)
