@@ -26,31 +26,27 @@ from pyspark.sql import types as T
 RAW_COL = "_raw_line"
 
 
-def read_jsonl(
-    spark: SparkSession,
-    paths: str | list[str],
-    schema: T.StructType,
-) -> DataFrame:
-    """Read line-delimited JSON against an explicit schema.
+def jsonl_projection(lines: DataFrame, schema: T.StructType) -> DataFrame:
+    """The parse/quarantine projection over a frame of raw lines
+    (column ``value``) — shared verbatim by the batch reader and
+    ``streaming.ingest_stream.stream_jsonl``, so quarantine semantics
+    can never fork between backfill and live ingest. Stateless and
+    codegen'd: safe under any partitioning and in a streaming plan.
 
-    Output: the schema's columns plus ``_raw_line``, which is NULL for
-    rows that parsed and carries the original line for rows that did
-    not (feed those to the ledger via :func:`split_corrupt`). Blank
-    lines are dropped.
+    PERMISSIVE from_json marks malformed lines via the corrupt-record
+    field (a TRUNCATED json like '{"k": ' yields a non-null struct, so
+    struct-is-null alone is not a reliable corruption signal); a
+    non-null struct with a NULL data field is a per-field type
+    mismatch — a coercion concern for operators/cast.py, not line
+    corruption. Blank lines are dropped.
     """
-    raw = spark.read.text(paths).where(F.length(F.trim(F.col("value"))) > 0)
-    # PERMISSIVE from_json marks malformed lines via the corrupt-record
-    # field (a TRUNCATED json like '{"k": ' yields a non-null struct, so
-    # struct-is-null alone is not a reliable corruption signal); a
-    # non-null struct with a NULL data field is a per-field type
-    # mismatch — a coercion concern for operators/cast.py, not line
-    # corruption.
     # StructType.add mutates in place — build a fresh struct instead of
     # corrupting the caller's schema object
     parse_schema = T.StructType(
         list(schema.fields) + [T.StructField("_corrupt", T.StringType())]
     )
-    parsed = raw.select(
+    nonblank = lines.where(F.length(F.trim(F.col("value"))) > 0)
+    parsed = nonblank.select(
         F.col("value"),
         F.from_json(
             F.col("value"),
@@ -68,6 +64,20 @@ def read_jsonl(
             if f.name != "_corrupt"
         ],
     )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: T.StructType,
+) -> DataFrame:
+    """Read line-delimited JSON against an explicit schema.
+
+    Output: the schema's columns plus ``_raw_line``, which is NULL for
+    rows that parsed and carries the original line for rows that did
+    not (feed those to the ledger via :func:`split_corrupt`).
+    """
+    return jsonl_projection(spark.read.text(paths), schema)
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -204,3 +204,31 @@ def ingest_stream(
         .foreachBatch(sink)
         .start()
     )
+
+
+def stream_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """Streaming JSONL ingestion with the SAME corrupt-line quarantine
+    semantics as the batch source (``sources.jsonl_source.read_jsonl``):
+    the text reader streams files from the landing directory and
+    ``from_json`` parses in the projection — a stateless, codegen'd map,
+    so the parse adds no streaming state and the quarantine column
+    (`_raw_line`) flows to whatever sink routes bad lines to the ledger.
+
+    Batch/stream parity is structural, not re-implemented: both paths
+    call the same projection builder, so a quarantine rule change can
+    never fork semantics between backfill and live ingest.
+    """
+    from datawarehouse_backup_system_spark.sources.jsonl_source import (
+        jsonl_projection,
+    )
+
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(path)
+    )
+    return jsonl_projection(raw, schema)

@@ -293,3 +293,45 @@ def test_streaming_signature_dedup_with_simhash_expr(spark, tmp_path):
         assert ids == {1, 3}
     finally:
         q.stop()
+
+
+def test_stream_jsonl_quarantine_parity_with_batch(spark, tmp_path):
+    """stream_jsonl shares the batch reader's projection: same rows,
+    same quarantine decisions, across micro-batches."""
+    from pyspark.sql import types as T
+
+    from datawarehouse_backup_system_spark.sources.jsonl_source import (
+        RAW_COL,
+        read_jsonl,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "one"}\nnot json\n{"doc_id": 2, "text": "two"}\n'
+    )
+    stream = st.stream_jsonl(spark, str(src), schema)
+    assert stream.isStreaming
+    name = f"jsonl_{uuid.uuid4().hex[:8]}"
+    q = _run_to_memory(stream, name)
+    try:
+        # second micro-batch: one good line, one truncated
+        (src / "b.jsonl").write_text('{"doc_id": 3, "text": "three"}\n{"bad": \n')
+        q.processAllAvailable()
+        got = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+    good_ids = sorted(r["doc_id"] for r in got if r[RAW_COL] is None)
+    bad_raw = sorted(r[RAW_COL] for r in got if r[RAW_COL] is not None)
+    assert good_ids == [1, 2, 3]
+    assert bad_raw == sorted(["not json", '{"bad": '])
+    # parity: the batch reader over the same directory agrees row-for-row
+    batch = read_jsonl(spark, str(src), schema).collect()
+    assert sorted(r["doc_id"] for r in batch if r[RAW_COL] is None) == good_ids
+    assert sorted(r[RAW_COL] for r in batch if r[RAW_COL] is not None) == bad_raw
