@@ -69,3 +69,31 @@ def export_registry_watermarks(
     out_path = Path(out_path)
     out_path.write_text(json.dumps(raw, indent=2))
     return out_path
+
+
+def export_snapshot_jsonl(
+    df: DataFrame,
+    out_dir: str | Path,
+    compression: str | None = "gzip",
+    single_file: bool = False,
+    timestamp_format: str = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+) -> Path:
+    """Write a snapshot as line-delimited JSON under ``out_dir`` — the
+    interchange format downstream training pipelines ingest (the sink
+    twin of ``sources.jsonl_source``; a round-trip through both is
+    lossless for the registry's scalar types).
+
+    Distributed multi-part by default, gzip-compressed (JSONL is
+    verbose; .gz parts stay splittable at the FILE level, which is the
+    parallelism unit here — one writer/reader task per part). ISO-8601
+    timestamps with µs and offset so readers need no format contract.
+    """
+    out_dir = Path(out_dir)
+    w = df.coalesce(1) if single_file else df
+    writer = w.write.mode("overwrite").option(
+        "timestampFormat", timestamp_format
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(str(out_dir))
+    return out_dir

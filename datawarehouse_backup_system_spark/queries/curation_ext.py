@@ -661,6 +661,54 @@ WHERE n_inter * 1.0 / (zn.n_new + zh.n_hist - n_inter) >= 0.5
 """
 
 
+# --------------------------------------------------------------------------
+# z01 — Z-order (Morton) clustering code
+# --------------------------------------------------------------------------
+_Z_BITS = 10
+
+
+def z01_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bit-interleaved sort key behind multi-column data skipping
+    (``operators.zorder``): code correctness is what makes the layout
+    claim checkable, so the code itself goes under the oracle. x/y are
+    the two predicate columns a warehouse would cluster events by
+    (user and value-cents), clamped to 2^10 buckets."""
+    from ..operators.zorder import morton_code
+
+    ev = load(spark, sf_dir, "events")
+    lim = F.lit(1 << _Z_BITS)
+    x = F.pmod(F.col("user_id"), lim)
+    y = F.pmod(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"), lim
+    )
+    return ev.select(
+        "event_id",
+        x.alias("zx"),
+        y.alias("zy"),
+        morton_code([x, y], bits=_Z_BITS).alias("zcode"),
+    )
+
+
+def _z01_interleave_sql() -> str:
+    terms = []
+    for i, col in enumerate(("zx", "zy")):
+        for j in range(_Z_BITS):
+            terms.append(f"((({col} >> {j}) & 1) << {j * 2 + i})")
+    return " | ".join(terms)
+
+
+Z01_SQL = f"""
+WITH b AS (
+  SELECT event_id,
+         user_id % {1 << _Z_BITS} AS zx,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) % {1 << _Z_BITS} AS zy
+  FROM events
+)
+SELECT event_id, zx, zy, CAST({_z01_interleave_sql()} AS BIGINT) AS zcode
+FROM b
+"""
+
+
 SPECS = [
     QuerySpec("t11_line_dedup", t11_line_dedup, T11_SQL,
               "cross-document line-level boilerplate removal (CCNet-style)"),
@@ -682,4 +730,6 @@ SPECS = [
               "per-domain exact-rank quantile filter (drop worst quartile)"),
     QuerySpec("i01_incremental_neardup", i01_incremental_neardup, I01_SQL,
               "incremental near-dup: new batch vs persisted corpus index"),
+    QuerySpec("z01_zorder_code", z01_zorder_code, Z01_SQL,
+              "Z-order (Morton) clustering code for multi-column skipping"),
 ]

@@ -244,3 +244,56 @@ def test_incremental_neardup_only_cross_batch_pairs(spark):
     # be re-paired by the incremental pass
     assert all(p[0] == 101 for p in got)
     assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+# --------------------------------------------------------------------------
+# zorder: morton code correctness + clustering benefit
+# --------------------------------------------------------------------------
+def _py_morton(xs: list[int], bits: int) -> int:
+    code = 0
+    for i, v in enumerate(xs):
+        for j in range(bits):
+            code |= ((v >> j) & 1) << (j * len(xs) + i)
+    return code
+
+
+def test_morton_code_matches_reference(spark):
+    from datawarehouse_backup_system_spark.operators.zorder import morton_code
+
+    rows = [(a, b, c) for a in (0, 1, 5, 255) for b in (0, 3, 254) for c in (0, 7)]
+    df = spark.createDataFrame(rows, ["x", "y", "z"])
+    out = df.select(
+        "x", "y", "z",
+        morton_code([F.col("x"), F.col("y"), F.col("z")], bits=8).alias("code"),
+    ).collect()
+    for r in out:
+        assert r["code"] == _py_morton([r["x"], r["y"], r["z"]], 8)
+
+
+def test_zorder_partitions_cover_small_rectangles(spark):
+    """After zorder_by, each partition spans a small x/y rectangle vs
+    the unclustered layout — the property min/max stats pruning needs."""
+    from pyspark.sql import functions as SF
+
+    from datawarehouse_backup_system_spark.operators.zorder import zorder_by
+
+    n = 1 << 12
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % n).alias("x"),  # scrambled
+        (F.col("id") * 40503 % n).alias("y"),
+    )
+
+    def spread(frame):
+        return (
+            frame.withColumn("p", SF.spark_partition_id())
+            .groupBy("p")
+            .agg(
+                (SF.max("x") - SF.min("x")).alias("sx"),
+                (SF.max("y") - SF.min("y")).alias("sy"),
+            )
+            .agg(SF.avg(SF.col("sx") + SF.col("sy")).alias("s"))
+            .collect()[0]["s"]
+        )
+
+    clustered = zorder_by(df, ["x", "y"], bits=12, n_partitions=16)
+    assert spread(clustered) < spread(df.repartition(16)) * 0.5

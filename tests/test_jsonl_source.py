@@ -67,3 +67,22 @@ def test_sample_schema_roundtrip(spark, tmp_path):
     assert {"doc_id", "text", "meta"} <= set(schema.fieldNames())
     good, bad = split_corrupt(read_jsonl(spark, path, schema=schema))
     assert good.count() == 3 and bad.count() == 0
+
+
+def test_export_jsonl_roundtrip(spark, tmp_path):
+    """export_snapshot_jsonl -> read_jsonl is lossless for scalars."""
+    from datawarehouse_backup_system_spark.operators.export import (
+        export_snapshot_jsonl,
+    )
+
+    src = spark.createDataFrame(
+        [(1, "hello", 1.5), (2, None, -3.25), (3, "x\"quoted\"", 0.0)],
+        "doc_id long, text string, score double",
+    )
+    out = tmp_path / "export"
+    export_snapshot_jsonl(src, out)
+    back, bad = split_corrupt(
+        read_jsonl(spark, str(out), schema=src.schema)
+    )
+    assert bad.count() == 0
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
