@@ -137,6 +137,52 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# m03 — MP4 (video) header parser vs arithmetic oracle: the third media
+# container, so every decode_features branch (image/audio/video) is
+# under the hard signal
+# --------------------------------------------------------------------------
+def m03_mp4_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a minimal ISO-BMFF prefix per document — an ``ftyp``
+    box plus a version-0 ``mvhd`` box with big-endian timescale and
+    duration — and run the PRODUCTION mapInPandas header decoder over
+    the blobs. duration = timescale·k + timescale/2 with an even
+    timescale, so duration_ms = 1000·k + 500 exactly and the oracle is
+    pure integer arithmetic on ``doc_id``.
+    """
+    docs = load(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 20 + 1).cast("long")
+    ts = (F.lit(1000) * (F.col("doc_id") % 4 + 1)).cast("long")
+    dur = ts * k + ts / 2
+    hexstr = F.concat(
+        # ftyp box: size 16, brand isom, minor_version 0
+        F.lit("00000010" "66747970" "69736F6D" "00000000"),
+        # mvhd box: size 28, tag, version 0 + flags, ctime, mtime,
+        # then timescale and duration (big-endian, like the container)
+        F.lit("0000001C" "6D766864" "00000000" "00000000" "00000000"),
+        F.lpad(F.hex(ts), 8, "0"),
+        F.lpad(F.hex(dur.cast("long")), 8, "0"),
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("kind"),
+        F.unhex(hexstr).alias("data"),
+    )
+    return decode_features(assets).select(
+        "asset_id", "kind", "format", "n_bytes", "duration_ms"
+    )
+
+
+M03_SQL = """
+SELECT doc_id AS asset_id,
+       'video' AS kind,
+       'mp4' AS format,
+       CAST(44 AS BIGINT) AS n_bytes,
+       CAST((doc_id % 20 + 1) * 1000 + 500 AS INT) AS duration_ms
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # r01–r04 — recall@3 of each ANN family vs the exact baseline
 # --------------------------------------------------------------------------
 _K = 3
@@ -479,6 +525,8 @@ def _build_specs() -> list[QuerySpec]:
                   "expression-level PNG header probe vs arithmetic oracle"),
         QuerySpec("m02_wav_headers", m02_wav_headers, M02_SQL,
                   "real stdlib WAV header parser (mapInPandas) vs arithmetic oracle"),
+        QuerySpec("m03_mp4_headers", m03_mp4_headers, M03_SQL,
+                  "real stdlib MP4/mvhd header parser vs arithmetic oracle"),
         QuerySpec("r01_recall_bucketed", r01_recall_bucketed, _recall_sql(D07_SQL),
                   "recall@3 of sign-bucket ANN vs exact baseline"),
         QuerySpec("r02_recall_multiprobe", r02_recall_multiprobe, _recall_sql(D08_SQL),

@@ -108,3 +108,13 @@ def test_s01_is_subset_and_keeps_first_occurrences(spark, sf_dir):
         .count()
     )
     assert viol == 0
+
+
+def test_m03_mp4_headers_match_ground_truth(spark, sf_dir):
+    from datawarehouse_backup_system_spark.queries.extras import m03_mp4_headers
+
+    rows = m03_mp4_headers(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["format"] == "mp4" and r["n_bytes"] == 44
+        assert r["duration_ms"] == (r["asset_id"] % 20 + 1) * 1000 + 500
