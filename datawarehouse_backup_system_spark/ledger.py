@@ -119,3 +119,23 @@ class Ledger:
                 _, table_name, write_id = r["file_name"].split(":", 2)
                 out.append((table_name, write_id))
         return out
+
+    def committed_writes(self, table_name: str) -> list[tuple[str, object]]:
+        """(write_id, committed_at) for every COMMITTED snapshot append
+        of ``table_name``, ordered by commit time (ties by id) — the
+        version history time travel reads from."""
+        rows = (
+            self.read()
+            .where(
+                F.col("file_name").startswith(
+                    f"{WRITE_MARKER_PREFIX}{table_name}:"
+                )
+            )
+            .where(F.col("status") == STATUS_WRITE_COMMIT)
+            .select("file_name", "created_at")
+            .collect()
+        )
+        out = [
+            (r["file_name"].rsplit(":", 1)[-1], r["created_at"]) for r in rows
+        ]
+        return sorted(out, key=lambda t: (t[1], t[0]))

@@ -10,8 +10,10 @@ this interface, so a log-based format drops in as one new class:
 - ``DeltaFormat.append`` would be ``df.write.format("delta")
   .mode("append")`` (atomicity from the transaction log — no markers,
   no publish renames) and ``recover`` a no-op;
-- ``read`` would be ``spark.read.format("delta")`` and gain time travel
-  via ``option("versionAsOf", ...)``.
+- ``read`` would be ``spark.read.format("delta")`` and time travel
+  ``option("versionAsOf", ...)`` — which :meth:`WriteIdParquetFormat.
+  read_as_of` already provides over plain parquet (committed-write-id
+  file listing), together with snapshot-isolated committed-only reads.
 
 The interface is deliberately tiny — read / append / recover — because
 that is the entire surface the ingest plan needs from storage; retention
@@ -120,6 +122,67 @@ class WriteIdParquetFormat(SnapshotFormat):
         self.ledger.append(marker, ledger_mod.STATUS_WRITE_COMMIT)
         shutil.rmtree(inflight, ignore_errors=True)
         return int(obs.get["n"])
+
+    def versions(self, table_name: str) -> list[dict]:
+        """Commit history (the DESCRIBE HISTORY analog): one dict per
+        committed append, ordered by commit time; versions are 1-based
+        (version 0 = any pre-protocol un-prefixed bootstrap files)."""
+        return [
+            {"version": i + 1, "write_id": wid, "committed_at": ts}
+            for i, (wid, ts) in enumerate(
+                self.ledger.committed_writes(table_name)
+            )
+        ]
+
+    def read_as_of(
+        self,
+        spark: SparkSession,
+        path: Path,
+        fallback: T.StructType,
+        table_name: str,
+        as_of=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Time-travel / snapshot-isolated read: list only files whose
+        write-id had COMMITTED by the requested point.
+
+        - ``version=N`` → the table after the Nth committed append;
+        - ``as_of=<naive-UTC datetime>`` → commits with
+          committed_at <= it;
+        - neither → all committed writes: a CONSISTENT committed-only
+          view, which also answers the concurrent-reader problem — a
+          mid-publish write-id has no commit marker yet, so its
+          half-published files are simply not listed (bare
+          ``spark.read.parquet`` on the directory has no such guard).
+
+        Un-prefixed files (pre-protocol bootstrap data) are always
+        included, as version 0. Like Delta after VACUUM, retention
+        partition drops bound how far back as-of reads reach — dropped
+        files are gone.
+        """
+        commits = self.ledger.committed_writes(table_name)
+        if version is not None:
+            if not 0 <= version <= len(commits):
+                raise ValueError(
+                    f"version {version} out of range 0..{len(commits)}"
+                )
+            allowed = {wid for wid, _ in commits[:version]}
+        elif as_of is not None:
+            allowed = {wid for wid, ts in commits if ts <= as_of}
+        else:
+            allowed = {wid for wid, _ in commits}
+        files = []
+        if path.exists():
+            for f in sorted(path.rglob("*.parquet")):
+                if f.name.startswith("w") and "-" in f.name:
+                    if f.name[1:].split("-", 1)[0] not in allowed:
+                        continue
+                files.append(str(f))
+        if not files:
+            return spark.createDataFrame([], fallback)
+        # basePath keeps the ingest_date partition column when reading an
+        # explicit file list
+        return spark.read.option("basePath", str(path)).parquet(*files)
 
     def recover(self, table_dirs: Callable[[str], Path],
                 inflight_ttl_s: float = 3600.0) -> list[str]:

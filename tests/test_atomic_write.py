@@ -304,3 +304,47 @@ def test_bom_utf8_through_distributed_scan(spark, tmp_path):
     assert df.columns == ["Email", "Name"]  # no U+FEFF residue
     row = df.collect()[0]
     assert (row["Email"], row["Name"]) == ("a@x.com", "Ann")
+
+
+def test_time_travel_versions_and_as_of(spark, tmp_path):
+    """read_as_of replays the table at any committed version, and the
+    committed-only default hides a mid-publish write (snapshot
+    isolation the bare directory read lacks)."""
+    fx = generate_f1(tmp_path, n=40)
+    job = make_job(spark, tmp_path, fx)
+    schema = job.registry.get("mini_campaign_events")
+    table_dir = job.table_path(schema)
+
+    assert job.process_file(fx["files"][0]).status == ledger_mod.STATUS_UPLOADED
+    n1 = job.read_table(schema).count()
+    assert job.process_file(fx["files"][1]).status == ledger_mod.STATUS_UPLOADED
+    n2 = job.read_table(schema).count()
+    assert n2 > n1
+
+    hist = job.fmt.versions(schema.table_name)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[0]["committed_at"] <= hist[1]["committed_at"]
+
+    def as_of(**kw):
+        return job.fmt.read_as_of(
+            spark, table_dir, schema.to_struct_type(),
+            schema.table_name, **kw,
+        ).count()
+
+    assert as_of(version=1) == n1
+    assert as_of(version=2) == n2
+    assert as_of(version=0) == 0          # nothing before the first commit
+    assert as_of(as_of=hist[0]["committed_at"]) == n1
+    assert as_of() == n2
+
+    # a mid-publish (uncommitted) write is invisible to read_as_of but
+    # pollutes the bare directory read
+    part_dir = next(table_dir.glob("ingest_date=*"))
+    src = next(part_dir.glob("*.parquet"))
+    shutil.copy(src, part_dir / "wfeedfacefeedface-part-inflight.parquet")
+    job.ledger.append(
+        f"{ledger_mod.WRITE_MARKER_PREFIX}{schema.table_name}:feedfacefeedface",
+        ledger_mod.STATUS_WRITE_BEGIN,
+    )
+    assert job.read_table(schema).count() > n2      # dirty raw read
+    assert as_of() == n2                            # consistent view
