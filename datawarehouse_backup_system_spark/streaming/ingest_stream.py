@@ -232,3 +232,59 @@ def stream_jsonl(
         .text(path)
     )
     return jsonl_projection(raw, schema)
+
+
+def stream_neardup_filter(
+    stream_docs: DataFrame,
+    history: DataFrame,
+    out_dir: str,
+    audit_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket_size: int | None = 20,
+):
+    """LIVE near-duplicate filtering of an ingest stream against the
+    existing corpus: each micro-batch runs the batch-proven
+    ``incremental_neardup_pairs`` (query i01) via ``foreachBatch`` —
+    novel documents append to ``out_dir``; matched (new, history) pairs
+    land in ``audit_dir`` with their exact Jaccard, so every drop is
+    explainable.
+
+    foreachBatch is the right tool (not a stream-stream join): the
+    history side is a STATIC corpus index — at scale the persisted LSH
+    bands, appended as batches commit — and the per-batch work is
+    batch × index, exactly i01's cost shape. Intra-batch duplicates are
+    out of scope here by design (run ``minhash_lsh_dedup`` inside the
+    batch first if the stream itself carries near-dups).
+    """
+    from datawarehouse_backup_system_spark.operators.dedup_approx import (
+        incremental_neardup_pairs,
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        pairs = incremental_neardup_pairs(
+            batch, history, id_col, text_col,
+            threshold=threshold, max_bucket_size=max_bucket_size,
+        ).persist()
+        try:
+            (
+                pairs.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append").parquet(audit_dir)
+            )
+            dup_ids = pairs.select(
+                F.col("id_new").alias(id_col)
+            ).distinct()
+            batch.join(dup_ids, id_col, "left_anti").write.mode(
+                "append"
+            ).parquet(out_dir)
+        finally:
+            pairs.unpersist()
+
+    return (
+        stream_docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

@@ -335,3 +335,47 @@ def test_stream_jsonl_quarantine_parity_with_batch(spark, tmp_path):
     batch = read_jsonl(spark, str(src), schema).collect()
     assert sorted(r["doc_id"] for r in batch if r[RAW_COL] is None) == good_ids
     assert sorted(r[RAW_COL] for r in batch if r[RAW_COL] is not None) == bad_raw
+
+
+def test_stream_neardup_filter_drops_known_keeps_novel(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    base = " ".join(f"tok{i}" for i in range(30))
+    novel = "entirely different fresh content " + " ".join(
+        f"new{i}" for i in range(26)
+    )
+    history = spark.createDataFrame([(1, base), (2, "other words " * 15)],
+                                    doc_schema)
+    src = str(tmp_path / "incoming")
+    spark.createDataFrame(
+        [(101, " ".join(base.split()[2:])), (102, novel)], doc_schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, audit, ckpt = (str(tmp_path / d) for d in ("out", "audit", "ckpt"))
+    q = st.stream_neardup_filter(stream, history, out, audit, ckpt)
+    try:
+        q.processAllAvailable()
+        # second batch: another near-dup of history doc 1
+        spark.createDataFrame(
+            [(103, " ".join(base.split()[:27]))], doc_schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [102]  # 101 and 103 are near-dups of history doc 1
+    audit_rows = spark.read.parquet(audit).collect()
+    assert {(r["id_new"], r["id_hist"]) for r in audit_rows} >= {(101, 1), (103, 1)}
+    assert all(r["jaccard"] >= 0.5 for r in audit_rows)
