@@ -64,13 +64,30 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
+    # norms staged once per vector: the BNLJ scores |queries|×|corpus|
+    # candidate rows, and re-folding both norms per row triples the
+    # interpreted-lambda work the dot product already costs
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+        norm(_as_double(vec_col)).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        norm(_as_double(vec_col)).alias("cn"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+        .withColumn(
+            "score",
+            F.round(
+                F.try_divide(
+                    dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")
+                ),
+                round_digits,
+            ),
+        )
         .select("query_id", "neighbor_id", "score")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -185,14 +202,17 @@ def bucketed_ann(
         def _bucket(v: Column) -> Column:
             return sign_bucket(v, n_bits)
 
+    # norms staged once per vector (not re-folded per candidate row —
+    # HOF lambdas are interpreted; see neardup_pairs_bucketed)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(vec_col).alias("qv"),
+        norm(_as_double(vec_col)).alias("qn"),
         _bucket(_as_double(vec_col)).alias("bucket"),
     )
     if multi_probe >= 1:
         q = q.select(
-            "query_id", "qv",
+            "query_id", "qv", "qn",
             F.explode(
                 _hamming_probes(F.col("bucket"), n_bits, multi_probe)
             ).alias("bucket"),
@@ -200,12 +220,21 @@ def bucketed_ann(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("cv"),
+        norm(_as_double(vec_col)).alias("cn"),
         _bucket(_as_double(vec_col)).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+        .withColumn(
+            "score",
+            F.round(
+                F.try_divide(
+                    dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")
+                ),
+                round_digits,
+            ),
+        )
         .select("query_id", "neighbor_id", "score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -514,24 +543,43 @@ def neardup_pairs_bucketed(
     whose buckets differ in ≥2 bits are not considered — raise
     ``n_bits``/probing or fall back to :func:`neardup_pairs` to measure.
     """
+    # norms are computed ONCE per vector here — computing cosine() per
+    # candidate would re-fold each side's norm for every one of the
+    # ~(1+n_bits)·N²/2^n_bits candidate rows (HOF lambdas are
+    # interpreted; tripling the per-candidate fold work is real cost)
     v = emb.select(
         F.col(id_col).alias("_id"),
         _as_double(vec_col).alias("_v"),
+        norm(_as_double(vec_col)).alias("_n"),
         sign_bucket(_as_double(vec_col), n_bits).alias("bucket"),
     )
-    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "bucket")
+    a = v.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+        F.col("_n").alias("na"), "bucket",
+    )
     if multi_probe >= 1:
         a = a.select(
-            "id_a", "va",
+            "id_a", "va", "na",
             F.explode(
                 _hamming_probes(F.col("bucket"), n_bits, multi_probe)
             ).alias("bucket"),
         )
-    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "bucket")
+    b = v.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"), "bucket",
+    )
     return (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), round_digits))
+        .withColumn(
+            "score",
+            F.round(
+                F.try_divide(
+                    dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+                ),
+                round_digits,
+            ),
+        )
         .where(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
