@@ -368,24 +368,45 @@ def _centroid_frame(
 def _assign_lists(
     corpus: DataFrame, cent: DataFrame, id_col: str, vec_col: str, round_digits: int
 ) -> DataFrame:
-    """(neighbor_id, cv, list_id): each corpus vector's argmax-cosine
-    centroid via max(struct(score, -cid)) — partial-aggregatable, so the
-    N·K assign rows map-side combine back to N before any shuffle."""
+    """(neighbor_id, cv, cv_norm, list_id): each corpus vector's
+    argmax-cosine centroid via max(struct(score, -cid)) — partial-
+    aggregatable, so the N·K assign rows map-side combine back to N
+    before any shuffle. Vector and centroid norms are staged once per
+    row/centroid (the assign scores N·K candidates — re-folding norms
+    per candidate triples the interpreted-lambda work); ``cv_norm``
+    rides along so downstream candidate scoring never re-folds it."""
     # coalesce(score, -2): cosine ∈ [-1,1]∪{NULL(zero-norm)}; -2 sorts a
     # null score below every real one identically in Spark and DuckDB
     cscore = F.coalesce(
-        F.round(cosine(F.col("_v"), F.col("ce")), round_digits), F.lit(-2.0)
+        F.round(
+            F.try_divide(
+                dot(F.col("_v"), F.col("ce")), F.col("_n") * F.col("ce_n")
+            ),
+            round_digits,
+        ),
+        F.lit(-2.0),
     )
     return (
-        corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_v"))
-        .crossJoin(F.broadcast(cent))
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(vec_col).alias("_v"),
+            norm(_as_double(vec_col)).alias("_n"),
+        )
+        .crossJoin(F.broadcast(cent.withColumn("ce_n", norm(F.col("ce")))))
         .select(
-            "neighbor_id", "_v",
+            "neighbor_id", "_v", "_n",
             F.struct(cscore.alias("s"), (-F.col("cid")).alias("neg_cid")).alias("sc"),
         )
         .groupBy("neighbor_id")
-        .agg(F.max("sc").alias("best"), F.first("_v").alias("cv"))
-        .select("neighbor_id", "cv", (-F.col("best.neg_cid")).alias("list_id"))
+        .agg(
+            F.max("sc").alias("best"),
+            F.first("_v").alias("cv"),
+            F.first("_n").alias("cv_norm"),
+        )
+        .select(
+            "neighbor_id", "cv", "cv_norm",
+            (-F.col("best.neg_cid")).alias("list_id"),
+        )
     )
 
 
@@ -393,23 +414,35 @@ def _probe_lists(
     queries: DataFrame, cent: DataFrame, id_col: str, vec_col: str,
     n_probe: int, round_digits: int,
 ) -> DataFrame:
-    """(query_id, qv, list_id): each query's n_probe nearest centroids
-    (window over the small probe set only)."""
+    """(query_id, qv, qn, list_id): each query's n_probe nearest
+    centroids (window over the small probe set only); the query norm is
+    staged once and rides along for candidate scoring."""
     from pyspark.sql import Window
 
     wq = Window.partitionBy("query_id").orderBy(F.desc("ps"), F.asc("cid"))
     return (
-        queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
-        .crossJoin(F.broadcast(cent))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(vec_col).alias("qv"),
+            norm(_as_double(vec_col)).alias("qn"),
+        )
+        .crossJoin(F.broadcast(cent.withColumn("ce_n", norm(F.col("ce")))))
         .withColumn(
             "ps",
             F.coalesce(
-                F.round(cosine(F.col("qv"), F.col("ce")), round_digits), F.lit(-2.0)
+                F.round(
+                    F.try_divide(
+                        dot(F.col("qv"), F.col("ce")),
+                        F.col("qn") * F.col("ce_n"),
+                    ),
+                    round_digits,
+                ),
+                F.lit(-2.0),
             ),
         )
         .withColumn("prn", F.row_number().over(wq))
         .where(F.col("prn") <= n_probe)
-        .select("query_id", "qv", F.col("cid").alias("list_id"))
+        .select("query_id", "qv", "qn", F.col("cid").alias("list_id"))
     )
 
 
@@ -422,7 +455,16 @@ def _score_candidates(
     scored = (
         assigned.join(F.broadcast(probes), "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine(F.col("qv"), F.col("cv")), round_digits))
+        .withColumn(
+            "score",
+            F.round(
+                F.try_divide(
+                    dot(F.col("qv"), F.col("cv")),
+                    F.col("qn") * F.col("cv_norm"),
+                ),
+                round_digits,
+            ),
+        )
         .select("query_id", "neighbor_id", "score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
