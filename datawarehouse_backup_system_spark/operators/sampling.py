@@ -183,3 +183,34 @@ def quantile_filter(
         .where(F.col("_rk") > F.floor(F.col("_n") * drop_frac))
         .drop("_rk", "_n")
     )
+
+
+def quantile_filter_approx(
+    df: DataFrame,
+    stratum_col: str,
+    score_col: str,
+    drop_frac: float = 0.25,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The hot-stratum form of :func:`quantile_filter`: a first pass
+    computes each stratum's ``drop_frac`` quantile with
+    ``percentile_approx`` (a sketch that PARTIAL-AGGREGATES map-side —
+    no per-stratum windowed sort, so a stratum with billions of rows
+    costs its partitions only), then a broadcast join + stateless
+    filter keeps rows at or above the threshold.
+
+    Semantics match :func:`quantile_filter` up to sketch error at the
+    cut point (ties at the threshold are KEPT here, while the exact
+    form cuts a precise count — at 100 TB that boundary sliver is the
+    accepted trade for removing the window).
+    """
+    if not 0 <= drop_frac < 1:
+        raise ValueError("drop_frac must be in [0, 1)")
+    cuts = df.groupBy(stratum_col).agg(
+        F.percentile_approx(score_col, drop_frac, accuracy).alias("_cut")
+    )
+    return (
+        df.join(F.broadcast(cuts), stratum_col)
+        .where(F.col(score_col) >= F.col("_cut"))
+        .drop("_cut")
+    )

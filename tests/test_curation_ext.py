@@ -297,3 +297,26 @@ def test_zorder_partitions_cover_small_rectangles(spark):
 
     clustered = zorder_by(df, ["x", "y"], bits=12, n_partitions=16)
     assert spread(clustered) < spread(df.repartition(16)) * 0.5
+
+
+def test_quantile_filter_approx_tracks_exact(spark):
+    from datawarehouse_backup_system_spark.operators.sampling import (
+        quantile_filter,
+        quantile_filter_approx,
+    )
+
+    rows = [(i, "s" + str(i % 3), (i * 7919) % 1000) for i in range(600)]
+    df = spark.createDataFrame(rows, ["k", "s", "score"])
+    exact = quantile_filter(df, "k", "s", "score", 0.25)
+    approx = quantile_filter_approx(df, "s", "score", 0.25)
+    ne, na = exact.count(), approx.count()
+    # high-accuracy sketch on unique-ish scores: within a small sliver
+    assert abs(na - ne) <= 0.02 * df.count()
+    # the approx keep-set is sane: nothing below the exact minimum kept
+    min_exact = exact.groupBy("s").agg(F.min("score").alias("m"))
+    bad = (
+        approx.join(min_exact, "s")
+        .where(F.col("score") < F.col("m") - 50)
+        .count()
+    )
+    assert bad == 0
