@@ -349,3 +349,54 @@ def test_line_dedup_invariants(spark, docs, min_df):
         assert got == expect
         assert out[i]["n_kept"] == len(expect)
         assert out[i]["n_lines"] == len(lines)
+
+
+# --------------------------------------------------------------------------
+# incremental near-dup == full-corpus near-dup restricted to cross pairs
+# (uncapped buckets; signatures are per-doc, so candidate generation over
+# the union must agree with the two-sided join)
+# --------------------------------------------------------------------------
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=3,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    split=st.integers(1, 5),
+)
+def test_incremental_neardup_matches_full_cross_pairs(spark, texts, split):
+    from datawarehouse_backup_system_spark.operators.dedup_approx import (
+        incremental_neardup_pairs,
+        minhash_lsh_dedup,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(texts)]
+    new_rows = [r for r in rows if r[0] < split]
+    hist_rows = [r for r in rows if r[0] >= split]
+    if not new_rows or not hist_rows:
+        return
+    schema = "doc_id long, text string"
+    new = spark.createDataFrame(new_rows, schema)
+    hist = spark.createDataFrame(hist_rows, schema)
+    inc = {
+        (r["id_new"], r["id_hist"], r["n_inter"])
+        for r in incremental_neardup_pairs(
+            new, hist, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    full = minhash_lsh_dedup(
+        spark.createDataFrame(rows, schema), "doc_id", "text", threshold=0.3
+    ).collect()
+    cross = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]), r["n_inter"])
+        for r in full
+        if (r["id_a"] < split) != (r["id_b"] < split)
+    }
+    assert {(a, b, n) for a, b, n in inc} == {
+        (a, b, n) for a, b, n in cross
+    }
