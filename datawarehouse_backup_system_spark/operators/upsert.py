@@ -140,3 +140,66 @@ def compact_partition(
     staging.rename(part_dir)
     shutil.rmtree(backup)
     return files_before
+
+
+def delete_where(
+    spark: SparkSession,
+    table_path: str | Path,
+    condition,
+    partition_col: str = "ingest_date",
+) -> int:
+    """Targeted row delete (the right-to-be-forgotten / bad-batch purge
+    a warehouse needs): copy-on-write rewrite of ONLY the partitions
+    containing matching rows, with :func:`compact_partition`'s
+    backup/swap protocol per partition. Untouched partitions keep their
+    files byte-identical — at 100 TB a delete of one user's rows
+    rewrites a handful of date partitions, never the table. Returns the
+    number of rows deleted.
+
+    A first pass finds affected partitions by pushing the predicate
+    down to the scan (min/max + dictionary stats prune most files
+    before any row is read). Like any physical delete, history is
+    GONE: earlier ``read_as_of`` versions of rewritten partitions no
+    longer reproduce (same as Delta VACUUM after DELETE); run
+    retention/compliance deletes AFTER any audit export.
+    """
+    table_path = Path(table_path)
+    df = spark.read.parquet(str(table_path))
+    affected = [
+        r[0]
+        for r in df.where(condition)
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    deleted = 0
+    for part_val in sorted(str(v) for v in affected):
+        partition = f"{partition_col}={part_val}"
+        part_dir = table_path / partition
+        backup = table_path / f"_delete_backup_{partition}"
+        if backup.exists():
+            if part_dir.exists():
+                shutil.rmtree(backup)
+            else:
+                backup.rename(part_dir)
+        if not part_dir.exists():
+            raise FileNotFoundError(f"no such partition: {part_dir}")
+        # basePath keeps the partition column resolvable in the
+        # predicate; drop it before the rewrite so the new files keep
+        # the partition-in-directory physical layout
+        pdf = spark.read.option("basePath", str(table_path)).parquet(
+            str(part_dir)
+        )
+        keep = pdf.where(~condition).drop(partition_col)
+        n_del = pdf.count() - keep.count()
+        if n_del == 0:
+            continue
+        staging = Path(
+            tempfile.mkdtemp(prefix="_delete_tmp_", dir=table_path)
+        )
+        keep.write.mode("overwrite").parquet(str(staging))
+        part_dir.rename(backup)
+        staging.rename(part_dir)
+        shutil.rmtree(backup)
+        deleted += n_del
+    return deleted

@@ -104,3 +104,36 @@ def test_compact_partition(spark, tmp_path):
     (table / part).rename(table / f"_compact_backup_{part}")
     assert compact_partition(spark, table, part, target_files=1) == 1
     assert spark.read.parquet(str(table)).count() == 400
+
+
+def test_delete_where_rewrites_only_affected_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.operators.upsert import (
+        delete_where,
+    )
+
+    table = tmp_path / "snap"
+    rows = [(i, i % 3, f"d{i % 2}") for i in range(60)]
+    spark.createDataFrame(rows, "id long, user long, ingest_date string") \
+        .repartition(4).write.partitionBy("ingest_date").parquet(str(table))
+    untouched_files = {
+        p.name for p in (table / "ingest_date=d1").glob("*.parquet")
+    }
+
+    # delete user 1 only from partition d0
+    n = delete_where(
+        spark, table, (F.col("user") == 1) & (F.col("ingest_date") == "d0")
+    )
+    left = spark.read.parquet(str(table))
+    assert n == len([r for r in rows if r[1] == 1 and r[2] == "d0"])
+    assert left.where((F.col("user") == 1) & (F.col("ingest_date") == "d0")).count() == 0
+    # everything else intact, untouched partition byte-identical files
+    assert left.count() == 60 - n
+    assert {
+        p.name for p in (table / "ingest_date=d1").glob("*.parquet")
+    } == untouched_files
+    # idempotent: re-running deletes nothing
+    assert delete_where(
+        spark, table, (F.col("user") == 1) & (F.col("ingest_date") == "d0")
+    ) == 0
