@@ -187,7 +187,6 @@ def test_chunk_overlap_covers_all_tokens_in_order(spark):
         [r for r in out.collect() if r["doc_id"] == 1],
         key=lambda r: r["chunk_id"],
     )
-    stride = 12
     rebuilt = rows[0]["chunk_text"].split(" ")
     for r in rows[1:]:
         toks = r["chunk_text"].split(" ")
