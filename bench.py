@@ -78,6 +78,7 @@ HEADLINE = [
     "e01_quantize_embeddings",
     "t15_chunk_overlap",
     "i01_incremental_neardup",
+    "t17_heavy_hitters",
 ]
 
 

@@ -709,6 +709,39 @@ FROM b
 """
 
 
+# --------------------------------------------------------------------------
+# t17 — Misra-Gries heavy hitters, pinned in its EXACT regime
+# --------------------------------------------------------------------------
+_T17_MIN_COUNT = 20
+
+
+def t17_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-memory frequent-tokens sketch run with capacity above
+    the corpus vocabulary: nothing is ever evicted, so the sketch must
+    equal the exact frequency table — which DuckDB recomputes as the
+    oracle. The bounded (lossy) regime's retention/undercount guarantees
+    are property-tested in pytest; this query hash-pins the
+    mapInPandas summary + merge machinery itself."""
+    from ..operators.sketches import heavy_hitters
+    from ..operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return heavy_hitters(
+        toks, "token", capacity=200_000, min_count=_T17_MIN_COUNT
+    ).select(F.col("item").alias("token"), "est_count")
+
+
+T17_SQL = f"""
+SELECT term AS token, count(*) AS est_count
+FROM (
+  SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents
+)
+GROUP BY term
+HAVING count(*) >= {_T17_MIN_COUNT}
+"""
+
+
 SPECS = [
     QuerySpec("t11_line_dedup", t11_line_dedup, T11_SQL,
               "cross-document line-level boilerplate removal (CCNet-style)"),
@@ -732,4 +765,6 @@ SPECS = [
               "incremental near-dup: new batch vs persisted corpus index"),
     QuerySpec("z01_zorder_code", z01_zorder_code, Z01_SQL,
               "Z-order (Morton) clustering code for multi-column skipping"),
+    QuerySpec("t17_heavy_hitters", t17_heavy_hitters, T17_SQL,
+              "Misra-Gries heavy hitters in the exact regime"),
 ]

@@ -319,3 +319,43 @@ def test_quantile_filter_approx_tracks_exact(spark):
         .count()
     )
     assert bad == 0
+
+
+# --------------------------------------------------------------------------
+# heavy_hitters sketch: retention guarantee in the lossy regime
+# --------------------------------------------------------------------------
+def test_heavy_hitters_retains_frequent_items_lossy(spark):
+    from datawarehouse_backup_system_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    # 1000 'hot' + 900 'warm' + 2000 distinct singletons; capacity 16
+    rows = (
+        [("hot",)] * 1000 + [("warm",)] * 900 + [(f"u{i}",) for i in range(2000)]
+    )
+    df = spark.createDataFrame(rows, ["item"]).repartition(8)
+    out = {
+        r["item"]: r["est_count"]
+        for r in heavy_hitters(df, "item", capacity=16).collect()
+    }
+    n = len(rows)
+    # retention: true freq > n/(capacity+1) ≈ 229 must survive
+    assert "hot" in out and "warm" in out
+    # counts are lower bounds, undercounting at most n/(capacity+1)
+    # per partition-merge level; generous envelope here
+    assert 1000 >= out["hot"] > 1000 - 2 * n / 17
+    assert 900 >= out["warm"] > 900 - 2 * n / 17
+
+
+def test_heavy_hitters_exact_when_capacity_exceeds_distinct(spark):
+    from datawarehouse_backup_system_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    rows = [(f"t{i % 7}",) for i in range(70)]
+    df = spark.createDataFrame(rows, ["item"]).repartition(4)
+    out = {
+        r["item"]: r["est_count"]
+        for r in heavy_hitters(df, "item", capacity=100).collect()
+    }
+    assert out == {f"t{i}": 10 for i in range(7)}
