@@ -81,3 +81,36 @@ def heavy_hitters(
     # whole stream with the same retention guarantee
     merged = summaries.groupBy("item").agg(F.sum("cnt").alias("est_count"))
     return merged.where(F.col("est_count") >= min_count)
+
+
+def merge_summaries(
+    summaries: DataFrame, capacity: int, item_col: str = "item",
+    count_col: str = "est_count",
+) -> DataFrame:
+    """Merge/prune MG summaries back to ``capacity`` rows: sum counts
+    per item, subtract the (capacity+1)-th largest total from everyone,
+    drop non-positives. The result is again a valid MG summary of the
+    concatenated streams (counts stay lower bounds, retention guarantee
+    degrades by the subtracted offset only) — this is what makes the
+    sketch usable INCREMENTALLY: yesterday's summary + today's batch
+    summary merge in O(capacity) rows, no corpus re-read.
+    """
+    from pyspark.sql import Window
+
+    summed = summaries.groupBy(item_col).agg(
+        F.sum(count_col).alias(count_col)
+    )
+    w = Window.orderBy(F.desc(count_col), F.asc(item_col))
+    ranked = summed.withColumn("_rk", F.row_number().over(w))
+    cut = (
+        ranked.where(F.col("_rk") == capacity + 1)
+        .select(count_col)
+        .collect()
+    )
+    offset = cut[0][0] if cut else 0
+    return (
+        ranked.where(F.col("_rk") <= capacity)
+        .withColumn(count_col, F.col(count_col) - F.lit(offset))
+        .where(F.col(count_col) > 0)
+        .drop("_rk")
+    )

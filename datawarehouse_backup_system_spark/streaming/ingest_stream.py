@@ -288,3 +288,61 @@ def stream_neardup_filter(
         .outputMode("append")
         .start()
     )
+
+
+def stream_heavy_hitters(
+    stream_df: DataFrame,
+    item_col: str,
+    state_dir: str,
+    checkpoint: str,
+    capacity: int = 1024,
+):
+    """Trending items over an unbounded stream with BOUNDED state: each
+    micro-batch's Misra-Gries summary (``operators.sketches``) merges
+    with the persisted summary and is pruned back to ``capacity`` rows
+    — O(capacity) state on disk regardless of stream length, readable
+    at any time as the current frequent-items table.
+
+    The merge is the sketch's associativity property doing the work a
+    stateful aggregation would otherwise hold in executor memory for
+    EVERY distinct key; here unbounded-cardinality streams (URLs,
+    n-grams) stay at ``capacity`` rows. Summary counts remain lower
+    bounds; the window that matters for trending (the prune offset) is
+    recorded per merge in the summary itself.
+    """
+    from pathlib import Path
+
+    from datawarehouse_backup_system_spark.operators.sketches import (
+        heavy_hitters,
+        merge_summaries,
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        parts = [
+            heavy_hitters(batch, item_col, capacity=capacity).select(
+                "item", "est_count"
+            )
+        ]
+        state = Path(state_dir)
+        if state.exists() and any(state.glob("*.parquet")):
+            parts.append(spark.read.parquet(state_dir))
+        merged = merge_summaries(
+            parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1]),
+            capacity,
+        )
+        # small (<= capacity rows): stage then swap for readers
+        tmp = f"{state_dir}__next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        if state.exists():
+            shutil.rmtree(state_dir)
+        Path(tmp).rename(state_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

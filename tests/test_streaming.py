@@ -379,3 +379,41 @@ def test_stream_neardup_filter_drops_known_keeps_novel(spark, tmp_path):
     audit_rows = spark.read.parquet(audit).collect()
     assert {(r["id_new"], r["id_hist"]) for r in audit_rows} >= {(101, 1), (103, 1)}
     assert all(r["jaccard"] >= 0.5 for r in audit_rows)
+
+
+def test_stream_heavy_hitters_bounded_state(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("item", T.StringType())])
+    src = str(tmp_path / "items")
+    state = str(tmp_path / "hh_state")
+    ckpt = str(tmp_path / "hh_ckpt")
+
+    batch1 = [("hot",)] * 50 + [(f"a{i}",) for i in range(200)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = st.stream_heavy_hitters(stream, "item", state, ckpt, capacity=16)
+    try:
+        q.processAllAvailable()
+        batch2 = [("hot",)] * 40 + [("warm",)] * 60 + [(f"b{i}",) for i in range(200)]
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    summary = {
+        r["item"]: r["est_count"] for r in spark.read.parquet(state).collect()
+    }
+    assert len(summary) <= 16                    # state stays bounded
+    assert "hot" in summary and "warm" in summary  # heavies retained
+    assert summary["hot"] <= 90                  # counts are lower bounds
+    assert summary["warm"] <= 60
+    assert summary["hot"] > summary.get("warm", 0) - 60  # sane ordering
