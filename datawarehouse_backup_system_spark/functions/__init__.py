@@ -37,6 +37,12 @@ from datawarehouse_backup_system_spark.operators.text import (
     token_count,
     tokens,
 )
+from datawarehouse_backup_system_spark.operators.quantize import (
+    dequantize,
+)
+from datawarehouse_backup_system_spark.operators.zorder import (
+    morton_code,
+)
 
 __all__ = [
     "cosine", "deterministic_planes", "dob_string", "dot",
@@ -44,5 +50,5 @@ __all__ = [
     "parse_timestamp", "png_dims", "punct_count", "row_hash_col",
     "scrub_nulls", "sign_bucket", "simhash_expr", "stopword_hits",
     "strip_trailing_dot_zero", "subword_count", "token_count", "tokens",
-    "with_row_hash",
+    "with_row_hash", "dequantize", "morton_code",
 ]
