@@ -742,6 +742,62 @@ HAVING count(*) >= {_T17_MIN_COUNT}
 """
 
 
+# --------------------------------------------------------------------------
+# e02 — embedding outlier filter: trim the norm-band tails
+# --------------------------------------------------------------------------
+_E02_TAIL = 0.05
+
+
+def e02_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation signal for embedding corpora: near-zero norms are dead
+    encodes, extreme norms are exploded ones — drop both 5% tails by
+    exact rank over the (rounded) L2 norm. Rounding BEFORE ranking
+    makes the order — and therefore the cut — identical cross-engine;
+    ties break on vec_id.
+
+    One window over (norm, vec_id): the same exact-rank shape as t16,
+    with the approx-percentile swap (`quantile_filter_approx`)
+    available when a 100 TB corpus makes the windowed sort the
+    bottleneck."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _as_double, norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    staged = emb.select(
+        "vec_id", F.round(norm(_as_double("embedding")), 6).alias("l2_norm")
+    )
+    w = Window.orderBy(F.asc("l2_norm"), F.asc("vec_id"))
+    wc = Window.partitionBy()
+    ranked = staged.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wc)
+    )
+    cut = F.floor(F.col("_n") * _E02_TAIL)
+    return (
+        ranked.where((F.col("_rk") > cut) & (F.col("_rk") <= F.col("_n") - cut))
+        .select("vec_id", "l2_norm")
+    )
+
+
+E02_SQL = f"""
+WITH staged AS (
+  SELECT vec_id,
+         round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))), 6)
+           AS l2_norm
+  FROM embeddings
+),
+ranked AS (
+  SELECT vec_id, l2_norm,
+         row_number() OVER (ORDER BY l2_norm, vec_id) AS rk,
+         count(*) OVER () AS n
+  FROM staged
+)
+SELECT vec_id, l2_norm FROM ranked
+WHERE rk > floor(n * {_E02_TAIL}) AND rk <= n - floor(n * {_E02_TAIL})
+"""
+
+
 SPECS = [
     QuerySpec("t11_line_dedup", t11_line_dedup, T11_SQL,
               "cross-document line-level boilerplate removal (CCNet-style)"),
@@ -767,4 +823,6 @@ SPECS = [
               "Z-order (Morton) clustering code for multi-column skipping"),
     QuerySpec("t17_heavy_hitters", t17_heavy_hitters, T17_SQL,
               "Misra-Gries heavy hitters in the exact regime"),
+    QuerySpec("e02_embedding_outliers", e02_embedding_outliers, E02_SQL,
+              "embedding outlier filter: exact-rank norm-band trim"),
 ]
