@@ -214,3 +214,54 @@ def quantile_filter_approx(
         .where(F.col(score_col) >= F.col("_cut"))
         .drop("_cut")
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    anchors: DataFrame,
+    k: int = 4,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each anchor, the ``k`` pseudo-random candidates from a DIFFERENT
+    domain (same-domain candidates are too likely to be semantically
+    related to serve as negatives), ranked by a content hash over the
+    (anchor, candidate) pair — reproducible across engines/retries like
+    every sampler here, so the training pairs of a dataset version are
+    re-derivable.
+
+    ``anchors`` carries (key, domain) for the anchor set. Scale shape:
+    the anchor set is the small side and broadcasts into one linear
+    pass over the corpus (anchors × corpus candidate rows, ranked by a
+    per-anchor window). The hash ranking is a full shuffle of the
+    candidate rows per anchor — bound the anchor batch (mini-batches of
+    anchors per pass), not the corpus.
+    """
+    a = anchors.select(
+        F.col(key_col).alias("anchor_id"),
+        F.col(domain_col).alias("_adom"),
+    )
+    c = df.select(
+        F.col(key_col).alias("neg_id"), F.col(domain_col).alias("_cdom")
+    )
+    from pyspark.sql import Window
+
+    pair_bucket = _bucket(
+        F.concat(
+            F.col("anchor_id").cast("string"),
+            F.lit("|"),
+            F.col("neg_id").cast("string"),
+        ),
+        salt,
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        pair_bucket.asc(), F.col("neg_id").asc()
+    )
+    return (
+        c.join(F.broadcast(a), F.col("_adom") != F.col("_cdom"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("anchor_id", "neg_id", "rank")
+    )

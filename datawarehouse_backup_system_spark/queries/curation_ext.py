@@ -798,6 +798,45 @@ WHERE rk > floor(n * {_E02_TAIL}) AND rk <= n - floor(n * {_E02_TAIL})
 """
 
 
+# --------------------------------------------------------------------------
+# t18 — deterministic negative sampling for contrastive training
+# --------------------------------------------------------------------------
+_T18_K = 4
+_T18_SALT = "neg"
+
+
+def t18_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import negative_samples
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    anchors = docs.where(F.col("doc_id") % 50 == 0)
+    return negative_samples(
+        docs, "doc_id", "source", anchors, k=_T18_K, salt=_T18_SALT
+    )
+
+
+T18_SQL = f"""
+WITH anchors AS (
+  SELECT doc_id AS anchor_id, source AS adom FROM documents
+  WHERE doc_id % 50 = 0
+),
+cand AS (
+  SELECT a.anchor_id, d.doc_id AS neg_id,
+         CAST('0x' || substr(md5('{_T18_SALT}'
+               || CAST(a.anchor_id AS VARCHAR) || '|'
+               || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000
+           AS bucket
+  FROM anchors a JOIN documents d ON d.source <> a.adom
+)
+SELECT anchor_id, neg_id, CAST(rank AS INT) AS rank FROM (
+  SELECT anchor_id, neg_id,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY bucket, neg_id) AS rank
+  FROM cand
+) WHERE rank <= {_T18_K}
+"""
+
+
 SPECS = [
     QuerySpec("t11_line_dedup", t11_line_dedup, T11_SQL,
               "cross-document line-level boilerplate removal (CCNet-style)"),
@@ -825,4 +864,6 @@ SPECS = [
               "Misra-Gries heavy hitters in the exact regime"),
     QuerySpec("e02_embedding_outliers", e02_embedding_outliers, E02_SQL,
               "embedding outlier filter: exact-rank norm-band trim"),
+    QuerySpec("t18_negative_samples", t18_negative_samples, T18_SQL,
+              "deterministic cross-domain negative sampling (contrastive)"),
 ]

@@ -359,3 +359,29 @@ def test_heavy_hitters_exact_when_capacity_exceeds_distinct(spark):
         for r in heavy_hitters(df, "item", capacity=100).collect()
     }
     assert out == {f"t{i}": 10 for i in range(7)}
+
+
+def test_negative_samples_cross_domain_and_deterministic(spark):
+    from datawarehouse_backup_system_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    rows = [(i, "web" if i % 2 else "code") for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    anchors = docs.where(F.col("doc_id") < 4)
+    run = lambda: sorted(  # noqa: E731
+        (r["anchor_id"], r["neg_id"], r["rank"])
+        for r in negative_samples(
+            docs, "doc_id", "source", anchors, k=3, salt="s"
+        ).collect()
+    )
+    out = run()
+    doms = dict(rows)
+    for a, n, _ in out:
+        assert doms[a] != doms[n]          # strictly cross-domain
+        assert n not in {x for x, _ in rows if x == a}
+    per_anchor = {}
+    for a, n, rk in out:
+        per_anchor.setdefault(a, []).append(rk)
+    assert all(sorted(v) == [1, 2, 3] for v in per_anchor.values())
+    assert out == run()                    # rerun-stable
