@@ -837,6 +837,81 @@ SELECT anchor_id, neg_id, CAST(rank AS INT) AS rank FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# e03 — ordered mean-pooling of grouped embeddings (chunk → doc vector)
+# --------------------------------------------------------------------------
+def e03_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pool chunk-level embeddings into document vectors (the standard
+    retrieval/dedup representation when docs were embedded in chunks):
+    vectors grouped by pseudo-doc (vec_id div 10) and mean-pooled with a
+    DETERMINISTIC left fold over vec_id order — FP addition is not
+    associative, so an unordered SUM over shuffled partitions is not
+    reproducible; collecting the group's vectors sorted and folding
+    left is, on every engine. Groups are small by construction
+    (chunks-per-doc), so the per-row fold is bounded.
+    """
+    from ..operators.similarity import _as_double
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        (F.col("vec_id") / 10).cast("bigint").alias("g"),
+        "vec_id",
+        _as_double("embedding").alias("e"),
+    )
+    grp = v.groupBy("g").agg(
+        F.sort_array(F.collect_list(F.struct("vec_id", "e"))).alias("lst"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+    vecs = F.transform(F.col("lst"), lambda s: s["e"])
+    zero = F.transform(F.element_at(vecs, 1), lambda x: F.lit(0.0))
+    summed = F.aggregate(
+        vecs, zero, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)
+    )
+    mean = F.transform(summed, lambda s: s / F.col("n_vecs"))
+    return grp.select(
+        "g",
+        "n_vecs",
+        F.round(F.element_at(mean, 1), 6).alias("d_first"),
+        F.round(F.element_at(mean, 32), 6).alias("d_mid"),
+        F.round(F.element_at(mean, -1), 6).alias("d_last"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    mean, F.lit(0.0), lambda a, x: a + x * x
+                )
+            ),
+            6,
+        ).alias("mean_norm"),
+    )
+
+
+E03_SQL = """
+WITH v AS (
+  SELECT vec_id, vec_id // 10 AS g,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+grp AS (
+  SELECT g, list(e ORDER BY vec_id) AS lst, count(*) AS n_vecs
+  FROM v GROUP BY g
+),
+pooled AS (
+  SELECT g, n_vecs,
+         list_transform(
+           list_reduce(lst, (a, b) -> list_transform(range(1, len(a) + 1),
+                                                     i -> a[i] + b[i])),
+           x -> x / n_vecs) AS mean
+  FROM grp
+)
+SELECT g, n_vecs,
+       round(mean[1], 6) AS d_first,
+       round(mean[32], 6) AS d_mid,
+       round(mean[-1], 6) AS d_last,
+       round(sqrt(list_sum(list_transform(mean, x -> x * x))), 6) AS mean_norm
+FROM pooled
+"""
+
+
 SPECS = [
     QuerySpec("t11_line_dedup", t11_line_dedup, T11_SQL,
               "cross-document line-level boilerplate removal (CCNet-style)"),
@@ -866,4 +941,6 @@ SPECS = [
               "embedding outlier filter: exact-rank norm-band trim"),
     QuerySpec("t18_negative_samples", t18_negative_samples, T18_SQL,
               "deterministic cross-domain negative sampling (contrastive)"),
+    QuerySpec("e03_mean_pool", e03_mean_pool, E03_SQL,
+              "ordered mean-pooling of grouped embeddings (chunk→doc)"),
 ]
