@@ -912,6 +912,62 @@ FROM pooled
 """
 
 
+# --------------------------------------------------------------------------
+# u02 — keyed MERGE/upsert under the oracle (last-write-wins resolution)
+# --------------------------------------------------------------------------
+def u02_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE INTO workhorse (operators.upsert.merge_upsert): customer
+    balances upserted from each customer's LATEST order (last-write-wins
+    on (o_orderdate, o_orderkey) — a total order, as the operator
+    requires). The oracle replays dedup-updates → anti-join → union."""
+    from ..operators.upsert import merge_upsert
+
+    # merge_upsert unions the frames, so target carries a placeholder
+    # order column of the same struct type (never compared: updates
+    # replace target by key, the order only resolves update-vs-update)
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").alias("balance"),
+        F.lit("base").alias("src"),
+        F.struct(
+            F.lit("1990-01-01").cast("timestamp").alias("o_orderdate"),
+            F.lit(0).cast("bigint").alias("o_orderkey"),
+        ).alias("_ord"),
+    )
+    orders = load(spark, sf_dir, "orders")
+    updates = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_totalprice").alias("balance"),
+        F.lit("order").alias("src"),
+        # struct orders lexicographically: (date, key) is the total order
+        F.struct(F.col("o_orderdate"), F.col("o_orderkey")).alias("_ord"),
+    )
+    merged = merge_upsert(
+        cust, updates, key="c_custkey", order_col="_ord"
+    ).drop("_ord")
+    return merged.select(
+        "c_custkey", F.round("balance", 2).alias("balance"), "src"
+    )
+
+
+U02_SQL = """
+WITH latest AS (
+  SELECT c_custkey, balance, src FROM (
+    SELECT o_custkey AS c_custkey, o_totalprice AS balance, 'order' AS src,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT c.c_custkey, c.c_acctbal AS balance, 'base' AS src
+  FROM customer c ANTI JOIN latest l ON c.c_custkey = l.c_custkey
+)
+SELECT c_custkey, round(balance, 2) AS balance, src FROM kept
+UNION ALL
+SELECT c_custkey, round(balance, 2) AS balance, src FROM latest
+"""
+
+
 SPECS = [
     QuerySpec("t11_line_dedup", t11_line_dedup, T11_SQL,
               "cross-document line-level boilerplate removal (CCNet-style)"),
@@ -943,4 +999,6 @@ SPECS = [
               "deterministic cross-domain negative sampling (contrastive)"),
     QuerySpec("e03_mean_pool", e03_mean_pool, E03_SQL,
               "ordered mean-pooling of grouped embeddings (chunk→doc)"),
+    QuerySpec("u02_merge_upsert", u02_merge_upsert, U02_SQL,
+              "keyed MERGE/upsert with last-write-wins update resolution"),
 ]
