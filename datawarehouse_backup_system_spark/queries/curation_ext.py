@@ -968,6 +968,78 @@ SELECT c_custkey, round(balance, 2) AS balance, src FROM latest
 """
 
 
+# --------------------------------------------------------------------------
+# g01 — time-series gap fill with LOCF (the TimescaleDB gapfill+locf op)
+# --------------------------------------------------------------------------
+def g01_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense minute spine per event_type (sequence + explode) left-joined
+    to the minute aggregate, gaps filled by last-observation-carried-
+    forward — the continuous-aggregate companion the rollup cascade
+    (q42) needs for charting/joins against regular time grids.
+
+    Scale: the spine generates per-key on the key's OWN [min, max]
+    window (no global calendar cross-join); the LOCF window partitions
+    by key — one shuffle, state is one value per key.
+    """
+    from ..queries.relational import cents
+
+    ev = load(spark, sf_dir, "events")
+    agg = (
+        ev.withColumn("minute", F.date_trunc("minute", F.col("ts")))
+        .groupBy("event_type", "minute")
+        .agg(F.sum(cents(F.col("value"))).alias("v"))
+    )
+    bounds = agg.groupBy("event_type").agg(
+        F.min("minute").alias("mn"), F.max("minute").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 MINUTE"))
+        ).alias("minute"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = spine.join(agg, ["event_type", "minute"], "left")
+    return joined.select(
+        "event_type",
+        "minute",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("is_gap"),
+    )
+
+
+G01_SQL = """
+WITH agg AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute,
+         CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY event_type, date_trunc('minute', ts)
+),
+bounds AS (
+  SELECT event_type, MIN(minute) AS mn, MAX(minute) AS mx
+  FROM agg GROUP BY event_type
+),
+spine AS (
+  SELECT b.event_type, unnest(generate_series(b.mn, b.mx, INTERVAL 1 MINUTE))
+           AS minute
+  FROM bounds b
+)
+SELECT s.event_type, s.minute,
+       last_value(a.v IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.minute
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS v_filled,
+       a.v IS NULL AS is_gap
+FROM spine s LEFT JOIN agg a
+  ON a.event_type = s.event_type AND a.minute = s.minute
+"""
+
+
 SPECS = [
     QuerySpec("t11_line_dedup", t11_line_dedup, T11_SQL,
               "cross-document line-level boilerplate removal (CCNet-style)"),
@@ -1001,4 +1073,6 @@ SPECS = [
               "ordered mean-pooling of grouped embeddings (chunk→doc)"),
     QuerySpec("u02_merge_upsert", u02_merge_upsert, U02_SQL,
               "keyed MERGE/upsert with last-write-wins update resolution"),
+    QuerySpec("g01_time_gapfill", g01_time_gapfill, G01_SQL,
+              "dense time spine + LOCF gap fill per key (gapfill/locf)"),
 ]

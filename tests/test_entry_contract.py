@@ -28,7 +28,7 @@ def test_query_names_and_callables():
     # stable naming convention: family prefix + snake_case
     import re
 
-    assert all(re.fullmatch(r"[qdtmrsfkueciz]\d{2}_[a-z0-9_]+", n) for n in q)
+    assert all(re.fullmatch(r"[qdtmrsfkuecizg]\d{2}_[a-z0-9_]+", n) for n in q)
 
 
 def test_entry_runs_on_smoke_sf(spark):
