@@ -326,11 +326,20 @@ def stream_heavy_hitters(
         ]
         state = Path(state_dir)
         if state.exists() and any(state.glob("*.parquet")):
-            parts.append(spark.read.parquet(state_dir))
+            prior = spark.read.parquet(state_dir)
+            # foreachBatch is at-least-once: after a restart the last
+            # batch REPLAYS, and a non-idempotent merge would double-
+            # count it. The state records the last merged batch id —
+            # a replayed (<=) batch is skipped, making the merge
+            # effectively exactly-once.
+            last = prior.agg(F.max("_upto_batch")).collect()[0][0]
+            if last is not None and batch_id <= last:
+                return
+            parts.append(prior.select("item", "est_count"))
         merged = merge_summaries(
             parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1]),
             capacity,
-        )
+        ).withColumn("_upto_batch", F.lit(batch_id))
         # small (<= capacity rows): stage then swap for readers
         tmp = f"{state_dir}__next"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)

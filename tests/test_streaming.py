@@ -417,3 +417,38 @@ def test_stream_heavy_hitters_bounded_state(spark, tmp_path):
     assert summary["hot"] <= 90                  # counts are lower bounds
     assert summary["warm"] <= 60
     assert summary["hot"] > summary.get("warm", 0) - 60  # sane ordering
+
+
+def test_stream_heavy_hitters_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch replays the last batch after a restart; the state's
+    batch-id guard must make the re-merge a no-op (no double counts)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("item", T.StringType())])
+    src = str(tmp_path / "items")
+    state = str(tmp_path / "state")
+    spark.createDataFrame([("hot",)] * 30, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 10)
+            .parquet(src)
+        )
+        q = st.stream_heavy_hitters(stream, "item", state, ckpt, capacity=8)
+        q.processAllAvailable()
+        q.stop()
+
+    run(str(tmp_path / "ck1"))
+    before = {
+        r["item"]: r["est_count"] for r in spark.read.parquet(state).collect()
+    }
+    # fresh checkpoint replays the SAME source batch (same batch_id 0)
+    run(str(tmp_path / "ck2"))
+    after = {
+        r["item"]: r["est_count"] for r in spark.read.parquet(state).collect()
+    }
+    assert before == {"hot": 30}
+    assert after == before  # replay merged nothing
