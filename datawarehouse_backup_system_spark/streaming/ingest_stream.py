@@ -269,16 +269,18 @@ def stream_neardup_filter(
             threshold=threshold, max_bucket_size=max_bucket_size,
         ).persist()
         try:
-            (
-                pairs.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append").parquet(audit_dir)
+            # per-batch-id OVERWRITE directories make the at-least-once
+            # foreachBatch replay idempotent: a re-run batch rewrites
+            # its own partition instead of appending duplicates
+            pairs.write.mode("overwrite").parquet(
+                f"{audit_dir}/batch_id={batch_id}"
             )
             dup_ids = pairs.select(
                 F.col("id_new").alias(id_col)
             ).distinct()
             batch.join(dup_ids, id_col, "left_anti").write.mode(
-                "append"
-            ).parquet(out_dir)
+                "overwrite"
+            ).parquet(f"{out_dir}/batch_id={batch_id}")
         finally:
             pairs.unpersist()
 
