@@ -47,6 +47,13 @@ try:  # round-4 curation extensions (line dedup, mixture, vocab, tfidf, SQ8)
 except ImportError:
     pass
 
+try:  # behavioral analytics / PPS sampling / bloom join / PQ extensions
+    from datawarehouse_backup_system_spark.queries import analytics_ext
+
+    _ALL_SPECS += list(analytics_ext.SPECS)
+except ImportError:
+    pass
+
 
 def _last_green_round(name: str) -> int:
     """Latest driver round whose CORRECTNESS_r{N}.json has a green row.

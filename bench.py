@@ -22,6 +22,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from datawarehouse_backup_system_spark.queries import (  # noqa: E402
+    analytics_ext,
     curation_ext,
     extras,
     llm_ops,
@@ -79,6 +80,12 @@ HEADLINE = [
     "t15_chunk_overlap",
     "i01_incremental_neardup",
     "t17_heavy_hitters",
+    "a01_funnel_counts",
+    "a02_cohort_retention",
+    "a05_anomaly_zscore",
+    "b01_bloom_semi_join",
+    "e04_pq_codes",
+    "r06_recall_pq",
 ]
 
 
@@ -115,7 +122,7 @@ def main() -> int:
     specs = {
         s.name: s
         for s in relational.SPECS + relational_ext.SPECS + llm_ops.SPECS
-        + extras.SPECS + curation_ext.SPECS
+        + extras.SPECS + curation_ext.SPECS + analytics_ext.SPECS
     }
     stage_root = tempfile.mkdtemp(prefix="dwbss-bench-stage-")
     extra_fns = {"d02_minhash_lsh_staged": _d02_staged(stage_root)}

@@ -1,0 +1,206 @@
+"""Behavioral / event-sequence analytics over an event stream table.
+
+The reference system's analytics surface stops at per-table aggregates;
+a warehouse that ingests a clickstream-shaped ``events`` table needs the
+standard product-analytics operators on top: ordered funnels, cohort
+retention, transition (path) counts, and rolling anomaly flags. All
+four are expressed as single-shuffle DataFrame plans keyed on the
+entity column, so they scale with the number of entities, not events
+per entity:
+
+- **funnel**: each step's first-completion timestamp is a conditional
+  windowed ``min`` over the entity partition; the strictly-after
+  constraint chains step *i* on step *i−1*'s column. One exchange on
+  the entity key; every subsequent window reuses it (Catalyst collapses
+  same-partitioning windows into one sort).
+- **cohort retention**: two hash aggregations (first-activity epoch
+  week per entity, then distinct entities per cohort×offset cell) plus
+  one equi-join on the entity key — the join side with first-activity
+  weeks is |entities| rows, broadcastable for most real corpora.
+- **transitions**: ``lead`` over the entity partition, then a hash agg
+  on (src,dst) — the classic Markov-transition / next-page matrix.
+- **rolling anomaly**: count/sum/sum-of-squares over a bounded
+  preceding-rows frame per key; the z-score test is cross-multiplied
+  into pure integer arithmetic on fixed-point values so the flag is
+  exact on any engine (no float stddev in the comparison).
+
+Timestamps are bucketed by integer epoch arithmetic (``unix_micros``),
+never by calendar ``date_trunc('week',…)``, so bucket boundaries are
+engine- and locale-independent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def funnel_steps(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Per-entity ordered-funnel completion: one row per entity with
+    ``step{i}_ts`` = the earliest time the entity completed step *i*
+    STRICTLY AFTER its step *i−1* completion (NULL = never reached).
+
+    This is the sequential semantics real funnels need — an entity that
+    purchased before ever viewing does not count as view→purchase; the
+    conditional-window chain encodes exactly that without a self-join
+    per step. ``steps`` is assumed small (funnels are 3–8 steps); cost
+    is one shuffle on ``entity_col`` + len(steps) windows over the same
+    partitioning + one final hash agg.
+    """
+    if not steps:
+        raise ValueError("funnel_steps: need at least one step")
+    w = Window.partitionBy(entity_col)
+    out = df.select(entity_col, ts_col, type_col)
+    prev: str | None = None
+    for i, step in enumerate(steps, 1):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        out = out.withColumn(
+            f"step{i}_ts", F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        prev = f"step{i}_ts"
+    step_cols = [f"step{i}_ts" for i in range(1, len(steps) + 1)]
+    return out.groupBy(entity_col).agg(
+        *[F.min(c).alias(c) for c in step_cols]
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Funnel summary: (step_index, step, n_entities) — how many
+    entities reached each step in order. Monotone non-increasing by
+    construction."""
+    per_entity = funnel_steps(df, entity_col, ts_col, type_col, steps)
+    counts = per_entity.agg(
+        *[
+            F.count(f"step{i}_ts").alias(f"_n{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    pairs: list[Column] = []
+    for i, step in enumerate(steps, 1):
+        pairs += [
+            F.struct(
+                F.lit(i).alias("step_index"),
+                F.lit(step).alias("step"),
+                F.col(f"_n{i}").alias("n_entities"),
+            )
+        ]
+    return (
+        counts.select(F.explode(F.array(*pairs)).alias("s"))
+        .select("s.step_index", "s.step", "s.n_entities")
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort-retention matrix: entities grouped by their
+    first-activity epoch week; each (cohort_week, week_offset) cell
+    counts the distinct entities from that cohort active that week.
+
+    Weeks are ``floor(unix_micros / week)`` — integer, engine-portable,
+    no calendar/locale semantics. The first-activity frame is one row
+    per entity; at 100 TB it is the small side and broadcasts.
+    """
+    # integer `div`, not float division + floor: micros ~1e15 are exact
+    # in double, but the quotient's rounding could land on a boundary —
+    # integer arithmetic can't.
+    wk = F.expr(f"CAST(unix_micros(`{ts_col}`) div {_WEEK_US} AS BIGINT)")
+    active = df.select(F.col(entity_col).alias("_e"), wk.alias("_wk"))
+    first = active.groupBy("_e").agg(F.min("_wk").alias("_cohort"))
+    return (
+        active.join(F.broadcast(first), "_e")
+        .groupBy(
+            F.col("_cohort").alias("cohort_week"),
+            (F.col("_wk") - F.col("_cohort")).alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col("_e")).alias("n_entities"))
+    )
+
+
+def path_transitions(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    type_col: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Markov transition counts: for each entity's time-ordered event
+    sequence, count (src_type → dst_type) adjacent pairs across the
+    whole corpus. ``lead`` over the entity partition (one shuffle),
+    then a hash agg; the tiebreak column makes the order total so the
+    matrix is deterministic under equal timestamps."""
+    w = Window.partitionBy(entity_col).orderBy(ts_col, order_tiebreak)
+    nxt = df.select(
+        F.col(type_col).alias("src_type"),
+        F.lead(type_col).over(w).alias("dst_type"),
+    )
+    return (
+        nxt.where(F.col("dst_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def rolling_anomaly_flags(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    lookback: int = 100,
+    min_n: int = 30,
+    z_threshold: int = 3,
+) -> DataFrame:
+    """Rows whose fixed-point ``value_col`` deviates more than
+    ``z_threshold`` sample-free sigmas from the trailing ``lookback``
+    rows of the same key. ``value_col`` must already be integral
+    (cents); the z² test is cross-multiplied to integers —
+    ``(n·x − s)² > z²·(n·ssq − s²)`` with s=Σv, ssq=Σv² over the
+    preceding frame — so the flag is EXACT on every engine (a float
+    stddev comparison would not hash-stably reproduce).
+
+    One shuffle on the key; the frame is bounded rows (not time), so
+    per-row state is O(lookback) and the window never globalizes.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.col(value_col)
+    staged = df.select(
+        key_col,
+        ts_col,
+        tiebreak_col,
+        value_col,
+        F.count(v).over(w).alias("_n"),
+        F.sum(v).over(w).alias("_s"),
+        F.sum(v * v).over(w).alias("_ssq"),
+    )
+    n, s, ssq = F.col("_n"), F.col("_s"), F.col("_ssq")
+    lhs = (n * v - s) * (n * v - s)
+    rhs = F.lit(z_threshold * z_threshold) * (n * ssq - s * s)
+    return (
+        staged.where((n >= min_n) & (lhs > rhs))
+        .select(key_col, ts_col, tiebreak_col, value_col, n.alias("n_window"))
+    )

@@ -265,3 +265,36 @@ def negative_samples(
         .where(F.col("rank") <= k)
         .select("anchor_id", "neg_id", "rank")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    scale: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Poisson/PPS sampling: row *i* is kept with
+    inclusion probability ``p_i = min(1, weight_i / scale)`` — the
+    survey-sampling scheme (probability proportional to size) behind
+    every importance-weighted corpus subsample ("keep long documents
+    more often, reweight at training time").
+
+    The Bernoulli draw is the md5 hash bucket, and the comparison is
+    CROSS-MULTIPLIED so it stays in integer arithmetic — ``bucket *
+    scale < weight * buckets`` — exact on any engine, no float
+    boundary. Output carries ``p_num``/``p_den`` (the exact inclusion
+    probability as a rational) so downstream Horvitz-Thompson
+    reweighting (1/p) never reconstructs p from floats.
+
+    Stateless filter over the scan: zero shuffles at any corpus size.
+    ``weight_col`` must be a non-negative integral column.
+    """
+    if scale <= 0:
+        raise ValueError("scale must be positive")
+    b = _bucket(F.col(key_col), salt)
+    w = F.col(weight_col).cast("bigint")
+    kept = df.where(b * F.lit(scale) < w * F.lit(_BUCKETS))
+    return kept.withColumn(
+        "p_num", F.least(w, F.lit(scale)).cast("bigint")
+    ).withColumn("p_den", F.lit(scale).cast("bigint"))

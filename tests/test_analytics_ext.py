@@ -1,0 +1,201 @@
+"""Unit tests for the behavioral-analytics / sampling / bloom / PQ
+operators behind queries/analytics_ext.py."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from datawarehouse_backup_system_spark.operators import behavior, bloom
+from datawarehouse_backup_system_spark.operators.quantize import (
+    pq_adc_topk,
+    pq_encode,
+    pq_seed_codebook,
+)
+from datawarehouse_backup_system_spark.operators.sampling import weighted_sample
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+# --------------------------------------------------------------------------
+# funnel
+# --------------------------------------------------------------------------
+def test_funnel_requires_order(spark):
+    rows = [
+        # u1 completes in order: view@1 click@2 purchase@3
+        (1, _ts(1), "view"), (1, _ts(2), "click"), (1, _ts(3), "purchase"),
+        # u2 purchased BEFORE viewing: purchase must not count
+        (2, _ts(1), "purchase"), (2, _ts(2), "view"), (2, _ts(3), "click"),
+        # u3 views only
+        (3, _ts(1), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP, event_type STRING")
+    per = behavior.funnel_steps(df, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+    got = {r["user_id"]: (r["step1_ts"], r["step2_ts"], r["step3_ts"])
+           for r in per.collect()}
+    assert got[1] == (_ts(1), _ts(2), _ts(3))
+    assert got[2] == (_ts(2), _ts(3), None)  # out-of-order purchase ignored
+    assert got[3] == (_ts(1), None, None)
+
+    counts = behavior.funnel_counts(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).orderBy("step_index").collect()
+    assert [r["n_entities"] for r in counts] == [3, 2, 1]
+
+
+def test_funnel_strictly_after_ties(spark):
+    # click at the SAME timestamp as view: strict > means not counted
+    rows = [(1, _ts(1), "view"), (1, _ts(1), "click")]
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP, event_type STRING")
+    per = behavior.funnel_steps(df, "user_id", "ts", "event_type", ["view", "click"]).collect()
+    assert per[0]["step2_ts"] is None
+
+
+# --------------------------------------------------------------------------
+# cohort retention
+# --------------------------------------------------------------------------
+def test_cohort_retention_offsets(spark):
+    wk0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, wk0), (1, wk0 + dt.timedelta(days=8)),       # offsets 0, 1
+        (2, wk0 + dt.timedelta(days=8)),                 # later cohort, offset 0
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP")
+    got = {(r["cohort_week"], r["week_offset"]): r["n_entities"]
+           for r in behavior.cohort_retention(df, "user_id", "ts").collect()}
+    cohorts = sorted({c for c, _ in got})
+    assert len(cohorts) == 2 and cohorts[1] == cohorts[0] + 1
+    assert got[(cohorts[0], 0)] == 1
+    assert got[(cohorts[0], 1)] == 1
+    assert got[(cohorts[1], 0)] == 1
+
+
+# --------------------------------------------------------------------------
+# transitions / anomaly
+# --------------------------------------------------------------------------
+def test_path_transitions_counts(spark):
+    rows = [
+        (1, _ts(1), 10, "a"), (1, _ts(2), 11, "b"), (1, _ts(3), 12, "a"),
+        (2, _ts(1), 20, "a"), (2, _ts(2), 21, "b"),
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, ts TIMESTAMP, event_id INT, event_type STRING")
+    got = {(r["src_type"], r["dst_type"]): r["n"]
+           for r in behavior.path_transitions(df, "user_id", "ts", "event_type", "event_id").collect()}
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_rolling_anomaly_flags_spike(spark):
+    # 40 steady values then one huge spike: only the spike flags
+    rows = [("k", _ts(i), i, 100) for i in range(40)] + [("k", _ts(40), 40, 100000)]
+    df = spark.createDataFrame(rows, "key STRING, ts TIMESTAMP, event_id INT, cents LONG")
+    out = behavior.rolling_anomaly_flags(
+        df, "key", "ts", "cents", "event_id", lookback=100, min_n=30
+    ).collect()
+    assert [r["event_id"] for r in out] == [40]
+
+
+# --------------------------------------------------------------------------
+# weighted sampling
+# --------------------------------------------------------------------------
+def test_weighted_sample_exact_probabilities(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 800).alias("w")
+    )
+    out = weighted_sample(df, "doc_id", "w", scale=400)
+    rows = out.collect()
+    # weight 0 rows can never be sampled; weight >= scale always are
+    assert all(r["w"] > 0 for r in rows)
+    n_saturated = df.where(F.col("w") >= 400).count()
+    got_saturated = sum(1 for r in rows if r["w"] >= 400)
+    assert got_saturated == n_saturated
+    # p_num/p_den is the exact inclusion probability
+    assert all(r["p_num"] == min(r["w"], 400) and r["p_den"] == 400 for r in rows)
+    # deterministic across invocations
+    again = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", scale=400).collect()}
+    assert again == {r["doc_id"] for r in rows}
+
+
+# --------------------------------------------------------------------------
+# bloom
+# --------------------------------------------------------------------------
+def test_bloom_semi_join_exact_even_with_tiny_filter(spark):
+    fact = spark.range(2000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 2000, 13).select(F.col("id").alias("dk"))
+    expect = {r["k"] for r in
+              fact.join(dim, fact.k == dim.dk, "left_semi").collect()}
+    # a deliberately undersized filter (64 bits for ~154 keys) is almost
+    # all false positives — the closing semi-join must still be exact
+    got = {r["k"] for r in
+           bloom.bloom_semi_join(fact, "k", dim, "dk", n_bits=64, n_hashes=2).collect()}
+    assert got == expect
+    # and a properly sized filter gives the same answer
+    got2 = {r["k"] for r in
+            bloom.bloom_semi_join(fact, "k", dim, "dk", n_bits=1 << 14).collect()}
+    assert got2 == expect
+
+
+def test_bloom_no_false_negatives(spark):
+    dim = spark.range(500).select(F.col("id").alias("k"))
+    words = bloom.build_bloom_words(dim, "k", n_bits=1 << 13, n_hashes=5)
+    kept = spark.range(500).where(
+        bloom.might_contain(F.col("id"), words, 1 << 13, 5)
+    ).count()
+    assert kept == 500  # every inserted key must test positive
+
+
+# --------------------------------------------------------------------------
+# product quantization
+# --------------------------------------------------------------------------
+def test_pq_encode_shape_and_determinism(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_seed_codebook(emb, "vec_id", "embedding", m=8, k=16)
+    assert cb.count() == 8 * 16
+    codes = pq_encode(emb, "vec_id", "embedding", cb, m=8)
+    n_vec = emb.count()
+    assert codes.count() == n_vec * 8
+    rng = codes.agg(F.min("code"), F.max("code")).collect()[0]
+    assert rng[0] >= 0 and rng[1] <= 15
+    # codebook rows are deterministic (hash-ordered seeds)
+    cb2 = pq_seed_codebook(emb, "vec_id", "embedding", m=8, k=16)
+    assert sorted(map(tuple, cb.collect())) == sorted(map(tuple, cb2.collect()))
+
+
+def test_pq_encode_pandas_parity(spark, sf_dir):
+    """The Arrow/numpy encode must be BIT-identical to the expression
+    path (same codes, same integer distances) — it batches rows, it
+    never re-associates sums."""
+    from datawarehouse_backup_system_spark.operators.quantize import pq_encode_pandas
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_seed_codebook(emb, "vec_id", "embedding", m=8, k=16)
+    a = pq_encode(emb, "vec_id", "embedding", cb, m=8).collect()
+    b = pq_encode_pandas(emb, "vec_id", "embedding", cb, m=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pq_adc_recall_floor(spark, sf_dir):
+    from datawarehouse_backup_system_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    cb = pq_seed_codebook(emb, "vec_id", "embedding", m=8, k=16)
+    codes = pq_encode(emb, "vec_id", "embedding", cb, m=8)
+    approx = pq_adc_topk(
+        codes, "vec_id", q, "vec_id", "embedding", cb, m=8, k=3,
+        rerank=100, corpus=emb,
+    )
+    exact = brute_force_topk(emb, q, k=3)
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "inner")
+        .count()
+    )
+    total = exact.count()
+    assert total > 0
+    # shortlist+exact-rerank (the deployed PQ form); seed codebooks on
+    # weakly-clustered embeddings shortlist imperfectly — the floor
+    # asserts the machinery concentrates neighbors, not SOTA recall
+    assert hits / total >= 0.4
