@@ -54,6 +54,13 @@ try:  # behavioral analytics / PPS sampling / bloom join / PQ extensions
 except ImportError:
     pass
 
+try:  # round-4 corpus extensions (CMS, SemDeDup, entropy, blocklist, PageRank)
+    from datawarehouse_backup_system_spark.queries import corpus_ext
+
+    _ALL_SPECS += list(corpus_ext.SPECS)
+except ImportError:
+    pass
+
 
 def _last_green_round(name: str) -> int:
     """Latest driver round whose CORRECTNESS_r{N}.json has a green row.

@@ -23,6 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from datawarehouse_backup_system_spark.queries import (  # noqa: E402
     analytics_ext,
+    corpus_ext,
     curation_ext,
     extras,
     llm_ops,
@@ -86,6 +87,11 @@ HEADLINE = [
     "b01_bloom_semi_join",
     "e04_pq_codes",
     "r06_recall_pq",
+    "c02_cms_frequency",
+    "d12_semantic_dedup",
+    "t19_token_entropy",
+    "a06_domain_blocklist",
+    "p01_transition_pagerank",
 ]
 
 
@@ -123,6 +129,7 @@ def main() -> int:
         s.name: s
         for s in relational.SPECS + relational_ext.SPECS + llm_ops.SPECS
         + extras.SPECS + curation_ext.SPECS + analytics_ext.SPECS
+        + corpus_ext.SPECS
     }
     stage_root = tempfile.mkdtemp(prefix="dwbss-bench-stage-")
     extra_fns = {"d02_minhash_lsh_staged": _d02_staged(stage_root)}

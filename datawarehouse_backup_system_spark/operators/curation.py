@@ -65,3 +65,68 @@ def curation_report(
         id_col, "predicted_lang", "lang_keep", "quality_keep",
         "repetition_keep", "dedup_keep", keep.alias("keep"),
     )
+
+
+def url_host(url) -> "F.Column":
+    """Host component of a URL — regexp form rather than parse_url so the
+    DuckDB oracle evaluates the identical expression."""
+    return F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
+
+def host_suffixes(host) -> "F.Column":
+    """All dot-suffixes of a hostname: 'a.b.c' → ['a.b.c', 'b.c', 'c'].
+
+    The standard normalization for domain-blocklist matching (a pattern
+    'b.c' must block 'a.b.c' but NOT 'xb.c' — substring/LIKE matching
+    gets that wrong; suffix-on-label-boundary is exact).
+    """
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."),
+    )
+
+
+def domain_blocklist(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    patterns,
+) -> DataFrame:
+    """Flag rows whose URL host matches a blocked domain (exact host or
+    any parent domain) — the URL-filtering stage every web-corpus
+    pipeline runs (C4 dropped blocklisted domains; RefinedWeb the same).
+
+    Output: input rows + (host, blocked). ``patterns`` is either a small
+    Python list (curated blocklists are thousands of entries — compiled
+    to an expression-level ``arrays_overlap`` against a literal array:
+    zero shuffle, whole-stage codegen) or a DataFrame with a ``pattern``
+    column for big lists (exploded suffix equi-join against the
+    BROADCAST pattern set, then a distinct-id semi flag — still no
+    corpus shuffle beyond the flag join).
+    """
+    host = url_host(F.col(url_col))
+    suf = host_suffixes(host)
+    if isinstance(patterns, DataFrame):
+        ids_blocked = (
+            df.select(
+                F.col(id_col), F.explode(host_suffixes(url_host(F.col(url_col)))).alias("_suffix")
+            )
+            .join(
+                F.broadcast(patterns.select(F.col("pattern").alias("_suffix"))),
+                "_suffix",
+            )
+            .select(F.col(id_col).alias("_bid"))
+            .distinct()
+        )
+        return (
+            df.withColumn("host", host)
+            .join(ids_blocked, F.col(id_col) == F.col("_bid"), "left")
+            .withColumn("blocked", F.col("_bid").isNotNull())
+            .drop("_bid")
+        )
+    lit_patterns = F.array(*[F.lit(p) for p in patterns])
+    return df.withColumn("host", host).withColumn(
+        "blocked", F.arrays_overlap(suf, lit_patterns)
+    )

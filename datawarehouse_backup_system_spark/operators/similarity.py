@@ -645,3 +645,66 @@ def neardup_pairs(
         .where(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.9,
+    n_clusters: int = 8,
+    round_digits: int = 6,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023, public):
+    cluster the embedding corpus with a coarse quantizer, then WITHIN each
+    cluster drop every vector that has a lower-id neighbor with rounded
+    cosine ≥ ``tau`` — one canonical representative survives per tight
+    semantic neighborhood, and cross-cluster pairs are never scored.
+
+    Output: (id_col, list_id, keep) for EVERY corpus row — callers keep
+    ``keep`` rows and get an audit trail for the rest.
+
+    Scale shape (the whole point of the clustering step): pairwise cosine
+    is quadratic, so it runs per-cluster only — an equi-join on
+    ``list_id`` that Spark hash-partitions, cost Σ Bᵢ² instead of N².
+    ``n_clusters`` is the knob that bounds Bᵢ (SemDeDup uses ~100k
+    clusters at web scale; the assignment pass is the same broadcast
+    argmax as IVF and map-side combines). The drop rule (min-id dominator)
+    is deterministic and independent of join order, so replays and
+    engine ports agree row-for-row.
+
+    Centroids default to the ``n_clusters`` smallest-id corpus vectors
+    (deterministic seed quantizer, DuckDB-replayable); pass
+    ``centroids=train_centroids(...)`` for k-means cluster quality.
+    """
+    cent = _centroid_frame(corpus, id_col, vec_col, n_clusters, centroids)
+    assigned = _assign_lists(corpus, cent, id_col, vec_col, round_digits)
+    a = assigned.select(
+        F.col("neighbor_id").alias("id_a"), F.col("cv").alias("va"),
+        F.col("cv_norm").alias("na"), "list_id",
+    )
+    b = assigned.select(
+        F.col("neighbor_id").alias("id_b"), F.col("cv").alias("vb"),
+        F.col("cv_norm").alias("nb"), "list_id",
+    )
+    sim = F.round(
+        F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
+        round_digits,
+    )
+    dropped = (
+        a.join(b, "list_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(sim >= F.lit(tau))
+        .select(F.col("id_b").alias("_dropped_id"))
+        .distinct()
+    )
+    return (
+        assigned.select(F.col("neighbor_id").alias(id_col), "list_id")
+        .join(
+            dropped, F.col(id_col) == F.col("_dropped_id"), "left"
+        )
+        .select(
+            id_col, "list_id", F.col("_dropped_id").isNull().alias("keep")
+        )
+    )

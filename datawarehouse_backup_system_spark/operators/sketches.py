@@ -1,4 +1,4 @@
-"""Bounded-memory frequency sketches (Misra-Gries heavy hitters).
+"""Bounded-memory frequency sketches (Misra-Gries, Count-Min).
 
 The distributed frequent-items primitive: exact top-k over a 100 TB
 token stream needs a full (kind, term) aggregation whose distinct-key
@@ -81,6 +81,86 @@ def heavy_hitters(
     # whole stream with the same retention guarantee
     merged = summaries.groupBy("item").agg(F.sum("cnt").alias("est_count"))
     return merged.where(F.col("est_count") >= min_count)
+
+
+def _km_halves(col):
+    """(h1, h2) 56-bit halves of md5(col) for Kirsch-Mitzenmacher hash
+    families — identical derivation to dedup_approx.minhash_signature,
+    portable to DuckDB as ``('0x' || substr(md5(x), 1, 14))::BIGINT``."""
+    h = F.md5(F.col(col).cast("string"))
+    return (
+        F.conv(F.substring(h, 1, 14), 16, 10).cast("bigint"),
+        F.conv(F.substring(h, 15, 14), 16, 10).cast("bigint"),
+    )
+
+
+def cms_build(
+    df: DataFrame, col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Count-Min Sketch of ``df[col]``: (d, bucket, cnt), ≤ depth×width rows.
+
+    Row d's hash is the Kirsch-Mitzenmacher combination
+    ``(h1 + d·h2) mod width`` of ONE md5 per item — one digest feeds all
+    depth rows, and the d-way fan-out is integer multiply-add that
+    whole-stage codegen folds into the aggregate. Standard CMS bounds
+    (Cormode–Muthukrishnan, 2005): estimates only OVERcount, and with
+    depth = ⌈ln 1/δ⌉, width = ⌈e/ε⌉ the overcount is ≤ εN with
+    probability 1−δ.
+
+    Scale shape: explode×depth then ONE (d, bucket) aggregation with
+    map-side partial combine — each executor emits at most depth×width
+    partial rows regardless of input size, so the shuffle is bounded by
+    the sketch size, not the corpus. The result broadcasts (depth×width
+    rows) for estimation joins; summing two sketches built with the same
+    (depth, width) merges streams exactly (the estimate of the union).
+    NULL items carry no frequency semantics and are dropped.
+    """
+    assert 1 <= depth <= 127, "depth*2^56 must fit signed 64-bit"
+    h1, h2 = _km_halves(col)
+    staged = df.where(F.col(col).isNotNull()).select(
+        h1.alias("_h1"), h2.alias("_h2")
+    )
+    # posexplode keeps the hash-row index d alongside the bucket
+    rows = staged.select(
+        F.posexplode(
+            F.array(*[
+                F.pmod(F.col("_h1") + F.lit(d) * F.col("_h2"), F.lit(width))
+                for d in range(depth)
+            ])
+        ).alias("d", "bucket")
+    )
+    return rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``items[col]``.
+
+    Output: (item, est_count). est = MIN over the depth rows of the
+    bucket counters — ≥ the true frequency always (CMS never
+    undercounts), with the (ε, δ) overcount bound from ``cms_build``.
+    The sketch side is ≤ depth×width rows and is BROADCAST, so
+    estimation is a map-side join: no shuffle of the item stream beyond
+    the final per-item min aggregation (which partial-combines).
+    """
+    h1, h2 = _km_halves(col)
+    probes = items.where(F.col(col).isNotNull()).select(
+        F.col(col).alias("item"),
+        F.posexplode(
+            F.array(*[
+                F.pmod(h1 + F.lit(d) * h2, F.lit(width)) for d in range(depth)
+            ])
+        ).alias("d", "bucket"),
+    )
+    joined = probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    return joined.groupBy("item").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
+    )
 
 
 def merge_summaries(

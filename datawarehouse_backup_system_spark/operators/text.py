@@ -484,3 +484,42 @@ def chunk_documents(
         F.size(F.split(F.col("c.chunk_text"), " ")).alias("n_chunk_tokens"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits).
+
+    H(doc) = −Σ_t p(t)·log2 p(t) over whitespace tokens — the standard
+    lexical-diversity quality signal: near-zero entropy flags degenerate
+    boilerplate ("spam spam spam…"), which length/punctuation ratios
+    miss. Output: (id_col, n_tokens, n_distinct, entropy) with entropy
+    rounded to 6 digits (the per-doc sum has ≤ vocabulary terms, so
+    cross-engine FP drift is far below the rounding grain).
+
+    Two bounded aggregations, both partial-combining: (doc, token) counts
+    then the per-doc entropy fold. No UDFs, no driver loops; at 100 TB
+    this is a linear pass whose shuffle keys are (doc_id, token) then
+    doc_id — skew-free because the first key includes the token.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+    ).where(F.col("_tok") != "")
+    cnt = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        cnt.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("_c") * F.log2(F.col("_c"))).alias("_clogc"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.log2(F.col("n_tokens"))
+                - F.col("_clogc") / F.col("n_tokens"),
+                6,
+            ).alias("entropy"),
+        )
+    )

@@ -1,0 +1,296 @@
+"""Round-4 corpus extensions: Count-Min frequency sketch, SemDeDup-style
+semantic deduplication, token-entropy quality scoring, URL/domain
+blocklist filtering, and fixed-iteration PageRank over the event
+transition graph.
+
+Every spec pairs the Spark plan with a DuckDB oracle replaying the same
+algebra. Hash-parity rules as everywhere in this repo: md5-derived
+integer hashes (portable bit-for-bit), cosine/entropy/rank rounded at
+the END only, aggregates aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import curation, graph, sketches, text
+from ..operators.similarity import semantic_dedup
+from .base import QuerySpec, load
+
+# --------------------------------------------------------------------------
+# c02 — Count-Min Sketch point queries vs exact frequencies
+# --------------------------------------------------------------------------
+_C02_DEPTH = 3
+_C02_WIDTH = 16  # deliberately tight: collisions are the interesting case
+
+
+def c02_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS built over the document token stream, point-queried for every
+    distinct token, joined against exact counts. The tight width forces
+    bucket collisions, so the oracle certifies the OVERcount behavior
+    (est ≥ true always; never under), not just the trivial exact regime.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+    ).where(F.col("token") != "")
+    sketch = sketches.cms_build(toks, "token", _C02_DEPTH, _C02_WIDTH)
+    truth = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = sketches.cms_estimate(
+        sketch, truth.select("token"), "token", _C02_DEPTH, _C02_WIDTH
+    ).withColumnRenamed("item", "token")
+    return truth.join(est, "token").select(
+        "token",
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+        F.col("est_count").cast("long").alias("est_count"),
+        (F.col("est_count") - F.col("true_cnt")).cast("long").alias("overcount"),
+    )
+
+
+C02_SQL = f"""
+WITH tok AS (
+  SELECT t.token FROM (
+    SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents
+  ) t WHERE t.token <> ''
+),
+h AS (
+  SELECT token,
+         ('0x' || substr(md5(token), 1, 14))::BIGINT AS h1,
+         ('0x' || substr(md5(token), 15, 14))::BIGINT AS h2
+  FROM tok
+),
+ds AS (SELECT unnest(range({_C02_DEPTH})) AS d),
+sketch AS (
+  SELECT d, (h1 + d * h2) % {_C02_WIDTH} AS bucket, count(*) AS cnt
+  FROM h CROSS JOIN ds GROUP BY 1, 2
+),
+truth AS (
+  SELECT token, count(*) AS true_cnt, min(h1) AS h1, min(h2) AS h2
+  FROM h GROUP BY token
+),
+probes AS (
+  SELECT token, true_cnt, d, (h1 + d * h2) % {_C02_WIDTH} AS bucket
+  FROM truth CROSS JOIN ds
+),
+est AS (
+  SELECT p.token, min(p.true_cnt) AS true_cnt,
+         min(COALESCE(s.cnt, 0)) AS est_count
+  FROM probes p LEFT JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+  GROUP BY p.token
+)
+SELECT token, CAST(true_cnt AS BIGINT) AS true_cnt,
+       CAST(est_count AS BIGINT) AS est_count,
+       CAST(est_count - true_cnt AS BIGINT) AS overcount
+FROM est
+"""
+
+
+# --------------------------------------------------------------------------
+# d12 — SemDeDup-style semantic deduplication of the embedding corpus
+# --------------------------------------------------------------------------
+# at 0.4 the sf0.01 corpus has ~19 within-cluster tight pairs (the same
+# regime d05 verifies corpus-wide) — the drop path is actually exercised;
+# real SemDeDup runs ~0.95+ on meaningful embeddings
+_D12_TAU = 0.4
+_D12_CLUSTERS = 8
+
+
+def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity.semantic_dedup with the deterministic seed quantizer
+    (centroids = 8 smallest vec_ids, same as d10) so the oracle can
+    replay cluster assignment; the k-means-trained path is recall-tested
+    in pytest. Output: every vector with its cluster and keep verdict."""
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", tau=_D12_TAU, n_clusters=_D12_CLUSTERS
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"ROUND(list_dot_product({a}, {b}) / NULLIF(sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b})), 0), 6)"
+    )
+
+
+D12_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT {_D12_CLUSTERS}),
+assign AS (
+  SELECT vec_id, e, cid AS list_id FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY COALESCE({_cos_sql('v.e', 'c.ce')}, -2) DESC, c.cid ASC
+           ) AS rn
+    FROM v CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS did
+  FROM assign a JOIN assign b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE COALESCE({_cos_sql('a.e', 'b.e')}, -2) >= {_D12_TAU}
+)
+SELECT a.vec_id, a.list_id, d.did IS NULL AS keep
+FROM assign a LEFT JOIN dropped d ON d.did = a.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# t19 — per-document token-distribution entropy (lexical diversity)
+# --------------------------------------------------------------------------
+def t19_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return text.token_entropy(docs, "doc_id", "text")
+
+
+T19_SQL = """
+WITH t AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       ROUND(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+FROM c GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# a06 — URL/domain blocklist filtering (suffix-on-label-boundary match)
+# --------------------------------------------------------------------------
+_A06_BLOCK = ("src3.example.com", "src7.example.com", "spam.example.org")
+
+
+def a06_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents get a deterministic synthetic URL from their source id
+    (the table carries no real URLs); the operator under test is the
+    generic suffix blocklist — 'src3.example.com' must block exactly the
+    src3 hosts, and a parent pattern would block every subdomain."""
+    docs = load(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    out = curation.domain_blocklist(urls, "doc_id", "url", list(_A06_BLOCK))
+    return out.select("doc_id", "host", "blocked")
+
+
+_A06_IN = ", ".join(f"'{p}'" for p in _A06_BLOCK)
+
+A06_SQL = f"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+  FROM u
+),
+s AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, len(string_split(host, '.')) + 1),
+           i -> array_to_string(
+                  list_slice(string_split(host, '.'), i,
+                             len(string_split(host, '.'))), '.')
+         )) AS suf
+  FROM h
+)
+SELECT h.doc_id, h.host, COALESCE(b.hit, FALSE) AS blocked
+FROM h LEFT JOIN (
+  SELECT DISTINCT doc_id, TRUE AS hit FROM s WHERE suf IN ({_A06_IN})
+) b ON b.doc_id = h.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# p01 — fixed-iteration weighted PageRank over event-type transitions
+# --------------------------------------------------------------------------
+_P01_ITERS = 3
+_P01_DAMPING = 0.85
+
+
+def p01_transition_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge list = the a04 Markov transition matrix (consecutive
+    event_type pairs per user, count-weighted); graph.pagerank runs
+    {3} damped iterations from the uniform vector. The oracle unrolls
+    the identical iterations in SQL, so every join/sum is replayed."""
+    ev = load(spark, sf_dir, "events")
+    from ..operators import behavior
+
+    edges = behavior.path_transitions(ev, "user_id", "ts", "event_type", "event_id")
+    return graph.pagerank(
+        edges, "src_type", "dst_type", "n",
+        iterations=_P01_ITERS, damping=_P01_DAMPING,
+    )
+
+
+def _p01_sql() -> str:
+    d = _P01_DAMPING
+    head = f"""
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+),
+e AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+),
+ne AS (
+  SELECT e.src, e.dst, e.w / o.ow AS p
+  FROM e JOIN (SELECT src, sum(w) AS ow FROM e GROUP BY src) o
+    ON o.src = e.src
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+  )
+),
+nc AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes),
+r0 AS (SELECT node, 1.0 / nc.c AS rank FROM nodes CROSS JOIN nc)"""
+    iters = []
+    for i in range(_P01_ITERS):
+        iters.append(f""",
+r{i + 1} AS (
+  SELECT n.node,
+         (1.0 - {d}) / nc.c + {d} * COALESCE(s.contrib, 0) AS rank
+  FROM nodes n CROSS JOIN nc
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank * e.p) AS contrib
+    FROM ne e JOIN r{i} r ON r.node = e.src GROUP BY e.dst
+  ) s ON s.node = n.node
+)""")
+    tail = f"""
+SELECT node, ROUND(rank, 6) AS rank FROM r{_P01_ITERS}"""
+    return head + "".join(iters) + tail
+
+
+P01_SQL = _p01_sql()
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("c02_cms_frequency", c02_cms_frequency, C02_SQL,
+              "Count-Min sketch point queries vs exact frequencies"),
+    QuerySpec("d12_semantic_dedup", d12_semantic_dedup, D12_SQL,
+              "SemDeDup: cluster then drop tight within-cluster neighbors"),
+    QuerySpec("t19_token_entropy", t19_token_entropy, T19_SQL,
+              "per-document token-distribution Shannon entropy"),
+    QuerySpec("a06_domain_blocklist", a06_domain_blocklist, A06_SQL,
+              "URL host blocklist with label-boundary suffix matching"),
+    QuerySpec("p01_transition_pagerank", p01_transition_pagerank, P01_SQL,
+              "fixed-iteration weighted PageRank over transition graph"),
+]

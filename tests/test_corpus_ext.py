@@ -1,0 +1,198 @@
+"""Round-4 corpus extensions: CMS, SemDeDup, entropy, blocklist, PageRank."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_backup_system_spark.operators import curation, graph, sketches, text
+from datawarehouse_backup_system_spark.operators.similarity import semantic_dedup
+
+
+# ----------------------------------------------------------------- CMS
+def _stream(spark, items):
+    return spark.createDataFrame([(i,) for i in items], "item string")
+
+
+def test_cms_never_undercounts(spark):
+    items = (["hot"] * 50) + (["warm"] * 10) + [f"cold{i}" for i in range(40)]
+    df = _stream(spark, items)
+    sk = sketches.cms_build(df, "item", depth=3, width=8)  # heavy collisions
+    est = {
+        r["item"]: r["est_count"]
+        for r in sketches.cms_estimate(
+            sk, df.distinct(), "item", depth=3, width=8
+        ).collect()
+    }
+    true = {"hot": 50, "warm": 10, **{f"cold{i}": 1 for i in range(40)}}
+    for item, t in true.items():
+        assert est[item] >= t, item
+
+
+def test_cms_exact_when_wide(spark):
+    items = ["a", "b", "b", "c", "c", "c"]
+    df = _stream(spark, items)
+    sk = sketches.cms_build(df, "item", depth=4, width=4096)
+    est = {
+        r["item"]: r["est_count"]
+        for r in sketches.cms_estimate(
+            sk, df.distinct(), "item", depth=4, width=4096
+        ).collect()
+    }
+    assert est == {"a": 1, "b": 2, "c": 3}
+
+
+def test_cms_sketches_merge_by_summation(spark):
+    """sum of two same-shape sketches == sketch of the concatenated stream."""
+    a, b = ["x"] * 3 + ["y"], ["y"] * 2 + ["z"]
+    kw = dict(depth=3, width=16)
+    ska = sketches.cms_build(_stream(spark, a), "item", **kw)
+    skb = sketches.cms_build(_stream(spark, b), "item", **kw)
+    merged = (
+        ska.unionByName(skb)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sketches.cms_build(_stream(spark, a + b), "item", **kw)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_cms_unseen_item_estimates_zero_when_wide(spark):
+    df = _stream(spark, ["a", "b"])
+    sk = sketches.cms_build(df, "item", depth=4, width=4096)
+    est = sketches.cms_estimate(
+        sk, _stream(spark, ["never-seen"]), "item", depth=4, width=4096
+    ).collect()
+    assert est[0]["est_count"] == 0
+
+
+# ------------------------------------------------------------ SemDeDup
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_drops_tight_neighbors_keeps_canonical(spark):
+    rows = [
+        (1, [1.0, 0.0]), (2, [0.999, 0.01]),   # near-identical pair
+        (3, [0.0, 1.0]),                        # distinct direction
+        (4, [-1.0, 0.0]),                       # opposite
+    ]
+    # explicit centroids: the default smallest-id seeds would make vecs 1
+    # and 2 their own centroids and the tight pair would never co-cluster
+    out = semantic_dedup(
+        _vecs(spark, rows), tau=0.99, centroids=[[1.0, 0.0], [0.0, 1.0]]
+    ).collect()
+    verdict = {r["vec_id"]: r["keep"] for r in out}
+    assert verdict[1] is True      # canonical (smallest id) survives
+    assert verdict[2] is False     # its tight neighbor is dropped
+    assert verdict[3] is True and verdict[4] is True
+
+
+def test_semantic_dedup_dropped_rows_have_kept_dominator(spark, sf_dir):
+    """Every dropped vector must have a SAME-CLUSTER lower-id neighbor at
+    cosine ≥ tau (the drop rule, verified against brute force)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tau = 0.4
+    out = semantic_dedup(emb, tau=tau, n_clusters=4)
+    joined = (
+        out.alias("o")
+        .join(emb.alias("e"), F.col("o.vec_id") == F.col("e.vec_id"))
+        .select("o.vec_id", "o.list_id", "o.keep", "e.embedding")
+    )
+    rows = joined.collect()
+    import numpy as np
+
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["list_id"], []).append(r)
+    n_dropped = 0
+    for members in by_cluster.values():
+        members.sort(key=lambda r: r["vec_id"])
+        for i, r in enumerate(members):
+            if r["keep"]:
+                continue
+            n_dropped += 1
+            v = np.array(r["embedding"], dtype=float)
+            found = False
+            for s in members[:i]:
+                u = np.array(s["embedding"], dtype=float)
+                cos = float(v @ u / (np.linalg.norm(v) * np.linalg.norm(u)))
+                if round(cos, 6) >= tau:
+                    found = True
+                    break
+            assert found, f"dropped {r['vec_id']} has no dominator"
+    assert n_dropped > 0  # the fixture regime actually exercises drops
+
+
+# ------------------------------------------------------------- entropy
+def test_token_entropy_bounds(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # degenerate: H = 0
+            (2, "a b c d"),                      # uniform: H = log2(4) = 2
+            (3, "a a b b"),                      # uniform over 2: H = 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.token_entropy(docs, "doc_id", "text").collect()}
+    assert out[1]["entropy"] == 0.0
+    assert out[2]["entropy"] == pytest.approx(2.0)
+    assert out[3]["entropy"] == pytest.approx(1.0)
+    assert out[2]["n_tokens"] == 4 and out[2]["n_distinct"] == 4
+
+
+# ----------------------------------------------------------- blocklist
+def test_domain_blocklist_label_boundary(spark):
+    rows = [
+        (1, "https://a.b.c/path"),      # blocked by parent 'b.c'
+        (2, "https://b.c/x"),           # exact match
+        (3, "https://xb.c/x"),          # NOT blocked ('xb.c' != '*.b.c')
+        (4, "https://c.d/x"),           # unrelated
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {
+        r["id"]: r["blocked"]
+        for r in curation.domain_blocklist(df, "id", "url", ["b.c"]).collect()
+    }
+    assert out == {1: True, 2: True, 3: False, 4: False}
+
+
+def test_domain_blocklist_dataframe_patterns(spark):
+    rows = [(1, "https://sub.evil.org/"), (2, "https://good.org/")]
+    df = spark.createDataFrame(rows, "id long, url string")
+    patterns = spark.createDataFrame([("evil.org",)], "pattern string")
+    out = {
+        r["id"]: r["blocked"]
+        for r in curation.domain_blocklist(df, "id", "url", patterns).collect()
+    }
+    assert out == {1: True, 2: False}
+
+
+# ------------------------------------------------------------ pagerank
+def test_pagerank_star_graph_center_dominates(spark):
+    edges = spark.createDataFrame(
+        [("a", "hub", 1), ("b", "hub", 1), ("c", "hub", 1), ("hub", "a", 1)],
+        "src string, dst string, w long",
+    )
+    out = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(edges, "src", "dst", "w", iterations=5).collect()
+    }
+    assert out["hub"] > out["b"] and out["hub"] > out["c"]
+    # 'a' receives the hub's whole mass, so it outranks b/c too
+    assert out["a"] > out["b"]
+
+
+def test_pagerank_mass_conserved_without_dangling(spark):
+    # strongly-connected 3-cycle: total rank mass stays 1 each iteration
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    out = graph.pagerank(edges, "src", "dst", "w", iterations=4).collect()
+    assert sum(r["rank"] for r in out) == pytest.approx(1.0, abs=1e-5)
+    # symmetric cycle → uniform ranks
+    for r in out:
+        assert r["rank"] == pytest.approx(1 / 3, abs=1e-6)
