@@ -357,3 +357,38 @@ def stream_heavy_hitters(
         .outputMode("append")
         .start()
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lag: str = "1 hour",
+    left_watermark: str = "2 hours",
+    right_watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    right rows join left rows with the same ``key`` whose timestamp falls
+    in ``[right_ts − lag, right_ts]`` — the attribution pattern (views
+    joined to the purchase they preceded; the streaming form of the q41
+    batch range join).
+
+    Both sides REQUIRE watermarks: Spark buffers each side's rows in
+    state until the other side's watermark passes the interval bound,
+    then evicts — without them state grows unboundedly and append mode
+    can never finalize. The left watermark must cover its own lateness
+    PLUS the join lag (a left row stays joinable until right's clock
+    passes ``left_ts + lag``). Output: one row per matched pair with
+    both timestamps, suffixed unambiguously.
+    """
+    l_ts, r_ts = f"_l_{left_ts}", f"_r_{right_ts}"
+    lw = left.withColumnRenamed(left_ts, l_ts).withWatermark(l_ts, left_watermark)
+    rw = right.withColumnRenamed(right_ts, r_ts).withWatermark(r_ts, right_watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (F.col(l_ts) <= F.col(r_ts))
+        & (F.col(l_ts) >= F.col(r_ts) - F.expr(f"INTERVAL {lag}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])

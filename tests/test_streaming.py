@@ -452,3 +452,40 @@ def test_stream_heavy_hitters_replay_is_idempotent(spark, tmp_path):
     }
     assert before == {"hot": 30}
     assert after == before  # replay merged nothing
+
+
+def test_stream_interval_join_attribution(spark, tmp_path, t0):
+    """views ⋈ purchases within a 1 h lookback, both sides streaming."""
+    vsrc, psrc = str(tmp_path / "views"), str(tmp_path / "purch")
+    # user 1: view at t0+10m, purchase at t0+30m -> joins (20 min gap)
+    # user 2: view at t0, purchase at t0+90m -> outside 1 h lag, no join
+    _write_batch(spark, vsrc, [
+        (1, t0 + dt.timedelta(minutes=10), 1, "view", 1.0, "{}"),
+        (2, t0, 2, "view", 1.0, "{}"),
+    ])
+    _write_batch(spark, psrc, [
+        (3, t0 + dt.timedelta(minutes=30), 1, "purchase", 9.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=90), 2, "purchase", 9.0, "{}"),
+    ])
+    views = st.stream_source(spark, vsrc).select("ts", "user_id", "event_id")
+    purch = st.stream_source(spark, psrc).select(
+        "ts", "user_id", F.col("event_id").alias("purchase_id")
+    )
+    joined = st.stream_interval_join(
+        views, purch, "user_id", lag="1 hour",
+        left_watermark="2 hours", right_watermark="1 hour",
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = _run_to_memory(joined, name)
+    try:
+        # advance both watermarks far past the data so results finalize
+        far = t0 + dt.timedelta(hours=12)
+        _write_batch(spark, vsrc, [(90, far, 9, "view", 1.0, "{}")])
+        _write_batch(spark, psrc, [(91, far, 9, "purchase", 1.0, "{}")])
+        q.processAllAvailable()
+        out = spark.sql(f"SELECT * FROM {name}").collect()
+        pairs = {(r["event_id"], r["purchase_id"]) for r in out}
+        assert (1, 3) in pairs          # in-window attribution matched
+        assert all(p != (2, 4) for p in pairs)  # 90 min gap excluded
+    finally:
+        q.stop()

@@ -21,6 +21,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from datawarehouse_backup_system_spark.queries import (  # noqa: E402
+    analytics_ext,
+    corpus_ext,
     curation_ext,
     extras,
     llm_ops,
@@ -66,7 +68,8 @@ def main() -> int:
     names = sys.argv[2:] or DEFAULT
     specs = {s.name: s for s in
              relational.SPECS + relational_ext.SPECS + llm_ops.SPECS
-             + extras.SPECS + curation_ext.SPECS}
+             + extras.SPECS + curation_ext.SPECS + analytics_ext.SPECS
+             + corpus_ext.SPECS}
     spark = get_spark(app_name="explain-audit")
     verbose = len(sys.argv) > 2
     for name in names:
