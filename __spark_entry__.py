@@ -62,38 +62,55 @@ except ImportError:
     pass
 
 
-def _last_green_round(name: str) -> int:
-    """Latest driver round whose CORRECTNESS_r{N}.json has a green row.
+def _staleness_key(name: str) -> int:
+    """Rotation priority from the CORRECTNESS_r{N}.json history.
 
     The driver verifies only the first 50 ``queries()`` entries per round,
-    so we order specs least-recently-verified first (never-verified at the
-    very front).  This is the rotation policy from COVERAGE.md: every
-    query cycles through the verification window automatically, and newly
-    added queries are verified in their first round.
+    so we order specs by verification urgency (COVERAGE.md policy):
+
+    - **-2**: the MOST RECENT round that checked this query recorded an
+      error or a mismatch — a red row is worse than no row, so these
+      re-enter the window ahead of everything (e.g. the round-3 events
+      queries that crashed on the regenerated testdata schema: the fix
+      must be proven in the very next round, not after the backlog).
+    - **-1**: never checked by any round.
+    - **N ≥ 0**: last green round — least-recently-confirmed first.
+
+    Ties keep the original spec order, so rotation is deterministic.
     """
-    best = -1
+    last_green = -1
+    latest_seen = -1
+    latest_red = False
     for p in _REPO.glob("CORRECTNESS_r*.json"):
         m = re.search(r"r(\d+)", p.name)
         if not m:
             continue
         rnd = int(m.group(1))
-        if rnd <= best:
-            continue
         try:
             rows = json.loads(p.read_text())
         except (OSError, json.JSONDecodeError):
             continue
         row = rows.get(name)
-        if not row or row.get("err") is not None:
+        if not row:
             continue
-        if row.get("rows_match") and row.get("schema_match") is not False \
-                and row.get("hash_match") is not False:
-            best = rnd
-    return best
+        green = (
+            row.get("err") is None
+            and row.get("rows_match")
+            and row.get("schema_match") is not False
+            and row.get("hash_match") is not False
+        )
+        if rnd > latest_seen:
+            latest_seen = rnd
+            latest_red = not green
+        if green and rnd > last_green:
+            last_green = rnd
+    if latest_red:
+        return -2
+    return last_green
 
 
 _BY_STALENESS = {s.name: i for i, s in enumerate(_ALL_SPECS)}
-_ALL_SPECS.sort(key=lambda s: (_last_green_round(s.name), _BY_STALENESS[s.name]))
+_ALL_SPECS.sort(key=lambda s: (_staleness_key(s.name), _BY_STALENESS[s.name]))
 
 
 def entry(spark: SparkSession) -> DataFrame:

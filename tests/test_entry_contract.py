@@ -40,3 +40,27 @@ def test_entry_runs_on_smoke_sf(spark):
         "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc",
         "count_order",
     ]
+
+
+def test_rotation_prioritizes_latest_round_failures():
+    """A query whose most recent driver row was red (error/mismatch) must
+    re-enter the 50-slot verification window immediately — ahead of the
+    never-verified backlog."""
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    rounds = sorted(
+        repo.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int("".join(filter(str.isdigit, p.stem))),
+    )
+    if not rounds:
+        return  # fresh clone without driver artifacts
+    latest = json.loads(rounds[-1].read_text())
+    red = {
+        n for n, row in latest.items()
+        if row.get("err") is not None or row.get("hash_match") is False
+    }
+    window = list(entry_mod.queries())[:50]
+    missing = red - set(window)
+    assert not missing, f"red queries outside the window: {sorted(missing)}"
