@@ -92,6 +92,7 @@ HEADLINE = [
     "t19_token_entropy",
     "a06_domain_blocklist",
     "p01_transition_pagerank",
+    "q44_hll_mergeable",
 ]
 
 

@@ -194,3 +194,36 @@ def merge_summaries(
         .where(F.col(count_col) > 0)
         .drop("_rk")
     )
+
+
+def hll_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    item_col: str,
+    fine_cols: list[str],
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count rollup via serialized HLL sketches
+    (Apache DataSketches HllSketch — public Spark 3.5+ surface).
+
+    Builds one sketch per (key, fine) group — e.g. per (event_type, day)
+    — then UNIONS the sketches up to the key level and estimates. The
+    point at 100 TB: the fine-grain sketch table is the persisted
+    artifact (a few KB per group); any coarser distinct-count rollup —
+    weekly, monthly, all-time, cross-key — is a union over sketches and
+    NEVER re-reads the raw data. ``approx_count_distinct`` gives the
+    same estimate quality but evaporates at query end; this is the
+    incremental form (the same partial-vs-rollup split as
+    rollup.rollup_cascade, but for DISTINCT, which plain counts cannot
+    re-aggregate).
+
+    Output: key_cols + (distinct_est long). Estimates are
+    DataSketches-deterministic for a given input multiset (register
+    merge is max-based, partition-order independent).
+    """
+    fine = df.groupBy(*key_cols, *fine_cols).agg(
+        F.hll_sketch_agg(item_col, F.lit(lg_config_k)).alias("_sk")
+    )
+    return fine.groupBy(*key_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("_sk"))).alias("distinct_est")
+    )

@@ -282,6 +282,42 @@ SELECT node, ROUND(rank, 6) AS rank FROM r{_P01_ITERS}"""
 P01_SQL = _p01_sql()
 
 
+# --------------------------------------------------------------------------
+# q44 — mergeable HLL distinct rollup (daily sketches unioned to totals)
+# --------------------------------------------------------------------------
+def q44_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sketches.hll_rollup: per-(event_type, day) HLL sketches UNIONED up
+    to per-type distinct-user estimates — the incremental form of
+    q30's approx_count_distinct (sketches persist and re-aggregate;
+    plain distinct counts cannot). Sketch bytes are engine-specific, so
+    the hashable output is exact counts + tolerance booleans, the q30
+    oracle pattern; 10% tolerance is far above HLL's rsd at lgK=12."""
+    ev = load(spark, sf_dir, "events")
+    est = sketches.hll_rollup(
+        ev, ["event_type"], "user_id", [F.to_date("ts")]
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    tol = 0.10
+    ok = (F.col("distinct_est") == F.col("exact_users")) | (
+        F.try_divide(
+            F.abs(F.col("distinct_est") - F.col("exact_users")),
+            F.col("exact_users"),
+        )
+        <= tol
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "exact_users", ok.alias("users_ok")
+    )
+
+
+Q44_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS users_ok
+FROM events GROUP BY event_type
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("c02_cms_frequency", c02_cms_frequency, C02_SQL,
               "Count-Min sketch point queries vs exact frequencies"),
@@ -293,4 +329,6 @@ SPECS: list[QuerySpec] = [
               "URL host blocklist with label-boundary suffix matching"),
     QuerySpec("p01_transition_pagerank", p01_transition_pagerank, P01_SQL,
               "fixed-iteration weighted PageRank over transition graph"),
+    QuerySpec("q44_hll_mergeable", q44_hll_mergeable, Q44_SQL,
+              "mergeable HLL distinct rollup (daily sketches unioned)"),
 ]

@@ -196,3 +196,27 @@ def test_pagerank_mass_conserved_without_dangling(spark):
     # symmetric cycle → uniform ranks
     for r in out:
         assert r["rank"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+# ----------------------------------------------------------- HLL rollup
+def test_hll_rollup_union_matches_direct_estimate(spark):
+    """Daily sketches unioned to the key level must agree with a single
+    direct sketch over the same rows (mergeability), and at small
+    cardinality the estimate is exact."""
+    rows = [
+        (k, d, u)
+        for k in ("a", "b")
+        for d in (1, 2, 3)
+        for u in range(d * 10)  # user overlap across days: union ≠ sum
+    ]
+    df = spark.createDataFrame(rows, "k string, day int, user long")
+    merged = sketches.hll_rollup(df, ["k"], "user", ["day"])
+    out = {r["k"]: r["distinct_est"] for r in merged.collect()}
+    # distinct users per key = max(day)*10 = 30 (days overlap)
+    assert out == {"a": 30, "b": 30}
+    direct = (
+        df.groupBy("k")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user", F.lit(12))).alias("e"))
+        .collect()
+    )
+    assert {r["k"]: r["e"] for r in direct} == out
