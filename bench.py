@@ -93,6 +93,7 @@ HEADLINE = [
     "a06_domain_blocklist",
     "p01_transition_pagerank",
     "q44_hll_mergeable",
+    "t20_normalize_text",
 ]
 
 

@@ -523,3 +523,33 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("entropy"),
         )
     )
+
+
+#: Latin-1/Latin-Extended accent fold map for normalize_text — the cheap
+#: expression-level subset (full Unicode NFKC needs ICU, deliberately not
+#: pulled in; the mapping covers the languages langid handles)
+ACCENT_SRC = "áàâäãåéèêëíìîïóòôöõøúùûüñçýÁÀÂÄÃÅÉÈÊËÍÌÎÏÓÒÔÖÕØÚÙÛÜÑÇÝ"
+ACCENT_DST = "aaaaaaeeeeiiiioooooouuuuncyAAAAAAEEEEIIIIOOOOOOUUUUNCY"
+assert len(ACCENT_SRC) == len(ACCENT_DST)  # translate deletes on mismatch
+
+
+def normalize_text(
+    col: Column, lowercase: bool = True, fold_accents: bool = True
+) -> Column:
+    """Canonical text cleanup: control chars → space, whitespace runs
+    collapsed, trimmed; optional casefold and Latin accent folding.
+
+    The first pass every web-corpus pipeline runs before hashing/dedup —
+    two byte-identical documents that differ only in \\r\\n vs \\n or
+    NBSP-ish control garbage must dedup together. All expression-level
+    (regexp_replace/translate/lower): zero shuffles, codegen'd, and
+    portable — the DuckDB replay differs only in the explicit 'g' flag
+    (Spark's regexp_replace is global by default).
+    """
+    out = F.regexp_replace(col, r"[\x00-\x1F\x7F]", " ")
+    out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    if fold_accents:
+        out = F.translate(out, ACCENT_SRC, ACCENT_DST)
+    if lowercase:
+        out = F.lower(out)
+    return out

@@ -283,6 +283,52 @@ P01_SQL = _p01_sql()
 
 
 # --------------------------------------------------------------------------
+# t20 — canonical text normalization (pre-dedup cleanup pass)
+# --------------------------------------------------------------------------
+def t20_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.normalize_text over a DETERMINISTICALLY dirtied corpus (the
+    parquet fixture is clean, so both engines inject the same leading
+    spaces / upper-cased prefix / tab / CRLF before normalizing):
+    control chars → space, whitespace collapsed, accents folded,
+    casefolded. Output hashes prove byte-identical normalization."""
+    docs = load(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("  "), F.upper(F.substring(F.col("text"), 1, 20)),
+        F.lit("\t"), F.col("text"), F.lit(" \r\n"),
+    )
+    norm = text.normalize_text(dirty)
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(dirty).cast("long").alias("dirty_len"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+T20_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         '  ' || upper(substr(text, 1, 20)) || chr(9) || text
+              || ' ' || chr(13) || chr(10) AS dirty
+  FROM documents
+),
+n AS (
+  SELECT doc_id, dirty,
+         lower(translate(
+           trim(regexp_replace(
+             regexp_replace(dirty, '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+             '\\s+', ' ', 'g')),
+           '{text.ACCENT_SRC}', '{text.ACCENT_DST}')) AS norm
+  FROM d
+)
+SELECT doc_id, md5(norm) AS norm_hash,
+       CAST(length(dirty) AS BIGINT) AS dirty_len,
+       CAST(length(norm) AS BIGINT) AS norm_len
+FROM n
+"""
+
+
+# --------------------------------------------------------------------------
 # q44 — mergeable HLL distinct rollup (daily sketches unioned to totals)
 # --------------------------------------------------------------------------
 def q44_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,4 +377,6 @@ SPECS: list[QuerySpec] = [
               "fixed-iteration weighted PageRank over transition graph"),
     QuerySpec("q44_hll_mergeable", q44_hll_mergeable, Q44_SQL,
               "mergeable HLL distinct rollup (daily sketches unioned)"),
+    QuerySpec("t20_normalize_text", t20_normalize_text, T20_SQL,
+              "canonical text normalization (controls/space/accents/case)"),
 ]

@@ -73,3 +73,36 @@ def test_mismatched_bucket_counts_still_correct(spark, tmp_path, no_broadcast):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {lt}")
         spark.sql(f"DROP TABLE IF EXISTS {rt}")
+
+
+def test_bucketed_history_antijoin_never_shuffles_history(
+    spark, tmp_path, no_broadcast
+):
+    """The reference's J2 cross-file dedup at 100 TB: history bucketed on
+    row_hash means each new batch anti-joins WITHOUT re-shuffling the
+    (huge) history side — only the small batch side gets an Exchange."""
+    tag = uuid.uuid4().hex[:8]
+    ht = f"hist_{tag}"
+    history = spark.range(0, 10_000).select(
+        F.md5(F.col("id").cast("string")).alias("row_hash"),
+        F.col("id").alias("payload"),
+    )
+    try:
+        bucketed.write_bucketed(
+            history, ht, ["row_hash"], 8, sort_cols=["row_hash"],
+            path=str(tmp_path / "hist"),
+        )
+        batch = spark.range(5_000, 15_000).select(
+            F.md5(F.col("id").cast("string")).alias("row_hash"),
+            F.col("id").alias("payload"),
+        )
+        fresh = batch.join(
+            spark.table(ht).select("row_hash"), "row_hash", "left_anti"
+        )
+        plan = fresh._jdf.queryExecution().executedPlan().toString()
+        # exactly one Exchange: the batch side aligning to the history
+        # bucketing; the history scan itself must not re-shuffle
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert fresh.count() == 5_000  # ids 10k..15k are genuinely new
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ht}")

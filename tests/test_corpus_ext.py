@@ -220,3 +220,27 @@ def test_hll_rollup_union_matches_direct_estimate(spark):
         .collect()
     )
     assert {r["k"]: r["e"] for r in direct} == out
+
+
+# --------------------------------------------------------- normalization
+def test_normalize_text_semantics(spark):
+    rows = [
+        (1, "  Héllo\t Wörld \r\n"),
+        (2, "ØRSTED\x00côté"),
+        (3, "already clean"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = {
+        r["id"]: r["n"]
+        for r in df.select("id", text.normalize_text(F.col("s")).alias("n")).collect()
+    }
+    assert out[1] == "hello world"
+    assert out[2] == "orsted cote"   # NUL → space; Ø/ô/é folded
+    assert out[3] == "already clean"
+    # idempotence: normalizing normalized text is identity
+    df2 = spark.createDataFrame([(k, v) for k, v in out.items()], "id long, s string")
+    again = {
+        r["id"]: r["n"]
+        for r in df2.select("id", text.normalize_text(F.col("s")).alias("n")).collect()
+    }
+    assert again == out

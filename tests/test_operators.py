@@ -332,3 +332,28 @@ def test_rollup_incremental_merge_equals_full_recompute(spark):
         merged = {tuple(r) for r in merge_tiers(t1[res], t2[res]).collect()}
         expect = {tuple(r) for r in full[res].collect()}
         assert merged == expect, res
+
+
+def test_schema_drift_report(spark):
+    from pyspark.sql import types as T
+
+    from datawarehouse_backup_system_spark.operators.expectations import (
+        schema_drift_report,
+    )
+
+    expected = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("amount", T.DoubleType(), True),
+    ])
+    df = spark.createDataFrame(
+        [(1, "x", "9.5", "extra")],
+        "id long, name string, amount string, surprise string",
+    )
+    findings = {(f["column"], f["kind"]) for f in schema_drift_report(df, expected)}
+    assert ("surprise", "added") in findings
+    assert ("amount", "type_changed") in findings
+    assert ("id", "nullability_loosened") in findings
+    # matching frame yields no findings
+    clean = spark.createDataFrame([], expected)
+    assert schema_drift_report(clean, expected) == []
