@@ -283,6 +283,70 @@ P01_SQL = _p01_sql()
 
 
 # --------------------------------------------------------------------------
+# r07 — SemDeDup pair recall: fraction of ALL tight pairs caught in-cluster
+# --------------------------------------------------------------------------
+def r07_recall_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The honesty metric for d12: semantic dedup only scores pairs that
+    CO-CLUSTER, so pairs split across cluster boundaries are never seen.
+    recall = |tight pairs with both ends in one cluster| / |all tight
+    pairs| (brute force, the d05-style exact baseline). One output row:
+    (n_pairs, n_caught, recall)."""
+    from ..operators.similarity import (
+        _assign_lists, _centroid_frame, neardup_pairs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = neardup_pairs(emb, threshold=_D12_TAU)
+    cent = _centroid_frame(emb, "vec_id", "embedding", _D12_CLUSTERS, None)
+    asg = _assign_lists(emb, cent, "vec_id", "embedding", 6).select(
+        F.col("neighbor_id").alias("_v"), "list_id"
+    )
+    tagged = (
+        pairs.join(asg.select(F.col("_v").alias("id_a"),
+                              F.col("list_id").alias("_la")), "id_a")
+        .join(asg.select(F.col("_v").alias("id_b"),
+                         F.col("list_id").alias("_lb")), "id_b")
+    )
+    return tagged.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("_la") == F.col("_lb")).cast("long")).alias("n_caught"),
+    ).select(
+        "n_pairs", "n_caught",
+        F.round(F.try_divide(F.col("n_caught"), F.col("n_pairs")), 6)
+        .alias("recall"),
+    )
+
+
+R07_SQL = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE COALESCE({_cos_sql('a.e', 'b.e')}, -2) >= {_D12_TAU}
+),
+cents AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT {_D12_CLUSTERS}),
+assign AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY COALESCE({_cos_sql('v.e', 'c.ce')}, -2) DESC, c.cid ASC
+           ) AS rn
+    FROM v CROSS JOIN cents c
+  ) WHERE rn = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN a.list_id = b.list_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_caught,
+       ROUND(sum(CASE WHEN a.list_id = b.list_id THEN 1 ELSE 0 END)
+             / NULLIF(count(*), 0), 6) AS recall
+FROM pairs p
+JOIN assign a ON a.vec_id = p.id_a
+JOIN assign b ON b.vec_id = p.id_b
+"""
+
+
+# --------------------------------------------------------------------------
 # t20 — canonical text normalization (pre-dedup cleanup pass)
 # --------------------------------------------------------------------------
 def t20_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -379,4 +443,6 @@ SPECS: list[QuerySpec] = [
               "mergeable HLL distinct rollup (daily sketches unioned)"),
     QuerySpec("t20_normalize_text", t20_normalize_text, T20_SQL,
               "canonical text normalization (controls/space/accents/case)"),
+    QuerySpec("r07_recall_semdedup", r07_recall_semdedup, R07_SQL,
+              "SemDeDup pair recall: tight pairs caught within clusters"),
 ]

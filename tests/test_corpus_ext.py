@@ -244,3 +244,21 @@ def test_normalize_text_semantics(spark):
         for r in df2.select("id", text.normalize_text(F.col("s")).alias("n")).collect()
     }
     assert again == out
+
+
+def test_semdedup_single_cluster_catches_every_pair(spark, sf_dir):
+    """With one cluster every tight pair co-clusters: pair recall == 1.
+    (The r07 driver query measures the multi-cluster floor.)"""
+    from datawarehouse_backup_system_spark.operators.similarity import (
+        neardup_pairs, semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tau = 0.4
+    pairs = neardup_pairs(emb, threshold=tau)
+    out = semantic_dedup(emb, tau=tau, n_clusters=1)
+    dropped = {r["vec_id"] for r in out.collect() if not r["keep"]}
+    # every pair's higher id must be dropped (dominated by the lower id
+    # directly, or transitively by an even lower same-cluster neighbor)
+    for p in pairs.collect():
+        assert p["id_b"] in dropped
