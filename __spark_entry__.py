@@ -61,6 +61,13 @@ try:  # round-4 corpus extensions (CMS, SemDeDup, entropy, blocklist, PageRank)
 except ImportError:
     pass
 
+try:  # pipeline extensions (dup spans, DSIR, leakage split, domain cap, LR)
+    from datawarehouse_backup_system_spark.queries import pipeline_ext
+
+    _ALL_SPECS += list(pipeline_ext.SPECS)
+except ImportError:
+    pass
+
 
 def _staleness_key(name: str) -> int:
     """Rotation priority from the CORRECTNESS_r{N}.json history.

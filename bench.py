@@ -24,6 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from datawarehouse_backup_system_spark.queries import (  # noqa: E402
     analytics_ext,
     corpus_ext,
+    pipeline_ext,
     curation_ext,
     extras,
     llm_ops,
@@ -94,6 +95,11 @@ HEADLINE = [
     "p01_transition_pagerank",
     "q44_hll_mergeable",
     "t20_normalize_text",
+    "t21_dup_spans",
+    "t22_dsir_weights",
+    "t23_leakage_split",
+    "t24_domain_cap",
+    "t25_quality_lr",
 ]
 
 
@@ -132,6 +138,7 @@ def main() -> int:
         for s in relational.SPECS + relational_ext.SPECS + llm_ops.SPECS
         + extras.SPECS + curation_ext.SPECS + analytics_ext.SPECS
         + corpus_ext.SPECS
+        + pipeline_ext.SPECS
     }
     stage_root = tempfile.mkdtemp(prefix="dwbss-bench-stage-")
     extra_fns = {"d02_minhash_lsh_staged": _d02_staged(stage_root)}

@@ -1,0 +1,100 @@
+"""Linear quality classifier: expression-only inference + distributed
+batch-gradient training.
+
+Web-corpus pipelines gate documents with a tiny linear model over
+handcrafted features (the public fastText-style quality filters used by
+CCNet / GPT-3 / LLaMA data work). Both halves stay Spark-native:
+
+- **Inference** is a single codegen'd expression — a dot product of
+  literal weights against feature columns plus a sigmoid. Zero shuffles,
+  zero UDFs; at 100 TB it rides along whatever scan already reads the
+  features, and the same arithmetic replays in DuckDB for oracle parity.
+- **Training** is full-batch gradient descent where each iteration is ONE
+  distributed aggregation: the gradient Σ (σ(wᵀx) − y)·x is a sum of
+  per-row vectors, computed map-side-combined by a single ``agg`` of
+  k+1 sums; only the (k+1)-float gradient reaches the driver. Same
+  driver-sync-per-iteration shape as Lloyd k-means (operators/kmeans
+  lineage) and MLlib's own LBFGS loop — the collected state is O(k),
+  never O(rows).
+
+No reference-repo counterpart (net-new curation capability).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sigmoid(z: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def lr_score(features: dict[str, float], bias: float = 0.0) -> Column:
+    """σ(b + Σ wᵢ·colᵢ) as a pure column expression.
+
+    ``features`` maps column name → literal weight. Missing/null feature
+    values are treated as 0 so a sparse row scores rather than nulling
+    out the whole document.
+    """
+    z = F.lit(float(bias))
+    for col, w in features.items():
+        z = z + F.lit(float(w)) * F.coalesce(F.col(col).cast("double"), F.lit(0.0))
+    return sigmoid(z)
+
+
+def train_lr(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    lr: float = 0.5,
+    iters: int = 50,
+    l2: float = 0.0,
+) -> tuple[dict[str, float], float]:
+    """Full-batch logistic regression via distributed gradient descent.
+
+    Feature standardization is the caller's job (raw count features need
+    it for a plain GD step size to behave). Each iteration runs one
+    narrow aggregation over the persisted feature projection; the
+    per-iteration driver payload is k+1 doubles.
+
+    Returns ``(weights_by_col, bias)`` — plain floats, ready to feed
+    :func:`lr_score` as literals (and to embed in oracle SQL).
+    """
+    cols = [
+        F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c)
+        for c in feature_cols
+    ]
+    data = df.select(
+        *cols, F.col(label_col).cast("double").alias("_y")
+    ).persist()
+    try:
+        n = data.count()  # also materializes the persist
+        if n == 0:
+            raise ValueError("train_lr: empty training frame")
+        w = [0.0] * len(feature_cols)
+        b = 0.0
+        for _ in range(iters):
+            z = F.lit(b)
+            for wi, c in zip(w, feature_cols):
+                z = z + F.lit(wi) * F.col(c)
+            err = sigmoid(z) - F.col("_y")
+            grad_row = data.agg(
+                *[F.sum(err * F.col(c)).alias(f"g{i}") for i, c in enumerate(feature_cols)],
+                F.sum(err).alias("gb"),
+            ).collect()[0]
+            w = [
+                wi - lr * (grad_row[f"g{i}"] / n + l2 * wi)
+                for i, wi in enumerate(w)
+            ]
+            b -= lr * grad_row["gb"] / n
+        if any(not math.isfinite(x) for x in (*w, b)):
+            raise ArithmeticError(
+                "train_lr diverged (non-finite weights) — lower lr or "
+                "standardize features"
+            )
+        return dict(zip(feature_cols, w)), b
+    finally:
+        data.unpersist()

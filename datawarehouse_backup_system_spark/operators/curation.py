@@ -130,3 +130,76 @@ def domain_blocklist(
     return df.withColumn("host", host).withColumn(
         "blocked", F.arrays_overlap(suf, lit_patterns)
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    order_by: list,
+    n_keep: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``n_keep`` documents per domain, best-first.
+
+    Standard web-corpus balancing (C4/RefinedWeb style per-host caps):
+    over-represented domains would otherwise dominate the training
+    mixture. ``order_by`` ranks within the domain (e.g. quality desc)
+    and MUST end in a unique tiebreak for determinism — ``id_col`` is
+    appended as that tiebreak automatically.
+
+    Scale: one hash-partitioned window on the domain key. row_number
+    (not rank) guarantees the cap exactly; a mega-domain is one
+    partition's worth of rows, bounded further upstream by blocklists —
+    for pathological hosts, pre-filter with a groupBy count and
+    sample-limit those keys before windowing.
+    """
+    w = Window.partitionBy(domain_col).orderBy(*order_by, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_keep)
+        .drop("_rk")
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """Train/val/test split that never separates near-duplicates.
+
+    A plain per-document hash split leaks: a near-duplicate pair lands
+    in train AND test, inflating eval. Here every connected component of
+    the ``pairs`` graph (id_a/id_b near-dup edges) is resolved to its
+    canonical min-id (operators.dedup_approx.dedup_groups), and the
+    split bucket is hashed from the CANONICAL id, so whole components
+    co-travel; singletons hash on their own id. 100-bucket md5 split
+    matches operators.sampling.hash_split semantics and replays in SQL.
+
+    Returns ``(id_col, split)`` with split ∈ {'train','val','test'}.
+    """
+    from .dedup_approx import dedup_groups
+
+    groups = dedup_groups(pairs)  # (node, canonical_id)
+    canon = (
+        df.select(F.col(id_col))
+        .distinct()
+        .join(groups.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("canonical_id"), F.col(id_col)).alias("_canon"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_canon").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    return canon.select(
+        F.col(id_col),
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -1,0 +1,143 @@
+"""Data-selection importance weights via hashed n-gram likelihood ratios.
+
+Public method: DSIR — "Data Selection for Language Models via Importance
+Resampling" (Xie et al., 2023). Raw and target corpora are reduced to
+hashed unigram bag-of-words over a small fixed bucket count B; each
+bucket gets a smoothed log-likelihood ratio
+
+    log p_target(b) - log p_source(b)
+
+and a document's importance weight is the sum of its tokens' bucket
+ratios. Sampling documents proportionally to exp(weight) shifts the raw
+corpus distribution toward the target domain.
+
+Scale shape (100 TB): the per-bucket ratio table has exactly B rows
+(B ≈ 10^4 in the paper; configurable here), so it broadcasts; scoring is
+one linear pass over the corpus — explode tokens, broadcast-join the
+ratio table, per-doc sum. Two shuffles total (the two B-row bucket
+aggregations), both map-side combined into B groups. No all-pairs work,
+no driver collection beyond the B-row table.
+
+Hashing is the repo-portable md5-prefix integer (same bits in DuckDB via
+``('0x' || substr(md5(t),1,14))::BIGINT``), so oracle parity is exact.
+There is no reference-repo counterpart; this is net-new capability for
+LLM training-data curation (builder brief: first-class alongside §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column, n_buckets: int) -> Column:
+    """Portable token → bucket in [0, n_buckets): md5-prefix mod B.
+
+    ``pmod`` guards the (impossible for md5-prefix, but cheap) negative
+    case so the bucket id is always non-negative on both engines.
+    """
+    h = F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("bigint")
+    return F.pmod(h, F.lit(n_buckets)).cast("bigint")
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+
+
+def bucket_logratio(
+    source_tokens: DataFrame,
+    target_tokens: DataFrame,
+    n_buckets: int,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-bucket smoothed log-likelihood ratio table (exactly B rows).
+
+    Buckets absent from one side still get a ratio via add-``alpha``
+    smoothing over the full bucket range, so unseen-token documents score
+    finite weights. Columns: ``bucket``, ``logratio`` (double).
+    """
+    spark = source_tokens.sparkSession
+    base = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+
+    def counts(tok: DataFrame, out: str) -> DataFrame:
+        return (
+            tok.select(hash_bucket(F.col("token"), n_buckets).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    src = counts(source_tokens, "src_cnt")
+    tgt = counts(target_tokens, "tgt_cnt")
+    joined = (
+        base.join(src, "bucket", "left")
+        .join(tgt, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("src_cnt"), F.lit(0)).alias("src_cnt"),
+            F.coalesce(F.col("tgt_cnt"), F.lit(0)).alias("tgt_cnt"),
+        )
+    )
+    # totals via a window-free cross join against a 1-row agg (broadcast)
+    totals = joined.agg(
+        F.sum("src_cnt").alias("src_total"), F.sum("tgt_cnt").alias("tgt_total")
+    )
+    a = F.lit(float(alpha))
+    b = F.lit(float(n_buckets))
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("tgt_cnt") + a) / (F.col("tgt_total") + a * b))
+            - F.log((F.col("src_cnt") + a) / (F.col("src_total") + a * b))
+        ).alias("logratio"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    n_buckets: int = 64,
+    alpha: float = 1.0,
+    quantize_decimals: int | None = None,
+) -> DataFrame:
+    """Importance weight per document of ``df``.
+
+    ``target_pred`` selects the in-distribution exemplar documents (e.g.
+    a trusted-source flag); the *whole* corpus plays the source/raw side,
+    matching the paper's raw-vs-target formulation. Returns
+    ``(id_col, n_tokens, weight)`` with ``weight`` the SUM of bucket
+    log-ratios over the document's tokens (log of the unnormalized
+    importance ratio under the hashed-unigram model).
+
+    ``quantize_decimals`` rounds each bucket ratio to that many decimals
+    and sums as DECIMAL instead of DOUBLE: decimal addition is exact and
+    order-independent, so the aggregate is bit-stable across partition
+    orders and engines (double summation order varies run-to-run) — use
+    it when the weights feed a reproducibility-checked pipeline.
+    """
+    tok = _tokens(df, id_col, text_col)
+    tgt_tok = _tokens(df.where(target_pred), id_col, text_col)
+    ratio = bucket_logratio(tok, tgt_tok, n_buckets, alpha)
+    if quantize_decimals is not None:
+        ratio = ratio.select(
+            "bucket",
+            F.round(F.col("logratio"), quantize_decimals)
+            .cast(f"decimal(18,{quantize_decimals})")
+            .alias("logratio"),
+        )
+    scored = (
+        tok.withColumn("bucket", hash_bucket(F.col("token"), n_buckets))
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("logratio").alias("weight"),
+        )
+    )
+    if quantize_decimals is not None:
+        scored = scored.withColumn("weight", F.col("weight").cast("double"))
+    return scored

@@ -553,3 +553,102 @@ def normalize_text(
     if lowercase:
         out = F.lower(out)
     return out
+
+
+def dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated n-token span statistics.
+
+    Public method lineage: "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al., 2022) removes exact substrings of ~50
+    tokens repeated across a corpus. A full suffix array is not a Spark
+    shape; the standard distributed approximation is rolling n-token
+    spans (stride 1): a span repeated across documents is exactly an
+    n-token duplicated substring, and any duplicated substring of
+    length ≥ n contains one. Per document this reports:
+
+    - ``n_spans``        — total n-token spans (0 for docs shorter than n)
+    - ``n_dup_spans``    — spans whose text also occurs in ANOTHER doc
+    - ``dup_frac``       — n_dup_spans / n_spans (0.0 when no spans),
+                           rounded to 6 places for cross-engine hashing
+
+    Shuffle inventory (100 TB): explode to one row per span (linear, no
+    pairs), ONE groupBy on the span hash counting distinct docs
+    (map-side combined), ONE equi-join back on the hash, final per-doc
+    agg. Only md5 span hashes shuffle, never span text; an md5 collision
+    across different span texts is the accepted (2^-56-scale) error, the
+    same trade every shingle op in this repo makes.
+    """
+    # Span hashes are built INSIDE an array expression and only the
+    # BIGINT hashes are exploded — exploding positions while carrying
+    # the token array would copy the O(L) array into each of the L span
+    # rows (O(L²) bytes per document at scale).
+    toks = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("_t"),
+    )
+    # The guard must live INSIDE the expression (when/otherwise), not in
+    # a .where(): FilterExec hoists inferred isnotnull(...) constraints
+    # ahead of the size predicate, which would evaluate the transform on
+    # short docs where sequence(0, size-n) turns negative and slice
+    # throws. A total expression (empty array for short docs) is safe
+    # under any predicate reordering; explode then drops empty arrays.
+    span_arr = toks.select(
+        F.col(id_col),
+        F.when(
+            F.size("_t") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - n),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice(F.col("_t"), i + 1, n))),
+                        1,
+                        14,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("_hs"),
+    )
+    spans = span_arr.select(F.col(id_col), F.explode("_hs").alias("span_h"))
+    # distinct docs per span: a span is "duplicated" iff seen in ≥2 docs
+    span_docs = spans.distinct()
+    dup_h = (
+        span_docs.groupBy("span_h")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .where(F.col("_docs") >= 2)
+        .select("span_h")
+    )
+    per_doc = (
+        spans.join(dup_h, "span_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
+    base = df.select(F.col(id_col)).distinct()
+    return (
+        base.join(totals, id_col, "left")
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("n_spans"), F.lit(0)) > 0,
+                    F.coalesce(F.col("n_dup_spans"), F.lit(0))
+                    / F.col("n_spans"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -23,6 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from datawarehouse_backup_system_spark.queries import (  # noqa: E402
     analytics_ext,
     corpus_ext,
+    pipeline_ext,
     curation_ext,
     extras,
     llm_ops,
@@ -69,7 +70,7 @@ def main() -> int:
     specs = {s.name: s for s in
              relational.SPECS + relational_ext.SPECS + llm_ops.SPECS
              + extras.SPECS + curation_ext.SPECS + analytics_ext.SPECS
-             + corpus_ext.SPECS}
+             + corpus_ext.SPECS + pipeline_ext.SPECS}
     spark = get_spark(app_name="explain-audit")
     verbose = len(sys.argv) > 2
     for name in names:
