@@ -100,6 +100,7 @@ HEADLINE = [
     "t23_leakage_split",
     "t24_domain_cap",
     "t25_quality_lr",
+    "t26_bigram_lm",
 ]
 
 

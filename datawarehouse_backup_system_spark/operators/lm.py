@@ -1,0 +1,131 @@
+"""Hashed bigram language-model scoring — perplexity-style quality filtering.
+
+Public method lineage: CCNet (Wenzek et al., 2020) ranks web documents by
+language-model perplexity and keeps the low-perplexity tail; the modern
+cheap stand-in is an in-corpus hashed n-gram LM (the hashing trick bounds
+model state exactly like DSIR's bucketed unigrams). Here a bigram model
+with add-k smoothing over hashed buckets:
+
+    p(cur | prev) = (count[bucket(prev,cur)] + k) / (count[bucket(prev)] + k·B)
+
+and a document scores the mean log-probability of its bigrams (a
+length-normalized negative-log-perplexity proxy; higher = more typical of
+the corpus, lower = garbled/outlier text).
+
+Scale shape (100 TB): model state is AT MOST ``pair_buckets`` +
+``ctx_buckets`` rows regardless of corpus size — both count tables
+broadcast. One linear pass builds bigram rows (hashes computed inside an
+array expression, only two BIGINTs per bigram ever leave the scan), two
+bounded aggregations build the model, one broadcast-join pass scores.
+Per-bigram log-probs are rounded and summed as DECIMAL so document scores
+are bit-reproducible across partition orders (same rationale as
+operators.importance).
+
+No reference-repo counterpart; net-new LLM-curation capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: separator inside the hashed bigram key; tokens are whitespace-split so
+#: a single space is unambiguous and replays identically in SQL.
+PAIR_SEP = " "
+
+
+def _bucket_expr(col, n: int):
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("bigint"),
+        F.lit(n),
+    )
+
+
+def bigram_rows(df: DataFrame, id_col: str, text_col: str,
+                pair_buckets: int, ctx_buckets: int) -> DataFrame:
+    """One row per bigram: (id, bp, bc) bucket ids only.
+
+    Bucket hashes are computed inside a single array expression and then
+    exploded (total expression — empty array below 2 tokens — so no
+    predicate-reordering hazard; see text.dup_spans for the FilterExec
+    null-check-hoisting trap this avoids).
+    """
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                _bucket_expr(
+                    F.concat_ws(
+                        PAIR_SEP, F.element_at(t, i), F.element_at(t, i + 1)
+                    ),
+                    pair_buckets,
+                ).alias("bp"),
+                _bucket_expr(F.element_at(t, i), ctx_buckets).alias("bc"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<bp:bigint,bc:bigint>>"))
+    return (
+        df.select(F.col(id_col), F.explode(pairs).alias("_bg"))
+        .select(F.col(id_col), F.col("_bg.bp"), F.col("_bg.bc"))
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pair_buckets: int = 4096,
+    ctx_buckets: int = 1024,
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document hashed-bigram LM score.
+
+    Returns ``(id_col, n_bigrams, sum_logp, avg_logp)``:
+
+    - ``n_bigrams`` — bigrams in the doc (0 for docs under 2 tokens);
+    - ``sum_logp``  — Σ log p(cur|prev), decimal-summed then cast double;
+    - ``avg_logp``  — sum/n rounded to 6 places (NULL when n_bigrams=0) —
+      the filtering key: threshold it or take per-domain quantiles
+      (compose with text.quality / curation.domain_cap).
+    """
+    rows = bigram_rows(df, id_col, text_col, pair_buckets, ctx_buckets)
+    pair_cnt = rows.groupBy("bp").agg(F.count(F.lit(1)).alias("c_pair"))
+    ctx_cnt = rows.groupBy("bc").agg(F.count(F.lit(1)).alias("c_ctx"))
+    logp = F.round(
+        F.log(
+            (F.col("c_pair") + F.lit(float(k)))
+            / (F.col("c_ctx") + F.lit(float(k * pair_buckets)))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    scored = (
+        rows.join(F.broadcast(pair_cnt), "bp")
+        .join(F.broadcast(ctx_cnt), "bc")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(logp).alias("_sum"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_bigrams"),
+            F.col("_sum").cast("double").alias("sum_logp"),
+        )
+    )
+    base = df.select(F.col(id_col)).distinct()
+    return (
+        base.join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_bigrams"),
+            F.coalesce(F.col("sum_logp"), F.lit(0.0)).alias("sum_logp"),
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                F.round(F.col("sum_logp") / F.col("n_bigrams"), 6),
+            ).alias("avg_logp"),
+        )
+    )

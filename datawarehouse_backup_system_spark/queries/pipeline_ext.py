@@ -270,3 +270,62 @@ SPECS: list[QuerySpec] = [
     QuerySpec("t25_quality_lr", t25_quality_lr, T25_SQL,
               "linear quality-classifier logit gate (literal weights)"),
 ]
+
+
+# --------------------------------------------------------------------------
+# t26 — hashed bigram-LM score (perplexity-style quality filter)
+# --------------------------------------------------------------------------
+_T26_PAIR_B = 4096
+_T26_CTX_B = 1024
+_T26_K = 0.5
+
+
+def t26_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.lm.bigram_lm_scores over documents: an in-corpus hashed
+    bigram LM (CCNet-style perplexity filtering with hashing-trick state
+    bounds); decimal-quantized log-prob sums keep the score engine-exact."""
+    from ..operators import lm
+
+    docs = load(spark, sf_dir, "documents")
+    return lm.bigram_lm_scores(
+        docs, "doc_id", "text",
+        pair_buckets=_T26_PAIR_B, ctx_buckets=_T26_CTX_B, k=_T26_K,
+    )
+
+
+T26_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t[i+1] || ' ' || t[i+2]), 1, 14))::BIGINT
+           % {_T26_PAIR_B} AS bp,
+         ('0x' || substr(md5(t[i+1]), 1, 14))::BIGINT
+           % {_T26_CTX_B} AS bc
+  FROM d, UNNEST(range(len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+pc AS (SELECT bp, COUNT(*) AS c_pair FROM bg GROUP BY bp),
+cc AS (SELECT bc, COUNT(*) AS c_ctx FROM bg GROUP BY bc),
+sc AS (
+  SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+         SUM(CAST(ROUND(
+           ln((pc.c_pair + {_T26_K}) / (cc.c_ctx + {_T26_K * _T26_PAIR_B})),
+         9) AS DECIMAL(18,9))) AS s
+  FROM bg JOIN pc ON pc.bp = bg.bp JOIN cc ON cc.bc = bg.bc
+  GROUP BY bg.doc_id
+)
+SELECT b.doc_id,
+       CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       COALESCE(CAST(sc.s AS DOUBLE), 0.0) AS sum_logp,
+       CASE WHEN COALESCE(sc.n_bigrams, 0) > 0
+            THEN ROUND(CAST(sc.s AS DOUBLE) / sc.n_bigrams, 6) END AS avg_logp
+FROM (SELECT DISTINCT doc_id FROM documents) b
+LEFT JOIN sc ON sc.doc_id = b.doc_id
+"""
+
+SPECS.append(
+    QuerySpec("t26_bigram_lm", t26_bigram_lm, T26_SQL,
+              "hashed bigram-LM mean log-prob (perplexity-style filter)")
+)
