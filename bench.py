@@ -101,6 +101,7 @@ HEADLINE = [
     "t24_domain_cap",
     "t25_quality_lr",
     "t26_bigram_lm",
+    "t27_corpus_report",
 ]
 
 

@@ -72,37 +72,65 @@ def bigram_rows(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def bigram_lm_scores(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    pair_buckets: int = 4096,
-    ctx_buckets: int = 1024,
-    k: float = 0.5,
-) -> DataFrame:
-    """Per-document hashed-bigram LM score.
+def bigram_model(
+    df: DataFrame, id_col: str, text_col: str,
+    pair_buckets: int = 4096, ctx_buckets: int = 1024,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the hashed-bigram count tables ``(pair_counts, ctx_counts)``.
 
-    Returns ``(id_col, n_bigrams, sum_logp, avg_logp)``:
-
-    - ``n_bigrams`` — bigrams in the doc (0 for docs under 2 tokens);
-    - ``sum_logp``  — Σ log p(cur|prev), decimal-summed then cast double;
-    - ``avg_logp``  — sum/n rounded to 6 places (NULL when n_bigrams=0) —
-      the filtering key: threshold it or take per-domain quantiles
-      (compose with text.quality / curation.domain_cap).
+    Counts are MERGEABLE BY SUMMATION (:func:`merge_models`): bucket
+    counts over A ∪ B equal the bucket-wise sums of the counts over A
+    and B, so the model updates incrementally as corpus shards arrive
+    (a streaming foreachBatch can fold each micro-batch in) — the same
+    mergeability contract as the CMS/HLL sketches in this repo.
     """
     rows = bigram_rows(df, id_col, text_col, pair_buckets, ctx_buckets)
     pair_cnt = rows.groupBy("bp").agg(F.count(F.lit(1)).alias("c_pair"))
     ctx_cnt = rows.groupBy("bc").agg(F.count(F.lit(1)).alias("c_ctx"))
+    return pair_cnt, ctx_cnt
+
+
+def merge_models(
+    a: tuple[DataFrame, DataFrame], b: tuple[DataFrame, DataFrame]
+) -> tuple[DataFrame, DataFrame]:
+    """Bucket-wise sum of two bigram models — model(A∪B) exactly."""
+    pa, ca = a
+    pb, cb = b
+    pair = (
+        pa.unionByName(pb).groupBy("bp").agg(F.sum("c_pair").alias("c_pair"))
+    )
+    ctx = ca.unionByName(cb).groupBy("bc").agg(F.sum("c_ctx").alias("c_ctx"))
+    return pair, ctx
+
+
+def score_with_model(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: tuple[DataFrame, DataFrame],
+    pair_buckets: int = 4096,
+    ctx_buckets: int = 1024,
+    k: float = 0.5,
+) -> DataFrame:
+    """Score ``df`` against a prebuilt (possibly merged) bigram model.
+
+    Bigrams absent from the model still score via the smoothing floor
+    (left joins + zero-coalesce), so a model trained on corpus A can
+    gate a disjoint corpus B — the usual deploy shape (train the LM on
+    trusted text, score the crawl).
+    """
+    pair_cnt, ctx_cnt = model
+    rows = bigram_rows(df, id_col, text_col, pair_buckets, ctx_buckets)
     logp = F.round(
         F.log(
-            (F.col("c_pair") + F.lit(float(k)))
-            / (F.col("c_ctx") + F.lit(float(k * pair_buckets)))
+            (F.coalesce(F.col("c_pair"), F.lit(0)) + F.lit(float(k)))
+            / (F.coalesce(F.col("c_ctx"), F.lit(0)) + F.lit(float(k * pair_buckets)))
         ),
         9,
     ).cast("decimal(18,9)")
     scored = (
-        rows.join(F.broadcast(pair_cnt), "bp")
-        .join(F.broadcast(ctx_cnt), "bc")
+        rows.join(F.broadcast(pair_cnt), "bp", "left")
+        .join(F.broadcast(ctx_cnt), "bc", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -128,4 +156,31 @@ def bigram_lm_scores(
                 F.round(F.col("sum_logp") / F.col("n_bigrams"), 6),
             ).alias("avg_logp"),
         )
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pair_buckets: int = 4096,
+    ctx_buckets: int = 1024,
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document hashed-bigram LM score (in-corpus model).
+
+    Returns ``(id_col, n_bigrams, sum_logp, avg_logp)``:
+
+    - ``n_bigrams`` — bigrams in the doc (0 for docs under 2 tokens);
+    - ``sum_logp``  — Σ log p(cur|prev), decimal-summed then cast double;
+    - ``avg_logp``  — sum/n rounded to 6 places (NULL when n_bigrams=0) —
+      the filtering key: threshold it or take per-domain quantiles
+      (compose with text.quality / curation.domain_cap).
+
+    Composition of :func:`bigram_model` + :func:`score_with_model`; use
+    those directly for train-on-A/score-B or incremental-merge setups.
+    """
+    model = bigram_model(df, id_col, text_col, pair_buckets, ctx_buckets)
+    return score_with_model(
+        df, id_col, text_col, model, pair_buckets, ctx_buckets, k
     )

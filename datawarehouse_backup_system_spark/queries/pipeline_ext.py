@@ -329,3 +329,98 @@ SPECS.append(
     QuerySpec("t26_bigram_lm", t26_bigram_lm, T26_SQL,
               "hashed bigram-LM mean log-prob (perplexity-style filter)")
 )
+
+
+# --------------------------------------------------------------------------
+# e05 — embedding coverage audit (documents ↔ embeddings alignment)
+# --------------------------------------------------------------------------
+def e05_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit for multimodal/vector warehouses: per embedding
+    label, how many vectors exist, how many align to a document
+    (vec_id = doc_id join), and how many are orphans. A single outer
+    join + one agg; at scale both sides are id-bucketed so the join
+    co-locates. The subset-filtered doc side (doc_id < 250) plants a
+    nonzero orphan count so the audit's failure path is exercised."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 250)
+    emb = load(spark, sf_dir, "embeddings")
+    joined = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id"), F.lit(1).alias("_m")),
+        "vec_id",
+        "left_outer",
+    ).withColumn("_has_doc", F.col("_m").isNotNull())
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.when(F.col("_has_doc"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_with_doc"),
+            F.sum(F.when(~F.col("_has_doc"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+        )
+        .select(F.col("label").cast("int").alias("label"),
+                "n_vecs", "n_with_doc", "n_orphans")
+    )
+
+
+E05_SQL = """
+SELECT CAST(e.label AS INTEGER) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_doc,
+       CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans
+FROM embeddings e
+LEFT JOIN (SELECT doc_id FROM documents WHERE doc_id < 250) d
+       ON d.doc_id = e.vec_id
+GROUP BY e.label
+"""
+
+
+# --------------------------------------------------------------------------
+# t27 — corpus report card (per source × lang health aggregates)
+# --------------------------------------------------------------------------
+def t27_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily corpus dashboard: per (source, lang) document counts,
+    token totals, length stats, and short-doc share. ONE map-side
+    combining agg over a narrow projection — the query a warehouse user
+    schedules hourly at 100 TB, so it must stay a single shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = text.token_count(F.col("text"))
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_short"),
+        )
+    )
+
+
+T27_SQL = r"""
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+FROM documents
+GROUP BY source, lang
+"""
+
+SPECS.append(
+    QuerySpec("e05_embedding_coverage", e05_embedding_coverage, E05_SQL,
+              "per-label embedding↔document alignment audit")
+)
+SPECS.append(
+    QuerySpec("t27_corpus_report", t27_corpus_report, T27_SQL,
+              "per source×lang corpus health aggregates")
+)

@@ -52,3 +52,76 @@ def test_register_tables_prefix(spark, sf_dir):
     names = register_tables(spark, sf_dir, prefix="x_")
     assert "x_documents" in names
     assert spark.sql("SELECT COUNT(*) AS n FROM x_region").collect()[0]["n"] > 0
+
+
+def test_bigram_model_merge_equals_union(spark):
+    a = spark.createDataFrame(
+        [(i, f"alpha beta tok{i % 3} gamma") for i in range(15)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(100 + i, f"beta gamma tok{i % 4} delta") for i in range(15)],
+        "doc_id long, text string",
+    )
+    union = a.unionByName(b)
+    probe = spark.createDataFrame(
+        [(999, "alpha beta gamma delta zzz")], "doc_id long, text string"
+    )
+    direct = lm.score_with_model(
+        probe, "doc_id", "text", lm.bigram_model(union, "doc_id", "text")
+    ).collect()[0]
+    merged = lm.score_with_model(
+        probe, "doc_id", "text",
+        lm.merge_models(
+            lm.bigram_model(a, "doc_id", "text"),
+            lm.bigram_model(b, "doc_id", "text"),
+        ),
+    ).collect()[0]
+    assert direct["sum_logp"] == merged["sum_logp"]  # bit-identical
+    assert direct["n_bigrams"] == merged["n_bigrams"]
+
+
+def test_score_disjoint_corpus_unseen_bigrams_floor(spark):
+    train = spark.createDataFrame(
+        [(i, "the quick brown fox jumps") for i in range(10)],
+        "doc_id long, text string",
+    )
+    model = lm.bigram_model(train, "doc_id", "text")
+    score = lm.score_with_model(
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps"), (2, "zz qq vv kk ww")],
+            "doc_id long, text string",
+        ),
+        "doc_id", "text", model,
+    )
+    out = {r["doc_id"]: r for r in score.collect()}
+    assert out[1]["avg_logp"] > out[2]["avg_logp"]  # in-domain beats unseen
+    assert out[2]["n_bigrams"] == 4  # unseen bigrams still scored (floor)
+
+
+def test_leakage_split_no_edge_crosses_splits_random_graphs(spark):
+    import random
+
+    from datawarehouse_backup_system_spark.operators import curation
+
+    # one seed / sparse graph: each propagation round is a shuffle, so a
+    # dense random graph (large-diameter giant component) makes this test
+    # minutes-slow for no extra coverage
+    for seed in (7,):
+        rng = random.Random(seed)
+        n = 80
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(30)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        docs = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(n)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        split = {
+            r["doc_id"]: r["split"]
+            for r in curation.leakage_safe_split(docs, pairs, "doc_id").collect()
+        }
+        assert len(split) == n
+        for a, b in edges:  # the core guarantee: no pair crosses splits
+            assert split[a] == split[b], (seed, a, b)
