@@ -102,6 +102,8 @@ HEADLINE = [
     "t25_quality_lr",
     "t26_bigram_lm",
     "t27_corpus_report",
+    "t28_ngram_diversity",
+    "t29_padding_waste",
 ]
 
 

@@ -140,4 +140,12 @@ def dsir_weights(
     )
     if quantize_decimals is not None:
         scored = scored.withColumn("weight", F.col("weight").cast("double"))
-    return scored
+    # total over the input: empty/whitespace-only documents still get a
+    # row (0 tokens, weight 0 — i.e. importance ratio 1) instead of
+    # silently vanishing from the output
+    base = df.select(F.col(id_col)).distinct()
+    return base.join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("weight").cast("double"), F.lit(0.0)).alias("weight"),
+    )

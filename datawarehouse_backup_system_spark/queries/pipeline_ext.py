@@ -121,12 +121,19 @@ ratio AS (
   LEFT JOIN tgt ON tgt.bucket = base.bucket,
        (SELECT COUNT(*) AS total FROM b) st,
        (SELECT COUNT(*) AS total FROM b WHERE lang = 'en') tt
+),
+agg AS (
+  SELECT b.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(r.lr) AS DOUBLE) AS weight
+  FROM b JOIN ratio r ON r.bucket = b.bucket
+  GROUP BY b.doc_id
 )
-SELECT b.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       CAST(SUM(r.lr) AS DOUBLE) AS weight
-FROM b JOIN ratio r ON r.bucket = b.bucket
-GROUP BY b.doc_id
+SELECT u.doc_id,
+       CAST(COALESCE(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+       COALESCE(agg.weight, 0.0) AS weight
+FROM (SELECT DISTINCT doc_id FROM documents) u
+LEFT JOIN agg ON agg.doc_id = u.doc_id
 """
 
 
@@ -423,4 +430,123 @@ SPECS.append(
 SPECS.append(
     QuerySpec("t27_corpus_report", t27_corpus_report, T27_SQL,
               "per source×lang corpus health aggregates")
+)
+
+
+# --------------------------------------------------------------------------
+# t28 — n-gram diversity per source (self-repetition signal)
+# --------------------------------------------------------------------------
+def t28_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-over-total word-trigram ratio per source: the corpus-level
+    self-repetition/diversity metric (low ratio = templated or boilerplate
+    sources; the distinct-n-grams diversity measure from text-generation
+    evaluation applied to corpus audit). Trigram hashes are computed in
+    ONE array expression and only BIGINTs shuffle; the exact distinct is
+    a second agg on the same uniform hash key."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    tri = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(t, i),
+                            F.element_at(t, i + 1),
+                            F.element_at(t, i + 2),
+                        )
+                    ),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    rows = docs.select("source", F.explode(tri).alias("h"))
+    return rows.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+        F.countDistinct("h").cast("bigint").alias("n_distinct"),
+        F.round(F.countDistinct("h") / F.count(F.lit(1)), 6).alias("diversity"),
+    )
+
+
+T28_SQL = r"""
+WITH d AS (
+  SELECT source, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+tri AS (
+  SELECT source,
+         ('0x' || substr(md5(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]), 1, 14))::BIGINT AS h
+  FROM d, UNNEST(range(len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+       ROUND(COUNT(DISTINCT h) * 1.0 / COUNT(*), 6) AS diversity
+FROM tri GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# t29 — padding-waste report (sequence-packing efficiency planning)
+# --------------------------------------------------------------------------
+_T29_MAXLEN = 128
+
+
+def t29_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source padding economics at a fixed context length: if each
+    document is chunked into ceil(n_tok/L) sequences of length L, how
+    many token slots are padding? ``efficiency`` is the number that
+    motivates sequence packing (t06) — pure integer arithmetic until the
+    final rounded ratio, so the report is engine-exact."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = text.token_count(F.col("text")).cast("bigint")
+    per_doc = docs.select(
+        "source",
+        n_tok.alias("_n"),
+        F.floor((n_tok + F.lit(_T29_MAXLEN - 1)) / F.lit(_T29_MAXLEN))
+        .cast("bigint")
+        .alias("_seqs"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("_n").cast("bigint").alias("total_tokens"),
+        F.sum("_seqs").cast("bigint").alias("total_seqs"),
+        (F.sum("_seqs") * _T29_MAXLEN - F.sum("_n"))
+        .cast("bigint")
+        .alias("padding_tokens"),
+        F.round(
+            F.sum("_n") / (F.sum("_seqs") * _T29_MAXLEN), 6
+        ).alias("efficiency"),
+    )
+
+
+T29_SQL = rf"""
+WITH f AS (
+  SELECT source,
+         len(string_split_regex(trim(text), '\s+')) AS n,
+         (len(string_split_regex(trim(text), '\s+')) + {_T29_MAXLEN - 1})
+           // {_T29_MAXLEN} AS seqs
+  FROM documents
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(seqs) AS BIGINT) AS total_seqs,
+       CAST(SUM(seqs) * {_T29_MAXLEN} - SUM(n) AS BIGINT) AS padding_tokens,
+       ROUND(SUM(n) * 1.0 / (SUM(seqs) * {_T29_MAXLEN}), 6) AS efficiency
+FROM f GROUP BY source
+"""
+
+SPECS.append(
+    QuerySpec("t28_ngram_diversity", t28_ngram_diversity, T28_SQL,
+              "distinct/total trigram diversity per source")
+)
+SPECS.append(
+    QuerySpec("t29_padding_waste", t29_padding_waste, T29_SQL,
+              "padding-waste / packing-efficiency report per source")
 )

@@ -392,3 +392,59 @@ def stream_interval_join(
         & (F.col(l_ts) >= F.col(r_ts) - F.expr(f"INTERVAL {lag}"))
     )
     return lw.join(rw, cond, "inner").drop(rw[key])
+
+
+def stream_quality_gate(
+    stream_docs: DataFrame,
+    model: tuple[DataFrame, DataFrame],
+    out_dir: str,
+    reject_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_avg_logp: float = -9.0,
+):
+    """LIVE LM-based quality gating of a document stream: each micro-batch
+    is scored against a PREBUILT hashed-bigram model
+    (operators.lm.bigram_model — typically trained on trusted text and
+    possibly grown incrementally via merge_models) and routed to
+    ``out_dir`` (avg_logp ≥ threshold) or ``reject_dir`` (below, or no
+    bigrams at all) WITH its scores, so every gate decision is auditable.
+
+    Same deploy shape as stream_neardup_filter: foreachBatch against
+    static broadcastable state (the model is ≤ pair+ctx buckets rows),
+    per-batch-id overwrite directories for at-least-once replay
+    idempotence. The scoring join is batch × broadcast — no stream-side
+    shuffle beyond the per-doc aggregation of its own bigrams.
+    """
+    from datawarehouse_backup_system_spark.operators import lm
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        scored = lm.score_with_model(
+            batch, id_col, text_col, model
+        ).persist()
+        try:
+            enriched = batch.join(scored, id_col)
+            passed = enriched.where(
+                F.col("avg_logp").isNotNull()
+                & (F.col("avg_logp") >= min_avg_logp)
+            )
+            rejected = enriched.where(
+                F.col("avg_logp").isNull()
+                | (F.col("avg_logp") < min_avg_logp)
+            )
+            passed.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+            rejected.write.mode("overwrite").parquet(
+                f"{reject_dir}/batch_id={batch_id}"
+            )
+        finally:
+            scored.unpersist()
+
+    return (
+        stream_docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

@@ -489,3 +489,53 @@ def test_stream_interval_join_attribution(spark, tmp_path, t0):
         assert all(p != (2, 4) for p in pairs)  # 90 min gap excluded
     finally:
         q.stop()
+
+
+def test_stream_quality_gate_routes_by_lm_score(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from datawarehouse_backup_system_spark.operators import lm
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    typical = "the quick brown fox jumps over the lazy dog again"
+    train = spark.createDataFrame(
+        [(i, typical) for i in range(10)], doc_schema
+    )
+    model = lm.bigram_model(train, "doc_id", "text")
+
+    src = str(tmp_path / "incoming")
+    spark.createDataFrame(
+        [(201, typical), (202, "zz qq vv kk ww xx yy jj"), (203, "one")],
+        doc_schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out, rej, ckpt = (str(tmp_path / d) for d in ("pass", "reject", "ck"))
+    q = st.stream_quality_gate(
+        stream, model, out, rej, ckpt, min_avg_logp=-7.0
+    )
+    try:
+        q.processAllAvailable()
+        # replay-shaped second batch: another typical + another garbled
+        spark.createDataFrame(
+            [(204, typical), (205, "mm nn oo pp rr ss tt uu")], doc_schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    rejected = sorted(r["doc_id"] for r in spark.read.parquet(rej).collect())
+    assert kept == [201, 204]       # in-model text passes
+    assert rejected == [202, 203, 205]  # garbled + no-bigram docs audit out
+    scores = {r["doc_id"]: r["avg_logp"]
+              for r in spark.read.parquet(rej).collect()}
+    assert scores[203] is None      # sub-2-token doc: explicit null score
