@@ -41,7 +41,10 @@ def lr_score(features: dict[str, float], bias: float = 0.0) -> Column:
     """
     z = F.lit(float(bias))
     for col, w in features.items():
-        z = z + F.lit(float(w)) * F.coalesce(F.col(col).cast("double"), F.lit(0.0))
+        # try_cast: ANSI-safe — malformed values score as 0, never throw
+        z = z + F.lit(float(w)) * F.coalesce(
+            F.col(col).try_cast("double"), F.lit(0.0)
+        )
     return sigmoid(z)
 
 
@@ -63,17 +66,32 @@ def train_lr(
     Returns ``(weights_by_col, bias)`` — plain floats, ready to feed
     :func:`lr_score` as literals (and to embed in oracle SQL).
     """
+    # try_cast (not cast): under ANSI mode a malformed value would throw
+    # mid-aggregation; try_cast yields NULL, which the label validation
+    # below turns into a clear error and feature coalesce turns into 0
     cols = [
-        F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c)
+        F.coalesce(F.col(c).try_cast("double"), F.lit(0.0)).alias(c)
         for c in feature_cols
     ]
     data = df.select(
-        *cols, F.col(label_col).cast("double").alias("_y")
+        *cols, F.col(label_col).try_cast("double").alias("_y")
     ).persist()
     try:
-        n = data.count()  # also materializes the persist
+        stats = data.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("_y").alias("n_labeled"),
+        ).collect()[0]
+        n = stats["n"]  # also materializes the persist
         if n == 0:
             raise ValueError("train_lr: empty training frame")
+        if stats["n_labeled"] < n:
+            # silently-dropped labels would vanish from the gradient sums
+            # while still inflating n, attenuating every step — refuse
+            raise ValueError(
+                f"train_lr: {n - stats['n_labeled']} of {n} labels are "
+                f"NULL or not castable to double ('{label_col}') — clean "
+                "or filter the label column first"
+            )
         w = [0.0] * len(feature_cols)
         b = 0.0
         for _ in range(iters):

@@ -175,8 +175,11 @@ def leakage_safe_split(
     the ``pairs`` graph (id_a/id_b near-dup edges) is resolved to its
     canonical min-id (operators.dedup_approx.dedup_groups), and the
     split bucket is hashed from the CANONICAL id, so whole components
-    co-travel; singletons hash on their own id. 100-bucket md5 split
-    matches operators.sampling.hash_split semantics and replays in SQL.
+    co-travel; singletons hash on their own id. The 100-bucket md5
+    split is its own scheme (deterministic, SQL-replayable) — bucket
+    boundaries do NOT line up with operators.sampling.hash_split
+    (different bucket count, no salt), so migrating between the two
+    reassigns membership; pick one scheme per dataset and keep it.
 
     Returns ``(id_col, split)`` with split ∈ {'train','val','test'}.
     """

@@ -32,3 +32,24 @@ def with_row_hash(df: DataFrame, columns: list[str] | None = None, out: str = "r
     column, data_processing.py:463-464)."""
     cols = columns if columns is not None else [c for c in df.columns if c not in ("id", out)]
     return df.withColumn(out, row_hash_col(cols))
+
+
+def md5_prefix_long(col: Column) -> Column:
+    """Portable 56-bit integer from md5's first 14 hex chars.
+
+    THE single definition of the repo's cross-engine hash recipe — every
+    operator that needs an integer hash key (bucketing, span/shingle
+    keys) must derive from this so the DuckDB replay
+    (``('0x' || substr(md5(x),1,14))::BIGINT``) stays bit-identical
+    everywhere; a prefix-width change happens here or nowhere.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("bigint")
+
+
+def md5_bucket(col: Column, n_buckets: int) -> Column:
+    """Uniform bucket 0..n_buckets-1 from :func:`md5_prefix_long`.
+
+    ``pmod`` guards the (impossible for a 56-bit prefix, but cheap)
+    negative case so the bucket id is non-negative on both engines.
+    """
+    return F.pmod(md5_prefix_long(col), F.lit(n_buckets)).cast("bigint")

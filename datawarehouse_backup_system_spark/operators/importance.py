@@ -31,13 +31,11 @@ from pyspark.sql import functions as F
 
 
 def hash_bucket(col: Column, n_buckets: int) -> Column:
-    """Portable token → bucket in [0, n_buckets): md5-prefix mod B.
+    """Portable token → bucket in [0, n_buckets): md5-prefix mod B
+    (the repo-wide recipe, single-sourced in operators.hashing)."""
+    from .hashing import md5_bucket
 
-    ``pmod`` guards the (impossible for md5-prefix, but cheap) negative
-    case so the bucket id is always non-negative on both engines.
-    """
-    h = F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("bigint")
-    return F.pmod(h, F.lit(n_buckets)).cast("bigint")
+    return md5_bucket(col, n_buckets)
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -35,10 +35,9 @@ PAIR_SEP = " "
 
 
 def _bucket_expr(col, n: int):
-    return F.pmod(
-        F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("bigint"),
-        F.lit(n),
-    )
+    from .hashing import md5_bucket
+
+    return md5_bucket(col, n)
 
 
 def bigram_rows(df: DataFrame, id_col: str, text_col: str,
@@ -179,6 +178,13 @@ def bigram_lm_scores(
 
     Composition of :func:`bigram_model` + :func:`score_with_model`; use
     those directly for train-on-A/score-B or incremental-merge setups.
+
+    One-shot composition note: the token-scan subtree appears three
+    times in this single plan (two model aggs + scoring). Fine for an
+    audit query; a production pipeline over 100 TB builds the model ONCE
+    over a persisted/staged :func:`bigram_rows` projection (the d02
+    ``stage_path`` pattern) and reuses it through
+    :func:`score_with_model`, which scans the corpus once.
     """
     model = bigram_model(df, id_col, text_col, pair_buckets, ctx_buckets)
     return score_with_model(

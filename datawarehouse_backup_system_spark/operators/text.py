@@ -12,8 +12,10 @@ partition count:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from .hashing import md5_prefix_long
 
 STOPWORDS = {
     "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
@@ -160,8 +162,6 @@ def pack_sequences(
 
     Output: (id, shard, local_bin, offset, n_tokens).
     """
-    from pyspark.sql import Window
-
     shard = (F.col(id_col) % n_shards).alias("shard")
     w = (
         Window.partitionBy("shard")
@@ -603,39 +603,39 @@ def dup_spans(
             F.size("_t") >= n,
             F.transform(
                 F.sequence(F.lit(0), F.size("_t") - n),
-                lambda i: F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(" ", F.slice(F.col("_t"), i + 1, n))),
-                        1,
-                        14,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint"),
+                lambda i: md5_prefix_long(
+                    F.concat_ws(" ", F.slice(F.col("_t"), i + 1, n))
+                ),
             ),
         )
         .otherwise(F.array().cast("array<bigint>"))
         .alias("_hs"),
     )
     spans = span_arr.select(F.col(id_col), F.explode("_hs").alias("span_h"))
-    # distinct docs per span: a span is "duplicated" iff seen in ≥2 docs
-    span_docs = spans.distinct()
-    dup_h = (
-        span_docs.groupBy("span_h")
-        .agg(F.count(F.lit(1)).alias("_docs"))
-        .where(F.col("_docs") >= 2)
-        .select("span_h")
+    # Single derivation of `spans`: collapse to one row per (span, doc)
+    # with its in-doc multiplicity, count the span's distinct docs with a
+    # window over that compact set, then aggregate per doc. A span is
+    # "duplicated" iff seen in ≥2 DISTINCT docs; multiplicity is kept so
+    # n_dup_spans counts every occurrence. (The earlier formulation
+    # re-derived the full span explode three times — totals, dup-set,
+    # rejoin — tripling the dominant scan+hash cost at scale.)
+    per_span_doc = spans.groupBy("span_h", id_col).agg(
+        F.count(F.lit(1)).alias("_occ")
     )
+    w = Window.partitionBy("span_h")
     per_doc = (
-        spans.join(dup_h, "span_h", "left_semi")
+        per_span_doc.withColumn("_docs", F.count(F.lit(1)).over(w))
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+        .agg(
+            F.sum("_occ").alias("n_spans"),
+            F.sum(F.when(F.col("_docs") >= 2, F.col("_occ")).otherwise(0)).alias(
+                "n_dup_spans"
+            ),
+        )
     )
-    totals = spans.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_spans"))
     base = df.select(F.col(id_col)).distinct()
     return (
-        base.join(totals, id_col, "left")
-        .join(per_doc, id_col, "left")
+        base.join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),

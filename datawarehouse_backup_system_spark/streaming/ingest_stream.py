@@ -402,7 +402,10 @@ def stream_quality_gate(
     checkpoint: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    min_avg_logp: float = -9.0,
+    min_avg_logp: float = -8.0,
+    pair_buckets: int = 4096,
+    ctx_buckets: int = 1024,
+    k: float = 0.5,
 ):
     """LIVE LM-based quality gating of a document stream: each micro-batch
     is scored against a PREBUILT hashed-bigram model
@@ -416,12 +419,20 @@ def stream_quality_gate(
     per-batch-id overwrite directories for at-least-once replay
     idempotence. The scoring join is batch × broadcast — no stream-side
     shuffle beyond the per-doc aggregation of its own bigrams.
+
+    ``pair_buckets``/``ctx_buckets``/``k`` MUST match the values the
+    model was built with — mismatched bucket counts silently hash stream
+    bigrams onto the wrong model rows. ``min_avg_logp`` must sit ABOVE
+    the fully-unseen smoothing floor ln(k / (k·pair_buckets)) =
+    -ln(pair_buckets) (≈ -8.318 at the defaults) or out-of-model garbage
+    passes the gate; the -8.0 default clears that floor.
     """
     from datawarehouse_backup_system_spark.operators import lm
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         scored = lm.score_with_model(
-            batch, id_col, text_col, model
+            batch, id_col, text_col, model,
+            pair_buckets=pair_buckets, ctx_buckets=ctx_buckets, k=k,
         ).persist()
         try:
             enriched = batch.join(scored, id_col)

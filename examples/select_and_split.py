@@ -101,13 +101,14 @@ def main() -> int:
         .orderBy("split")
     )
 
+    rows = report.collect()  # one action — the 6-stage plan runs once
     print(f"corpus {n0} -> lm gate {n1} -> span screen {n2} -> capped {n3}")
-    for r in report.collect():
+    for r in rows:
         print(
             f"  {r['split']:<5} docs={r['docs']:<4} tokens={r['tokens']:<7} "
             f"pack_eff={r['pack_eff']}"
         )
-    splits = {r["split"] for r in report.collect()}
+    splits = {r["split"] for r in rows}
     assert splits <= {"train", "val", "test"} and "train" in splits
     print("OK")
     return 0

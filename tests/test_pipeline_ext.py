@@ -96,9 +96,7 @@ def test_leakage_split_components_cotravel_and_exhaustive(spark):
     assert n_train > 120
 
 
-def test_leakage_split_matches_hash_split_for_singletons(spark):
-    from datawarehouse_backup_system_spark.operators.sampling import hash_split
-
+def test_leakage_split_singletons_deterministic_with_no_pairs(spark):
     docs = _docs(spark, [(i, f"d {i}") for i in range(50)])
     empty = spark.createDataFrame([], "id_a long, id_b long")
     ours = {
@@ -106,6 +104,14 @@ def test_leakage_split_matches_hash_split_for_singletons(spark):
         for r in curation.leakage_safe_split(docs, empty, "doc_id").collect()
     }
     assert len(ours) == 50 and set(ours.values()) <= {"train", "val", "test"}
+    # pure function of the ids: a rerun (different partitioning) agrees
+    again = {
+        r["doc_id"]: r["split"]
+        for r in curation.leakage_safe_split(
+            docs.repartition(7), empty, "doc_id"
+        ).collect()
+    }
+    assert again == ours
 
 
 # ----------------------------------------------------------- domain cap
@@ -156,4 +162,12 @@ def test_lr_score_matches_python_math(spark):
 def test_train_lr_empty_raises(spark):
     df = spark.createDataFrame([], "f1 double, y double")
     with pytest.raises(ValueError):
+        classifier.train_lr(df, ["f1"], "y", iters=1)
+
+
+def test_train_lr_rejects_null_labels(spark):
+    df = spark.createDataFrame(
+        [(1.0, "yes"), (0.0, "no")], "f1 double, y string"
+    )
+    with pytest.raises(ValueError, match="NULL or not castable"):
         classifier.train_lr(df, ["f1"], "y", iters=1)
