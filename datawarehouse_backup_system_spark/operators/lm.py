@@ -102,24 +102,17 @@ def merge_models(
     return pair, ctx
 
 
-def score_with_model(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
+def _score_rows(
+    rows: DataFrame,
+    base: DataFrame,
     model: tuple[DataFrame, DataFrame],
-    pair_buckets: int = 4096,
-    ctx_buckets: int = 1024,
-    k: float = 0.5,
+    id_col: str,
+    pair_buckets: int,
+    k: float,
 ) -> DataFrame:
-    """Score ``df`` against a prebuilt (possibly merged) bigram model.
-
-    Bigrams absent from the model still score via the smoothing floor
-    (left joins + zero-coalesce), so a model trained on corpus A can
-    gate a disjoint corpus B — the usual deploy shape (train the LM on
-    trusted text, score the crawl).
-    """
+    """Shared scoring tail: broadcast-join the model onto bigram rows,
+    decimal-sum per doc, left-join the id universe for totality."""
     pair_cnt, ctx_cnt = model
-    rows = bigram_rows(df, id_col, text_col, pair_buckets, ctx_buckets)
     logp = F.round(
         F.log(
             (F.coalesce(F.col("c_pair"), F.lit(0)) + F.lit(float(k)))
@@ -141,7 +134,6 @@ def score_with_model(
             F.col("_sum").cast("double").alias("sum_logp"),
         )
     )
-    base = df.select(F.col(id_col)).distinct()
     return (
         base.join(scored, id_col, "left")
         .select(
@@ -158,6 +150,33 @@ def score_with_model(
     )
 
 
+def score_with_model(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: tuple[DataFrame, DataFrame],
+    pair_buckets: int = 4096,
+    ctx_buckets: int = 1024,
+    k: float = 0.5,
+) -> DataFrame:
+    """Score ``df`` against a prebuilt (possibly merged) bigram model.
+
+    Bigrams absent from the model still score via the smoothing floor
+    (left joins + zero-coalesce), so a model trained on corpus A can
+    gate a disjoint corpus B — the usual deploy shape (train the LM on
+    trusted text, score the crawl). The corpus is scanned once.
+    """
+    rows = bigram_rows(df, id_col, text_col, pair_buckets, ctx_buckets)
+    base = df.select(F.col(id_col)).distinct()
+    return _score_rows(rows, base, model, id_col, pair_buckets, k)
+
+
+#: staged bigram rows of the PRIOR bigram_lm_scores invocation — evicted
+#: on the next call (q42 tier-cache pattern: new DataFrame objects each
+#: call would otherwise pin executor memory until session end)
+_LIVE_STAGED: list[DataFrame] = []
+
+
 def bigram_lm_scores(
     df: DataFrame,
     id_col: str,
@@ -165,6 +184,7 @@ def bigram_lm_scores(
     pair_buckets: int = 4096,
     ctx_buckets: int = 1024,
     k: float = 0.5,
+    stage: bool = True,
 ) -> DataFrame:
     """Per-document hashed-bigram LM score (in-corpus model).
 
@@ -176,17 +196,30 @@ def bigram_lm_scores(
       the filtering key: threshold it or take per-domain quantiles
       (compose with text.quality / curation.domain_cap).
 
-    Composition of :func:`bigram_model` + :func:`score_with_model`; use
-    those directly for train-on-A/score-B or incremental-merge setups.
-
-    One-shot composition note: the token-scan subtree appears three
-    times in this single plan (two model aggs + scoring). Fine for an
-    audit query; a production pipeline over 100 TB builds the model ONCE
-    over a persisted/staged :func:`bigram_rows` projection (the d02
-    ``stage_path`` pattern) and reuses it through
-    :func:`score_with_model`, which scans the corpus once.
+    In-corpus composition means the bigram-rows subtree feeds the two
+    model aggs AND the scoring join; with ``stage=True`` (default) the
+    rows are persisted so the corpus is tokenized/hashed ONCE per action
+    (2× wall on a 5 k-doc corpus, more at scale) — the prior call's
+    stage is evicted on the next call. ``stage=False`` keeps the plan
+    fully lazy (no executor-memory pinning) at the cost of three scans.
+    For train-on-A/score-B or incremental-merge setups use
+    :func:`bigram_model` + :func:`score_with_model` directly.
     """
-    model = bigram_model(df, id_col, text_col, pair_buckets, ctx_buckets)
-    return score_with_model(
-        df, id_col, text_col, model, pair_buckets, ctx_buckets, k
+    rows = bigram_rows(df, id_col, text_col, pair_buckets, ctx_buckets)
+    if stage:
+        while _LIVE_STAGED:
+            old = _LIVE_STAGED.pop()
+            try:
+                old.unpersist()
+            except Exception:
+                # the owning session may be stopped (bench rounds) —
+                # the cache died with it; drop the stale handle
+                pass
+        rows = rows.persist()
+        _LIVE_STAGED.append(rows)
+    pair_cnt = rows.groupBy("bp").agg(F.count(F.lit(1)).alias("c_pair"))
+    ctx_cnt = rows.groupBy("bc").agg(F.count(F.lit(1)).alias("c_ctx"))
+    base = df.select(F.col(id_col)).distinct()
+    return _score_rows(
+        rows, base, (pair_cnt, ctx_cnt), id_col, pair_buckets, k
     )

@@ -208,11 +208,17 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(op, schema=ASSET_SCHEMA)
 
 
-def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video → frame rows (one row per sampled frame). Fake frames: the
-    frame count derives from the fake duration, frame bytes are empty.
+def frame_sample_stub(
+    df: DataFrame, every_ms: int = 1000, decode_stub: str = "fake"
+) -> DataFrame:
+    """Video → frame rows (one row per sampled frame). The frame COUNT
+    is real metadata arithmetic (duration from the chosen decode path —
+    ``'headers'`` parses the actual container, ``'fake'`` hashes the
+    bytes); frame bytes stay empty pending a pixel decoder.
     Demonstrates the explode-shaped output a real sampler produces."""
-    feats = decode_features(df.where(F.col("kind") == "video"), decode_stub="fake")
+    feats = decode_features(
+        df.where(F.col("kind") == "video"), decode_stub=decode_stub
+    )
     n_frames = F.greatest((F.col("duration_ms") / every_ms).cast("int"), F.lit(1))
     return feats.select(
         "asset_id", F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx")

@@ -547,3 +547,54 @@ def _build_specs() -> list[QuerySpec]:
 
 
 SPECS = _build_specs()
+
+
+# --------------------------------------------------------------------------
+# m04 — video frame sampling from real header metadata
+# --------------------------------------------------------------------------
+def m04_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.multimodal.frame_sample_stub over m03's synthesized MP4
+    blobs with decode_stub='headers': the frame COUNT comes from the
+    PRODUCTION mvhd duration decode (mapInPandas), then explodes to one
+    row per sampled frame. duration_ms = 1000·k + 500 (k = doc_id%20+1)
+    so the oracle is pure integer arithmetic: exactly k frames at
+    1000 ms strides."""
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        frame_sample_stub,
+    )
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    k = (F.col("doc_id") % 20 + 1).cast("long")
+    ts = (F.lit(1000) * (F.col("doc_id") % 4 + 1)).cast("long")
+    dur = ts * k + ts / 2
+    hexstr = F.concat(
+        F.lit("00000010" "66747970" "69736F6D" "00000000"),
+        F.lit("0000001C" "6D766864" "00000000" "00000000" "00000000"),
+        F.lpad(F.hex(ts), 8, "0"),
+        F.lpad(F.hex(dur.cast("long")), 8, "0"),
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("video").alias("kind"),
+        F.unhex(hexstr).alias("data"),
+    )
+    frames = frame_sample_stub(assets, every_ms=1000, decode_stub="headers")
+    return frames.select(
+        "asset_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("frame_ms").cast("bigint").alias("frame_ms"),
+    )
+
+
+M04_SQL = """
+SELECT doc_id AS asset_id,
+       CAST(u.i AS BIGINT) AS frame_idx,
+       CAST(u.i * 1000 AS BIGINT) AS frame_ms
+FROM documents, UNNEST(range(doc_id % 20 + 1)) AS u(i)
+WHERE doc_id < 200
+"""
+
+SPECS.append(
+    QuerySpec("m04_frame_sample", m04_frame_sample, M04_SQL,
+              "frame sampling exploded from real mvhd header duration")
+)

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import curation, importance, text
+from ..operators.hashing import md5_prefix_long
 from .base import QuerySpec, load
 from .llm_ops import D09_SQL, _neardup_corpus_and_pairs
 
@@ -449,22 +450,14 @@ def t28_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(t) >= 3,
         F.transform(
             F.sequence(F.lit(1), F.size(t) - 2),
-            lambda i: F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            " ",
-                            F.element_at(t, i),
-                            F.element_at(t, i + 1),
-                            F.element_at(t, i + 2),
-                        )
-                    ),
-                    1,
-                    14,
-                ),
-                16,
-                10,
-            ).cast("bigint"),
+            lambda i: md5_prefix_long(
+                F.concat_ws(
+                    " ",
+                    F.element_at(t, i),
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                )
+            ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     rows = docs.select("source", F.explode(tri).alias("h"))
