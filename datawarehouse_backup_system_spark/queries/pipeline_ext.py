@@ -543,3 +543,73 @@ SPECS.append(
     QuerySpec("t29_padding_waste", t29_padding_waste, T29_SQL,
               "padding-waste / packing-efficiency report per source")
 )
+
+
+# --------------------------------------------------------------------------
+# t30 — OOV rate per source against the corpus top-K vocabulary
+# --------------------------------------------------------------------------
+_T30_K = 100
+
+
+def t30_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary pressure per source: build the corpus top-100
+    token vocabulary (count desc, token asc — a total order), then
+    measure the fraction of each source's token OCCURRENCES that fall
+    outside it. The tokenizer-planning companion to t13's vocab build:
+    a high-OOV source either needs vocab budget or is noise. Vocab is
+    ≤K rows → broadcast left-semi flag; two aggs otherwise."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("token"))
+        .limit(_T30_K)
+        .select("token")
+    )
+    flagged = tok.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "token", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+T30_SQL = rf"""
+WITH tok AS (
+  SELECT source, token FROM (
+    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM documents
+  ) t WHERE token <> ''
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS c FROM tok GROUP BY token
+    ORDER BY c DESC, token LIMIT {_T30_K}
+  )
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       ROUND(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS oov_rate
+FROM tok LEFT JOIN vocab v ON v.token = tok.token
+GROUP BY source
+"""
+
+SPECS.append(
+    QuerySpec("t30_oov_rate", t30_oov_rate, T30_SQL,
+              "per-source OOV fraction vs corpus top-K vocabulary")
+)

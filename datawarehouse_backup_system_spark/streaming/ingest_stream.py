@@ -459,3 +459,58 @@ def stream_quality_gate(
         .outputMode("append")
         .start()
     )
+
+
+def stream_lm_model_partials(
+    stream_docs: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pair_buckets: int = 4096,
+    ctx_buckets: int = 1024,
+):
+    """Incrementally grow a hashed-bigram LM from a document stream.
+
+    Each micro-batch writes its OWN bounded count partials (≤ pair+ctx
+    bucket rows) under ``state_dir/{pair,ctx}/batch_id=N`` with
+    overwrite — so at-least-once foreachBatch replay rewrites a batch's
+    partial instead of double-counting it (the heavy-hitters replay
+    pattern). :func:`read_lm_model` merges all partials by summation
+    (the lm.merge_models contract), giving the exact model of every
+    document seen so far; compaction is just rewriting merged partials.
+    """
+    from datawarehouse_backup_system_spark.operators import lm
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        pair_cnt, ctx_cnt = lm.bigram_model(
+            batch, id_col, text_col, pair_buckets, ctx_buckets
+        )
+        pair_cnt.write.mode("overwrite").parquet(
+            f"{state_dir}/pair/batch_id={batch_id}"
+        )
+        ctx_cnt.write.mode("overwrite").parquet(
+            f"{state_dir}/ctx/batch_id={batch_id}"
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def read_lm_model(spark, state_dir: str):
+    """Merge all streamed LM partials into the current model
+    ``(pair_counts, ctx_counts)`` — bucket-wise sums, so the result is
+    EXACTLY the model a batch build over all streamed documents yields."""
+    pair = (
+        spark.read.parquet(f"{state_dir}/pair")
+        .groupBy("bp").agg(F.sum("c_pair").alias("c_pair"))
+    )
+    ctx = (
+        spark.read.parquet(f"{state_dir}/ctx")
+        .groupBy("bc").agg(F.sum("c_ctx").alias("c_ctx"))
+    )
+    return pair, ctx

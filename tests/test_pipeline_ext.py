@@ -171,3 +171,20 @@ def test_train_lr_rejects_null_labels(spark):
     )
     with pytest.raises(ValueError, match="NULL or not castable"):
         classifier.train_lr(df, ["f1"], "y", iters=1)
+
+
+def test_dup_spans_invariants_random_corpora(spark):
+    import random
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 20))))
+            for i in range(30)
+        ]
+        out = text.dup_spans(_docs(spark, rows), "doc_id", "text", n=4).collect()
+        assert len(out) == 30
+        for r in out:
+            assert 0 <= r["n_dup_spans"] <= r["n_spans"]
+            assert 0.0 <= r["dup_frac"] <= 1.0

@@ -539,3 +539,47 @@ def test_stream_quality_gate_routes_by_lm_score(spark, tmp_path):
     scores = {r["doc_id"]: r["avg_logp"]
               for r in spark.read.parquet(rej).collect()}
     assert scores[203] is None      # sub-2-token doc: explicit null score
+
+
+def test_stream_lm_partials_equal_batch_model(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from datawarehouse_backup_system_spark.operators import lm
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    b1 = [(i, f"alpha beta tok{i % 3} gamma") for i in range(10)]
+    b2 = [(100 + i, f"beta gamma tok{i % 4} delta") for i in range(10)]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(b1, doc_schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ck")
+    q = st.stream_lm_model_partials(stream, state, ckpt)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, doc_schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = st.read_lm_model(spark, state)
+    union = spark.createDataFrame(b1 + b2, doc_schema)
+    batch = lm.bigram_model(union, "doc_id", "text")
+    for got_df, want_df, key in ((streamed[0], batch[0], "bp"),
+                                 (streamed[1], batch[1], "bc")):
+        got = {r[0]: r[1] for r in got_df.collect()}
+        want = {r[0]: r[1] for r in want_df.collect()}
+        assert got == want, key  # exact: merge-by-sum == batch over union
+
+    # scoring through the streamed model matches the batch model exactly
+    probe = spark.createDataFrame([(999, "alpha beta gamma delta")], doc_schema)
+    s1 = lm.score_with_model(probe, "doc_id", "text", streamed).collect()[0]
+    s2 = lm.score_with_model(probe, "doc_id", "text", batch).collect()[0]
+    assert s1["sum_logp"] == s2["sum_logp"]
