@@ -1,0 +1,71 @@
+"""Python UDTFs (table functions) — the one-row-to-many-rows user hook.
+
+Spark 4 user-defined table functions run Python per input row and emit
+zero or more output rows — the right tool when the expansion logic is
+genuinely imperative. They are the SLOW path (serialized row traffic,
+no codegen): everything here has an expression-level twin that the hot
+path uses, and pytest pins the two bit-equal. The UDTF exists so the
+engine's surface covers the escape hatch users reach for first.
+
+Sentence splitting semantics (canonical, engine-portable): a sentence
+boundary is ``[.!?]`` followed by whitespace. Implemented everywhere as
+mark-then-split — replace ``([.!?])\\s+`` with the terminator plus a
+``\\x01`` marker, split on the marker, drop empties — because RE2
+(DuckDB) has no lookbehind, so the naive ``(?<=[.!?])\\s+`` split can't
+be replayed by the oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SENT_MARK = "\x01"
+_BOUNDARY = re.compile(r"([.!?])\s+")
+
+
+def split_sentences_py(text: str | None) -> list[str]:
+    """Reference implementation (shared by the UDTF and tests)."""
+    if text is None:
+        return []
+    marked = _BOUNDARY.sub("\\1" + SENT_MARK, text.strip())
+    return [s for s in marked.split(SENT_MARK) if s != ""]
+
+
+def sentences_expr(text: Column) -> Column:
+    """Expression twin: array<string> of sentences, codegen-friendly."""
+    marked = F.regexp_replace(F.trim(text), r"([.!?])\s+", "$1" + SENT_MARK)
+    return F.filter(F.split(marked, SENT_MARK), lambda s: s != "")
+
+
+def register_split_sentences(spark) -> None:
+    """Register the ``split_sentences`` UDTF for LATERAL use in SQL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx: bigint, sentence: string")
+    class SplitSentences:
+        def eval(self, text: str):  # noqa: D401 - UDTF contract
+            for i, s in enumerate(split_sentences_py(text)):
+                yield i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+
+
+def sentences_udtf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document sentences via the registered UDTF (LATERAL join).
+
+    Returns (id_col, sent_idx, sentence). Prefer :func:`sentences_expr`
+    + posexplode in hot paths; this demonstrates (and tests) the UDTF
+    escape hatch end-to-end.
+    """
+    spark = df.sparkSession
+    register_split_sentences(spark)
+    df.select(F.col(id_col), F.col(text_col).alias("_txt")).createOrReplaceTempView(
+        "_udtf_src"
+    )
+    return spark.sql(
+        f"SELECT {id_col}, s.sent_idx, s.sentence "
+        "FROM _udtf_src, LATERAL split_sentences(_txt) s"
+    )

@@ -613,3 +613,66 @@ SPECS.append(
     QuerySpec("t30_oov_rate", t30_oov_rate, T30_SQL,
               "per-source OOV fraction vs corpus top-K vocabulary")
 )
+
+
+# --------------------------------------------------------------------------
+# t31 — sentence segmentation (expression path; UDTF twin pytest-pinned)
+# --------------------------------------------------------------------------
+def t31_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sentence rows: mark-then-split boundaries (portable —
+    RE2 has no lookbehind) via functions.udtfs.sentences_expr, exploded
+    with position. The Python UDTF twin (LATERAL split_sentences) is
+    pinned bit-equal in pytest; the hot path stays expression-level."""
+    from ..functions.udtfs import sentences_expr
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    # the synthetic corpus has no sentence punctuation, so boundaries are
+    # injected deterministically (both engines identically) before the
+    # split — t05's PII-injection pattern
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60), F.lit(". "),
+            F.substring("text", 61, 60), F.lit("! "),
+            F.substring("text", 121, 60), F.lit("? "),
+            F.substring("text", 181, 60),
+        ).alias("text"),
+    )
+    return injected.select(
+        "doc_id",
+        F.posexplode(sentences_expr(F.col("text"))).alias("sent_idx", "sentence"),
+    ).select(
+        "doc_id",
+        F.col("sent_idx").cast("bigint").alias("sent_idx"),
+        F.length("sentence").cast("bigint").alias("sent_chars"),
+        F.md5(F.col("sentence")).alias("sent_hash"),
+    )
+
+
+T31_SQL = r"""
+WITH inj AS (
+  SELECT doc_id,
+         substr(text, 1, 60) || '. ' || substr(text, 61, 60) || '! '
+         || substr(text, 121, 60) || '? ' || substr(text, 181, 60) AS text
+  FROM documents WHERE doc_id < 300
+),
+d AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(
+             regexp_replace(trim(text), '([.!?])\s+', '\1' || chr(1), 'g'),
+             chr(1)),
+           x -> x <> '') AS sents
+  FROM inj
+)
+SELECT doc_id,
+       CAST(u.i AS BIGINT) AS sent_idx,
+       CAST(len(d.sents[u.i + 1]) AS BIGINT) AS sent_chars,
+       md5(d.sents[u.i + 1]) AS sent_hash
+FROM d, UNNEST(range(len(d.sents))) AS u(i)
+"""
+
+SPECS.append(
+    QuerySpec("t31_sentences", t31_sentences, T31_SQL,
+              "sentence segmentation rows (portable mark-then-split)")
+)

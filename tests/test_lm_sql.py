@@ -125,3 +125,36 @@ def test_leakage_split_no_edge_crosses_splits_random_graphs(spark):
         assert len(split) == n
         for a, b in edges:  # the core guarantee: no pair crosses splits
             assert split[a] == split[b], (seed, a, b)
+
+
+def test_udtf_sentences_match_expression_path(spark):
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.functions.udtfs import (
+        sentences_expr,
+        sentences_udtf,
+        split_sentences_py,
+    )
+
+    rows = [
+        (1, "One. Two! Three? Four"),
+        (2, "No boundaries here"),
+        (3, "Trailing dot."),        # no whitespace after → one sentence
+        (4, "A.B stays joined. but this splits"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    via_expr = (
+        df.select(
+            "doc_id",
+            F.posexplode(sentences_expr(F.col("text"))).alias("sent_idx", "sentence"),
+        )
+        .collect()
+    )
+    via_udtf = sentences_udtf(df, "doc_id", "text").collect()
+    key = lambda r: (r["doc_id"], r["sent_idx"], r["sentence"])  # noqa: E731
+    assert sorted(map(key, via_expr)) == sorted(map(key, via_udtf))
+    # and both agree with the reference python implementation
+    py = {(i, j, s) for i, t in rows for j, s in enumerate(split_sentences_py(t))}
+    assert set(map(key, via_udtf)) == py
+    assert not any(r["doc_id"] == 5 for r in via_udtf)  # empty → no rows
