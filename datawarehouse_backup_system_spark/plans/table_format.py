@@ -218,3 +218,49 @@ class WriteIdParquetFormat(SnapshotFormat):
                         and now - d.stat().st_mtime >= inflight_ttl_s):
                     shutil.rmtree(d, ignore_errors=True)
         return aborted
+
+
+def diff_versions(
+    spark: SparkSession,
+    fmt: "WriteIdParquetFormat",
+    path: Path,
+    fallback: T.StructType,
+    table_name: str,
+    from_version: int,
+    to_version: int,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data feed between two committed versions (Delta CDF analog).
+
+    Returns the rows of ``to_version`` minus ``from_version`` tagged
+    ``change='insert'`` plus the reverse difference tagged
+    ``change='delete'`` (an update under a MERGE shows as delete+insert
+    of the same key). Differencing is by content: an anti-join on the
+    full row (or on ``key_cols`` when given — then a changed row's key
+    appears on BOTH sides). For the append-only write-id format
+    ``from < to`` yields inserts only; the delete side goes live once
+    retention drops or targeted deletes rewrite files.
+
+    Scale: two as-of file listings (metadata), one anti-join each way on
+    md5 row keys — no full-table shuffle beyond the join keys.
+    """
+    if from_version > to_version:
+        raise ValueError("from_version must be <= to_version")
+    older = fmt.read_as_of(spark, path, fallback, table_name, version=from_version)
+    newer = fmt.read_as_of(spark, path, fallback, table_name, version=to_version)
+    # version-0 (or empty) reads come back with the bare fallback schema,
+    # which lacks the ingest_date partition column a real file read
+    # carries — join on the columns BOTH sides actually have, and let the
+    # union backfill the missing ones with NULL
+    common = [c for c in newer.columns if c in older.columns]
+    cols = key_cols or common
+    missing = [c for c in cols if c not in common]
+    if missing:
+        raise ValueError(f"key_cols not present in both versions: {missing}")
+    inserts = newer.join(older.select(cols), cols, "left_anti").withColumn(
+        "change", F.lit("insert")
+    )
+    deletes = older.join(newer.select(cols), cols, "left_anti").withColumn(
+        "change", F.lit("delete")
+    )
+    return inserts.unionByName(deletes, allowMissingColumns=True)

@@ -676,3 +676,56 @@ SPECS.append(
     QuerySpec("t31_sentences", t31_sentences, T31_SQL,
               "sentence segmentation rows (portable mark-then-split)")
 )
+
+
+# --------------------------------------------------------------------------
+# b02 — per-user behavior sequences (training-sequence assembly)
+# --------------------------------------------------------------------------
+def b02_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-user event-type sequences — the assembly step for
+    behavioral/recommendation training data. Order is total
+    ((ts, event_id) — event_id breaks timestamp ties), the sequence is
+    fingerprinted so the output stays one compact row per user. ONE
+    groupBy: collect_list of (ts, event_id, type) structs, array_sort
+    (struct field order IS the sort key), then a pure projection."""
+    ev = load(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("_s")
+        )
+        .select(
+            "user_id",
+            F.size("_s").cast("bigint").alias("seq_len"),
+            F.md5(
+                F.concat_ws("|", F.transform(F.col("_s"), lambda s: s["event_type"]))
+            ).alias("seq_hash"),
+            F.element_at(F.col("_s"), 1)["event_type"].alias("first_event"),
+            F.element_at(F.col("_s"), -1)["event_type"].alias("last_event"),
+        )
+    )
+    return seq
+
+
+B02_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id,
+       CAST(MAX(n) AS BIGINT) AS seq_len,
+       md5(string_agg(event_type, '|' ORDER BY ts, event_id)) AS seq_hash,
+       MAX(CASE WHEN rn = 1 THEN event_type END) AS first_event,
+       MAX(CASE WHEN rn = n THEN event_type END) AS last_event
+FROM o
+GROUP BY user_id
+"""
+
+SPECS.append(
+    QuerySpec("b02_user_sequences", b02_user_sequences, B02_SQL,
+              "ordered per-user event sequences with fingerprint")
+)

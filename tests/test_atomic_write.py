@@ -348,3 +348,41 @@ def test_time_travel_versions_and_as_of(spark, tmp_path):
     )
     assert job.read_table(schema).count() > n2      # dirty raw read
     assert as_of() == n2                            # consistent view
+
+
+def test_diff_versions_change_feed(spark, tmp_path):
+    """diff_versions reports exactly the rows a commit added (Delta CDF
+    analog on the write-id format): v1→v2 inserts = file-2 rows, empty
+    reverse diff, and v→v is empty both ways."""
+    from datawarehouse_backup_system_spark.plans.table_format import diff_versions
+
+    fx = generate_f1(tmp_path, n=40)
+    job = make_job(spark, tmp_path, fx)
+    schema = job.registry.get("mini_campaign_events")
+    table_dir = job.table_path(schema)
+
+    assert job.process_file(fx["files"][0]).status == ledger_mod.STATUS_UPLOADED
+    n1 = job.read_table(schema).count()
+    assert job.process_file(fx["files"][1]).status == ledger_mod.STATUS_UPLOADED
+    n2 = job.read_table(schema).count()
+
+    def diff(a, b):
+        return diff_versions(
+            spark, job.fmt, table_dir, schema.to_struct_type(),
+            schema.table_name, a, b, key_cols=["row_hash"],
+        )
+
+    d12 = diff(1, 2).collect()
+    assert len(d12) == n2 - n1
+    assert {r["change"] for r in d12} == {"insert"}
+    # the inserted rows are exactly version-2 minus version-1 content
+    v1_hashes = {
+        r["row_hash"]
+        for r in job.fmt.read_as_of(
+            spark, table_dir, schema.to_struct_type(),
+            schema.table_name, version=1,
+        ).collect()
+    }
+    assert all(r["row_hash"] not in v1_hashes for r in d12)
+    assert diff(2, 2).count() == 0
+    assert diff(0, 1).count() == n1
