@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import curation, graph, sketches, text
+from ..operators import curation, graph, search, sketches, text
 from ..operators.similarity import semantic_dedup
 from .base import QuerySpec, load
 
@@ -433,7 +433,101 @@ FROM events GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# x01 — inverted-index BM25 search (operators/search.py)
+# --------------------------------------------------------------------------
+_X01_QUERIES = [
+    ("q_hashjoin", "hash join"),
+    ("q_fastscan", "fast scan filter"),
+    ("q_stream", "stream window watermark"),
+    ("q_oov", "spark zzz_unseen_term"),  # OOV term must drop out, not null
+]
+_X01_K1 = 1.2
+_X01_B = 0.75
+_X01_TOP = 5
+
+
+def x01_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.search.bm25_topk: top-5 documents per keyword query
+    under Okapi BM25 over the single-space-token inverted index. The
+    oracle replays the identical algebra (same expression shapes, same
+    per-term round→decimal→exact-sum), so an exact hash match certifies
+    idf, length normalization, OOV-term dropout, and tie order."""
+    docs = load(spark, sf_dir, "documents")
+    return search.bm25_topk(
+        docs, "doc_id", "text", _X01_QUERIES,
+        k1=_X01_K1, b=_X01_B, top_n=_X01_TOP,
+    )
+
+
+def _x01_queries_sql() -> str:
+    rows = ", ".join(f"('{q}', '{t}')" for q, t in _X01_QUERIES)
+    return f"(VALUES {rows}) AS q(query_id, query_text)"
+
+
+X01_SQL = f"""
+WITH postings AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+    FROM documents
+  ) WHERE term <> ''
+  GROUP BY term, doc_id
+),
+doc_len AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id
+),
+doc_freq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM postings GROUP BY term
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         sum(dl) * 1.0 / count(*) AS avgdl
+  FROM doc_len
+),
+qterms AS (
+  SELECT DISTINCT query_id, term
+  FROM (
+    SELECT query_id, unnest(string_split(trim(query_text), ' ')) AS term
+    FROM {_x01_queries_sql()}
+  ) WHERE term <> ''
+),
+q_idf AS (
+  SELECT q.query_id, q.term,
+         ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5)) AS idf,
+         s.avgdl
+  FROM qterms q JOIN doc_freq d ON q.term = d.term CROSS JOIN stats s
+),
+contrib AS (
+  SELECT qi.query_id, p.doc_id,
+         CAST(round(
+           qi.idf * (p.tf * ({_X01_K1} + 1.0))
+           / (p.tf + {_X01_K1} * (1.0 - {_X01_B} + {_X01_B} * dlen.dl / qi.avgdl)),
+           9) AS DECIMAL(18,9)) AS c
+  FROM postings p
+  JOIN q_idf qi ON p.term = qi.term
+  JOIN doc_len dlen ON p.doc_id = dlen.doc_id
+),
+scored AS (
+  SELECT query_id, doc_id, sum(c) AS score_dec
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_dec,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_dec DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id,
+       round(CAST(score_dec AS DOUBLE), 6) AS score,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_X01_TOP}
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("x01_bm25_search", x01_bm25_search, X01_SQL,
+              "inverted-index Okapi BM25 top-k document search"),
     QuerySpec("c02_cms_frequency", c02_cms_frequency, C02_SQL,
               "Count-Min sketch point queries vs exact frequencies"),
     QuerySpec("d12_semantic_dedup", d12_semantic_dedup, D12_SQL,
