@@ -292,15 +292,18 @@ def r07_recall_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs| (brute force, the d05-style exact baseline). One output row:
     (n_pairs, n_caught, recall)."""
     from ..operators.similarity import (
-        _assign_lists, _centroid_frame, neardup_pairs,
+        _assign_lists, _centroid_frame, neardup_pairs_broadcast,
     )
 
     # brute-force denominator is O(n²) dot products by design; bound the
     # measurement population so the per-round metric stays ~constant cost
     # as sf grows (recall over a fixed 2k-vector subset is the same
-    # honesty signal — the oracle applies the identical bound)
+    # honesty signal — the oracle applies the identical bound). The
+    # bound is also what licenses the broadcast pair scan: one driver
+    # materialization of ≤2k vectors, numpy candidates, exact rescoring
+    # — the same pair set as neardup_pairs at ~1/10 the cost.
     emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 2000)
-    pairs = neardup_pairs(emb, threshold=_D12_TAU)
+    pairs = neardup_pairs_broadcast(emb, threshold=_D12_TAU)
     cent = _centroid_frame(emb, "vec_id", "embedding", _D12_CLUSTERS, None)
     asg = _assign_lists(emb, cent, "vec_id", "embedding", 6).select(
         F.col("neighbor_id").alias("_v"), "list_id"

@@ -264,6 +264,36 @@ def test_semdedup_single_cluster_catches_every_pair(spark, sf_dir):
         assert p["id_b"] in dropped
 
 
+def test_neardup_pairs_broadcast_matches_fold_baseline(spark, sf_dir):
+    """The numpy-candidate + exact-rescore path must return the SAME
+    (id_a, id_b, score) set as the all-expression baseline — scores
+    bit-equal, not just close (the rescore reuses the fold expression)."""
+    from datawarehouse_backup_system_spark.operators.similarity import (
+        neardup_pairs, neardup_pairs_broadcast,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for tau in (0.2, 0.4):
+        base = {(r.id_a, r.id_b, r.score)
+                for r in neardup_pairs(emb, threshold=tau).collect()}
+        fast = {(r.id_a, r.id_b, r.score)
+                for r in neardup_pairs_broadcast(emb, threshold=tau).collect()}
+        assert base == fast and len(base) > 0
+
+
+def test_neardup_pairs_broadcast_empty_population(spark):
+    from datawarehouse_backup_system_spark.operators.similarity import (
+        neardup_pairs_broadcast,
+    )
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+        .where(F.col("vec_id") < 0)
+    )
+    assert neardup_pairs_broadcast(emb).count() == 0
+
+
 # --------------------------------------------------- distributed k-means
 def test_kmeans_fit_distributed_separates_planted_clusters(spark):
     from datawarehouse_backup_system_spark.operators.similarity import (
