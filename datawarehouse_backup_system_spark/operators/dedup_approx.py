@@ -91,9 +91,21 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
         F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
     )
     toks = F.col("_toks")
+    # n parallel slices zipped, then a trivial concat lambda: ~3× faster
+    # than transform(sequence)+element_at (higher-order lambdas are
+    # interpreted; per-element array indexing dominates — measured at
+    # sf0.1). Output identical, order preserved.
+    # greatest(…, 0) keeps the slice length total — slice() raises on a
+    # negative length, and this projection must stay safe even if a
+    # planner rewrite ever evaluates it on a row the size>=n filter
+    # would drop (the FilterExec-reordering trap documented in
+    # lm.bigram_rows).
+    gram_cnt = F.greatest(F.size(toks) - n + 1, F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, j + 1, gram_cnt).alias(f"t{j}") for j in range(n)]
+    )
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        zipped, lambda x: F.concat_ws(" ", *[x[f"t{j}"] for j in range(n)])
     )
     # distinctness per (id, shingle) only needs per-ROW dedup (each doc is
     # one row): array_distinct before the explode replaces a full

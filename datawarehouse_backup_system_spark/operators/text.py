@@ -211,14 +211,16 @@ def repetition_features(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
     )
     toks = F.col("_toks")
+    # zip-slices + trivial concat lambda (see dedup_approx.word_shingles:
+    # transform(sequence)+element_at is ~3× slower, interpreted per
+    # element); identical trigram array, order preserved.
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-            F.element_at(toks, i + 3),
+        F.arrays_zip(
+            F.slice(toks, 1, F.size(toks) - 2).alias("a"),
+            F.slice(toks, 2, F.size(toks) - 2).alias("b"),
+            F.slice(toks, 3, F.size(toks) - 2).alias("c"),
         ),
+        lambda x: F.concat_ws(" ", x["a"], x["b"], x["c"]),
     )
     staged = arr.select(
         F.col(id_col),

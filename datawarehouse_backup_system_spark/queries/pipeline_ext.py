@@ -446,21 +446,23 @@ def t28_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     a second agg on the same uniform hash key."""
     docs = load(spark, sf_dir, "documents")
     t = F.split(F.trim(F.col("text")), r"\s+")
+    # slice+arrays_zip, hash AFTER the explode: md5 inside a transform()
+    # lambda runs interpreted per element (~10× slower, measured on the
+    # t26 bigram path); the flat post-explode expression is codegen'd.
     tri = F.when(
         F.size(t) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 2),
-            lambda i: md5_prefix_long(
-                F.concat_ws(
-                    " ",
-                    F.element_at(t, i),
-                    F.element_at(t, i + 1),
-                    F.element_at(t, i + 2),
-                )
-            ),
+        F.arrays_zip(
+            F.slice(t, 1, F.size(t) - 2).alias("a"),
+            F.slice(t, 2, F.size(t) - 2).alias("b"),
+            F.slice(t, 3, F.size(t) - 2).alias("c"),
         ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    rows = docs.select("source", F.explode(tri).alias("h"))
+    ).otherwise(F.array().cast("array<struct<a:string,b:string,c:string>>"))
+    rows = docs.select("source", F.explode(tri).alias("_t")).select(
+        "source",
+        md5_prefix_long(
+            F.concat_ws(" ", F.col("_t.a"), F.col("_t.b"), F.col("_t.c"))
+        ).alias("h"),
+    )
     return rows.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
         F.countDistinct("h").cast("bigint").alias("n_distinct"),
