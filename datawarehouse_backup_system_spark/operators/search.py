@@ -57,6 +57,85 @@ def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def build_positional_postings(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Positional inverted index: (term, doc_id, pos) — one row per token
+    OCCURRENCE (0-based position), the artifact phrase search needs.
+    posexplode keeps the index build a single linear pass; at scale,
+    persist partitioned by term like the tf postings."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.trim(F.col(text_col)), " ")).alias(
+                "pos", "term"
+            ),
+        )
+        .where(F.col("term") != "")
+        .select("term", "doc_id", F.col("pos").cast("bigint").alias("pos"))
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrases: list[tuple[str, str]],
+    ) -> DataFrame:
+    """Exact phrase match over the positional index: a document matches
+    when every phrase term appears at consecutive positions. Returns
+    (query_id, doc_id, n_hits) — n_hits = number of distinct start
+    positions where the full phrase occurs.
+
+    Relational shape (the classic positional-postings intersection):
+    broadcast the (query, term, offset) rows, join against the
+    positional postings on term, align each occurrence to its candidate
+    phrase START (pos - offset), then count the starts that collected
+    ALL phrase terms. One corpus-side broadcast join, one (query, doc,
+    start) aggregation, one (query, doc) aggregation — no self-joins of
+    the postings list, so an m-term phrase costs one pass, not m-1
+    intersections. Duplicate terms inside a phrase are handled by
+    counting required SLOTS (offsets), not distinct terms."""
+    spark = df.sparkSession
+    postings = build_positional_postings(df, id_col, text_col)
+
+    q_rows = []
+    n_terms: dict[str, int] = {}
+    for qid, phrase in phrases:
+        terms = [t for t in phrase.strip().split(" ") if t]
+        n_terms[qid] = len(terms)
+        for off, term in enumerate(terms):
+            q_rows.append((qid, term, off))
+    qdf = spark.createDataFrame(
+        q_rows, "query_id string, term string, off long"
+    )
+    need = spark.createDataFrame(
+        [(q, n) for q, n in n_terms.items()], "query_id string, need long"
+    )
+
+    starts = (
+        postings.join(F.broadcast(qdf), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("pos") - F.col("off")).alias("start"),
+            "off",
+        )
+        .where(F.col("start") >= 0)
+        # a start position matches when every required offset slot is
+        # filled; offsets at one (query, doc, start) are distinct by
+        # construction (one row per occurrence × offset alignment)
+        .groupBy("query_id", "doc_id", "start")
+        .agg(F.count(F.lit(1)).alias("slots"))
+    )
+    return (
+        starts.join(F.broadcast(need), "query_id")
+        .where(F.col("slots") == F.col("need"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     id_col: str,

@@ -528,9 +528,64 @@ FROM ranked WHERE rank <= {_X01_TOP}
 """
 
 
+# --------------------------------------------------------------------------
+# x02 — positional-index exact phrase search
+# --------------------------------------------------------------------------
+_X02_PHRASES = [
+    ("p_hash_join", "hash join"),
+    ("p_tbl_tbl", "table table"),       # repeated term: slot counting
+    ("p_tri", "fast scan filter"),      # 3-term phrase
+    ("p_absent", "hash zzz_unseen"),    # no doc can match
+]
+
+
+def x02_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.search.phrase_search: exact consecutive-token phrase
+    match via positional postings — every occurrence aligned to its
+    candidate start, a start matches when all offset slots fill. The
+    oracle replays the same algebra; hash parity certifies position
+    arithmetic, repeated-term slot counting, and absent-phrase zero."""
+    docs = load(spark, sf_dir, "documents")
+    return search.phrase_search(docs, "doc_id", "text", _X02_PHRASES)
+
+
+def _x02_sql() -> str:
+    q_rows, need_rows = [], []
+    for qid, phrase in _X02_PHRASES:
+        terms = [t for t in phrase.strip().split(" ") if t]
+        need_rows.append(f"('{qid}', {len(terms)})")
+        for off, term in enumerate(terms):
+            q_rows.append(f"('{qid}', '{term}', {off})")
+    return f"""
+WITH postings AS (
+  SELECT d.doc_id, d.t[u.i + 1] AS term, CAST(u.i AS BIGINT) AS pos
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents) d,
+       UNNEST(range(len(d.t))) AS u(i)
+  WHERE d.t[u.i + 1] <> ''
+),
+q(query_id, term, off) AS (VALUES {", ".join(q_rows)}),
+need(query_id, need) AS (VALUES {", ".join(need_rows)}),
+starts AS (
+  SELECT q.query_id, p.doc_id, p.pos - q.off AS start, count(*) AS slots
+  FROM postings p JOIN q ON p.term = q.term
+  WHERE p.pos - q.off >= 0
+  GROUP BY q.query_id, p.doc_id, p.pos - q.off
+)
+SELECT s.query_id, s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM starts s JOIN need n ON n.query_id = s.query_id
+WHERE s.slots = n.need
+GROUP BY s.query_id, s.doc_id
+"""
+
+
+X02_SQL = _x02_sql()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("x01_bm25_search", x01_bm25_search, X01_SQL,
               "inverted-index Okapi BM25 top-k document search"),
+    QuerySpec("x02_phrase_search", x02_phrase_search, X02_SQL,
+              "positional-index exact phrase match (slot-count algebra)"),
     QuerySpec("c02_cms_frequency", c02_cms_frequency, C02_SQL,
               "Count-Min sketch point queries vs exact frequencies"),
     QuerySpec("d12_semantic_dedup", d12_semantic_dedup, D12_SQL,

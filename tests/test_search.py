@@ -75,6 +75,58 @@ def test_bm25_top_n_bounds_and_rank_contiguity(spark):
     assert sorted(r["rank"] for r in out) == [1, 2]
 
 
+def test_phrase_search_consecutive_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="hash join fast hash join"),
+            Row(doc_id=2, text="join hash"),          # reversed: no match
+            Row(doc_id=3, text="hash x join"),        # gap: no match
+        ]
+    )
+    out = {
+        (r["query_id"], r["doc_id"]): r["n_hits"]
+        for r in search.phrase_search(
+            docs, "doc_id", "text", [("q", "hash join")]
+        ).collect()
+    }
+    assert out == {("q", 1): 2}
+
+
+def test_phrase_search_repeated_term_and_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a a"),   # "a a" occurs at starts 0 and 1
+            Row(doc_id=2, text="a b a"),   # never consecutively
+        ]
+    )
+    out = {
+        (r["query_id"], r["doc_id"]): r["n_hits"]
+        for r in search.phrase_search(
+            docs, "doc_id", "text", [("q", "a a")]
+        ).collect()
+    }
+    assert out == {("q", 1): 2}
+
+
+def test_phrase_search_absent_phrase_returns_nothing(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="hash join")])
+    out = search.phrase_search(
+        docs, "doc_id", "text", [("q", "hash zzz_unseen")]
+    ).collect()
+    assert out == []
+
+
+def test_positional_postings_positions(spark):
+    docs = spark.createDataFrame([Row(doc_id=7, text="x y x")])
+    rows = {
+        (r["term"], r["pos"])
+        for r in search.build_positional_postings(
+            docs, "doc_id", "text"
+        ).collect()
+    }
+    assert rows == {("x", 0), ("y", 1), ("x", 2)}
+
+
 def test_bm25_shorter_doc_outranks_longer_at_equal_tf(spark):
     # length normalization: same tf=1 for 'scan' — absent here; use 'join'
     # doc2 vs doc4: doc4 dl=1 < doc2 dl=2 -> doc4 scores higher for 'join'?
