@@ -1,0 +1,77 @@
+"""Order-insensitive, mergeable table fingerprints — replica verification.
+
+The operational question at 100 TB: "is this copy of the table byte-for-
+byte the same data as that one?" — after a migration, a backfill, an
+engine swap, or a cross-region replication. Sorting either side is off
+the table at that size; the standard answer is a COMMUTATIVE digest:
+hash every row independently, combine with an order-independent exact
+operation, compare (n_rows, fingerprint) pairs.
+
+Here: per-row 56-bit md5 prefix (``hashing.md5_prefix_long`` over the
+canonical ``row_hash`` string — the repo's single cross-engine hash
+recipe) summed as DECIMAL(38,0). Exact integer summation is associative
+and commutative, so the fingerprint is
+
+- **partition-order independent** — any shuffle, any file order, any
+  engine gives the same value;
+- **mergeable** — fingerprint(A ∪ B) combines by adding sums and counts,
+  so per-partition / per-shard fingerprints roll up to table level
+  without touching rows again (same contract as the CMS/HLL sketches
+  and the bigram-LM counts in this repo);
+- **cheap** — one linear scan, one bounded aggregation; grouped form
+  shuffles only (group, sum, count) partials.
+
+Collision note: a 56-bit additive checksum is a VERIFICATION aid, not a
+cryptographic proof — a mismatch is definitive (data differs); a match
+is a very-high-confidence equality signal (an adversary could forge it;
+random corruption cannot realistically preserve both count and sum).
+Reference parity: the reference verifies loads only by row count
+(`data_pushing.py` count checks); this strengthens that check to
+content without changing its cost class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import md5_prefix_long, row_hash_col
+
+
+def table_fingerprint(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """(n_rows, fingerprint) per group (or one row for the whole table).
+
+    ``columns`` defaults to every column (minus the group keys) in
+    DataFrame order — pass an explicit list when comparing tables whose
+    column order may differ. ``fingerprint`` is the exact decimal sum of
+    per-row hashes, returned as DECIMAL(38,0).
+    """
+    keys = list(group_by or [])
+    cols = columns if columns is not None else [
+        c for c in df.columns if c not in keys
+    ]
+    h = md5_prefix_long(row_hash_col(cols)).cast("decimal(38,0)")
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(h).alias("fingerprint"),
+    ]
+    if keys:
+        return df.groupBy(*keys).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def merge_fingerprints(parts: DataFrame, group_by: list[str] | None = None) -> DataFrame:
+    """Roll shard-level fingerprint rows up by summation — fingerprints
+    over disjoint shards combine EXACTLY to the union's fingerprint."""
+    keys = list(group_by or [])
+    aggs = [
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("fingerprint").cast("decimal(38,0)").alias("fingerprint"),
+    ]
+    if keys:
+        return parts.groupBy(*keys).agg(*aggs)
+    return parts.agg(*aggs)

@@ -581,11 +581,80 @@ GROUP BY s.query_id, s.doc_id
 X02_SQL = _x02_sql()
 
 
+# --------------------------------------------------------------------------
+# v01 — mergeable table fingerprint (replica verification)
+# --------------------------------------------------------------------------
+_V01_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_returnflag", "l_linestatus",
+]
+
+
+def v01_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.audit.table_fingerprint over lineitem, grouped by
+    l_returnflag: (n_rows, additive 56-bit-hash fingerprint) — the
+    order-insensitive replica-equality check. ``merge_ok`` recomputes
+    the same fingerprints from 4 hash-shards and rolls them up with
+    merge_fingerprints: exact integer sums make shard-merge == direct,
+    certified here per group (the oracle pins TRUE, so a Spark-side
+    mergeability break fails the hash)."""
+    from ..operators import audit
+    from ..operators.hashing import md5_bucket, row_hash_col
+
+    li = load(spark, sf_dir, "lineitem")
+    direct = audit.table_fingerprint(
+        li, columns=_V01_COLS, group_by=["l_returnflag"]
+    )
+    sharded = audit.table_fingerprint(
+        li.withColumn("_shard", md5_bucket(row_hash_col(_V01_COLS), 4)),
+        columns=_V01_COLS,
+        group_by=["l_returnflag", "_shard"],
+    )
+    merged = audit.merge_fingerprints(sharded, ["l_returnflag"]).select(
+        "l_returnflag",
+        F.col("n_rows").alias("_mn"),
+        F.col("fingerprint").alias("_mf"),
+    )
+    return direct.join(merged, "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        F.col("fingerprint").cast("string").alias("fingerprint"),
+        (
+            (F.col("n_rows") == F.col("_mn"))
+            & (F.col("fingerprint") == F.col("_mf"))
+        ).alias("merge_ok"),
+    )
+
+
+V01_SQL = """
+WITH h AS (
+  SELECT l_returnflag,
+         -- md5(md5(...)): the engine hashes the 32-hex row_hash STRING
+         -- (md5_prefix_long over row_hash_col) — replay both layers
+         ('0x' || substr(md5(md5(concat_ws(chr(1),
+             coalesce(CAST(l_orderkey AS VARCHAR), '<NULL>'),
+             coalesce(CAST(l_partkey AS VARCHAR), '<NULL>'),
+             coalesce(CAST(l_suppkey AS VARCHAR), '<NULL>'),
+             coalesce(CAST(l_linenumber AS VARCHAR), '<NULL>'),
+             coalesce(l_returnflag, '<NULL>'),
+             coalesce(l_linestatus, '<NULL>')))), 1, 14))::BIGINT AS hv
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(hv) AS VARCHAR) AS fingerprint,
+       TRUE AS merge_ok
+FROM h GROUP BY l_returnflag
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("x01_bm25_search", x01_bm25_search, X01_SQL,
               "inverted-index Okapi BM25 top-k document search"),
     QuerySpec("x02_phrase_search", x02_phrase_search, X02_SQL,
               "positional-index exact phrase match (slot-count algebra)"),
+    QuerySpec("v01_table_fingerprint", v01_table_fingerprint, V01_SQL,
+              "mergeable order-insensitive table fingerprint (replica check)"),
     QuerySpec("c02_cms_frequency", c02_cms_frequency, C02_SQL,
               "Count-Min sketch point queries vs exact frequencies"),
     QuerySpec("d12_semantic_dedup", d12_semantic_dedup, D12_SQL,

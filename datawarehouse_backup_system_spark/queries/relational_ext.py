@@ -433,14 +433,27 @@ SELECT check_name, violations, n_rows, violations = 0 AS passed FROM (
 # --------------------------------------------------------------------------
 def q30_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    agg = li.agg(
-        F.approx_count_distinct("l_orderkey").alias("a_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.approx_count_distinct("l_partkey").alias("a_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.percentile_approx("l_quantity", 0.5).alias("a_med"),
-        F.expr("percentile(l_quantity, 0.5)").alias("med"),
-        F.count("*").alias("n_rows"),
+    # the exact distincts run as SEPARATE distinct→count aggs crossJoined
+    # back (three 1-row frames): two countDistinct in one Aggregate plan
+    # an Expand that triples the input through the hash agg — measured
+    # 10× slower (6.4 s vs 0.6 s at sf0.1) than per-column two-stage
+    # distinct aggregation, which partial-aggregates map-side.
+    agg = (
+        li.agg(
+            F.approx_count_distinct("l_orderkey").alias("a_orders"),
+            F.approx_count_distinct("l_partkey").alias("a_parts"),
+            F.percentile_approx("l_quantity", 0.5).alias("a_med"),
+            F.expr("percentile(l_quantity, 0.5)").alias("med"),
+            F.count("*").alias("n_rows"),
+        )
+        .crossJoin(
+            li.select("l_orderkey").distinct()
+            .agg(F.count("*").alias("exact_orders"))
+        )
+        .crossJoin(
+            li.select("l_partkey").distinct()
+            .agg(F.count("*").alias("exact_parts"))
+        )
     )
     tol = 0.10
     # (a == b) short-circuits the both-zero case; try_divide keeps an
