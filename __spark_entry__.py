@@ -68,6 +68,13 @@ try:  # pipeline extensions (dup spans, DSIR, leakage split, domain cap, LR)
 except ImportError:
     pass
 
+try:  # scale extensions (prefix-filter join, quantile sketch, SCD2 PIT, Q17)
+    from datawarehouse_backup_system_spark.queries import scale_ext
+
+    _ALL_SPECS += list(scale_ext.SPECS)
+except ImportError:
+    pass
+
 
 def _staleness_key(name: str) -> int:
     """Rotation priority from the CORRECTNESS_r{N}.json history.

@@ -1,0 +1,181 @@
+"""Mergeable fixed-bin quantile sketch (equi-width histogram CDF).
+
+The 100 TB quantile problem: exact percentiles need a global sort (or
+DuckDB-style full materialization), and Spark's ``percentile_approx``
+(Greenwald-Khanna) is approximate with an engine-specific answer — not
+oracle-checkable across engines. This sketch is the deterministic middle
+ground every warehouse ships (equi-width histogram over a known integer
+domain): per-shard bin counts, merge = per-bin SUM (associative and
+commutative — shard-merge equals the direct build EXACTLY), and the
+q-quantile reads the CDF: the lower bound of the first bin whose
+cumulative count reaches ``ceil(q·N)``. Error is bounded by one bin
+width; the answer is bit-identical regardless of partitioning, row
+order, or merge tree shape — which makes it the cross-engine-verifiable
+quantile (query h01 pins it against a DuckDB replay of the same integer
+arithmetic).
+
+Scale shape: ONE aggregation over the data keyed by ≤ ``n_bins`` bins
+(map-side combine does almost all the work; the shuffle moves at most
+``partitions × n_bins`` rows), then window/join work on ≤ ``n_bins``
+rows. No sort, no collect of data rows.
+
+Reference parity: the reference has no quantile surface at all
+(SURVEY.md §2.4 — its aggregates stop at count/max/mode); this is part
+of the profiling family a Spark engine adds (with q29's exact
+percentiles as the small-data baseline).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bin_width(lo: int, hi: int, n_bins: int) -> int:
+    """ceil((hi - lo + 1) / n_bins) — integer, so binning is exact."""
+    if hi < lo:
+        raise ValueError("empty domain: hi < lo")
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    return (hi - lo + n_bins) // n_bins
+
+
+def binned_histogram(
+    df: DataFrame, value_col: str, lo: int, hi: int, n_bins: int = 64
+) -> DataFrame:
+    """(bin, cnt) rows — the sketch. ``value_col`` must be integral;
+    values outside [lo, hi] clamp into the edge bins (count is never
+    silently dropped)."""
+    w = bin_width(lo, hi, n_bins)
+    # SQL integer `div`, not float `/`+cast: a correctly-rounded double
+    # quotient can land above the true floor for BIGINT operands, which
+    # would misplace boundary values into the next bin.
+    shifted = df.select((F.col(value_col) - F.lit(lo)).alias("_shift"))
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.expr(f"_shift div {w}")),
+    )
+    return (
+        shifted.select(b.cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_histograms(parts: list[DataFrame]) -> DataFrame:
+    """Associative merge: union then per-bin SUM. merge(shards) ==
+    direct build, exactly, whatever the shard split."""
+    if not parts:
+        raise ValueError("merge_histograms: no sketches given")
+    return (
+        reduce(lambda x, y: x.unionByName(y), parts)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, qs: list[float], lo: int, width: int
+) -> DataFrame:
+    """(q, value, n_total) per requested quantile: value = lo +
+    bin*width (bin lower bound) of the first bin whose cumulative count
+    >= ceil(q*N). All window/join work is over <= n_bins rows."""
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    # <= n_bins rows: the single-partition cumulative window is over the
+    # SKETCH, not the data — bounded by construction.
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin"))
+    ).withColumn("n_total", F.sum("cnt").over(Window.partitionBy()))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    return (
+        qdf.crossJoin(cum)
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n_total")))
+        .groupBy("q")
+        .agg(
+            (F.lit(lo) + F.min("bin").cast("bigint") * F.lit(width)).alias(
+                "value"
+            ),
+            F.min("n_total").alias("n_total"),
+        )
+    )
+
+
+def grouped_binned_histogram(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    lo: int,
+    hi: int,
+    n_bins: int = 64,
+) -> DataFrame:
+    """(keys..., bin, cnt) — one sketch per group, built in a SINGLE
+    aggregation keyed by (keys..., bin): the per-group quantile at 100 TB
+    without any per-group sort (contrast q29's exact percentile_approx
+    baseline). Shares the sketch's merge/read algebra."""
+    w = bin_width(lo, hi, n_bins)
+    shifted = df.select(
+        *key_cols, (F.col(value_col) - F.lit(lo)).alias("_shift")
+    )
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.expr(f"_shift div {w}")),
+    )
+    return (
+        shifted.withColumn("bin", b.cast("int"))
+        .groupBy(*key_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def grouped_histogram_quantiles(
+    hist: DataFrame,
+    key_cols: list[str],
+    qs: list[float],
+    lo: int,
+    width: int,
+) -> DataFrame:
+    """(keys..., q, value, n_total) — per-group CDF reads. The
+    cumulative window is PARTITIONED on the group keys (<= n_bins rows
+    per partition), so unlike the global sketch there is no
+    single-partition stage at any group count."""
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    wk = Window.partitionBy(*key_cols)
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(wk.orderBy("bin"))
+    ).withColumn("n_total", F.sum("cnt").over(wk))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    return (
+        qdf.crossJoin(cum)
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n_total")))
+        .groupBy(*key_cols, "q")
+        .agg(
+            (F.lit(lo) + F.min("bin").cast("bigint") * F.lit(width)).alias(
+                "value"
+            ),
+            F.min("n_total").alias("n_total"),
+        )
+    )
+
+
+def histograms_equal(a: DataFrame, b: DataFrame) -> DataFrame:
+    """One boolean row ``equal`` — full-outer per-bin comparison (a
+    plan, not an action; callers fold it into their own output)."""
+    j = a.select("bin", F.col("cnt").alias("cnt_a")).join(
+        b.select("bin", F.col("cnt").alias("cnt_b")), "bin", "full_outer"
+    )
+    return j.agg(
+        F.coalesce(
+            F.min(
+                (F.col("cnt_a").isNotNull())
+                & (F.col("cnt_b").isNotNull())
+                & (F.col("cnt_a") == F.col("cnt_b"))
+            ),
+            F.lit(True),  # both empty
+        ).alias("equal")
+    )

@@ -1,0 +1,165 @@
+"""Exact set-similarity join via prefix filtering (SSJoin/PPJoin family).
+
+Public-algorithm lineage: Chaudhuri/Ganti/Kaushik's SSJoin primitive and
+Xiao et al.'s PPJoin prefix filter. Unlike the MinHash/SimHash paths in
+``dedup_approx`` (probabilistic candidate generation — can miss pairs),
+prefix filtering is EXACT: order every document's token set by a global
+canonical order (ascending document frequency — rarest first), take each
+document's first ``n - ceil(t*n) + 1`` tokens as its *prefix*, and any
+pair with Jaccard >= t provably shares at least one prefix token. The
+candidate join is therefore a plain equi-join on prefix tokens, and the
+exact verify pass loses nothing.
+
+Reference parity: the reference's dedup surface is exact row-hash
+matching (util/data_processing.py drop_duplicates); this operator is the
+set-level generalization a training-data pipeline needs, kept exact so
+the DuckDB oracle can replay the FULL quadratic join and require an
+identical answer set — which is precisely the exactness theorem, tested.
+
+Scale shape (100 TB): one token-frequency shuffle, one groupBy to build
+per-doc ordered arrays, one equi-join on prefix tokens (shuffle keyed by
+token — rare tokens keep buckets small; the length filter
+``den*min(n) >= num*max(n)`` prunes inside the join), then a per-pair
+O(|tokens|) verify with no further shuffle. No cartesian anywhere; the
+threshold is a rational ``num/den`` so every filter is integer-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def prefix_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """All pairs (id_a < id_b) whose element SETS have Jaccard >=
+    threshold_num/threshold_den — exactly (no probabilistic misses).
+
+    Elements are whitespace tokens (``shingle_n=1``) or word n-gram
+    shingles (``shingle_n>1``). Shingles are the right element set for
+    near-dup detection on corpora with a shared small vocabulary:
+    unigram SETS of two unrelated synthetic docs overlap heavily (they
+    draw from the same words), while shared 3-gram shingles require
+    shared phrasing — fewer candidates, fewer reported pairs, and a
+    prefix filter that actually prunes.
+
+    Returns (id_a, id_b, n_inter, n_a, n_b, jaccard) with jaccard
+    rounded to 6 decimals for engine-portable hashing; the threshold
+    test itself is integer arithmetic, never the rounded float.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be a fraction in (0, 1]")
+    num, den = int(threshold_num), int(threshold_den)
+
+    if shingle_n > 1:
+        from .dedup_approx import word_shingles
+
+        tok = word_shingles(df, id_col, text_col, shingle_n).select(
+            F.col(id_col).alias("id"), F.col("shingle").alias("token")
+        )
+    else:
+        tok = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.explode(
+                    F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+                ).alias("token"),
+            )
+            .where(F.col("token") != "")
+        )
+    docfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tok_df"))
+    # canonical order = ascending (document frequency, token): rarest
+    # first minimizes prefix-join fanout; struct ordering sorts exactly so
+    per_doc = (
+        tok.join(docfreq, "token")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("tok_df"), F.col("token")))
+            ).alias("ordered"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    # prefix length n - ceil(t*n) + 1, integer-exact for rational t
+    per_doc = per_doc.withColumn(
+        "plen",
+        (
+            F.col("n")
+            - F.floor((F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den))
+            + 1
+        ).cast("int"),
+    )
+    pref = per_doc.select(
+        "id",
+        "n",
+        F.explode(F.expr("slice(ordered, 1, plen)")).alias("p"),
+    ).select("id", "n", F.col("p.token").alias("token"))
+
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: Jaccard >= num/den forces den*min >= num*max
+            & (
+                F.lit(den) * F.least(F.col("a.n"), F.col("b.n"))
+                >= F.lit(num) * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sets = per_doc.select(
+        "id",
+        F.expr("transform(ordered, x -> x.token)").alias("toks"),
+        "n",
+    )
+    joined = (
+        cand.join(
+            sets.select(
+                F.col("id").alias("id_a"),
+                F.col("toks").alias("toks_a"),
+                F.col("n").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"),
+                F.col("toks").alias("toks_b"),
+                F.col("n").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
+        )
+    )
+    return (
+        joined
+        # exact threshold: inter/union >= num/den  ⟺  den*inter >= num*union
+        .where(
+            F.lit(den) * F.col("n_inter")
+            >= F.lit(num) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,447 @@
+"""Round-4 scale extensions: exact prefix-filtered set-similarity join,
+mergeable binned-quantile sketch, SCD2 point-in-time dimension lookup,
+and the TPC-H Q17-shaped correlated small-quantity aggregate.
+
+Every spec pairs the Spark plan with a DuckDB oracle that replays the
+same relational algebra with integer-exact arithmetic (fixed-point
+cents, rational thresholds, integer binning) so value hashes match
+bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import quantiles as qsk
+from ..operators.setjoin import prefix_jaccard_join
+from ..operators.upsert import scd2_apply
+from .base import QuerySpec, load
+from .llm_ops import _NEARDUP_CORPUS_SQL, _docs_with_neardups
+from .relational import cents
+
+
+# --------------------------------------------------------------------------
+# d13 — EXACT set-similarity self-join via prefix filtering (PPJoin-lite)
+# over 3-gram word shingles. The oracle replays the FULL quadratic
+# shingle join, so a green row is a machine check of the prefix-filter
+# exactness theorem on this corpus. (Unigram token sets are useless
+# here: the synthetic docs share one small vocabulary, so nearly every
+# pair clears 0.7 — measured 195 k pairs; shingles require shared
+# PHRASING and report only real near-dups.)
+# --------------------------------------------------------------------------
+_D13_NUM, _D13_DEN = 7, 10
+
+
+def d13_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_neardups(spark, sf_dir)
+    return prefix_jaccard_join(
+        corpus, "doc_id", "text",
+        threshold_num=_D13_NUM, threshold_den=_D13_DEN, shingle_n=3,
+    )
+
+
+D13_SQL = f"""
+WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus
+),
+tok AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS token
+  FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+n AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_inter, na.n AS n_a, nb.n AS n_b,
+       round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN n na ON na.doc_id = id_a
+JOIN n nb ON nb.doc_id = id_b
+WHERE {_D13_DEN} * n_inter >= {_D13_NUM} * (na.n + nb.n - n_inter)
+"""
+
+
+# --------------------------------------------------------------------------
+# h01 — mergeable binned-quantile sketch over event value cents: 4-shard
+# build + merge must equal the direct build (merge_ok pinned TRUE), and
+# the p50/p90/p99 CDF reads must match DuckDB's replay of the identical
+# integer binning — the deterministic cross-engine quantile.
+# --------------------------------------------------------------------------
+_H01_BINS = 64
+_H01_QS = [0.5, 0.9, 0.99]
+
+
+def h01_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", cents(F.col("value")).alias("c")
+    )
+    # bounded 1-row collect: domain bounds for the fixed binning (the
+    # same two numbers the oracle recomputes in its CTE)
+    lo, hi = ev.agg(F.min("c"), F.max("c")).collect()[0]
+    w = qsk.bin_width(lo, hi, _H01_BINS)
+    direct = qsk.binned_histogram(ev, "c", lo, hi, _H01_BINS)
+    shards = [
+        qsk.binned_histogram(
+            ev.where(F.pmod(F.col("event_id"), F.lit(4)) == s),
+            "c", lo, hi, _H01_BINS,
+        )
+        for s in range(4)
+    ]
+    merged = qsk.merge_histograms(shards)
+    merge_ok = qsk.histograms_equal(merged, direct).select(
+        F.col("equal").alias("merge_ok")
+    )
+    return (
+        qsk.histogram_quantiles(merged, _H01_QS, lo, w)
+        .crossJoin(merge_ok)
+        .select("q", "value", "n_total", "merge_ok")
+    )
+
+
+H01_SQL = f"""
+WITH v AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+),
+b AS (SELECT min(c) AS lo, max(c) AS hi FROM v),
+p AS (
+  SELECT lo, (hi - lo + {_H01_BINS}) // {_H01_BINS} AS w FROM b
+),
+binned AS (
+  SELECT least({_H01_BINS - 1}, greatest(0, (c - lo) // w)) AS bin,
+         count(*) AS cnt
+  FROM v, p GROUP BY 1
+),
+cum AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+         sum(cnt) OVER () AS n_total
+  FROM binned
+),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+SELECT q,
+       (SELECT lo FROM p) + min(bin) * (SELECT w FROM p) AS value,
+       CAST(min(n_total) AS BIGINT) AS n_total,
+       TRUE AS merge_ok
+FROM qs JOIN cum ON cum.cum >= ceil(q * cum.n_total)
+GROUP BY q
+"""
+
+
+# --------------------------------------------------------------------------
+# u03 — SCD2 point-in-time lookup: build a versioned user dimension from
+# the purchase change feed with operators.upsert.scd2_apply (seed open
+# row per user from the epoch), then join every view event to the
+# version valid AT its event time via the as-of shape. The classic
+# warehouse "fact joins dimension as of transaction date".
+# --------------------------------------------------------------------------
+def u03_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    # one change per (user, ts): deterministic attr = max purchase cents
+    changes = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("_change_ts"))
+        .agg(F.max(cents(F.col("value"))).alias("spend_cents"))
+        .select("user_id", "spend_cents", "_change_ts")
+    )
+    seed = (
+        ev.select("user_id").distinct()
+        .withColumn("spend_cents", F.lit(None).cast("bigint"))
+        .withColumn("valid_from", F.lit("1970-01-01 00:00:00").cast("timestamp"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+    )
+    dim = scd2_apply(seed, changes, key="user_id")
+    dim = dim.withColumn(
+        "version",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("valid_from"))
+        .cast("bigint"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    # intervals tile [epoch, ∞) per user, so "valid_from <= ts < valid_to"
+    # equals the backward as-of pick of the latest valid_from <= ts; the
+    # equi-join + filter shape shuffles once on user_id.
+    out = views.join(
+        dim.select("user_id", "valid_from", "valid_to", "version", "spend_cents"),
+        "user_id",
+    ).where(
+        (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    )
+    return out.select("event_id", "user_id", "version", "spend_cents")
+
+
+U03_SQL = """
+WITH ch AS (
+  SELECT user_id,
+         max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS spend_cents,
+         ts AS valid_from
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+seed AS (
+  SELECT DISTINCT user_id, CAST(NULL AS BIGINT) AS spend_cents,
+         TIMESTAMP '1970-01-01 00:00:00' AS valid_from
+  FROM events
+),
+vers AS (
+  SELECT user_id, spend_cents, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from)
+              AS BIGINT) AS version
+  FROM (SELECT * FROM seed UNION ALL SELECT * FROM ch)
+)
+SELECT e.event_id, e.user_id, v.version, v.spend_cents
+FROM events e JOIN vers v
+  ON v.user_id = e.user_id
+ AND v.valid_from <= e.ts
+ AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+WHERE e.event_type = 'view'
+"""
+
+
+# --------------------------------------------------------------------------
+# q45 — TPC-H Q17 shape: revenue from order lines whose quantity is
+# below 20% of the part's average quantity, for one brand. The
+# correlated avg becomes a per-part aggregate joined back; the 0.2·avg
+# comparison is cross-multiplied into integers (5·qty·n < sum_qty) so
+# both engines evaluate the identical predicate.
+# --------------------------------------------------------------------------
+_Q45_BRAND = "Brand#4"
+
+
+def q45_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_brand") == _Q45_BRAND)
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        cents(F.col("l_extendedprice")).alias("price_c"),
+    )
+    # brand parts are a tiny dim — broadcast so the big side never shuffles
+    brand_lines = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).drop("p_partkey")
+    per_part = brand_lines.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("n_lines")
+    )
+    return (
+        brand_lines.join(F.broadcast(per_part), "l_partkey")
+        .where(F.lit(5) * F.col("qty") * F.col("n_lines") < F.col("sum_qty"))
+        .agg(
+            F.coalesce(F.sum("price_c"), F.lit(0)).alias("total_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q45_SQL = f"""
+WITH brand_lines AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{_Q45_BRAND}'
+),
+per_part AS (
+  SELECT l_partkey, sum(qty) AS sum_qty, count(*) AS n_lines
+  FROM brand_lines GROUP BY l_partkey
+)
+SELECT CAST(coalesce(sum(price_c), 0) AS BIGINT) AS total_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM brand_lines JOIN per_part USING (l_partkey)
+WHERE 5 * qty * n_lines < sum_qty
+"""
+
+
+# --------------------------------------------------------------------------
+# h02 — per-group quantiles from ONE aggregation keyed by (group, bin):
+# the scale answer to "p50/p95 latency per event type" that needs no
+# per-group sort and no percentile_approx engine divergence.
+# --------------------------------------------------------------------------
+_H02_QS = [0.5, 0.95]
+
+
+def h02_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", cents(F.col("value")).alias("c")
+    )
+    lo, hi = ev.agg(F.min("c"), F.max("c")).collect()[0]
+    w = qsk.bin_width(lo, hi, _H01_BINS)
+    hist = qsk.grouped_binned_histogram(
+        ev, ["event_type"], "c", lo, hi, _H01_BINS
+    )
+    return qsk.grouped_histogram_quantiles(
+        hist, ["event_type"], _H02_QS, lo, w
+    ).select("event_type", "q", "value", "n_total")
+
+
+H02_SQL = f"""
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+),
+b AS (SELECT min(c) AS lo, max(c) AS hi FROM v),
+p AS (SELECT lo, (hi - lo + {_H01_BINS}) // {_H01_BINS} AS w FROM b),
+binned AS (
+  SELECT event_type,
+         least({_H01_BINS - 1}, greatest(0, (c - lo) // w)) AS bin,
+         count(*) AS cnt
+  FROM v, p GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n_total
+  FROM binned
+),
+qs AS (SELECT unnest([0.5, 0.95]) AS q)
+SELECT event_type, q,
+       (SELECT lo FROM p) + min(bin) * (SELECT w FROM p) AS value,
+       CAST(min(n_total) AS BIGINT) AS n_total
+FROM qs JOIN cum ON cum.cum >= ceil(q * cum.n_total)
+GROUP BY event_type, q
+"""
+
+
+# --------------------------------------------------------------------------
+# z02 — data-skipping economics: the measured WHY of z-ordering. Bucket
+# lineitem two ways — Morton-code prefix tiles (what a z-ordered write
+# produces) vs row-key modulo (what an unclustered write produces) —
+# compute per-bucket min/max "file stats" for both dims, and count how
+# many buckets a 2-D box predicate must scan under each layout. The
+# whole report is two 64-group aggregations over ONE staged scan.
+# --------------------------------------------------------------------------
+_Z02_BITS = 8                       # dims clamped to [0, 256)
+_Z02_TILE_DIV = 1 << 10            # keep top 6 code bits -> 8x8 grid of tiles
+_Z02_BOX = (32, 47, 64, 79)        # d1 in [32,47], d2 in [64,79]
+
+
+def z02_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.zorder import morton_code
+
+    lo1, hi1, lo2, hi2 = _Z02_BOX
+    lim = F.lit(1 << _Z02_BITS)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.pmod(F.col("l_partkey"), lim).alias("d1"),
+        F.pmod(F.col("l_suppkey"), lim).alias("d2"),
+    )
+    code = morton_code([F.col("d1"), F.col("d2")], bits=_Z02_BITS)
+    staged = li.select(
+        "d1", "d2",
+        code.alias("zcode"),
+        F.pmod(F.col("l_orderkey"), F.lit(64)).alias("rbucket"),
+    ).withColumn("zbucket", F.expr(f"zcode div {_Z02_TILE_DIV}"))
+
+    def layout(bucket_col: str, name: str) -> DataFrame:
+        per = staged.groupBy(F.col(bucket_col).alias("bucket")).agg(
+            F.min("d1").alias("min1"), F.max("d1").alias("max1"),
+            F.min("d2").alias("min2"), F.max("d2").alias("max2"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        scan = (
+            (F.col("min1") <= hi1) & (F.col("max1") >= lo1)
+            & (F.col("min2") <= hi2) & (F.col("max2") >= lo2)
+        )
+        return per.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.when(scan, 1).otherwise(0)).alias("buckets_scanned"),
+            F.sum(F.when(scan, F.col("cnt")).otherwise(0)).alias(
+                "rows_in_scanned"
+            ),
+        ).select(F.lit(name).alias("layout"), "*")
+
+    matching = staged.where(
+        F.col("d1").between(lo1, hi1) & F.col("d2").between(lo2, hi2)
+    ).agg(F.count(F.lit(1)).alias("rows_matching"))
+    return (
+        layout("zbucket", "zorder")
+        .unionByName(layout("rbucket", "rowkey"))
+        .crossJoin(matching)
+    )
+
+
+def _z02_interleave_sql() -> str:
+    terms = []
+    for i, col in enumerate(("d1", "d2")):
+        for j in range(_Z02_BITS):
+            terms.append(f"((({col} >> {j}) & 1) << {j * 2 + i})")
+    return " | ".join(terms)
+
+
+Z02_SQL = f"""
+WITH staged AS (
+  SELECT l_partkey % {1 << _Z02_BITS} AS d1,
+         l_suppkey % {1 << _Z02_BITS} AS d2,
+         ({_z02_interleave_sql()}) // {_Z02_TILE_DIV} AS zbucket,
+         l_orderkey % 64 AS rbucket
+  FROM lineitem
+),
+matching AS (
+  SELECT CAST(count(*) AS BIGINT) AS rows_matching FROM staged
+  WHERE d1 BETWEEN {_Z02_BOX[0]} AND {_Z02_BOX[1]}
+    AND d2 BETWEEN {_Z02_BOX[2]} AND {_Z02_BOX[3]}
+),
+z AS (
+  SELECT zbucket AS bucket, min(d1) min1, max(d1) max1,
+         min(d2) min2, max(d2) max2, count(*) cnt
+  FROM staged GROUP BY 1
+),
+r AS (
+  SELECT rbucket AS bucket, min(d1) min1, max(d1) max1,
+         min(d2) min2, max(d2) max2, count(*) cnt
+  FROM staged GROUP BY 1
+),
+reports AS (
+  SELECT 'zorder' AS layout,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(sum(CASE WHEN min1 <= {_Z02_BOX[1]} AND max1 >= {_Z02_BOX[0]}
+                        AND min2 <= {_Z02_BOX[3]} AND max2 >= {_Z02_BOX[2]}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS buckets_scanned,
+         CAST(sum(CASE WHEN min1 <= {_Z02_BOX[1]} AND max1 >= {_Z02_BOX[0]}
+                        AND min2 <= {_Z02_BOX[3]} AND max2 >= {_Z02_BOX[2]}
+                       THEN cnt ELSE 0 END) AS BIGINT) AS rows_in_scanned
+  FROM z
+  UNION ALL
+  SELECT 'rowkey',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN min1 <= {_Z02_BOX[1]} AND max1 >= {_Z02_BOX[0]}
+                        AND min2 <= {_Z02_BOX[3]} AND max2 >= {_Z02_BOX[2]}
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN min1 <= {_Z02_BOX[1]} AND max1 >= {_Z02_BOX[0]}
+                        AND min2 <= {_Z02_BOX[3]} AND max2 >= {_Z02_BOX[2]}
+                       THEN cnt ELSE 0 END) AS BIGINT)
+  FROM r
+)
+SELECT layout, n_buckets, buckets_scanned, rows_in_scanned, rows_matching
+FROM reports, matching
+"""
+
+
+SPECS = [
+    QuerySpec("d13_prefix_jaccard", d13_prefix_jaccard, D13_SQL,
+              "EXACT Jaccard>=0.7 set-similarity self-join via prefix "
+              "filtering; oracle replays the full quadratic join"),
+    QuerySpec("h01_binned_quantiles", h01_binned_quantiles, H01_SQL,
+              "mergeable equi-width histogram quantiles (p50/p90/p99), "
+              "shard-merge == direct pinned"),
+    QuerySpec("u03_scd2_pointintime", u03_scd2_pointintime, U03_SQL,
+              "SCD2 dim from purchase change feed + point-in-time fact "
+              "lookup at event time"),
+    QuerySpec("q45_small_qty_revenue", q45_small_qty_revenue, Q45_SQL,
+              "TPC-H Q17-shaped correlated small-quantity revenue, "
+              "integer cross-multiplied"),
+    QuerySpec("h02_group_quantiles", h02_group_quantiles, H02_SQL,
+              "per-group quantiles from one (group, bin)-keyed agg — "
+              "no per-group sort, no percentile_approx divergence"),
+    QuerySpec("z02_skipping_report", z02_skipping_report, Z02_SQL,
+              "data-skipping economics: buckets scanned for a 2-D box "
+              "under z-order tiles vs row-key layout"),
+]

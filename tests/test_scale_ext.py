@@ -1,0 +1,248 @@
+"""Tests for the round-4 scale extensions: prefix-filtered exact
+set-similarity join, mergeable binned-quantile sketch, and the SCD2
+point-in-time lookup (the oracle gate covers the full queries; these
+pin the operator semantics on handcrafted edges)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_backup_system_spark.operators import quantiles as qsk
+from datawarehouse_backup_system_spark.operators.setjoin import (
+    prefix_jaccard_join,
+)
+
+
+# --------------------------------------------------------------------------
+# prefix_jaccard_join
+# --------------------------------------------------------------------------
+def _brute_pairs(docs: dict[int, str], num: int, den: int):
+    """Reference answer: full quadratic exact-Jaccard join."""
+    sets = {i: set(t.split()) for i, t in docs.items() if t.split()}
+    out = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and den * inter >= num * union:
+            out.add((a, b))
+    return out
+
+
+DOCS = {
+    1: "the quick brown fox jumps over the lazy dog",
+    2: "quick brown fox jumps over the lazy dog",          # J=8/8 vs 1? sets!
+    3: "the quick brown fox leaps over the lazy dog",      # one word swap
+    4: "completely different content about spark engines",
+    5: "spark engines content about completely different", # same SET as 4
+    6: "",                                                  # empty → no tokens
+    7: "the",                                               # single token
+}
+
+
+def test_prefix_jaccard_matches_bruteforce(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in DOCS.items()], "doc_id long, text string"
+    )
+    got = prefix_jaccard_join(df, "doc_id", "text", 7, 10)
+    rows = got.collect()
+    got_pairs = {(r.id_a, r.id_b) for r in rows}
+    assert got_pairs == _brute_pairs(DOCS, 7, 10)
+    # identical SETS (4,5) must appear with jaccard == 1.0
+    ids = {(r.id_a, r.id_b): r for r in rows}
+    assert ids[(4, 5)].jaccard == 1.0
+    assert ids[(4, 5)].n_inter == ids[(4, 5)].n_a == ids[(4, 5)].n_b
+
+
+def test_prefix_jaccard_threshold_boundary(spark):
+    # sets of size 4 sharing exactly 3 tokens: J = 3/5 — test >= at the
+    # exact rational boundary (must be INCLUDED for 3/5, excluded at 7/10)
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    at = prefix_jaccard_join(df, "doc_id", "text", 3, 5).collect()
+    assert [(r.id_a, r.id_b) for r in at] == [(1, 2)]
+    above = prefix_jaccard_join(df, "doc_id", "text", 7, 10).collect()
+    assert above == []
+
+
+def test_prefix_jaccard_duplicate_tokens_are_sets(spark):
+    # repeated words collapse: "a a a b" is the SET {a, b}
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b a")], "doc_id long, text string"
+    )
+    rows = prefix_jaccard_join(df, "doc_id", "text", 1, 1).collect()
+    assert len(rows) == 1 and rows[0].jaccard == 1.0
+
+
+def test_prefix_jaccard_shingles_match_bruteforce(spark):
+    def sh(t, n=3):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog tonight",
+        2: "a quick brown fox jumps over the lazy dog tonight",   # 1-word edit
+        3: "the dog lazy the over jumps fox brown quick",          # same WORDS,
+        #    different order → same unigram set but ~no shared 3-grams
+        4: "short doc",                                            # < n words
+    }
+    expected = set()
+    for a, b in itertools.combinations(sorted(docs), 2):
+        sa, sb = sh(docs[a]), sh(docs[b])
+        if sa and sb and 2 * len(sa & sb) >= 1 * len(sa | sb):
+            expected.add((a, b))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_jaccard_join(
+            df, "doc_id", "text", 1, 2, shingle_n=3
+        ).collect()
+    }
+    assert got == expected
+    assert (1, 2) in got          # shared phrasing survives
+    assert (1, 3) not in got      # same vocabulary, different phrasing
+
+
+def test_prefix_jaccard_rejects_bad_threshold(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        prefix_jaccard_join(df, "doc_id", "text", 0, 10)
+    with pytest.raises(ValueError):
+        prefix_jaccard_join(df, "doc_id", "text", 11, 10)
+
+
+# --------------------------------------------------------------------------
+# binned quantile sketch
+# --------------------------------------------------------------------------
+def test_histogram_merge_equals_direct(spark):
+    vals = [(i, (i * 37) % 1000) for i in range(500)]
+    df = spark.createDataFrame(vals, "id long, v long")
+    direct = qsk.binned_histogram(df, "v", 0, 999, 32)
+    shards = [
+        qsk.binned_histogram(
+            df.where(F.pmod(F.col("id"), F.lit(3)) == s), "v", 0, 999, 32
+        )
+        for s in range(3)
+    ]
+    merged = qsk.merge_histograms(shards)
+    assert qsk.histograms_equal(merged, direct).collect()[0].equal is True
+    # and a deliberately different histogram is NOT equal
+    other = qsk.binned_histogram(df.where("v < 500"), "v", 0, 999, 32)
+    assert qsk.histograms_equal(other, direct).collect()[0].equal is False
+
+
+def test_histogram_quantiles_width1_is_exact(spark):
+    # width-1 bins: quantile == the exact ceil(q*N)-th order statistic
+    data = [(v,) for v in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]]
+    df = spark.createDataFrame(data, "v long")
+    hist = qsk.binned_histogram(df, "v", 1, 9, 9)
+    assert qsk.bin_width(1, 9, 9) == 1
+    got = {
+        r.q: r.value
+        for r in qsk.histogram_quantiles(hist, [0.5, 0.9], 1, 1).collect()
+    }
+    ordered = sorted(v for (v,) in data)
+    assert got[0.5] == ordered[4]   # ceil(0.5*10)=5th -> index 4
+    assert got[0.9] == ordered[8]   # ceil(0.9*10)=9th -> index 8
+
+
+def test_histogram_clamps_out_of_domain(spark):
+    df = spark.createDataFrame([(-5,), (0,), (99,), (500,)], "v long")
+    hist = qsk.binned_histogram(df, "v", 0, 99, 10).collect()
+    by_bin = {r.bin: r.cnt for r in hist}
+    assert sum(by_bin.values()) == 4          # nothing dropped
+    assert by_bin[0] == 2                      # -5 clamps into bin 0
+    assert by_bin[9] == 2                      # 500 clamps into last bin
+
+
+def test_bin_width_validation():
+    assert qsk.bin_width(0, 99, 10) == 10
+    assert qsk.bin_width(0, 100, 10) == 11     # ceil
+    with pytest.raises(ValueError):
+        qsk.bin_width(5, 4, 10)
+    with pytest.raises(ValueError):
+        qsk.bin_width(0, 9, 0)
+
+
+def test_grouped_quantiles_width1_is_exact(spark):
+    rows = [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 9]] + [
+        ("b", v) for v in [5, 5, 5]
+    ]
+    df = spark.createDataFrame(rows, "k string, v long")
+    hist = qsk.grouped_binned_histogram(df, ["k"], "v", 1, 9, 9)
+    got = {
+        (r.k, r.q): (r.value, r.n_total)
+        for r in qsk.grouped_histogram_quantiles(
+            hist, ["k"], [0.5, 0.9], 1, 1
+        ).collect()
+    }
+    assert got[("a", 0.5)] == (5, 10)   # ceil(0.5*10)=5th of 1..9,9
+    assert got[("a", 0.9)] == (9, 10)
+    assert got[("b", 0.5)] == (5, 3)
+    assert got[("b", 0.9)] == (5, 3)
+
+
+def test_z02_zorder_skips_rowkey_does_not(spark):
+    from datawarehouse_backup_system_spark.queries.scale_ext import (
+        z02_skipping_report,
+    )
+
+    # sf0.01, not the sf0.001 fixture: the box predicate needs a
+    # populated (partkey, suppkey) space — at sf0.001 suppkey spans only
+    # ~10 values, every bucket misses the box, and both layouts
+    # trivially scan zero buckets.
+    rows = {
+        r.layout: r
+        for r in z02_skipping_report(spark, "/root/testdata/sf0.01").collect()
+    }
+    z, r = rows["zorder"], rows["rowkey"]
+    assert z.rows_matching == r.rows_matching          # same answer set
+    assert z.buckets_scanned < r.buckets_scanned      # skipping happened
+    assert z.rows_in_scanned < r.rows_in_scanned
+    # row-key layout's min/max stats are useless: every bucket spans the
+    # box, so it scans everything
+    assert r.buckets_scanned == r.n_buckets
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time lookup (query-level semantics on a handcrafted feed)
+# --------------------------------------------------------------------------
+def test_u03_pointintime_assignment(spark, tmp_path):
+    import pandas as pd
+
+    from datawarehouse_backup_system_spark.queries.scale_ext import (
+        u03_scd2_pointintime,
+    )
+
+    ts = pd.Timestamp
+    rows = [
+        # user 1: view before any purchase -> version 1 (seed, NULL spend)
+        (1, ts("2024-01-01 09:00"), 1, "view", 0.0, "{}"),
+        (2, ts("2024-01-01 10:00"), 1, "purchase", 5.0, "{}"),
+        # view at exactly the purchase ts -> the NEW version (v2)
+        (3, ts("2024-01-01 10:00"), 1, "view", 0.0, "{}"),
+        (4, ts("2024-01-01 11:00"), 1, "purchase", 7.5, "{}"),
+        (5, ts("2024-01-01 12:00"), 1, "view", 0.0, "{}"),   # -> v3, 750c
+        # user 2: never purchases -> always seed version
+        (6, ts("2024-01-02 00:00"), 2, "view", 0.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf.to_parquet(tmp_path / "events.parquet", index=False)
+    got = {
+        r.event_id: (r.version, r.spend_cents)
+        for r in u03_scd2_pointintime(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (1, None),
+        3: (2, 500),
+        5: (3, 750),
+        6: (1, None),
+    }
