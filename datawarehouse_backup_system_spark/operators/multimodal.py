@@ -223,3 +223,72 @@ def frame_sample_stub(
     return feats.select(
         "asset_id", F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx")
     ).select("asset_id", "frame_idx", (F.col("frame_idx") * every_ms).alias("frame_ms"))
+
+
+def pcm_features(df: DataFrame, window: int = 32) -> DataFrame:
+    """REAL sample-level audio decode: 16-bit LE PCM from each WAV
+    blob's ``data`` chunk → integer signal statistics. This is the tier
+    ABOVE header parsing — actual per-sample DSP on actual bytes —
+    possible without media libraries because PCM inside a canonical WAV
+    is just packed int16: ``numpy.frombuffer`` inside the Arrow batch
+    is the whole decoder.
+
+    Returns one row per asset: ``n_samples``, ``sum_sq`` (Σ v² — total
+    signal energy), ``peak`` (max |v|), and ``max_window_sumsq`` (the
+    hottest ``window``-sample energy, full windows only) — all INTEGER
+    quantities, so the m05 oracle can recompute them arithmetically
+    from the generating formula and require exact equality: the bytes
+    really were decoded, or nothing matches.
+
+    Scale shape: mapInPandas, no shuffle — each Arrow batch holds few
+    rows of large cells (see module docstring); per-asset work is a
+    vectorized O(n_samples) numpy pass.
+    """
+    import numpy as np
+
+    if window <= 0:
+        raise ValueError("window must be positive")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                b = bytes(row.data) if row.data is not None else b""
+                pos = b.find(b"data")
+                if pos < 0 or pos + 8 > len(b):
+                    raise ValueError(
+                        f"asset {row.asset_id}: no RIFF 'data' chunk — "
+                        "not a canonical WAV (silent zeros would fake a "
+                        "decode that never happened)"
+                    )
+                (size,) = struct.unpack_from("<I", b, pos + 4)
+                size = min(size, len(b) - pos - 8)
+                pcm = np.frombuffer(
+                    b, dtype="<i2", count=size // 2, offset=pos + 8
+                ).astype(np.int64)
+                n = int(pcm.size)
+                sq = pcm * pcm
+                nw = n // window
+                mw = (
+                    int(sq[: nw * window].reshape(nw, window).sum(axis=1).max())
+                    if nw
+                    else 0
+                )
+                out.append(
+                    {
+                        "asset_id": row.asset_id,
+                        "n_samples": n,
+                        "sum_sq": int(sq.sum()),
+                        "peak": int(np.abs(pcm).max()) if n else 0,
+                        "max_window_sumsq": mw,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        op,
+        schema=(
+            "asset_id long, n_samples long, sum_sq long, peak int, "
+            "max_window_sumsq long"
+        ),
+    )

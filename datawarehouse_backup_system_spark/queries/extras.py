@@ -183,6 +183,76 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# m05 — REAL sample-level PCM decode: synthesize complete WAVs (header +
+# deterministic int16 waveform), decode the actual bytes with
+# multimodal.pcm_features (numpy frombuffer inside the Arrow batch), and
+# require the integer signal statistics to equal the oracle's arithmetic
+# replay of the generating formula. One tier above m02's header parse —
+# per-sample DSP without media libraries, because PCM is just packed
+# int16.
+# --------------------------------------------------------------------------
+_M05_WINDOW = 32
+
+
+def m05_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import pcm_features
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    n = (did % 64 + 64).cast("long")            # 64..127 samples
+    data_size = n * 2                            # 16-bit mono PCM
+    rate = F.lit(8000).cast("long")
+    header = F.concat(
+        F.lit("52494646"), _le_hex(data_size + 36, 4),   # "RIFF" + size
+        F.lit("57415645"),                               # "WAVE"
+        F.lit("666D7420"), F.lit("10000000"),            # "fmt " + 16
+        F.lit("0100"), F.lit("0100"),                    # PCM, mono
+        _le_hex(rate, 4), _le_hex(rate * 2, 4),
+        F.lit("0200"), F.lit("1000"),                    # align 2, 16 bit
+        F.lit("64617461"), _le_hex(data_size, 4),        # "data" + size
+    )
+
+    def le16(i):  # sample i as 2 little-endian hex bytes
+        v = F.pmod(did * 31 + i * 17, F.lit(4096)) - 2048
+        h = F.lpad(F.hex(F.pmod(v, F.lit(65536))), 4, "0")
+        return F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2))
+
+    pcm_hex = F.array_join(
+        F.transform(F.sequence(F.lit(0), (n - 1).cast("int")), le16), ""
+    )
+    assets = docs.select(
+        did.alias("asset_id"),
+        F.lit("audio").alias("kind"),
+        F.unhex(F.concat(header, pcm_hex)).alias("data"),
+    )
+    return pcm_features(assets, window=_M05_WINDOW)
+
+
+M05_SQL = f"""
+WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+s AS (
+  SELECT doc_id, n, i, ((doc_id * 31 + i * 17) % 4096) - 2048 AS v
+  FROM d, UNNEST(range(n)) AS u(i)
+),
+agg AS (
+  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+         CAST(sum(v * v) AS BIGINT) AS sum_sq,
+         CAST(max(abs(v)) AS INT) AS peak
+  FROM s GROUP BY doc_id
+),
+w AS (
+  SELECT doc_id, i // {_M05_WINDOW} AS wi, sum(v * v) AS wsum
+  FROM s WHERE i < (n // {_M05_WINDOW}) * {_M05_WINDOW}
+  GROUP BY doc_id, i // {_M05_WINDOW}
+)
+SELECT agg.doc_id AS asset_id, n_samples, sum_sq, peak,
+       CAST(max(w.wsum) AS BIGINT) AS max_window_sumsq
+FROM agg JOIN w ON w.doc_id = agg.doc_id
+GROUP BY 1, 2, 3, 4
+"""
+
+
+# --------------------------------------------------------------------------
 # r01–r04 — recall@3 of each ANN family vs the exact baseline
 # --------------------------------------------------------------------------
 _K = 3
@@ -527,6 +597,9 @@ def _build_specs() -> list[QuerySpec]:
                   "real stdlib WAV header parser (mapInPandas) vs arithmetic oracle"),
         QuerySpec("m03_mp4_headers", m03_mp4_headers, M03_SQL,
                   "real stdlib MP4/mvhd header parser vs arithmetic oracle"),
+        QuerySpec("m05_wav_energy", m05_wav_energy, M05_SQL,
+                  "REAL PCM sample decode (numpy in Arrow batch): integer "
+                  "signal energy/peak/window stats vs arithmetic oracle"),
         QuerySpec("r01_recall_bucketed", r01_recall_bucketed, _recall_sql(D07_SQL),
                   "recall@3 of sign-bucket ANN vs exact baseline"),
         QuerySpec("r02_recall_multiprobe", r02_recall_multiprobe, _recall_sql(D08_SQL),

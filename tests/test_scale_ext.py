@@ -210,6 +210,51 @@ def test_z02_zorder_skips_rowkey_does_not(spark):
 
 
 # --------------------------------------------------------------------------
+# pcm_features: real sample-level WAV decode
+# --------------------------------------------------------------------------
+def _wav(samples: list[int]) -> bytes:
+    import struct as st
+
+    pcm = b"".join(st.pack("<h", v) for v in samples)
+    return (
+        b"RIFF" + st.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + st.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + st.pack("<I", len(pcm)) + pcm
+    )
+
+
+def test_pcm_features_decodes_real_samples(spark):
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        pcm_features,
+    )
+
+    samples = [100, -200, 300, -32768, 0, 7]
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav(samples))), (2, bytearray(_wav([])))],
+        "asset_id long, data binary",
+    )
+    got = {r.asset_id: r for r in pcm_features(df, window=2).collect()}
+    assert got[1].n_samples == 6
+    assert got[1].sum_sq == sum(v * v for v in samples)
+    assert got[1].peak == 32768
+    assert got[1].max_window_sumsq == 300**2 + 32768**2
+    assert got[2].n_samples == 0 and got[2].sum_sq == 0 and got[2].peak == 0
+    assert got[2].max_window_sumsq == 0
+
+
+def test_pcm_features_rejects_non_wav(spark):
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        pcm_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a wav at all"))], "asset_id long, data binary"
+    )
+    with pytest.raises(Exception, match="data"):
+        pcm_features(df).collect()
+
+
+# --------------------------------------------------------------------------
 # SCD2 point-in-time lookup (query-level semantics on a handcrafted feed)
 # --------------------------------------------------------------------------
 def test_u03_pointintime_assignment(spark, tmp_path):
