@@ -425,6 +425,117 @@ FROM reports, matching
 """
 
 
+# --------------------------------------------------------------------------
+# q46 — referential-integrity audit: orphan counts for every FK
+# relationship in the star schema. The cross-TABLE health check the
+# expectations family (q36, single-table) doesn't cover; each
+# relationship is one anti-join against a broadcastable dim.
+# --------------------------------------------------------------------------
+def q46_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rels = [
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+    ]
+    out = None
+    for name, child_t, fk, parent_t, pk in rels:
+        child = load(spark, sf_dir, child_t).select(F.col(fk).alias("fk"))
+        parent = load(spark, sf_dir, parent_t).select(F.col(pk).alias("pk"))
+        orphans = child.join(
+            F.broadcast(parent), child.fk == parent.pk, "left_anti"
+        )
+        row = child.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+        ).select(F.lit(name).alias("relationship"), "n_child", "n_orphans")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+Q46_SQL = """
+SELECT 'orders.o_custkey->customer' AS relationship,
+       CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+            AS BIGINT)
+"""
+
+
+# --------------------------------------------------------------------------
+# q47 — TPC-H Q21 shape: suppliers who were the SOLE late supplier in a
+# multi-supplier order (EXISTS another supplier + NOT EXISTS another
+# LATE supplier). Spark expresses the double correlation as two
+# per-order aggregates — n_suppliers and n_late_suppliers — joined back:
+# one shuffle each on orderkey, no correlated re-scans.
+# --------------------------------------------------------------------------
+def q47_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    with_dates = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+    )
+    per_order = with_dates.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    late_su = (
+        with_dates.where("late").select("l_orderkey", "l_suppkey").distinct()
+    )
+    return (
+        late_su.join(per_order, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+
+
+Q47_SQL = """
+SELECT l1.l_suppkey, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY l1.l_suppkey
+"""
+
+
 SPECS = [
     QuerySpec("d13_prefix_jaccard", d13_prefix_jaccard, D13_SQL,
               "EXACT Jaccard>=0.7 set-similarity self-join via prefix "
@@ -444,4 +555,10 @@ SPECS = [
     QuerySpec("z02_skipping_report", z02_skipping_report, Z02_SQL,
               "data-skipping economics: buckets scanned for a 2-D box "
               "under z-order tiles vs row-key layout"),
+    QuerySpec("q46_fk_orphans", q46_fk_orphans, Q46_SQL,
+              "cross-table referential-integrity audit: orphan counts "
+              "per FK relationship (anti-join vs broadcast dim)"),
+    QuerySpec("q47_sole_late_supplier", q47_sole_late_supplier, Q47_SQL,
+              "TPC-H Q21 shape: double-correlated EXISTS/NOT-EXISTS as "
+              "two per-order aggregates joined back"),
 ]
