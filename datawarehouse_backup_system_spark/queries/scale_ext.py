@@ -536,6 +536,128 @@ GROUP BY l1.l_suppkey
 """
 
 
+# --------------------------------------------------------------------------
+# t32 — temperature-based language re-balancing (XLM-R / mBERT lineage):
+# sampling weight w_l ∝ n_l^α with α = 0.5, i.e. sqrt — the one
+# temperature whose power function is a correctly-rounded IEEE op on
+# both engines. Weights are quantized to integer micro-units BEFORE the
+# normalizing sum, so the total is exact and the final rounded ratios
+# are bit-identical regardless of summation order.
+# --------------------------------------------------------------------------
+def t32_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "wq",
+            F.floor(F.sqrt(F.col("n_docs")) * F.lit(1_000_000)).cast("bigint"),
+        )
+    )
+    tot = per.agg(
+        F.sum("wq").alias("wq_total"), F.sum("n_docs").alias("n_total")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("wq") / F.col("wq_total"), 6).alias("weight"),
+        F.round(
+            (F.col("wq") * F.col("n_total"))
+            / (F.col("wq_total") * F.col("n_docs")),
+            6,
+        ).alias("epochs"),
+    )
+
+
+T32_SQL = """
+WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS wq
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(sum(wq) AS BIGINT) AS wq_total,
+         CAST(sum(n_docs) AS BIGINT) AS n_total
+  FROM per
+)
+SELECT lang, n_docs,
+       round(CAST(wq AS DOUBLE) / wq_total, 6) AS weight,
+       round(CAST(wq * n_total AS DOUBLE) / (wq_total * n_docs), 6) AS epochs
+FROM per, tot
+"""
+
+
+# --------------------------------------------------------------------------
+# w02 — deterministic resampling manifest from the t32 weights: per-doc
+# copy count = ⌊epochs⌋ plus one more iff the doc's md5-derived uniform
+# lands under the fractional part. EVERYTHING is integer (micro-epoch
+# units, 56-bit hash mod 1e6), so the manifest is reproducible across
+# engines, partitionings, and reruns — the property a training run
+# actually needs from its sampler. 64-bit bound: wq·N·1e6 must fit a
+# signed long (holds to ~10^9 docs per language group; beyond that,
+# promote the micro-epoch arithmetic to decimal(38,0)).
+# --------------------------------------------------------------------------
+def w02_temperature_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    per = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "wq",
+            F.floor(F.sqrt(F.col("n_docs")) * F.lit(1_000_000)).cast("bigint"),
+        )
+    )
+    tot = per.agg(
+        F.sum("wq").alias("wq_total"), F.sum("n_docs").alias("n_total")
+    )
+    # integer micro-epochs: floor(wq * N * 1e6 / (wq_total * n_l))
+    lang_epochs = per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.expr(
+            "(wq * n_total * 1000000) div (wq_total * n_docs)"
+        ).alias("epochs_micro"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10)
+        .cast("bigint") % F.lit(1_000_000)
+    )
+    return (
+        docs.join(F.broadcast(lang_epochs), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.expr("epochs_micro div 1000000")
+                + F.when(u < F.col("epochs_micro") % 1_000_000, 1).otherwise(0)
+            ).alias("n_copies"),
+        )
+    )
+
+
+W02_SQL = """
+WITH per AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS wq
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(sum(wq) AS BIGINT) AS wq_total,
+         CAST(sum(n_docs) AS BIGINT) AS n_total
+  FROM per
+),
+le AS (
+  SELECT lang, (wq * n_total * 1000000) // (wq_total * n_docs) AS epochs_micro
+  FROM per, tot
+)
+SELECT d.doc_id, d.lang,
+       CAST(epochs_micro // 1000000
+            + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14))
+                        ::BIGINT % 1000000 < epochs_micro % 1000000
+                   THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+FROM documents d JOIN le ON le.lang = d.lang
+"""
+
+
 SPECS = [
     QuerySpec("d13_prefix_jaccard", d13_prefix_jaccard, D13_SQL,
               "EXACT Jaccard>=0.7 set-similarity self-join via prefix "
@@ -561,4 +683,10 @@ SPECS = [
     QuerySpec("q47_sole_late_supplier", q47_sole_late_supplier, Q47_SQL,
               "TPC-H Q21 shape: double-correlated EXISTS/NOT-EXISTS as "
               "two per-order aggregates joined back"),
+    QuerySpec("t32_lang_temperature", t32_lang_temperature, T32_SQL,
+              "temperature (alpha=0.5) language re-balancing weights, "
+              "integer-quantized before the normalizing sum"),
+    QuerySpec("w02_temperature_manifest", w02_temperature_manifest, W02_SQL,
+              "deterministic per-doc resampling manifest from t32 "
+              "weights (integer micro-epochs + md5 fractional draw)"),
 ]
