@@ -658,6 +658,75 @@ FROM documents d JOIN le ON le.lang = d.lang
 """
 
 
+# --------------------------------------------------------------------------
+# r08 — measured recall of the MinHash-LSH dedup (d02 parameters) vs the
+# EXACT prefix-filter ground truth at the same threshold and the same
+# shingle universe. RECALL.md covers the ANN families (r01–r07); this
+# closes the gap for the pair-dedup family: LSH misses (band collisions
+# that never happen) and the hot-bucket cap both subtract from recall,
+# and this query prints the honest number. Precision is 1 by
+# construction — d02 exact-verifies every candidate.
+# --------------------------------------------------------------------------
+def r08_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup_approx
+
+    corpus = _docs_with_neardups(spark, sf_dir)
+    exact = prefix_jaccard_join(
+        corpus, "doc_id", "text", threshold_num=1, threshold_den=2,
+        shingle_n=3,
+    ).select("id_a", "id_b")
+    approx = (
+        dedup_approx.minhash_lsh_dedup(
+            corpus, "doc_id", "text", shingle_n=3, k=9, band_size=3,
+            threshold=0.5, max_bucket_size=20,
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["id_a", "id_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("n_hit"),
+        )
+        .withColumn("recall", F.round(F.col("n_hit") / F.col("n_exact"), 6))
+    )
+
+
+def _r08_sql() -> str:
+    from .llm_ops import D02_SQL
+
+    return f"""
+WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus
+),
+tok AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS token
+  FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+n AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT id_a, id_b
+  FROM inter JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+  WHERE 2 * n_inter >= 1 * (na.n + nb.n - n_inter)
+),
+approx AS (SELECT DISTINCT id_a, id_b FROM ({D02_SQL}) d2)
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(h.id_a) AS BIGINT) AS n_hit,
+       round(CAST(count(h.id_a) AS DOUBLE) / count(*), 6) AS recall
+FROM exact e
+LEFT JOIN approx h ON h.id_a = e.id_a AND h.id_b = e.id_b
+"""
+
+
 SPECS = [
     QuerySpec("d13_prefix_jaccard", d13_prefix_jaccard, D13_SQL,
               "EXACT Jaccard>=0.7 set-similarity self-join via prefix "
@@ -689,4 +758,7 @@ SPECS = [
     QuerySpec("w02_temperature_manifest", w02_temperature_manifest, W02_SQL,
               "deterministic per-doc resampling manifest from t32 "
               "weights (integer micro-epochs + md5 fractional draw)"),
+    QuerySpec("r08_recall_minhash", r08_recall_minhash, _r08_sql(),
+              "measured pair recall of MinHash-LSH dedup vs the exact "
+              "prefix-filter ground truth at the same threshold"),
 ]
