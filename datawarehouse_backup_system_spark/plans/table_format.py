@@ -264,3 +264,86 @@ def diff_versions(
         "change", F.lit("delete")
     )
     return inserts.unionByName(deletes, allowMissingColumns=True)
+
+
+def write_stats_manifest(
+    spark: SparkSession,
+    path: Path,
+    columns: list[str],
+    manifest_dir: Path | None = None,
+) -> int:
+    """Iceberg-manifest-style per-FILE column statistics for a parquet
+    table: one row per data file with min/max/null-count of each named
+    column plus the row count, written as a small parquet table under
+    ``<table>/_stats`` (the underscore prefix keeps it invisible to
+    Spark's file index, so plain table readers never see it).
+
+    z02 measures skipping economics on simulated buckets; this makes the
+    same pruning REAL on the table's actual files: :func:`pruned_files`
+    consults the manifest instead of footer-reading every file — at
+    100 TB the difference between planning from a kilobyte manifest and
+    opening 10⁵ parquet footers on object storage.
+
+    Built in ONE scan: rows are grouped by ``input_file_name()`` — no
+    per-file driver loop. Returns the number of files manifested.
+    """
+    manifest_dir = manifest_dir or (Path(path) / "_stats")
+    df = spark.read.parquet(str(path)).withColumn(
+        "_file", F.input_file_name()
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+        ]
+    stats = df.groupBy("_file").agg(*aggs)
+    # a manifest is small (one row per file): single output file
+    stats.coalesce(1).write.mode("overwrite").parquet(str(manifest_dir))
+    return spark.read.parquet(str(manifest_dir)).count()
+
+
+def pruned_files(
+    spark: SparkSession,
+    path: Path,
+    column: str,
+    lo,
+    hi,
+    manifest_dir: Path | None = None,
+) -> list[str]:
+    """Data files whose [min, max] range for ``column`` intersects
+    [lo, hi], per the stats manifest — the files a range query must
+    scan. All-null files (min/max NULL) are kept: stats cannot prove
+    they miss, and dropping them would be a wrong answer, not a slow
+    one. Bounded driver work: the manifest has one row per file."""
+    manifest_dir = manifest_dir or (Path(path) / "_stats")
+    m = spark.read.parquet(str(manifest_dir))
+    keep = m.where(
+        F.col(f"min_{column}").isNull()
+        | ((F.col(f"min_{column}") <= hi) & (F.col(f"max_{column}") >= lo))
+    )
+    return [r["_file"] for r in keep.select("_file").collect()]
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: Path,
+    column: str,
+    lo,
+    hi,
+    manifest_dir: Path | None = None,
+) -> DataFrame:
+    """Range read through the manifest: scan only intersecting files,
+    then apply the exact predicate (file stats admit false positives,
+    never false negatives). Equals the full-scan filter by construction;
+    the pytest pins both the equality and that files were skipped."""
+    files = pruned_files(spark, path, column, lo, hi, manifest_dir)
+    if not files:
+        schema = spark.read.parquet(str(path)).schema
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.option("basePath", str(path))
+        .parquet(*files)
+        .where(F.col(column).between(lo, hi))
+    )

@@ -291,3 +291,57 @@ def test_u03_pointintime_assignment(spark, tmp_path):
         5: (3, 750),
         6: (1, None),
     }
+
+
+# --------------------------------------------------------------------------
+# file-stats manifest pruning (plans/table_format.py)
+# --------------------------------------------------------------------------
+def test_manifest_pruned_read_skips_files_and_matches_full_scan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        pruned_files,
+        read_pruned,
+        write_stats_manifest,
+    )
+
+    table = tmp_path / "t"
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    # range layout -> files with near-disjoint id ranges (the clustered
+    # write a warehouse produces); 8 files
+    df.repartitionByRange(8, "id").write.parquet(str(table))
+    n_files = write_stats_manifest(spark, table, ["id", "v"])
+    assert n_files == 8
+
+    kept = pruned_files(spark, table, "id", 100, 200)
+    assert 0 < len(kept) < 8                      # pruning actually pruned
+    got = read_pruned(spark, table, "id", 100, 200).orderBy("id").collect()
+    want = (
+        spark.read.parquet(str(table))
+        .where(F.col("id").between(100, 200))
+        .orderBy("id")
+        .collect()
+    )
+    assert got == want                            # equality vs full scan
+    # manifest lives under _stats and is invisible to plain readers
+    assert (table / "_stats").exists()
+    assert spark.read.parquet(str(table)).count() == 10_000
+
+
+def test_manifest_keeps_all_null_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        pruned_files,
+        write_stats_manifest,
+    )
+
+    table = tmp_path / "t2"
+    a = spark.range(0, 10).withColumn("k", F.col("id").cast("long"))
+    b = spark.range(0, 5).withColumn("k", F.lit(None).cast("long"))
+    a.coalesce(1).write.parquet(str(table))
+    b.coalesce(1).write.mode("append").parquet(str(table))
+    write_stats_manifest(spark, table, ["k"])
+    kept = pruned_files(spark, table, "k", 100, 200)  # misses every real k
+    # stats can't prove the all-null file misses -> it must be kept
+    assert len(kept) >= 1
