@@ -67,6 +67,10 @@ WRITE_MARKER_PREFIX = "_write:"
 STATUS_WRITE_BEGIN = "write begin"
 STATUS_WRITE_COMMIT = "write commit"
 STATUS_WRITE_ABORTED = "write aborted"
+# RESTORE tombstone: a committed write logically removed by
+# restore_to_version. Excluded from committed_writes (so time travel and
+# live reads no longer see it); its data files become vacuum()-able.
+STATUS_WRITE_RESTORED = "write restored-away"
 
 
 class Ledger:
@@ -122,8 +126,8 @@ class Ledger:
 
     def committed_writes(self, table_name: str) -> list[tuple[str, object]]:
         """(write_id, committed_at) for every COMMITTED snapshot append
-        of ``table_name``, ordered by commit time (ties by id) — the
-        version history time travel reads from."""
+        of ``table_name`` not tombstoned by a restore, ordered by commit
+        time (ties by id) — the version history time travel reads from."""
         rows = (
             self.read()
             .where(
@@ -131,11 +135,45 @@ class Ledger:
                     f"{WRITE_MARKER_PREFIX}{table_name}:"
                 )
             )
-            .where(F.col("status") == STATUS_WRITE_COMMIT)
-            .select("file_name", "created_at")
+            .groupBy("file_name")
+            .agg(
+                F.collect_set("status").alias("states"),
+                F.min(
+                    F.when(
+                        F.col("status") == STATUS_WRITE_COMMIT,
+                        F.col("created_at"),
+                    )
+                ).alias("committed_at"),
+            )
             .collect()
         )
         out = [
-            (r["file_name"].rsplit(":", 1)[-1], r["created_at"]) for r in rows
+            (r["file_name"].rsplit(":", 1)[-1], r["committed_at"])
+            for r in rows
+            if STATUS_WRITE_COMMIT in set(r["states"])
+            and STATUS_WRITE_RESTORED not in set(r["states"])
         ]
         return sorted(out, key=lambda t: (t[1], t[0]))
+
+    def tombstoned_writes(self, table_name: str) -> list[str]:
+        """write_ids of ``table_name`` carrying a restore tombstone or an
+        abort marker — the set whose lingering data files vacuum() may
+        safely delete (an unknown/in-progress write-id is NOT in this
+        list, so vacuum can never race a concurrent publish)."""
+        rows = (
+            self.read()
+            .where(
+                F.col("file_name").startswith(
+                    f"{WRITE_MARKER_PREFIX}{table_name}:"
+                )
+            )
+            .groupBy("file_name")
+            .agg(F.collect_set("status").alias("states"))
+            .collect()
+        )
+        return [
+            r["file_name"].rsplit(":", 1)[-1]
+            for r in rows
+            if {STATUS_WRITE_RESTORED, STATUS_WRITE_ABORTED}
+            & set(r["states"])
+        ]

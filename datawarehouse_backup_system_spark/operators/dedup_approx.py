@@ -298,10 +298,27 @@ def dedup_groups(
     GraphX/GraphFrames use; hot components are bounded because near-dup
     verification caps pair degree.
     """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    und = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # both directions from ONE scan of pairs: a two-branch
+    # union(edges, reversed) evaluates the (expensive) pairs pipeline
+    # twice when building the persisted frame — measured on c01/d09 once
+    # shingles stopped being cached. The explode keeps it single-pass.
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    und = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("src"), F.col("b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("b").alias("src"), F.col("a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .persist()
+    )
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()

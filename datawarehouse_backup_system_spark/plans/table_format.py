@@ -347,3 +347,47 @@ def read_pruned(
         .parquet(*files)
         .where(F.col(column).between(lo, hi))
     )
+
+
+def restore_to_version(
+    fmt: WriteIdParquetFormat, path: Path, table_name: str, version: int
+) -> int:
+    """RESTORE TABLE ... TO VERSION N (Delta-RESTORE analog, simplified:
+    later versions leave the history instead of restore being a new
+    commit). Tombstone-first ordering makes it crash-safe: each doomed
+    write-id gets a ledger 'restored-away' row BEFORE its files are
+    unlinked, so a crash mid-delete leaves the table logically restored
+    (committed_writes excludes tombstoned ids; read_as_of and live reads
+    no longer list those files) and vacuum() sweeps the stragglers.
+
+    Returns the number of write-ids restored away.
+    """
+    commits = fmt.ledger.committed_writes(table_name)
+    if not 0 <= version <= len(commits):
+        raise ValueError(f"version {version} out of range 0..{len(commits)}")
+    doomed = [wid for wid, _ in commits[version:]]
+    for wid in doomed:
+        marker = f"{ledger_mod.WRITE_MARKER_PREFIX}{table_name}:{wid}"
+        fmt.ledger.append(marker, ledger_mod.STATUS_WRITE_RESTORED)
+        for f in Path(path).rglob(f"w{wid}-*.parquet"):
+            f.unlink(missing_ok=True)
+    return len(doomed)
+
+
+def vacuum(fmt: WriteIdParquetFormat, path: Path, table_name: str) -> int:
+    """Delete lingering data files of TOMBSTONED write-ids (restored or
+    aborted). Deliberately narrower than Delta's VACUUM: an unknown or
+    in-progress write-id is never touched — only ids with an explicit
+    tombstone row — so vacuum can never race a concurrent publish and
+    needs no retention-window heuristic. recover() owns the
+    crashed-uncommitted case. Returns files deleted."""
+    dead = set(fmt.ledger.tombstoned_writes(table_name))
+    n = 0
+    if not Path(path).exists():
+        return 0
+    for f in Path(path).rglob("w*-*.parquet"):
+        wid = f.name[1:].split("-", 1)[0]
+        if wid in dead:
+            f.unlink(missing_ok=True)
+            n += 1
+    return n
