@@ -514,3 +514,48 @@ def read_lm_model(spark, state_dir: str):
         .groupBy("bc").agg(F.sum("c_ctx").alias("c_ctx"))
     )
     return pair, ctx
+
+
+def stream_histogram_partials(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    value_col: str,
+    lo: int,
+    hi: int,
+    n_bins: int = 64,
+):
+    """Incrementally maintain the mergeable binned-quantile sketch
+    (operators.quantiles) from a stream: each micro-batch overwrites its
+    OWN ≤ n_bins-row partial under ``state_dir/batch_id=N``, so
+    at-least-once foreachBatch replay rewrites instead of
+    double-counting (the LM-partials pattern). :func:`read_histogram`
+    merges by per-bin summation — EXACTLY the histogram a batch build
+    over every streamed row yields, because the sketch's merge is
+    associative and commutative. The streaming answer to "p99 so far"
+    without any stateful operator: state is a parquet directory of
+    tiny partials, and the domain [lo, hi] is fixed up front (the
+    sketch's usual contract)."""
+    from datawarehouse_backup_system_spark.operators import quantiles as qsk
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        qsk.binned_histogram(batch, value_col, lo, hi, n_bins).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def read_histogram(spark, state_dir: str) -> DataFrame:
+    """Merge all streamed histogram partials into the current sketch
+    (bin, cnt) — per-bin sums, identical to the direct batch build."""
+    return (
+        spark.read.parquet(state_dir)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

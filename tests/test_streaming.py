@@ -583,3 +583,43 @@ def test_stream_lm_partials_equal_batch_model(spark, tmp_path):
     s1 = lm.score_with_model(probe, "doc_id", "text", streamed).collect()[0]
     s2 = lm.score_with_model(probe, "doc_id", "text", batch).collect()[0]
     assert s1["sum_logp"] == s2["sum_logp"]
+
+
+def test_stream_histogram_partials_match_batch(spark, tmp_path):
+    """Streamed per-batch histogram partials merge to EXACTLY the batch
+    sketch over every row seen, and quantile reads through the streamed
+    sketch equal the batch reads (merge is associative + commutative)."""
+    from pyspark.sql import types as T
+
+    from datawarehouse_backup_system_spark.operators import quantiles as qsk
+    from datawarehouse_backup_system_spark.streaming import ingest_stream as st
+
+    schema = T.StructType([T.StructField("v", T.LongType())])
+    b1 = [((i * 37) % 500,) for i in range(200)]
+    b2 = [((i * 53) % 500,) for i in range(150)]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ck")
+    q = st.stream_histogram_partials(stream, state, ckpt, "v", 0, 499, 16)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = st.read_histogram(spark, state)
+    union = spark.createDataFrame(b1 + b2, schema)
+    batch = qsk.binned_histogram(union, "v", 0, 499, 16)
+    assert qsk.histograms_equal(streamed, batch).collect()[0].equal is True
+
+    w = qsk.bin_width(0, 499, 16)
+    got = {r.q: r.value for r in
+           qsk.histogram_quantiles(streamed, [0.5, 0.99], 0, w).collect()}
+    want = {r.q: r.value for r in
+            qsk.histogram_quantiles(batch, [0.5, 0.99], 0, w).collect()}
+    assert got == want
