@@ -391,3 +391,53 @@ def vacuum(fmt: WriteIdParquetFormat, path: Path, table_name: str) -> int:
             f.unlink(missing_ok=True)
             n += 1
     return n
+
+
+def update_stats_manifest(
+    spark: SparkSession,
+    path: Path,
+    columns: list[str],
+    manifest_dir: Path | None = None,
+) -> tuple[int, int]:
+    """Incremental manifest maintenance: stat ONLY data files absent
+    from the manifest and union them in — O(appended bytes), not
+    O(table). The per-append complement of :func:`write_stats_manifest`:
+    at 100 TB the full rebuild is a compaction-time job; every appended
+    batch maintains the manifest at the cost of scanning itself.
+
+    Returns (files_added, files_total). The manifest rewrite is a
+    tmp-dir swap (the manifest is one row per file — tiny); files are
+    matched by the same URI ``input_file_name()`` records.
+    """
+    manifest_dir = manifest_dir or (Path(path) / "_stats")
+    if not manifest_dir.exists():
+        n = write_stats_manifest(spark, path, columns, manifest_dir)
+        return n, n
+    old = spark.read.parquet(str(manifest_dir))
+    known = {r["_file"] for r in old.select("_file").collect()}
+    disk = [
+        f for f in Path(path).rglob("*.parquet")
+        if manifest_dir not in f.parents
+    ]
+    new_files = [f for f in disk if f.as_uri() not in known]
+    if not new_files:
+        return 0, len(known)
+    df = (
+        spark.read.option("basePath", str(path))
+        .parquet(*[str(f) for f in new_files])
+        .withColumn("_file", F.input_file_name())
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+        ]
+    add = df.groupBy("_file").agg(*aggs)
+    merged = old.unionByName(add)
+    tmp = manifest_dir.parent / f"{manifest_dir.name}_tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+    shutil.rmtree(manifest_dir)
+    tmp.rename(manifest_dir)
+    return len(new_files), len(known) + len(new_files)
