@@ -748,6 +748,58 @@ LEFT JOIN approx h ON h.id_a = e.id_a AND h.id_b = e.id_b
 """
 
 
+# --------------------------------------------------------------------------
+# e06 — exact Gram-matrix sufficient statistics over embeddings: the
+# map-reduce half of distributed PCA/whitening. Components quantize to
+# integer ten-thousandths so the Σ xᵢxⱼ sums are engine-exact (float
+# accumulation order can't differ); the eigendecomposition that follows
+# is a driver-side numpy step on a d×d matrix — NOT big data. The 100 TB
+# shape: corpus → one (i, j)-keyed integer aggregation → d(d+1)/2 rows.
+# --------------------------------------------------------------------------
+_E06_DIMS = 16          # leading dims: d(d+1)/2 = 136 output rows
+_E06_Q = 10_000         # component quantization (ten-thousandths)
+
+
+def e06_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(F.slice("embedding", 1, _E06_DIMS)).alias("i", "x"),
+    ).select(
+        "vec_id",
+        F.col("i").cast("bigint").alias("i"),
+        F.floor(F.col("x").cast("double") * _E06_Q + F.lit(0.5))
+        .cast("bigint")
+        .alias("xq"),
+    )
+    a = comp.select("vec_id", F.col("i").alias("i"), F.col("xq").alias("xi"))
+    b = comp.select("vec_id", F.col("i").alias("j"), F.col("xq").alias("xj"))
+    return (
+        a.join(b, "vec_id")
+        .where(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("xi") * F.col("xj")).alias("sum_xy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+E06_SQL = f"""
+WITH comp AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * {_E06_Q} + 0.5)
+              AS BIGINT) AS xq
+  FROM embeddings, UNNEST(range({_E06_DIMS})) AS u(i)
+)
+SELECT a.i, b.i AS j,
+       CAST(sum(a.xq * b.xq) AS BIGINT) AS sum_xy,
+       CAST(count(*) AS BIGINT) AS n
+FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec("d13_prefix_jaccard", d13_prefix_jaccard, D13_SQL,
               "EXACT Jaccard>=0.7 set-similarity self-join via prefix "
@@ -782,4 +834,7 @@ SPECS = [
     QuerySpec("r08_recall_minhash", r08_recall_minhash, _r08_sql(),
               "measured pair recall of MinHash-LSH dedup vs the exact "
               "prefix-filter ground truth at the same threshold"),
+    QuerySpec("e06_gram_matrix", e06_gram_matrix, E06_SQL,
+              "exact integer Gram-matrix sufficient statistics over "
+              "embedding dims (the map-reduce half of PCA/whitening)"),
 ]

@@ -372,3 +372,33 @@ def test_update_stats_manifest_incremental(spark, tmp_path):
     assert 0 < len(kept_new) <= 2
     kept_old = pruned_files(spark, table, "id", 100, 200)
     assert 0 < len(kept_old) < 4
+
+
+def test_e06_gram_matches_numpy(spark):
+    import numpy as np
+
+    from datawarehouse_backup_system_spark.queries.scale_ext import (
+        _E06_DIMS,
+        _E06_Q,
+        e06_gram_matrix,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    X = np.array(
+        [
+            np.floor(np.array(r.embedding[:_E06_DIMS], dtype=np.float64)
+                     * _E06_Q + 0.5)
+            for r in rows
+        ],
+        dtype=np.int64,
+    )
+    want = X.T @ X                        # exact integer Gram
+    got = {(r.i, r.j): r.sum_xy for r in e06_gram_matrix(spark, sf).collect()}
+    for i in range(_E06_DIMS):
+        for j in range(i, _E06_DIMS):
+            assert got[(i, j)] == want[i, j], (i, j)
+    # the statistic SUFFICES for PCA: eigh on the d x d matrix is a
+    # driver-side numpy step, no further data pass
+    evals = np.linalg.eigvalsh(want.astype(np.float64))
+    assert (evals >= -1e-6 * abs(evals).max()).all()  # PSD as a Gram must be
