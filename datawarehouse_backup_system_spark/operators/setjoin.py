@@ -95,6 +95,13 @@ def prefix_jaccard_join(
             + 1
         ).cast("int"),
     )
+    # per_doc feeds THREE subtrees (prefix explode + both verify sides)
+    # and is deliberately NOT persisted: although it is one row per doc,
+    # caching the array<struct> column measured 7.9 s vs 5.4 s recompute
+    # at sf0.1 — columnar-cache builds of nested array columns are the
+    # same trap as the exploded shingle stream (SCALE.md, Measured
+    # lessons). Recompute keeps the docfreq shuffle + array build in
+    # codegen.
     pref = per_doc.select(
         "id",
         "n",
