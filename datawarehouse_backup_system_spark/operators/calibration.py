@@ -1,0 +1,79 @@
+"""Per-group isotonic regression (PAVA) via ``applyInPandas`` —
+probability calibration for classifier scores.
+
+The one operator family in this repo that genuinely needs the
+grouped-map escape hatch: pool-adjacent-violators is inherently
+SEQUENTIAL within a group (each pooling decision depends on every prior
+one), so no composition of joins/windows/aggregates expresses it. The
+groups themselves are tiny (score buckets — tens of rows), so the right
+distributed shape is: shuffle once on the group key, run the exact
+sequential algorithm per group inside an Arrow batch, emit the fitted
+curve. This is precisely what ``applyInPandas`` is for; the data-sized
+work (bucketing + counting) happens BEFORE it in plain aggregations.
+
+Correctness is cross-checked through a classical theorem rather than a
+reimplementation: weighted L2 isotonic regression satisfies the minimax
+formula  iso(i) = max_{a<=i} min_{b>=i} weighted-mean(y[a..b]), so the
+DuckDB oracle replays the O(n³)-per-group minimax (fine for n=buckets)
+and must agree with PAVA bucket-for-bucket. All pooling arithmetic is
+exact integer (sum, count) pairs compared by cross-multiplication; the
+reported rate is floor(1e6·sum/count) — engine-exact micro-units.
+
+Public-algorithm lineage: PAVA (Ayer et al. 1955); calibration use as
+in Zadrozny & Elkan's calibration literature; sklearn's
+IsotonicRegression is the reference semantics (L2, weighted).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def _pava_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact weighted PAVA over one group, ordered by bucket.
+
+    Input columns: bucket, y_sum, n (integers). Output adds
+    ``rate_micro`` = floor(1e6 * pooled_sum / pooled_n) — the isotonic
+    (non-decreasing) calibrated rate per bucket.
+    """
+    pdf = pdf.sort_values("bucket").reset_index(drop=True)
+    # stack of blocks [start_idx, S, C]; merge while the tail violates
+    blocks: list[list[int]] = []
+    for idx, row in enumerate(pdf.itertuples(index=False)):
+        s, c = int(row.y_sum), int(row.n)
+        blocks.append([idx, s, c])
+        # violation: prev_mean > cur_mean  <=>  S1*C2 > S2*C1 (exact)
+        while (
+            len(blocks) >= 2
+            and blocks[-2][1] * blocks[-1][2]
+            > blocks[-1][1] * blocks[-2][2]
+        ):
+            _, s2, c2 = blocks.pop()
+            blocks[-1][1] += s2
+            blocks[-1][2] += c2
+    rate = [0] * len(pdf)
+    bounds = [b[0] for b in blocks] + [len(pdf)]
+    for k, (start, s, c) in enumerate(blocks):
+        micro = (1_000_000 * s) // c if c else 0
+        for i in range(start, bounds[k + 1]):
+            rate[i] = micro
+    out = pdf.copy()
+    out["rate_micro"] = pd.Series(rate, dtype="int64")
+    return out
+
+
+def isotonic_calibrate(
+    df: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """df columns: group_cols..., bucket (int), y_sum (long), n (long)
+    → same rows plus ``rate_micro``, non-decreasing in bucket within
+    each group. One shuffle on the group key; per-group work is the
+    exact sequential PAVA inside the Arrow batch."""
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", rate_micro long"
+    # applyInPandas feeds one GROUP per function call (keyed by
+    # group_cols); mapInPandas would hand arbitrary row batches and
+    # break the per-group sequential invariant
+    return df.groupBy(*group_cols).applyInPandas(_pava_rows, schema=schema)

@@ -800,6 +800,99 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# c03 — per-group isotonic calibration (PAVA via applyInPandas). The
+# grouped-map escape hatch used where it is genuinely needed: PAVA is
+# sequential within a group. The oracle does NOT reimplement PAVA — it
+# replays the classical MINIMAX characterization (iso(i) = max over
+# prefixes of min over suffixes of weighted window means), so a green
+# row is the PAVA==minimax theorem machine-checked on this data, across
+# engines, in exact integer micro-units.
+# --------------------------------------------------------------------------
+_C03_BUCKETS = 20
+
+
+def c03_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.calibration import isotonic_calibrate
+
+    ev = load(spark, sf_dir, "events").select(
+        F.dayofweek("ts").alias("g"),
+        cents(F.col("value")).alias("c"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    lo, hi = ev.agg(F.min("c"), F.max("c")).collect()[0]
+    w = qsk.bin_width(lo, hi, _C03_BUCKETS)
+    base = (
+        ev.select(
+            "g",
+            F.least(
+                F.lit(_C03_BUCKETS - 1),
+                F.greatest(
+                    F.lit(0), F.expr(f"(c - {lo}) div {w}")
+                ),
+            ).cast("int").alias("bucket"),
+            "y",
+        )
+        .groupBy("g", "bucket")
+        .agg(F.sum("y").alias("y_sum"), F.count(F.lit(1)).alias("n"))
+    )
+    return isotonic_calibrate(base, ["g"]).select(
+        "g", "bucket", "y_sum", "n", "rate_micro"
+    )
+
+
+C03_SQL = f"""
+WITH ev AS (
+  SELECT dayofweek(ts) + 1 AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+b AS (SELECT min(c) AS lo, max(c) AS hi FROM ev),
+p AS (SELECT lo, (hi - lo + {_C03_BUCKETS}) // {_C03_BUCKETS} AS w FROM b),
+base AS (
+  SELECT g,
+         CAST(least({_C03_BUCKETS - 1},
+                    greatest(0, (c - lo) // w)) AS INT) AS bucket,
+         CAST(sum(y) AS BIGINT) AS y_sum,
+         CAST(count(*) AS BIGINT) AS n
+  FROM ev, p GROUP BY 1, 2
+),
+win AS (  -- weighted window sums for every a <= b2 within a group
+  SELECT x.g, x.bucket AS a, y2.bucket AS b2,
+         CAST(sum(z.y_sum) AS BIGINT) AS S, CAST(sum(z.n) AS BIGINT) AS C
+  FROM base x
+  JOIN base y2 ON y2.g = x.g AND y2.bucket >= x.bucket
+  JOIN base z ON z.g = x.g AND z.bucket BETWEEN x.bucket AND y2.bucket
+  GROUP BY 1, 2, 3
+),
+inner_min AS (  -- per (g, i, a): min over b2 >= i, argmin carried exactly
+  SELECT g, i, a, S, C FROM (
+    SELECT i.g, i.bucket AS i, w2.a, w2.S, w2.C,
+           row_number() OVER (
+             PARTITION BY i.g, i.bucket, w2.a
+             ORDER BY CAST(w2.S AS DOUBLE) / w2.C, w2.b2
+           ) AS rn
+    FROM base i
+    JOIN win w2 ON w2.g = i.g AND w2.a <= i.bucket AND w2.b2 >= i.bucket
+  ) WHERE rn = 1
+),
+outer_max AS (  -- per (g, i): max over a <= i of the inner minima
+  SELECT g, i, S, C FROM (
+    SELECT g, i, a, S, C,
+           row_number() OVER (
+             PARTITION BY g, i
+             ORDER BY CAST(S AS DOUBLE) / C DESC, a
+           ) AS rn
+    FROM inner_min
+  ) WHERE rn = 1
+)
+SELECT base.g, base.bucket, base.y_sum, base.n,
+       CAST((1000000 * om.S) // om.C AS BIGINT) AS rate_micro
+FROM base JOIN outer_max om ON om.g = base.g AND om.i = base.bucket
+"""
+
+
 SPECS = [
     QuerySpec("d13_prefix_jaccard", d13_prefix_jaccard, D13_SQL,
               "EXACT Jaccard>=0.7 set-similarity self-join via prefix "
@@ -837,4 +930,7 @@ SPECS = [
     QuerySpec("e06_gram_matrix", e06_gram_matrix, E06_SQL,
               "exact integer Gram-matrix sufficient statistics over "
               "embedding dims (the map-reduce half of PCA/whitening)"),
+    QuerySpec("c03_isotonic_calibration", c03_isotonic_calibration, C03_SQL,
+              "per-group isotonic calibration: sequential PAVA in "
+              "applyInPandas, oracle-checked via the minimax theorem"),
 ]

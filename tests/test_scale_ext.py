@@ -402,3 +402,66 @@ def test_e06_gram_matches_numpy(spark):
     # driver-side numpy step, no further data pass
     evals = np.linalg.eigvalsh(want.astype(np.float64))
     assert (evals >= -1e-6 * abs(evals).max()).all()  # PSD as a Gram must be
+
+
+# --------------------------------------------------------------------------
+# isotonic calibration (PAVA via applyInPandas)
+# --------------------------------------------------------------------------
+def test_pava_equals_minimax_bruteforce(spark):
+    from fractions import Fraction
+
+    from datawarehouse_backup_system_spark.operators.calibration import (
+        isotonic_calibrate,
+    )
+
+    # deterministic pseudo-random groups (no RNG: fixed arithmetic seq)
+    rows = []
+    for g in range(3):
+        for b in range(8):
+            n = 1 + (g * 31 + b * 17) % 5
+            s = (g * 13 + b * 7) % (n + 1)
+            rows.append((g, b, s, n))
+    df = spark.createDataFrame(
+        rows, "g int, bucket int, y_sum long, n long"
+    )
+    got = {
+        (r.g, r.bucket): r.rate_micro
+        for r in isotonic_calibrate(df, ["g"]).collect()
+    }
+
+    by_g: dict[int, list[tuple[int, int, int]]] = {}
+    for g, b, s, n in rows:
+        by_g.setdefault(g, []).append((b, s, n))
+    for g, pts in by_g.items():
+        pts.sort()
+        for i in range(len(pts)):
+            # minimax: max over a<=i of min over b>=i of window mean
+            best = None
+            for a in range(i + 1):
+                worst = None
+                for b2 in range(i, len(pts)):
+                    S = sum(p[1] for p in pts[a : b2 + 1])
+                    C = sum(p[2] for p in pts[a : b2 + 1])
+                    r = Fraction(S, C)
+                    worst = r if worst is None else min(worst, r)
+                best = worst if best is None else max(best, worst)
+            want = (1_000_000 * best.numerator) // best.denominator
+            assert got[(g, pts[i][0])] == want, (g, i)
+        # and the output is non-decreasing within the group
+        fitted = [got[(g, p[0])] for p in pts]
+        assert fitted == sorted(fitted)
+
+
+def test_pava_pools_violators_exactly(spark):
+    from datawarehouse_backup_system_spark.operators.calibration import (
+        isotonic_calibrate,
+    )
+
+    # rates 0.8, 0.2 violate; pooled to (4+1)/(5+5) = 0.5 for both
+    df = spark.createDataFrame(
+        [(0, 0, 4, 5), (0, 1, 1, 5), (0, 2, 9, 10)],
+        "g int, bucket int, y_sum long, n long",
+    )
+    got = {r.bucket: r.rate_micro
+           for r in isotonic_calibrate(df, ["g"]).collect()}
+    assert got == {0: 500000, 1: 500000, 2: 900000}
