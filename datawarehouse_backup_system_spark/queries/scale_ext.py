@@ -893,6 +893,76 @@ FROM base JOIN outer_max om ON om.g = base.g AND om.i = base.bucket
 """
 
 
+# --------------------------------------------------------------------------
+# a07 — conversion-lag distribution: per user, seconds from first view
+# to first subsequent purchase, summarized through the mergeable
+# quantile sketch (p50/p90). Composes the funnel shape (a01) with the
+# sketch family (h01) — integer lag seconds end to end.
+# --------------------------------------------------------------------------
+_A07_BINS = 32
+
+
+def a07_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    lags = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_purchase"))
+        .select(
+            F.expr(
+                "(unix_micros(t_purchase) - unix_micros(t_view)) div 1000000"
+            ).alias("lag_s")
+        )
+    )
+    lo, hi = lags.agg(F.min("lag_s"), F.max("lag_s")).collect()[0]
+    if lo is None:  # no conversions at this sf — empty, schema-stable
+        return spark.createDataFrame(
+            [], "q double, value bigint, n_total bigint"
+        )
+    w = qsk.bin_width(lo, hi, _A07_BINS)
+    hist = qsk.binned_histogram(lags, "lag_s", lo, hi, _A07_BINS)
+    return qsk.histogram_quantiles(hist, [0.5, 0.9], lo, w)
+
+
+A07_SQL = f"""
+WITH fv AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+lags AS (
+  SELECT (epoch_us(min(e.ts)) - epoch_us(fv.t_view)) // 1000000 AS lag_s
+  FROM events e JOIN fv ON fv.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= fv.t_view
+  GROUP BY e.user_id, fv.t_view
+),
+b AS (SELECT min(lag_s) AS lo, max(lag_s) AS hi FROM lags),
+p AS (SELECT lo, (hi - lo + {_A07_BINS}) // {_A07_BINS} AS w FROM b),
+binned AS (
+  SELECT least({_A07_BINS - 1}, greatest(0, (lag_s - lo) // w)) AS bin,
+         count(*) AS cnt
+  FROM lags, p GROUP BY 1
+),
+cum AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+         sum(cnt) OVER () AS n_total
+  FROM binned
+),
+qs AS (SELECT unnest([0.5, 0.9]) AS q)
+SELECT q,
+       (SELECT lo FROM p) + min(bin) * (SELECT w FROM p) AS value,
+       CAST(min(n_total) AS BIGINT) AS n_total
+FROM qs JOIN cum ON cum.cum >= ceil(q * cum.n_total)
+GROUP BY q
+"""
+
+
 SPECS = [
     QuerySpec("d13_prefix_jaccard", d13_prefix_jaccard, D13_SQL,
               "EXACT Jaccard>=0.7 set-similarity self-join via prefix "
@@ -933,4 +1003,7 @@ SPECS = [
     QuerySpec("c03_isotonic_calibration", c03_isotonic_calibration, C03_SQL,
               "per-group isotonic calibration: sequential PAVA in "
               "applyInPandas, oracle-checked via the minimax theorem"),
+    QuerySpec("a07_conversion_lag", a07_conversion_lag, A07_SQL,
+              "first-view to first-purchase lag quantiles through the "
+              "mergeable sketch (funnel x sketch composition)"),
 ]
