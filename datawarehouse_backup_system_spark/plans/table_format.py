@@ -323,7 +323,21 @@ def pruned_files(
         F.col(f"min_{column}").isNull()
         | ((F.col(f"min_{column}") <= hi) & (F.col(f"max_{column}") >= lo))
     )
-    return [r["_file"] for r in keep.select("_file").collect()]
+    files = [r["_file"] for r in keep.select("_file").collect()]
+    # the manifest is an advisory cache: restore_to_version / vacuum /
+    # retention delete data files WITHOUT rewriting it, so stale entries
+    # are expected — skip files that no longer exist rather than failing
+    # the read (they carry no live rows by definition). One existence
+    # probe per candidate file; at object-store scale this folds into
+    # the listing the read performs anyway.
+    from urllib.parse import unquote, urlparse
+
+    def _exists(uri: str) -> bool:
+        p = urlparse(uri)
+        local = unquote(p.path) if p.scheme in ("file", "") else None
+        return Path(local).exists() if local is not None else True
+
+    return [f for f in files if _exists(f)]
 
 
 def read_pruned(

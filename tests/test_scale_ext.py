@@ -465,3 +465,24 @@ def test_pava_pools_violators_exactly(spark):
     got = {r.bucket: r.rate_micro
            for r in isotonic_calibrate(df, ["g"]).collect()}
     assert got == {0: 500000, 1: 500000, 2: 900000}
+
+
+def test_pruned_read_survives_stale_manifest_entries(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        read_pruned,
+        write_stats_manifest,
+    )
+
+    table = tmp_path / "t4"
+    spark.range(0, 1000).withColumn("v", F.col("id")) \
+        .repartitionByRange(4, "id").write.parquet(str(table))
+    write_stats_manifest(spark, table, ["id"])
+    # simulate a restore/vacuum/retention delete WITHOUT a manifest
+    # rewrite: remove one data file the manifest still lists
+    victim = sorted(f for f in table.glob("*.parquet"))[0]
+    victim.unlink()
+    got = read_pruned(spark, table, "id", 0, 999).count()
+    want = spark.read.parquet(str(table)).count()
+    assert got == want  # stale entry skipped, no read failure
