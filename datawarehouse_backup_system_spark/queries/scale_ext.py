@@ -963,6 +963,48 @@ GROUP BY q
 """
 
 
+# --------------------------------------------------------------------------
+# q48 — TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue
+# (max-of-aggregate with tie retention). The revenue view aggregates
+# once; the max is a 1-row broadcast back into it — no window over the
+# full aggregate needed and ties survive exactly.
+# --------------------------------------------------------------------------
+def q48_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            cents(F.col("l_extendedprice")) * (100 - cents(F.col("l_discount")))
+        ).alias("rev_u")
+    )
+    top = rev.agg(F.max("rev_u").alias("max_rev"))
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), rev.rev_u == top.max_rev)
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("rev_u").alias("revenue_units"))
+    )
+
+
+Q48_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                  * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+              AS BIGINT) AS rev_u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, rev_u AS revenue_units
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE rev_u = (SELECT max(rev_u) FROM rev)
+"""
+
+
 SPECS = [
     QuerySpec("d13_prefix_jaccard", d13_prefix_jaccard, D13_SQL,
               "EXACT Jaccard>=0.7 set-similarity self-join via prefix "
@@ -1006,4 +1048,7 @@ SPECS = [
     QuerySpec("a07_conversion_lag", a07_conversion_lag, A07_SQL,
               "first-view to first-purchase lag quantiles through the "
               "mergeable sketch (funnel x sketch composition)"),
+    QuerySpec("q48_top_revenue_supplier", q48_top_revenue_supplier, Q48_SQL,
+              "TPC-H Q15 shape: max-of-aggregate with tie retention, "
+              "1-row max broadcast back into the revenue view"),
 ]
