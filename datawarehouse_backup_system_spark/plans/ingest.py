@@ -326,8 +326,12 @@ class IngestJob:
                     return FileResult(
                         name, ledger_mod.STATUS_EXTRACTION_CRITICAL, error=str(exc)
                     )
-            if path.suffix.lower() != ".csv":
-                # reference main.py:107 checks the (extracted) name's suffix
+            # reference main.py:107 checks the (extracted) name's suffix;
+            # beyond-reference: .csv.gz passes — the driver-side sniffers
+            # gunzip transparently and Spark's csv reader has the codec
+            suffixes = [s.lower() for s in path.suffixes]
+            is_csv = suffixes[-1:] == [".csv"] or suffixes[-2:] == [".csv", ".gz"]
+            if not is_csv:
                 self.ledger.append(name, ledger_mod.STATUS_NOT_CSV)
                 return FileResult(name, ledger_mod.STATUS_NOT_CSV)
             table_key = self.router.route(name)

@@ -14,7 +14,7 @@ import re
 from dataclasses import dataclass, field
 from pathlib import Path
 
-DATA_SUFFIXES = (".csv", ".zip")
+DATA_SUFFIXES = (".csv", ".zip", ".gz")
 
 
 @dataclass

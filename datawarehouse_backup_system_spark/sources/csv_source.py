@@ -23,6 +23,7 @@ distributed.
 from __future__ import annotations
 
 import codecs
+import gzip
 import zipfile
 from collections import Counter
 from pathlib import Path
@@ -45,13 +46,36 @@ _BOMS: tuple[tuple[bytes, str], ...] = (
 )
 
 
+def _is_gzip(file_path: str | Path) -> bool:
+    with Path(file_path).open("rb") as f:
+        return f.read(2) == b"\x1f\x8b"
+
+
+def _open_bytes(file_path: str | Path):
+    """Raw-byte reader, transparently gunzipping: sniffers must see the
+    CSV text, not the compressed stream (a gz magic header would both
+    defeat BOM detection and trial-decode as latin-1 garbage). Spark
+    itself reads .csv.gz through its codec, so only this driver-side
+    sampling needs the special case."""
+    p = Path(file_path)
+    return gzip.open(p, "rb") if _is_gzip(p) else p.open("rb")
+
+
+def _open_text(file_path: str | Path, encoding: str):
+    p = Path(file_path)
+    if _is_gzip(p):
+        return gzip.open(p, "rt", encoding=encoding, errors="replace", newline="")
+    return open(p, encoding=encoding, errors="replace", newline="")
+
+
 def detect_encoding(file_path: str | Path, sample_size: int = DEFAULT_SAMPLE_SIZE) -> str | None:
     """BOM check first, then trial-decode of a bounded sample.
 
     Returns a codec name or None when nothing decodes (the caller records a
     ledger failure instead of raising — D4 total-function discipline).
     """
-    sample = Path(file_path).open("rb").read(sample_size)
+    with _open_bytes(file_path) as f:
+        sample = f.read(sample_size)
     if not sample:
         return "utf-8"
     for bom, enc in _BOMS:
@@ -68,7 +92,7 @@ def detect_encoding(file_path: str | Path, sample_size: int = DEFAULT_SAMPLE_SIZ
 
 def detect_delimiter(file_path: str | Path, encoding: str = "utf-8") -> str:
     """Mode of candidate-delimiter counts in the first line (reference S5)."""
-    with open(file_path, encoding=encoding, errors="replace") as f:
+    with _open_text(file_path, encoding) as f:
         first_line = f.readline()
     counts = Counter({d: first_line.count(d) for d in CANDIDATE_DELIMITERS})
     best, n = counts.most_common(1)[0]
@@ -104,7 +128,7 @@ def read_header(
     import csv as _csv
     import io
 
-    with open(file_path, encoding=encoding, newline="") as f:
+    with _open_text(file_path, encoding) as f:
         line = f.readline()
     # a UTF-8 BOM read under plain 'utf-8' leaves U+FEFF on the first
     # field; strip it so BOM'd and BOM-less siblings batch together

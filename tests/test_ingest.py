@@ -204,3 +204,36 @@ def test_extra_columns_rejected(spark, tmp_path):
     res = job.process_file(bad)
     assert res.status == "column count mismatch"
     assert "BONUS COLUMN" in (res.error or "")
+
+
+def test_gzip_csv_ingests_like_plain(spark, tmp_path):
+    """A .csv.gz export ingests identically to its plain sibling: the
+    sniffers gunzip transparently, routing/ledgering keys on the landing
+    name, and Spark's codec reads the compressed scan."""
+    import gzip
+
+    from datawarehouse_backup_system_spark.sources.csv_source import (
+        detect_delimiter,
+        detect_encoding,
+        read_header,
+    )
+
+    fx = generate_f1(tmp_path, n=30)
+    job = make_job(spark, tmp_path, fx)
+    plain = fx["files"][0]
+    gz = tmp_path / (plain.name + ".gz")
+    gz.write_bytes(gzip.compress(plain.read_bytes()))
+    # sniffers see the TEXT, not the gzip stream
+    assert detect_encoding(gz) == detect_encoding(plain)
+    assert detect_delimiter(gz) == detect_delimiter(plain)
+    assert read_header(gz) == read_header(plain)
+
+    for f in fx["files"]:
+        f.unlink()  # only the gz remains
+
+    first = job.run(tmp_path)
+    assert [r.status for r in first] == ["uploaded to ClickHouse"]
+    assert job.ledger.processed_set() == {gz.name}
+    schema = job.registry.get("mini_campaign_events")
+    assert job.read_table(schema).count() > 0
+    assert job.run(tmp_path) == []  # idempotent
