@@ -400,3 +400,47 @@ def test_incremental_neardup_matches_full_cross_pairs(spark, texts, split):
     assert {(a, b, n) for a, b, n in inc} == {
         (a, b, n) for a, b, n in cross
     }
+
+
+# --------------------------------------------------------------------------
+# prefix-filter set-similarity join: exactness property vs brute force
+# --------------------------------------------------------------------------
+_pj_docs = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+        min_size=0, max_size=8,
+    ).map(" ".join),
+    min_size=2, max_size=10,
+)
+_pj_threshold = st.sampled_from([(1, 2), (2, 3), (7, 10), (1, 1)])
+
+
+@given(texts=_pj_docs, t=_pj_threshold)
+@SETTINGS
+def test_prefix_jaccard_exactness_property(spark, texts, t):
+    """For ANY corpus and rational threshold, the prefix-filtered join
+    returns EXACTLY the brute-force threshold pairs — the exactness
+    theorem as a property, including empty docs, identical sets, and
+    all-same-token corpora."""
+    import itertools
+
+    from datawarehouse_backup_system_spark.operators.setjoin import (
+        prefix_jaccard_join,
+    )
+
+    num, den = t
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.n_inter
+        for r in prefix_jaccard_join(df, "doc_id", "text", num, den).collect()
+    }
+    sets = {i: set(x.split()) for i, x in enumerate(texts) if x.split()}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and den * inter >= num * union:
+            want[(a, b)] = inter
+    assert got == want
