@@ -37,6 +37,7 @@ def prefix_jaccard_join(
     threshold_num: int = 7,
     threshold_den: int = 10,
     shingle_n: int = 1,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) whose element SETS have Jaccard >=
     threshold_num/threshold_den — exactly (no probabilistic misses).
@@ -101,7 +102,14 @@ def prefix_jaccard_join(
     # at sf0.1 — columnar-cache builds of nested array columns are the
     # same trap as the exploded shingle stream (SCALE.md, Measured
     # lessons). Recompute keeps the docfreq shuffle + array build in
-    # codegen.
+    # codegen; ``stage_path`` (parquet staging, the minhash `stage_path`
+    # pattern) also measured SLOWER here (7.6 s vs 5.8 s — nested-array
+    # parquet write dominates) and exists only for when the upstream
+    # corpus scan itself is the expensive term (remote storage,
+    # decompression) or the stage is reused across runs.
+    if stage_path is not None:
+        per_doc.write.mode("overwrite").parquet(stage_path)
+        per_doc = df.sparkSession.read.parquet(stage_path)
     pref = per_doc.select(
         "id",
         "n",

@@ -486,3 +486,24 @@ def test_pruned_read_survives_stale_manifest_entries(spark, tmp_path):
     got = read_pruned(spark, table, "id", 0, 999).count()
     want = spark.read.parquet(str(table)).count()
     assert got == want  # stale entry skipped, no read failure
+
+
+def test_prefix_jaccard_staged_parity(spark, tmp_path):
+    from datawarehouse_backup_system_spark.operators.setjoin import (
+        prefix_jaccard_join,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in DOCS.items()], "doc_id long, text string"
+    )
+    mem = {
+        (r.id_a, r.id_b): (r.n_inter, r.jaccard)
+        for r in prefix_jaccard_join(df, "doc_id", "text", 7, 10).collect()
+    }
+    staged = {
+        (r.id_a, r.id_b): (r.n_inter, r.jaccard)
+        for r in prefix_jaccard_join(
+            df, "doc_id", "text", 7, 10, stage_path=str(tmp_path / "pd")
+        ).collect()
+    }
+    assert mem == staged
