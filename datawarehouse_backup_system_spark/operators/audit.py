@@ -7,9 +7,9 @@ the table at that size; the standard answer is a COMMUTATIVE digest:
 hash every row independently, combine with an order-independent exact
 operation, compare (n_rows, fingerprint) pairs.
 
-Here: per-row 56-bit md5 prefix (``hashing.md5_prefix_long`` over the
-canonical ``row_hash`` string — the repo's single cross-engine hash
-recipe) summed as DECIMAL(38,0). Exact integer summation is associative
+Here: per-row 56-bit prefix of the canonical ``row_hash`` digest
+(``hashing.hex_prefix_long`` — one md5 per row; the digest's own prefix
+is already uniform) summed as DECIMAL(38,0). Exact integer summation is associative
 and commutative, so the fingerprint is
 
 - **partition-order independent** — any shuffle, any file order, any
@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .hashing import md5_prefix_long, row_hash_col
+from .hashing import hex_prefix_long, row_hash_col
 
 
 def table_fingerprint(
@@ -54,7 +54,10 @@ def table_fingerprint(
     cols = columns if columns is not None else [
         c for c in df.columns if c not in keys
     ]
-    h = md5_prefix_long(row_hash_col(cols)).cast("decimal(38,0)")
+    # prefix of the row_hash digest directly — md5(md5(x)) added a
+    # second full hash per row for zero extra uniformity (measured on
+    # v01: the fingerprint pass is pure hashing)
+    h = hex_prefix_long(row_hash_col(cols)).cast("decimal(38,0)")
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(h).alias("fingerprint"),

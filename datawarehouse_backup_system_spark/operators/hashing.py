@@ -46,6 +46,14 @@ def md5_prefix_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("bigint")
 
 
+def hex_prefix_long(hex_col: Column) -> Column:
+    """56-bit integer from the first 14 chars of an EXISTING hex digest
+    (e.g. a staged ``row_hash``) — same uniformity as
+    :func:`md5_prefix_long` without re-hashing the digest. DuckDB replay:
+    ``('0x' || substr(x, 1, 14))::BIGINT``."""
+    return F.conv(F.substring(hex_col, 1, 14), 16, 10).cast("bigint")
+
+
 def md5_bucket(col: Column, n_buckets: int) -> Column:
     """Uniform bucket 0..n_buckets-1 from :func:`md5_prefix_long`.
 

@@ -599,14 +599,18 @@ def v01_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     certified here per group (the oracle pins TRUE, so a Spark-side
     mergeability break fails the hash)."""
     from ..operators import audit
-    from ..operators.hashing import md5_bucket, row_hash_col
+    from ..operators.hashing import hex_prefix_long, row_hash_col
 
     li = load(spark, sf_dir, "lineitem")
     direct = audit.table_fingerprint(
         li, columns=_V01_COLS, group_by=["l_returnflag"]
     )
+    # shard from the SAME digest prefix the fingerprint uses (any
+    # deterministic disjoint split certifies mergeability) — codegen CSE
+    # then computes one md5 per row in the sharded pass too
+    shard = F.pmod(hex_prefix_long(row_hash_col(_V01_COLS)), F.lit(4))
     sharded = audit.table_fingerprint(
-        li.withColumn("_shard", md5_bucket(row_hash_col(_V01_COLS), 4)),
+        li.withColumn("_shard", shard),
         columns=_V01_COLS,
         group_by=["l_returnflag", "_shard"],
     )
@@ -629,15 +633,14 @@ def v01_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 V01_SQL = """
 WITH h AS (
   SELECT l_returnflag,
-         -- md5(md5(...)): the engine hashes the 32-hex row_hash STRING
-         -- (md5_prefix_long over row_hash_col) — replay both layers
-         ('0x' || substr(md5(md5(concat_ws(chr(1),
+         -- single md5: hex_prefix_long takes the digest's own prefix
+         ('0x' || substr(md5(concat_ws(chr(1),
              coalesce(CAST(l_orderkey AS VARCHAR), '<NULL>'),
              coalesce(CAST(l_partkey AS VARCHAR), '<NULL>'),
              coalesce(CAST(l_suppkey AS VARCHAR), '<NULL>'),
              coalesce(CAST(l_linenumber AS VARCHAR), '<NULL>'),
              coalesce(l_returnflag, '<NULL>'),
-             coalesce(l_linestatus, '<NULL>')))), 1, 14))::BIGINT AS hv
+             coalesce(l_linestatus, '<NULL>'))), 1, 14))::BIGINT AS hv
   FROM lineitem
 )
 SELECT l_returnflag,
