@@ -1,0 +1,175 @@
+"""End-to-end training-corpus build: the single entry point a
+pretraining-data user actually calls, composing the individually
+oracle-verified operators into one materialized pipeline:
+
+    raw documents
+      → curation gates (language, quality, repetition, exact dedup)
+      → near-dup canonicalization (MinHash-LSH → connected components,
+        keep each group's canonical representative)
+      → temperature resampling (α=0.5 language re-balancing; capped
+        integer epochs, md5-fractional draw — fully deterministic)
+      → sequence packing plan (concat-and-chunk at fixed capacity)
+      → sharded export + manifest + corpus report + table fingerprint
+
+Every stage is the SAME code the driver contract verifies one-by-one
+(curation_report ≈ t10, dedup_groups ≈ d09/c01, manifest math ≈ w02,
+pack_sequences ≈ t06, export_shards ≈ t08, fingerprint ≈ v01), so the
+composition inherits their evidence; the pytest for this module checks
+the cross-stage INVARIANTS (gates actually enforced, no two exported
+docs share a near-dup group, manifest totals equal written rows, end-to-
+end determinism via the fingerprint).
+
+Scale shape: each stage is bounded shuffles over the surviving subset;
+nothing here adds a new join/sort pattern beyond the audited operators.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text
+from ..operators.audit import table_fingerprint
+from ..operators.curation import curation_report
+from ..operators.dedup_approx import dedup_groups, minhash_lsh_dedup
+from ..operators.hashing import md5_prefix_long
+from ..operators.shards import export_shards
+
+
+@dataclass(frozen=True)
+class CorpusBuildResult:
+    out_dir: str
+    n_input: int
+    n_kept: int          # after gates + near-dup canonicalization
+    n_exported: int      # after temperature resampling (copies)
+    manifest: list       # per-shard rows (n_shards is small)
+    fingerprint: str     # order-insensitive digest of the exported rows
+
+
+def _temperature_copies(
+    kept: DataFrame, id_col: str, lang_col: str, max_epochs: int
+) -> DataFrame:
+    """Per-doc copy count from α=0.5 language re-balancing (the w02
+    integer micro-epoch arithmetic), capped at ``max_epochs`` (standard
+    practice: unbounded upsampling of rare languages just memorizes
+    them). Returns (id, lang, n_copies >= 0)."""
+    per = (
+        kept.groupBy(lang_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "wq",
+            F.floor(F.sqrt(F.col("n_docs")) * F.lit(1_000_000)).cast("bigint"),
+        )
+    )
+    tot = per.agg(
+        F.sum("wq").alias("wq_total"), F.sum("n_docs").alias("n_total")
+    )
+    lang_epochs = per.crossJoin(F.broadcast(tot)).select(
+        lang_col,
+        F.least(
+            F.expr("(wq * n_total * 1000000) div (wq_total * n_docs)"),
+            F.lit(max_epochs * 1_000_000),
+        ).alias("epochs_micro"),
+    )
+    u = F.pmod(md5_prefix_long(F.col(id_col).cast("string")), F.lit(1_000_000))
+    return kept.select(id_col, lang_col).join(
+        F.broadcast(lang_epochs), lang_col
+    ).select(
+        id_col,
+        lang_col,
+        (
+            F.expr("epochs_micro div 1000000")
+            + F.when(u < F.col("epochs_micro") % 1_000_000, 1).otherwise(0)
+        ).cast("int").alias("n_copies"),
+    )
+
+
+def build_training_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str | Path,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    keep_langs: tuple[str, ...] = ("en",),
+    neardup_threshold: float = 0.5,
+    max_epochs: int = 4,
+    n_shards: int = 8,
+    capacity: int = 2048,
+) -> CorpusBuildResult:
+    """Materialize a curated, deduplicated, re-balanced, packed, sharded
+    training corpus under ``out_dir``. See module docstring."""
+    out_dir = Path(out_dir)
+    n_input = docs.count()
+
+    # 1. per-doc gates (auditable report is also written)
+    report = curation_report(docs, id_col, text_col, keep_langs=keep_langs)
+    report.write.mode("overwrite").parquet(str(out_dir / "curation_report"))
+    gated = docs.join(
+        spark.read.parquet(str(out_dir / "curation_report"))
+        .where("keep").select(id_col),
+        id_col,
+    )
+
+    # 2. near-dup canonicalization over the gated survivors
+    pairs = minhash_lsh_dedup(
+        gated, id_col, text_col, threshold=neardup_threshold,
+        max_bucket_size=20,
+    ).select("id_a", "id_b")
+    groups = dedup_groups(pairs)   # (node, canonical_id); singletons absent
+    non_canonical = groups.where(F.col("node") != F.col("canonical_id")).select(
+        F.col("node").alias(id_col)
+    )
+    kept = gated.join(non_canonical, id_col, "left_anti")
+    n_kept = kept.count()
+
+    # 3. temperature resampling → physical copies with packed ids
+    copies = _temperature_copies(kept, id_col, lang_col, max_epochs)
+    stride = max_epochs + 1
+    exported = (
+        kept.join(copies.select(id_col, "n_copies"), id_col)
+        .where(F.col("n_copies") > 0)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("_c"),
+            (F.col(id_col) * stride + F.col("_c")).alias("seq_id"),
+            F.col(id_col).alias("source_id"),
+            F.col(lang_col),
+            F.col(text_col),
+        )
+        .drop("_c")
+    )
+
+    # 4. packing plan at fixed context length (token counts = whitespace)
+    with_tokens = exported.withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    )
+    packed = text.pack_sequences(
+        with_tokens, "seq_id", "n_tokens", capacity, n_shards=n_shards
+    )
+    packed.write.mode("overwrite").parquet(str(out_dir / "packing_plan"))
+
+    # 5. sharded export (one file per shard, deterministic order) +
+    # manifest FROM the written files
+    manifest_df = export_shards(
+        with_tokens.select("seq_id", "source_id", lang_col, text_col,
+                           "n_tokens"),
+        str(out_dir / "shards"), "seq_id", n_shards, text_col=text_col,
+    )
+    manifest = manifest_df.orderBy("shard_id").collect()  # n_shards rows
+
+    # 6. end-to-end determinism artifact: order-insensitive fingerprint
+    written = spark.read.parquet(str(out_dir / "shards"))
+    fp = table_fingerprint(
+        written, columns=["seq_id", "source_id", text_col]
+    ).collect()[0]
+    return CorpusBuildResult(
+        out_dir=str(out_dir),
+        n_input=n_input,
+        n_kept=n_kept,
+        n_exported=int(sum(r["n_docs"] for r in manifest)),
+        manifest=manifest,
+        fingerprint=str(fp["fingerprint"]),
+    )
