@@ -1005,6 +1005,82 @@ WHERE rev_u = (SELECT max(rev_u) FROM rev)
 """
 
 
+# --------------------------------------------------------------------------
+# h04 — sketch-accuracy audit: the h01 sketch's quantiles vs the EXACT
+# order statistics, with the error bound |sketch − exact| < bin width
+# pinned as a boolean. The quantile family's honesty artifact, like r0x
+# for the ANN family. (The exact side ranks globally — an audit query
+# over one column, not a production path; the sketch IS the production
+# path.) All integer arithmetic.
+# --------------------------------------------------------------------------
+def h04_sketch_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(cents(F.col("value")).alias("c"))
+    lo, hi = ev.agg(F.min("c"), F.max("c")).collect()[0]
+    w = qsk.bin_width(lo, hi, _H01_BINS)
+    hist = qsk.binned_histogram(ev, "c", lo, hi, _H01_BINS)
+    sk = qsk.histogram_quantiles(hist, _H01_QS, lo, w).select(
+        "q", F.col("value").alias("sketch_value"), "n_total"
+    )
+    ranked = ev.withColumn(
+        "rk", F.row_number().over(Window.orderBy("c"))
+    )
+    exact = (
+        sk.select("q", "n_total")
+        .join(
+            ranked,
+            F.col("rk") == F.ceil(F.col("q") * F.col("n_total")),
+        )
+        .select("q", F.col("c").alias("exact_value"))
+    )
+    return (
+        sk.join(exact, "q")
+        .select(
+            "q",
+            "sketch_value",
+            "exact_value",
+            (
+                F.abs(F.col("sketch_value") - F.col("exact_value")) < F.lit(w)
+            ).alias("within_one_bin"),
+        )
+    )
+
+
+H04_SQL = f"""
+WITH v AS (
+  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+),
+b AS (SELECT min(c) AS lo, max(c) AS hi, count(*) AS n FROM v),
+p AS (SELECT lo, n, (hi - lo + {_H01_BINS}) // {_H01_BINS} AS w FROM b),
+binned AS (
+  SELECT least({_H01_BINS - 1}, greatest(0, (c - lo) // w)) AS bin,
+         count(*) AS cnt
+  FROM v, p GROUP BY 1
+),
+cum AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+         sum(cnt) OVER () AS n_total
+  FROM binned
+),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+sk AS (
+  SELECT q, (SELECT lo FROM p) + min(bin) * (SELECT w FROM p)
+           AS sketch_value,
+         min(n_total) AS n_total
+  FROM qs JOIN cum ON cum.cum >= ceil(q * cum.n_total)
+  GROUP BY q
+),
+ranked AS (SELECT c, row_number() OVER (ORDER BY c) AS rk FROM v),
+exact AS (
+  SELECT sk.q, r.c AS exact_value
+  FROM sk JOIN ranked r ON r.rk = ceil(sk.q * sk.n_total)
+)
+SELECT sk.q, sk.sketch_value, e.exact_value,
+       abs(sk.sketch_value - e.exact_value) < (SELECT w FROM p)
+         AS within_one_bin
+FROM sk JOIN exact e ON e.q = sk.q
+"""
+
+
 SPECS = [
     QuerySpec("d13_prefix_jaccard", d13_prefix_jaccard, D13_SQL,
               "EXACT Jaccard>=0.7 set-similarity self-join via prefix "
@@ -1051,4 +1127,7 @@ SPECS = [
     QuerySpec("q48_top_revenue_supplier", q48_top_revenue_supplier, Q48_SQL,
               "TPC-H Q15 shape: max-of-aggregate with tie retention, "
               "1-row max broadcast back into the revenue view"),
+    QuerySpec("h04_sketch_vs_exact", h04_sketch_vs_exact, H04_SQL,
+              "sketch-accuracy audit: histogram quantiles vs exact "
+              "order statistics, one-bin error bound pinned"),
 ]
