@@ -126,20 +126,38 @@ def build_training_corpus(
     kept = gated.join(non_canonical, id_col, "left_anti")
     n_kept = kept.count()
 
-    # 3. temperature resampling → physical copies with packed ids
+    # 3. temperature resampling → physical copies with packed ids.
+    # seq_id = id*stride + copy needs an integral id (a string id would
+    # NULL every key); fail loudly instead of exporting garbage.
+    from pyspark.sql import types as T
+
+    id_type = kept.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"build_training_corpus needs an integral {id_col!r} for "
+            f"seq_id stride packing; got {id_type.simpleString()}"
+        )
     copies = _temperature_copies(kept, id_col, lang_col, max_epochs)
     stride = max_epochs + 1
     exported = (
         kept.join(copies.select(id_col, "n_copies"), id_col)
         .where(F.col("n_copies") > 0)
+        # two selects: the copy index must exist before seq_id derives
+        # from it (don't lean on lateral column-alias resolution)
         .select(
-            F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("_c"),
-            (F.col(id_col) * stride + F.col("_c")).alias("seq_id"),
             F.col(id_col).alias("source_id"),
             F.col(lang_col),
             F.col(text_col),
+            F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("_c"),
         )
-        .drop("_c")
+        .select(
+            (F.col("source_id") * stride + F.col("_c")).alias("seq_id"),
+            "source_id",
+            lang_col,
+            text_col,
+        )
     )
 
     # 4. packing plan at fixed context length (token counts = whitespace)
