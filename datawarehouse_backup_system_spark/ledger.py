@@ -79,10 +79,20 @@ class Ledger:
         self.path = str(path)
 
     def append(self, file_name: str, status: str) -> None:
-        row = self.spark.createDataFrame(
-            [(file_name, status)], "file_name string, status string"
+        self.append_many([(file_name, status)])
+
+    def append_many(self, rows: list[tuple[str, str]]) -> None:
+        """Write several (file_name, status) rows as ONE parquet file —
+        the closest thing the format has to an atomic multi-row commit:
+        the file appears whole or not at all, so a composite transition
+        (e.g. OPTIMIZE's 'commit new write-id + tombstone the ids it
+        replaces') can never be observed half-applied."""
+        if not rows:
+            return
+        df = self.spark.createDataFrame(
+            rows, "file_name string, status string"
         ).withColumn("created_at", F.current_timestamp())
-        row.write.mode("append").parquet(self.path)
+        df.coalesce(1).write.mode("append").parquet(self.path)
 
     def _exists(self) -> bool:
         p = Path(self.path)

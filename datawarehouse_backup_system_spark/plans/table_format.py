@@ -91,7 +91,18 @@ class WriteIdParquetFormat(SnapshotFormat):
             return spark.createDataFrame([], fallback)
         return spark.read.parquet(str(path))
 
-    def append(self, plan: DataFrame, path: Path, table_name: str) -> int:
+    def append(
+        self,
+        plan: DataFrame,
+        path: Path,
+        table_name: str,
+        extra_commit_rows: list[tuple[str, str]] | None = None,
+    ) -> int:
+        """``extra_commit_rows``: ledger rows written in the SAME
+        atomic batch as this append's commit marker (one parquet file —
+        see Ledger.append_many). OPTIMIZE uses it to retire the
+        write-ids it replaces in the very transition that commits their
+        replacement; a crash can never expose both or neither."""
         from pyspark.sql import Observation
 
         write_id = uuid.uuid4().hex[:16]
@@ -119,7 +130,10 @@ class WriteIdParquetFormat(SnapshotFormat):
             shutil.rmtree(inflight, ignore_errors=True)
             self.ledger.append(marker, ledger_mod.STATUS_WRITE_ABORTED)
             raise
-        self.ledger.append(marker, ledger_mod.STATUS_WRITE_COMMIT)
+        self.ledger.append_many(
+            [(marker, ledger_mod.STATUS_WRITE_COMMIT)]
+            + list(extra_commit_rows or [])
+        )
         shutil.rmtree(inflight, ignore_errors=True)
         return int(obs.get["n"])
 
@@ -455,3 +469,68 @@ def update_stats_manifest(
     shutil.rmtree(manifest_dir)
     tmp.rename(manifest_dir)
     return len(new_files), len(known) + len(new_files)
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    fmt: WriteIdParquetFormat,
+    path: Path,
+    fallback: T.StructType,
+    table_name: str,
+    zorder_cols: list[str],
+    bits: int = 10,
+    run_vacuum: bool = True,
+) -> dict:
+    """OPTIMIZE ... ZORDER BY for the write-id format: rewrite the
+    committed rows clustered by the Morton code of ``zorder_cols`` as
+    ONE new committed version, retiring every prior write-id in the SAME
+    atomic ledger batch as the new commit (Ledger.append_many — one
+    parquet file appears whole or not at all).
+
+    Crash windows:
+    - before the batch: the new write-id has no commit marker —
+      ``recover()`` deletes its files; the old versions stay live.
+    - after the batch, before vacuum: the table is already consistent
+      (old ids are tombstoned out of every committed read); ``vacuum``
+      sweeps their lingering files — same semantics as restore.
+
+    Like Delta's OPTIMIZE+VACUUM, prior versions leave time travel.
+    Content equality is the caller-checkable invariant: the
+    order-insensitive table fingerprint before == after (pytest pins
+    it). Refuses tables with pre-protocol un-prefixed files (version 0
+    cannot be tombstoned, so optimizing would duplicate those rows).
+    """
+    from ..operators.zorder import zorder_by
+
+    if not Path(path).exists():
+        return {"rewritten": 0, "files_retired": 0}
+    unprefixed = [
+        f for f in Path(path).rglob("*.parquet")
+        if not (f.name.startswith("w") and "-" in f.name)
+        and not any(part.startswith("_") for part in f.relative_to(path).parts)
+    ]
+    if unprefixed:
+        raise RuntimeError(
+            f"optimize_zorder: {len(unprefixed)} pre-protocol files have "
+            "no write-id and cannot be retired — import them through "
+            "append() first"
+        )
+    old_ids = [wid for wid, _ in fmt.ledger.committed_writes(table_name)]
+    if not old_ids:
+        return {"rewritten": 0, "files_retired": 0}
+    current = fmt.read_as_of(spark, path, fallback, table_name)
+    files_before = len(list(Path(path).rglob("w*-*.parquet")))
+    clustered = zorder_by(current, zorder_cols, bits=bits).drop("_zcode")
+    tombstones = [
+        (f"{ledger_mod.WRITE_MARKER_PREFIX}{table_name}:{wid}",
+         ledger_mod.STATUS_WRITE_RESTORED)
+        for wid in old_ids
+    ]
+    n = fmt.append(clustered, path, table_name, extra_commit_rows=tombstones)
+    swept = vacuum(fmt, path, table_name) if run_vacuum else 0
+    return {
+        "rewritten": n,
+        "files_retired": swept,
+        "files_before": files_before,
+        "files_after": len(list(Path(path).rglob("w*-*.parquet"))),
+    }

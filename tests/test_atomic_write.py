@@ -449,3 +449,73 @@ def test_restore_and_vacuum(spark, tmp_path):
     assert restore_to_version(job.fmt, table_dir, schema.table_name, 2) == 0
     with pytest.raises(ValueError):
         restore_to_version(job.fmt, table_dir, schema.table_name, 5)
+
+
+def test_optimize_zorder_preserves_content_and_retires_versions(spark, tmp_path):
+    """OPTIMIZE rewrites the committed rows as ONE clustered version in
+    an atomic composite commit: content identical (order-insensitive
+    fingerprint), prior write-ids tombstoned + swept, history collapses
+    to the single optimized version, appends keep working after."""
+    from datawarehouse_backup_system_spark.operators.audit import (
+        table_fingerprint,
+    )
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        optimize_zorder,
+    )
+
+    fx = generate_f1(tmp_path, n=60)
+    job = make_job(spark, tmp_path, fx)
+    schema = job.registry.get("mini_campaign_events")
+    table_dir = job.table_path(schema)
+    for f in fx["files"][:2]:
+        assert job.process_file(f).status == ledger_mod.STATUS_UPLOADED
+    name = schema.table_name
+    struct = schema.to_struct_type()
+
+    def committed():
+        return job.fmt.read_as_of(spark, table_dir, struct, name)
+
+    cols = [c for c in committed().columns if c != "ingest_date"]
+    fp_before = table_fingerprint(committed(), columns=cols).collect()[0]
+    n_before = committed().count()
+    assert len(job.fmt.versions(name)) == 2
+
+    res = optimize_zorder(
+        spark, job.fmt, table_dir, struct, name,
+        zorder_cols=["id", "total_order_amount_eur"],
+    )
+    assert res["rewritten"] == n_before
+    assert res["files_retired"] >= 1
+
+    fp_after = table_fingerprint(committed(), columns=cols).collect()[0]
+    assert (fp_before["n_rows"], fp_before["fingerprint"]) == (
+        fp_after["n_rows"], fp_after["fingerprint"],
+    )
+    # history collapsed to the optimized version; bare reads agree too
+    assert len(job.fmt.versions(name)) == 1
+    assert job.read_table(schema).count() == n_before
+
+    # the table keeps working: another append becomes version 2
+    assert job.process_file(fx["files"][2]).status == ledger_mod.STATUS_UPLOADED
+    assert len(job.fmt.versions(name)) == 2
+    assert job.read_table(schema).count() > n_before
+
+
+def test_optimize_zorder_refuses_preprotocol_files(spark, tmp_path):
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        optimize_zorder,
+    )
+
+    fx = generate_f1(tmp_path, n=40)
+    job = make_job(spark, tmp_path, fx)
+    schema = job.registry.get("mini_campaign_events")
+    table_dir = job.table_path(schema)
+    assert job.process_file(fx["files"][0]).status == ledger_mod.STATUS_UPLOADED
+    part_dir = next(table_dir.glob("ingest_date=*"))
+    src = next(part_dir.glob("w*-*.parquet"))
+    shutil.copy(src, part_dir / "bootstrap-no-writeid.parquet")
+    with pytest.raises(RuntimeError, match="pre-protocol"):
+        optimize_zorder(
+            spark, job.fmt, table_dir, schema.to_struct_type(),
+            schema.table_name, ["id", "total_order_amount_eur"],
+        )
