@@ -479,6 +479,7 @@ def optimize_zorder(
     table_name: str,
     zorder_cols: list[str],
     bits: int = 10,
+    n_partitions: int | None = None,
     run_vacuum: bool = True,
 ) -> dict:
     """OPTIMIZE ... ZORDER BY for the write-id format: rewrite the
@@ -520,7 +521,11 @@ def optimize_zorder(
         return {"rewritten": 0, "files_retired": 0}
     current = fmt.read_as_of(spark, path, fallback, table_name)
     files_before = len(list(Path(path).rglob("w*-*.parquet")))
-    clustered = zorder_by(current, zorder_cols, bits=bits).drop("_zcode")
+    # OPTIMIZE is also compaction: n_partitions sizes the output files
+    # (~0.5-2 GB each at scale); default keeps the session parallelism
+    clustered = zorder_by(
+        current, zorder_cols, bits=bits, n_partitions=n_partitions
+    ).drop("_zcode")
     tombstones = [
         (f"{ledger_mod.WRITE_MARKER_PREFIX}{table_name}:{wid}",
          ledger_mod.STATUS_WRITE_RESTORED)

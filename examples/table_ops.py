@@ -72,7 +72,7 @@ def main() -> None:
           "n =", feed.count())
 
     print("== OPTIMIZE ZORDER (content-preserving atomic rewrite)")
-    res = optimize_zorder(spark, fmt, table, SCHEMA, "t", ["id", "v"])
+    res = optimize_zorder(spark, fmt, table, SCHEMA, "t", ["id", "v"], n_partitions=4)
     print(f"   rewritten {res['rewritten']} rows; "
           f"files {res['files_before']} -> {res['files_after']}")
     print("   history after optimize:", [h["version"] for h in fmt.versions("t")])
