@@ -64,3 +64,27 @@ def test_rotation_prioritizes_latest_round_failures():
     window = list(entry_mod.queries())[:50]
     missing = red - set(window)
     assert not missing, f"red queries outside the window: {sorted(missing)}"
+
+
+def test_every_oracle_parses_under_duckdb_explain():
+    """Syntax/function/column drift in an oracle must fail CI in seconds,
+    not surface as a dead correctness row at round end (the r3 lesson:
+    one load() type error nulled 18 rows). EXPLAIN parses + binds against
+    the real table schemas without executing."""
+    import duckdb
+
+    from datawarehouse_backup_system_spark.queries.base import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{t}.parquet'"
+        )
+    bad = []
+    for name, sql in entry_mod.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as exc:  # noqa: BLE001
+            bad.append(f"{name}: {exc}")
+    assert not bad, bad
