@@ -79,17 +79,31 @@ class WriteIdParquetFormat(SnapshotFormat):
         ledger: Ledger,
         warehouse_dir: Path,
         move: Callable[[Path, Path], None],
+        merge_schema: bool = False,
     ) -> None:
+        """``merge_schema``: reads reconcile the column superset across
+        every committed file (appended batches may ADD columns — Delta's
+        additive schema evolution; older rows read NULL for new
+        columns). Off by default: superset reconciliation reads every
+        file footer, which at object-store scale is a planning cost you
+        opt into per table, not a free default."""
         self.ledger = ledger
         self.warehouse_dir = Path(warehouse_dir)
         self._move = move
+        self.merge_schema = merge_schema
+
+    def _reader(self, spark: SparkSession):
+        r = spark.read
+        if self.merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r
 
     def read(
         self, spark: SparkSession, path: Path, fallback: T.StructType
     ) -> DataFrame:
         if not path.exists() or not any(path.rglob("*.parquet")):
             return spark.createDataFrame([], fallback)
-        return spark.read.parquet(str(path))
+        return self._reader(spark).parquet(str(path))
 
     def append(
         self,
@@ -196,7 +210,8 @@ class WriteIdParquetFormat(SnapshotFormat):
             return spark.createDataFrame([], fallback)
         # basePath keeps the ingest_date partition column when reading an
         # explicit file list
-        return spark.read.option("basePath", str(path)).parquet(*files)
+        return (self._reader(spark).option("basePath", str(path))
+                .parquet(*files))
 
     def recover(self, table_dirs: Callable[[str], Path],
                 inflight_ttl_s: float = 3600.0) -> list[str]:
