@@ -111,15 +111,21 @@ class WriteIdParquetFormat(SnapshotFormat):
         path: Path,
         table_name: str,
         extra_commit_rows: list[tuple[str, str]] | None = None,
+        write_id: str | None = None,
     ) -> int:
         """``extra_commit_rows``: ledger rows written in the SAME
         atomic batch as this append's commit marker (one parquet file —
         see Ledger.append_many). OPTIMIZE uses it to retire the
         write-ids it replaces in the very transition that commits their
-        replacement; a crash can never expose both or neither."""
+        replacement; a crash can never expose both or neither.
+
+        ``write_id``: caller-chosen DETERMINISTIC id (16 hex chars) —
+        the idempotency key for exactly-once streaming sinks (a replayed
+        micro-batch re-derives the same id; see
+        streaming.exactly_once_table_sink). Default: a fresh uuid."""
         from pyspark.sql import Observation
 
-        write_id = uuid.uuid4().hex[:16]
+        write_id = write_id or uuid.uuid4().hex[:16]
         inflight = self.warehouse_dir / "_inflight" / write_id
         obs = Observation()
         # rows counted via Observation on the written plan — no O(table)

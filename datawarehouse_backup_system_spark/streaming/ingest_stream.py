@@ -559,3 +559,60 @@ def read_histogram(spark, state_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def exactly_once_table_sink(
+    fmt,
+    table_path,
+    table_name: str,
+    stream_id: str,
+):
+    """foreachBatch sink with EXACTLY-ONCE table appends over the
+    write-id format: the write-id derives deterministically from
+    (stream_id, epoch), so an at-least-once replay of a micro-batch
+    re-derives the same id — if its commit marker already exists the
+    sink skips (the batch IS in the table); if the previous attempt
+    crashed mid-publish, ``recover()`` has rolled its files back by
+    prefix and the replay re-appends under the same id cleanly.
+
+    This closes the duplication window a bare ``mode("append")`` sink
+    has between 'files written' and 'checkpoint offset committed' —
+    the same contract Delta's ``txnAppId``/``txnVersion`` provides.
+    Use through :func:`ingest_stream_txn` or directly with
+    ``writeStream.foreachBatch``.
+    """
+    import hashlib
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        wid = hashlib.md5(f"{stream_id}:{epoch_id}".encode()).hexdigest()[:16]
+        committed = {w for w, _ in fmt.ledger.committed_writes(table_name)}
+        if wid in committed:
+            return  # replayed batch — already durably in the table
+        out = batch
+        if "ingest_date" not in out.columns:  # the format partitions on it
+            out = out.withColumn("ingest_date", F.current_date())
+        fmt.append(out, table_path, table_name, write_id=wid)
+
+    return sink
+
+
+def ingest_stream_txn(
+    events: DataFrame,
+    fmt,
+    table_path,
+    table_name: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    stream_id: str = "ingest",
+):
+    """:func:`ingest_stream` upgraded to transactional appends: dedup
+    within watermark, then exactly-once per-micro-batch commits through
+    the write-id protocol (replay-idempotent, crash-recoverable)."""
+    deduped = streaming_dedup(events, key_cols)
+    return (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(exactly_once_table_sink(fmt, table_path, table_name,
+                                              stream_id))
+        .start()
+    )

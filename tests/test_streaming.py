@@ -623,3 +623,49 @@ def test_stream_histogram_partials_match_batch(spark, tmp_path):
     want = {r.q: r.value for r in
             qsk.histogram_quantiles(batch, [0.5, 0.99], 0, w).collect()}
     assert got == want
+
+
+def test_exactly_once_sink_dedupes_replayed_batches(spark, tmp_path):
+    """An at-least-once replay of the SAME micro-batch (same stream_id,
+    same epoch) must not duplicate rows: the deterministic write-id's
+    commit marker makes the second delivery a no-op, while a genuinely
+    new epoch appends. The bare append sink this replaces would have
+    doubled the table."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.ledger import Ledger
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        WriteIdParquetFormat,
+    )
+    from datawarehouse_backup_system_spark.streaming.ingest_stream import (
+        exactly_once_table_sink,
+    )
+
+    root = tmp_path / "w"
+    fmt = WriteIdParquetFormat(
+        Ledger(spark, root / "_ledger"), root, move=lambda s, d: s.rename(d)
+    )
+    table = root / "t"
+    sink = exactly_once_table_sink(fmt, table, "t", stream_id="s1")
+
+    batch = spark.range(0, 50).select(F.col("id"))
+    sink(batch, 0)
+    n1 = spark.read.parquet(str(table)).count()
+    assert n1 == 50
+    sink(batch, 0)                     # replay: same epoch → no-op
+    assert spark.read.parquet(str(table)).count() == 50
+    sink(spark.range(50, 80).select(F.col("id")), 1)   # new epoch appends
+    assert spark.read.parquet(str(table)).count() == 80
+    # crash-mid-publish then replay: roll back the uncommitted id by
+    # prefix (recover's contract), replay commits the SAME id cleanly
+    import hashlib
+
+    wid2 = hashlib.md5(b"s1:2").hexdigest()[:16]
+    part = next(table.glob("ingest_date=*"))
+    leak = part / f"w{wid2}-crashed.parquet"
+    leak.write_bytes(next(part.glob("w*-*.parquet")).read_bytes())
+    fmt.ledger.append(f"_write:t:{wid2}", "write begin")
+    for f in table.rglob(f"w{wid2}-*.parquet"):
+        f.unlink()                      # what recover() does, by prefix
+    sink(spark.range(80, 90).select(F.col("id")), 2)
+    assert spark.read.parquet(str(table)).count() == 90
