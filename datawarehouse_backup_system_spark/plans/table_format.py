@@ -492,6 +492,68 @@ def update_stats_manifest(
     return len(new_files), len(known) + len(new_files)
 
 
+def rewrite_table(
+    spark: SparkSession,
+    fmt: WriteIdParquetFormat,
+    path: Path,
+    fallback: T.StructType,
+    table_name: str,
+    transform: Callable[[DataFrame], DataFrame],
+    run_vacuum: bool = True,
+) -> dict:
+    """Transactional whole-table rewrite — the write-id format's one
+    primitive behind every DML that isn't an append: apply ``transform``
+    to the committed rows and commit the result as ONE new version,
+    retiring every prior write-id in the SAME atomic ledger batch as the
+    new commit (Ledger.append_many — one parquet file appears whole or
+    not at all). OPTIMIZE, MERGE, and DELETE are thin transforms over
+    this.
+
+    Crash windows:
+    - before the batch: the new write-id has no commit marker —
+      ``recover()`` deletes its files; the old versions stay live.
+    - after the batch, before vacuum: the table is already consistent
+      (old ids are tombstoned out of every committed read); ``vacuum``
+      sweeps their lingering files — same semantics as restore.
+
+    Like Delta's OPTIMIZE+VACUUM, prior versions leave time travel.
+    Refuses tables with pre-protocol un-prefixed files (version 0
+    cannot be tombstoned, so a rewrite would duplicate those rows).
+    """
+    if not Path(path).exists():
+        return {"rewritten": 0, "files_retired": 0}
+    unprefixed = [
+        f for f in Path(path).rglob("*.parquet")
+        if not (f.name.startswith("w") and "-" in f.name)
+        and not any(part.startswith("_") for part in f.relative_to(path).parts)
+    ]
+    if unprefixed:
+        raise RuntimeError(
+            f"rewrite_table: {len(unprefixed)} pre-protocol files have "
+            "no write-id and cannot be retired — import them through "
+            "append() first"
+        )
+    old_ids = [wid for wid, _ in fmt.ledger.committed_writes(table_name)]
+    if not old_ids:
+        return {"rewritten": 0, "files_retired": 0}
+    current = fmt.read_as_of(spark, path, fallback, table_name)
+    files_before = len(list(Path(path).rglob("w*-*.parquet")))
+    rewritten = transform(current)
+    tombstones = [
+        (f"{ledger_mod.WRITE_MARKER_PREFIX}{table_name}:{wid}",
+         ledger_mod.STATUS_WRITE_RESTORED)
+        for wid in old_ids
+    ]
+    n = fmt.append(rewritten, path, table_name, extra_commit_rows=tombstones)
+    swept = vacuum(fmt, path, table_name) if run_vacuum else 0
+    return {
+        "rewritten": n,
+        "files_retired": swept,
+        "files_before": files_before,
+        "files_after": len(list(Path(path).rglob("w*-*.parquet"))),
+    }
+
+
 def optimize_zorder(
     spark: SparkSession,
     fmt: WriteIdParquetFormat,
@@ -503,60 +565,62 @@ def optimize_zorder(
     n_partitions: int | None = None,
     run_vacuum: bool = True,
 ) -> dict:
-    """OPTIMIZE ... ZORDER BY for the write-id format: rewrite the
-    committed rows clustered by the Morton code of ``zorder_cols`` as
-    ONE new committed version, retiring every prior write-id in the SAME
-    atomic ledger batch as the new commit (Ledger.append_many — one
-    parquet file appears whole or not at all).
-
-    Crash windows:
-    - before the batch: the new write-id has no commit marker —
-      ``recover()`` deletes its files; the old versions stay live.
-    - after the batch, before vacuum: the table is already consistent
-      (old ids are tombstoned out of every committed read); ``vacuum``
-      sweeps their lingering files — same semantics as restore.
-
-    Like Delta's OPTIMIZE+VACUUM, prior versions leave time travel.
-    Content equality is the caller-checkable invariant: the
-    order-insensitive table fingerprint before == after (pytest pins
-    it). Refuses tables with pre-protocol un-prefixed files (version 0
-    cannot be tombstoned, so optimizing would duplicate those rows).
-    """
+    """OPTIMIZE ... ZORDER BY: :func:`rewrite_table` with the Morton
+    clustering transform. Content equality is the caller-checkable
+    invariant (order-insensitive fingerprint before == after; pytest
+    pins it); ``n_partitions`` sizes the compacted output files."""
     from ..operators.zorder import zorder_by
 
-    if not Path(path).exists():
-        return {"rewritten": 0, "files_retired": 0}
-    unprefixed = [
-        f for f in Path(path).rglob("*.parquet")
-        if not (f.name.startswith("w") and "-" in f.name)
-        and not any(part.startswith("_") for part in f.relative_to(path).parts)
-    ]
-    if unprefixed:
-        raise RuntimeError(
-            f"optimize_zorder: {len(unprefixed)} pre-protocol files have "
-            "no write-id and cannot be retired — import them through "
-            "append() first"
-        )
-    old_ids = [wid for wid, _ in fmt.ledger.committed_writes(table_name)]
-    if not old_ids:
-        return {"rewritten": 0, "files_retired": 0}
-    current = fmt.read_as_of(spark, path, fallback, table_name)
-    files_before = len(list(Path(path).rglob("w*-*.parquet")))
     # OPTIMIZE is also compaction: n_partitions sizes the output files
     # (~0.5-2 GB each at scale); default keeps the session parallelism
-    clustered = zorder_by(
-        current, zorder_cols, bits=bits, n_partitions=n_partitions
-    ).drop("_zcode")
-    tombstones = [
-        (f"{ledger_mod.WRITE_MARKER_PREFIX}{table_name}:{wid}",
-         ledger_mod.STATUS_WRITE_RESTORED)
-        for wid in old_ids
-    ]
-    n = fmt.append(clustered, path, table_name, extra_commit_rows=tombstones)
-    swept = vacuum(fmt, path, table_name) if run_vacuum else 0
-    return {
-        "rewritten": n,
-        "files_retired": swept,
-        "files_before": files_before,
-        "files_after": len(list(Path(path).rglob("w*-*.parquet"))),
-    }
+    return rewrite_table(
+        spark, fmt, path, fallback, table_name,
+        lambda cur: zorder_by(
+            cur, zorder_cols, bits=bits, n_partitions=n_partitions
+        ).drop("_zcode"),
+        run_vacuum=run_vacuum,
+    )
+
+
+def merge_into_table(
+    spark: SparkSession,
+    fmt: WriteIdParquetFormat,
+    path: Path,
+    fallback: T.StructType,
+    table_name: str,
+    updates: DataFrame,
+    key: str | list[str],
+    order_col: str | None = None,
+    run_vacuum: bool = True,
+) -> dict:
+    """Transactional MERGE (upsert): same-key rows replaced, new keys
+    appended — operators.upsert.merge_upsert committed through
+    :func:`rewrite_table` as one atomic version."""
+    from ..operators.upsert import merge_upsert
+
+    return rewrite_table(
+        spark, fmt, path, fallback, table_name,
+        lambda cur: merge_upsert(cur, updates, key, order_col=order_col),
+        run_vacuum=run_vacuum,
+    )
+
+
+def delete_from_table(
+    spark: SparkSession,
+    fmt: WriteIdParquetFormat,
+    path: Path,
+    fallback: T.StructType,
+    table_name: str,
+    condition,
+    run_vacuum: bool = True,
+) -> dict:
+    """Transactional DELETE WHERE ``condition`` (a Column or SQL
+    string): the complement survives as one atomic version — GDPR-class
+    row removal with crash safety and a vacuumable trail instead of an
+    in-place file surgery."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    return rewrite_table(
+        spark, fmt, path, fallback, table_name,
+        lambda cur: cur.where(~cond),
+        run_vacuum=run_vacuum,
+    )

@@ -558,3 +558,55 @@ def test_additive_schema_evolution_on_append(spark, tmp_path):
     # time travel to v1: the column does not exist there
     v1 = fmt.read_as_of(spark, table, schema, "t", version=1)
     assert "note" not in v1.columns and v1.count() == 10
+
+
+def test_transactional_merge_and_delete(spark, tmp_path):
+    """MERGE and DELETE commit as atomic rewritten versions: same-key
+    rows replaced / matching rows removed, history collapses to the new
+    version, old files swept, and time-travel-free reads agree with
+    bare directory reads after vacuum."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datawarehouse_backup_system_spark.ledger import Ledger
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        WriteIdParquetFormat,
+        delete_from_table,
+        merge_into_table,
+    )
+
+    root = tmp_path / "w"
+    fmt = WriteIdParquetFormat(
+        Ledger(spark, root / "_ledger"), root, move=lambda s, d: s.rename(d)
+    )
+    table = root / "t"
+    struct = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+
+    def rows(lo, hi, mult):
+        return spark.range(lo, hi).select(
+            F.col("id"), (F.col("id") * mult).alias("v"),
+            F.lit("2024-01-05").cast("date").alias("ingest_date"),
+        )
+
+    fmt.append(rows(0, 100, 1), table, "t")
+
+    # MERGE: ids 50..149 with v = id*1000 (50 updates + 50 inserts)
+    res = merge_into_table(
+        spark, fmt, table, struct, "t", rows(50, 150, 1000), key="id"
+    )
+    assert res["rewritten"] == 150
+    cur = fmt.read_as_of(spark, table, struct, "t")
+    assert cur.count() == 150
+    assert cur.where("id = 60").collect()[0]["v"] == 60_000   # updated
+    assert cur.where("id = 10").collect()[0]["v"] == 10       # untouched
+    assert len(fmt.versions("t")) == 1                        # collapsed
+
+    # DELETE WHERE id >= 100: transactional row removal
+    res = delete_from_table(spark, fmt, table, struct, "t", "id >= 100")
+    assert res["rewritten"] == 100
+    cur = fmt.read_as_of(spark, table, struct, "t")
+    assert cur.count() == 100 and cur.agg(F.max("id")).collect()[0][0] == 99
+    # after vacuum the bare directory read agrees (no stale files)
+    assert spark.read.parquet(str(table)).count() == 100
