@@ -19,6 +19,18 @@ The interface is deliberately tiny — read / append / recover — because
 that is the entire surface the ingest plan needs from storage; retention
 partition drops stay in ``operators/retention.py`` (metadata-only either
 way).
+
+Beyond the seam, the module now ships the full Delta-analog surface on
+plain parquet: DESCRIBE HISTORY (``versions``), time travel + snapshot
+isolation (``read_as_of``), change feed (``diff_versions``), RESTORE
+(``restore_to_version``), VACUUM, transactional rewrites
+(``rewrite_table`` → OPTIMIZE ZORDER / MERGE / DELETE WHERE), opt-in
+additive schema evolution (``merge_schema``), per-file stats manifests
+with pruned range reads, and — via
+``streaming.exactly_once_table_sink`` — exactly-once streaming appends.
+Atomicity throughout comes from two primitives: prefix-named data files
+whose commit is a marker row, and ``Ledger.append_many`` writing a
+composite transition as one parquet file.
 """
 
 from __future__ import annotations

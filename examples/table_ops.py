@@ -24,7 +24,9 @@ from datawarehouse_backup_system_spark import get_spark
 from datawarehouse_backup_system_spark.ledger import Ledger
 from datawarehouse_backup_system_spark.plans.table_format import (
     WriteIdParquetFormat,
+    delete_from_table,
     diff_versions,
+    merge_into_table,
     optimize_zorder,
     pruned_files,
     restore_to_version,
@@ -83,6 +85,15 @@ def main() -> None:
     restore_to_version(fmt, table, "t", 1)
     print("   rows after restore:", fmt.read_as_of(spark, table, SCHEMA, "t").count())
     print("   vacuum swept:", vacuum(fmt, table, "t"), "files")
+
+    print("== MERGE (upsert) and DELETE WHERE as atomic versions")
+    updates = batch(1490, 1510)
+    merge_into_table(spark, fmt, table, SCHEMA, "t", updates, key="id")
+    n = fmt.read_as_of(spark, table, SCHEMA, "t").count()
+    print(f"   after MERGE (10 updates + 10 inserts): {n} rows")
+    delete_from_table(spark, fmt, table, SCHEMA, "t", "id % 2 = 1")
+    n = fmt.read_as_of(spark, table, SCHEMA, "t").count()
+    print(f"   after DELETE WHERE odd: {n} rows")
 
     print("== manifest-planned range read")
     n_files = write_stats_manifest(spark, table, ["id"])
