@@ -86,13 +86,23 @@ class Ledger:
         the closest thing the format has to an atomic multi-row commit:
         the file appears whole or not at all, so a composite transition
         (e.g. OPTIMIZE's 'commit new write-id + tombstone the ids it
-        replaces') can never be observed half-applied."""
+        replaces') can never be observed half-applied.
+
+        Via pandas/Arrow so the local relation is born single-partition:
+        ``createDataFrame(list)`` spreads rows over defaultParallelism
+        slices and ``coalesce(1)`` then walks all 32 empty slices through
+        serial Python-worker round-trips — measured 4 s per marker write
+        vs 0.35 s this way (it made every append/rewrite ~10× slower).
+        """
         if not rows:
             return
-        df = self.spark.createDataFrame(
-            rows, "file_name string, status string"
-        ).withColumn("created_at", F.current_timestamp())
-        df.coalesce(1).write.mode("append").parquet(self.path)
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=["file_name", "status"])
+        df = self.spark.createDataFrame(pdf).withColumn(
+            "created_at", F.current_timestamp()
+        )
+        df.write.mode("append").parquet(self.path)
 
     def _exists(self) -> bool:
         p = Path(self.path)
