@@ -175,6 +175,30 @@ class Ledger:
         ]
         return sorted(out, key=lambda t: (t[1], t[0]))
 
+    def ever_committed_writes(self, table_name: str) -> set[str]:
+        """write_ids that carry a COMMIT marker, INCLUDING those later
+        tombstoned by restore/rewrite — the replay-idempotency set for
+        exactly-once sinks: a batch whose id ever committed is durably in
+        the table's lineage (a rewrite carried its rows forward), so a
+        replay must stay a no-op even though committed_writes() no
+        longer lists the id."""
+        rows = (
+            self.read()
+            .where(
+                F.col("file_name").startswith(
+                    f"{WRITE_MARKER_PREFIX}{table_name}:"
+                )
+            )
+            .groupBy("file_name")
+            .agg(F.collect_set("status").alias("states"))
+            .collect()
+        )
+        return {
+            r["file_name"].rsplit(":", 1)[-1]
+            for r in rows
+            if STATUS_WRITE_COMMIT in set(r["states"])
+        }
+
     def tombstoned_writes(self, table_name: str) -> list[str]:
         """write_ids of ``table_name`` carrying a restore tombstone or an
         abort marker — the set whose lingering data files vacuum() may

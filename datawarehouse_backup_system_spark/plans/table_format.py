@@ -629,10 +629,14 @@ def delete_from_table(
     """Transactional DELETE WHERE ``condition`` (a Column or SQL
     string): the complement survives as one atomic version — GDPR-class
     row removal with crash safety and a vacuumable trail instead of an
-    in-place file surgery."""
+    in-place file surgery.
+
+    SQL DELETE semantics: only rows where the condition is TRUE are
+    removed — a NULL condition KEEPS the row (``where(~cond)`` alone
+    would silently drop NULL-condition rows, since NOT NULL is NULL)."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
     return rewrite_table(
         spark, fmt, path, fallback, table_name,
-        lambda cur: cur.where(~cond),
+        lambda cur: cur.where(~F.coalesce(cond, F.lit(False))),
         run_vacuum=run_vacuum,
     )

@@ -585,9 +585,12 @@ def exactly_once_table_sink(
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
         wid = hashlib.md5(f"{stream_id}:{epoch_id}".encode()).hexdigest()[:16]
-        committed = {w for w, _ in fmt.ledger.committed_writes(table_name)}
-        if wid in committed:
-            return  # replayed batch — already durably in the table
+        # EVER-committed, not currently-committed: a rewrite
+        # (OPTIMIZE/MERGE/DELETE) tombstones the id while carrying its
+        # rows into the new version — a replay racing the maintenance
+        # job must still be a no-op, or the batch would re-append
+        if wid in fmt.ledger.ever_committed_writes(table_name):
+            return  # replayed batch — already durably in the lineage
         out = batch
         if "ingest_date" not in out.columns:  # the format partitions on it
             out = out.withColumn("ingest_date", F.current_date())

@@ -610,3 +610,34 @@ def test_transactional_merge_and_delete(spark, tmp_path):
     assert cur.count() == 100 and cur.agg(F.max("id")).collect()[0][0] == 99
     # after vacuum the bare directory read agrees (no stale files)
     assert spark.read.parquet(str(table)).count() == 100
+
+
+def test_delete_keeps_null_condition_rows(spark, tmp_path):
+    """SQL DELETE semantics: only condition=TRUE rows go; NULL-condition
+    rows are KEPT (the naive where(~cond) would silently drop them)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datawarehouse_backup_system_spark.ledger import Ledger
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        WriteIdParquetFormat,
+        delete_from_table,
+    )
+
+    root = tmp_path / "w"
+    fmt = WriteIdParquetFormat(
+        Ledger(spark, root / "_ledger"), root, move=lambda s, d: s.rename(d)
+    )
+    table = root / "t"
+    struct = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    rows = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id long, v long"
+    ).withColumn("ingest_date", F.lit("2024-01-05").cast("date"))
+    fmt.append(rows, table, "t")
+    delete_from_table(spark, fmt, table, struct, "t", "v > 20")
+    kept = sorted(
+        r["id"] for r in fmt.read_as_of(spark, table, struct, "t").collect()
+    )
+    assert kept == [1, 2]   # id=2 (NULL condition) survives; id=3 deleted

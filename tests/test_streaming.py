@@ -669,3 +669,42 @@ def test_exactly_once_sink_dedupes_replayed_batches(spark, tmp_path):
         f.unlink()                      # what recover() does, by prefix
     sink(spark.range(80, 90).select(F.col("id")), 2)
     assert spark.read.parquet(str(table)).count() == 90
+
+
+def test_exactly_once_sink_survives_rewrite_between_delivery_and_replay(
+    spark, tmp_path
+):
+    """A replayed micro-batch must stay a no-op even if a maintenance
+    rewrite (OPTIMIZE/MERGE/DELETE) tombstoned its write-id in between —
+    the rewrite carried the rows forward, so re-appending would
+    duplicate them. The sink dedups against EVER-committed ids."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datawarehouse_backup_system_spark.ledger import Ledger
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        WriteIdParquetFormat,
+        optimize_zorder,
+    )
+    from datawarehouse_backup_system_spark.streaming.ingest_stream import (
+        exactly_once_table_sink,
+    )
+
+    root = tmp_path / "w"
+    fmt = WriteIdParquetFormat(
+        Ledger(spark, root / "_ledger"), root, move=lambda s, d: s.rename(d)
+    )
+    table = root / "t"
+    struct = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    sink = exactly_once_table_sink(fmt, table, "t", stream_id="s1")
+    batch = spark.range(0, 40).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    sink(batch, 0)
+    assert fmt.read_as_of(spark, table, struct, "t").count() == 40
+
+    # maintenance rewrite between delivery and replay
+    optimize_zorder(spark, fmt, table, struct, "t", ["id", "v"],
+                    n_partitions=2)
+    sink(batch, 0)   # replay AFTER the rewrite: must be a no-op
+    assert fmt.read_as_of(spark, table, struct, "t").count() == 40
