@@ -384,10 +384,21 @@ class IngestJob:
         """One cycle (reference main(), minus the daemon sleep — cadence is
         the scheduler's job, C4). Sequential per file, parity with the
         reference; :meth:`process_batch` is the many-files-one-scan scale
-        path."""
-        self.recover_writes()  # roll back any crashed append first
-        processed = self.ledger.processed_set()
-        results = []
-        for f in discover_files(input_dir, processed):
-            results.append(self.process_file(f))
-        return results
+        path.
+
+        The cycle holds the warehouse :class:`~.table_format.WriterLease`
+        throughout: the write-id format is single-writer (module
+        docstring of ``plans/table_format.py``), so a second concurrent
+        ``run`` on the same warehouse raises ``ConcurrentWriterError``
+        instead of silently interleaving ledger batches."""
+        from datawarehouse_backup_system_spark.plans.table_format import (
+            WriterLease,
+        )
+
+        with WriterLease(self.warehouse_dir):
+            self.recover_writes()  # roll back any crashed append first
+            processed = self.ledger.processed_set()
+            results = []
+            for f in discover_files(input_dir, processed):
+                results.append(self.process_file(f))
+            return results

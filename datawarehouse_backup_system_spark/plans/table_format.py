@@ -31,6 +31,22 @@ with pruned range reads, and — via
 Atomicity throughout comes from two primitives: prefix-named data files
 whose commit is a marker row, and ``Ledger.append_many`` writing a
 composite transition as one parquet file.
+
+**Single-writer limit.** The write-id protocol gives snapshot isolation
+to any number of concurrent READERS (a mid-publish write-id has no
+commit marker, so committed reads never list its files), but there is
+no multi-writer commit arbitration: two jobs appending the same
+warehouse concurrently would interleave ledger batches, and two
+concurrent ``rewrite_table`` calls would each tombstone the other's
+base version (Delta solves this with optimistic concurrency over a
+transaction log; this container has no such log). The supported
+deployment is ONE writer per warehouse at a time, enforced cheaply by
+:class:`WriterLease` — an atomically-created (``O_CREAT|O_EXCL``) lease
+file that makes the second concurrent writer fail LOUDLY
+(:class:`ConcurrentWriterError`) instead of silently corrupting
+history. A crashed writer's stale lease expires after ``ttl_s`` and is
+stolen by the next acquirer. ``IngestJob.run`` takes the lease for the
+duration of each cycle.
 """
 
 from __future__ import annotations
@@ -48,6 +64,85 @@ from pyspark.sql import types as T
 
 from datawarehouse_backup_system_spark import ledger as ledger_mod
 from datawarehouse_backup_system_spark.ledger import Ledger
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another live writer holds this warehouse's lease (see the
+    single-writer limit in the module docstring)."""
+
+
+class WriterLease:
+    """Exclusive writer lease over a warehouse dir (see module
+    docstring: the write-id format is single-writer by design; this
+    makes the second writer fail loudly instead of interleaving).
+
+    Acquisition is one atomic ``O_CREAT|O_EXCL`` create of
+    ``<warehouse>/_writer.lease`` holding an owner token — the same
+    create-if-absent primitive object stores expose (S3 conditional
+    PUT), so the mechanism ports. A lease older than ``ttl_s`` is
+    presumed crashed and stolen. Release only removes the file if it
+    still carries OUR token (a stolen-then-reacquired lease is never
+    clobbered by the original owner's late release).
+
+    Use as a context manager::
+
+        with WriterLease(warehouse_dir):
+            job.run(input_dir)
+    """
+
+    def __init__(self, warehouse_dir: Path, owner: str | None = None,
+                 ttl_s: float = 3600.0) -> None:
+        self.path = Path(warehouse_dir) / "_writer.lease"
+        self.owner = owner or f"{uuid.uuid4().hex[:16]}"
+        self.ttl_s = ttl_s
+        self._held = False
+
+    def acquire(self) -> "WriterLease":
+        import os
+
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        for attempt in (0, 1):
+            try:
+                fd = os.open(
+                    self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                with os.fdopen(fd, "w") as fh:
+                    fh.write(self.owner)
+                self._held = True
+                return self
+            except FileExistsError:
+                try:
+                    age = time.time() - self.path.stat().st_mtime
+                    holder = self.path.read_text()
+                except OSError:
+                    continue  # racing release — retry the create
+                if attempt == 0 and age >= self.ttl_s:
+                    # stale (crashed writer): steal once, then re-race
+                    # the O_EXCL create against any other stealer
+                    self.path.unlink(missing_ok=True)
+                    continue
+                raise ConcurrentWriterError(
+                    f"warehouse writer lease held by {holder!r} "
+                    f"(age {age:.0f}s < ttl {self.ttl_s:.0f}s): the "
+                    "write-id format is single-writer — wait for the "
+                    "other job or raise ttl_s only if it crashed"
+                )
+        raise ConcurrentWriterError("could not acquire writer lease")
+
+    def release(self) -> None:
+        if self._held:
+            try:
+                if self.path.read_text() == self.owner:
+                    self.path.unlink(missing_ok=True)
+            except OSError:
+                pass
+            self._held = False
+
+    def __enter__(self) -> "WriterLease":
+        return self.acquire()
+
+    def __exit__(self, *exc) -> None:
+        self.release()
 
 
 class SnapshotFormat(ABC):
@@ -217,19 +312,40 @@ class WriteIdParquetFormat(SnapshotFormat):
             allowed = {wid for wid, ts in commits if ts <= as_of}
         else:
             allowed = {wid for wid, _ in commits}
-        files = []
-        if path.exists():
-            for f in sorted(path.rglob("*.parquet")):
-                if f.name.startswith("w") and "-" in f.name:
-                    if f.name[1:].split("-", 1)[0] not in allowed:
-                        continue
-                files.append(str(f))
+        files = self._committed_file_list(path, table_name, allowed)
         if not files:
             return spark.createDataFrame([], fallback)
         # basePath keeps the ingest_date partition column when reading an
         # explicit file list
         return (self._reader(spark).option("basePath", str(path))
                 .parquet(*files))
+
+    def _committed_file_list(
+        self, path: Path, table_name: str,
+        allowed: set[str] | None = None,
+    ) -> list[str]:
+        """Data files visible to a committed read: write-id-prefixed
+        files whose id is in ``allowed`` (default: every committed id)
+        plus un-prefixed version-0 bootstrap files. Files under
+        '_'-prefixed dirs (e.g. the _stats manifest) are skipped exactly
+        as Spark's own file index skips them — an explicit file list
+        that included them would mix manifest rows into the table read
+        (CONFLICTING_DIRECTORY_STRUCTURES)."""
+        if allowed is None:
+            allowed = {
+                wid for wid, _ in self.ledger.committed_writes(table_name)
+            }
+        files: list[str] = []
+        if path.exists():
+            for f in sorted(path.rglob("*.parquet")):
+                if any(part.startswith("_")
+                       for part in f.relative_to(path).parts[:-1]):
+                    continue
+                if f.name.startswith("w") and "-" in f.name:
+                    if f.name[1:].split("-", 1)[0] not in allowed:
+                        continue
+                files.append(str(f))
+        return files
 
     def recover(self, table_dirs: Callable[[str], Path],
                 inflight_ttl_s: float = 3600.0) -> list[str]:
@@ -313,11 +429,27 @@ def diff_versions(
     return inserts.unionByName(deletes, allowMissingColumns=True)
 
 
+def _uri_to_resolved_path(uri: str) -> str:
+    """Normalize a file URI (``input_file_name()`` / ``Path.as_uri()``)
+    to a resolved local path string, so manifest membership checks never
+    depend on URI escaping/format drift between the two producers.
+    Non-local schemes pass through unchanged (both sides then compare as
+    the same opaque string)."""
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(uri)
+    if p.scheme in ("file", ""):
+        return str(Path(unquote(p.path)).resolve())
+    return uri
+
+
 def write_stats_manifest(
     spark: SparkSession,
     path: Path,
     columns: list[str],
     manifest_dir: Path | None = None,
+    fmt: "WriteIdParquetFormat | None" = None,
+    table_name: str | None = None,
 ) -> int:
     """Iceberg-manifest-style per-FILE column statistics for a parquet
     table: one row per data file with min/max/null-count of each named
@@ -333,11 +465,34 @@ def write_stats_manifest(
 
     Built in ONE scan: rows are grouped by ``input_file_name()`` — no
     per-file driver loop. Returns the number of files manifested.
+
+    On a write-id table pass ``fmt``/``table_name``: the scan is then
+    restricted to the COMMITTED file list (read_as_of's listing), so
+    uncommitted, aborted, or tombstoned-but-unvacuumed files never enter
+    the manifest (a bare directory scan would index them, and
+    ``read_pruned`` could then surface rows the committed view
+    excludes). Without ``fmt``, callers on write-id tables must
+    recover()+vacuum() first.
     """
     manifest_dir = manifest_dir or (Path(path) / "_stats")
-    df = spark.read.parquet(str(path)).withColumn(
-        "_file", F.input_file_name()
-    )
+    if fmt is not None and table_name is not None:
+        committed = fmt._committed_file_list(Path(path), table_name)
+        if not committed:
+            # nothing committed: write an EMPTY manifest with the right
+            # schema so pruned_files finds no files rather than crashing
+            schema = T.StructType([T.StructField("_file", T.StringType())])
+            spark.createDataFrame([], schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(manifest_dir))
+            return 0
+        df = (
+            spark.read.option("basePath", str(path)).parquet(*committed)
+            .withColumn("_file", F.input_file_name())
+        )
+    else:
+        df = spark.read.parquet(str(path)).withColumn(
+            "_file", F.input_file_name()
+        )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in columns:
         aggs += [
@@ -376,15 +531,21 @@ def pruned_files(
     # are expected — skip files that no longer exist rather than failing
     # the read (they carry no live rows by definition). One existence
     # probe per candidate file; at object-store scale this folds into
-    # the listing the read performs anyway.
+    # the listing the read performs anyway. Local file URIs are returned
+    # as DECODED paths: input_file_name() percent-escapes, and feeding
+    # the escaped form back to spark.read treats '%20' literally.
     from urllib.parse import unquote, urlparse
 
-    def _exists(uri: str) -> bool:
+    out = []
+    for uri in files:
         p = urlparse(uri)
-        local = unquote(p.path) if p.scheme in ("file", "") else None
-        return Path(local).exists() if local is not None else True
-
-    return [f for f in files if _exists(f)]
+        if p.scheme in ("file", ""):
+            local = Path(unquote(p.path))
+            if local.exists():
+                out.append(str(local))
+        else:
+            out.append(uri)
+    return out
 
 
 def read_pruned(
@@ -459,6 +620,8 @@ def update_stats_manifest(
     path: Path,
     columns: list[str],
     manifest_dir: Path | None = None,
+    fmt: "WriteIdParquetFormat | None" = None,
+    table_name: str | None = None,
 ) -> tuple[int, int]:
     """Incremental manifest maintenance: stat ONLY data files absent
     from the manifest and union them in — O(appended bytes), not
@@ -467,20 +630,39 @@ def update_stats_manifest(
     batch maintains the manifest at the cost of scanning itself.
 
     Returns (files_added, files_total). The manifest rewrite is a
-    tmp-dir swap (the manifest is one row per file — tiny); files are
-    matched by the same URI ``input_file_name()`` records.
+    tmp-dir swap (the manifest is one row per file — tiny); membership
+    is matched on RESOLVED local paths (via :func:`_uri_to_resolved_path`)
+    rather than raw URI strings, so escaping/format drift between
+    ``input_file_name()`` and ``Path.as_uri()`` can never silently
+    re-add (and double-count) every file.
+
+    Like :func:`write_stats_manifest`, pass ``fmt``/``table_name`` on a
+    write-id table to restrict the disk listing to committed files.
     """
     manifest_dir = manifest_dir or (Path(path) / "_stats")
     if not manifest_dir.exists():
-        n = write_stats_manifest(spark, path, columns, manifest_dir)
+        n = write_stats_manifest(
+            spark, path, columns, manifest_dir, fmt=fmt,
+            table_name=table_name,
+        )
         return n, n
     old = spark.read.parquet(str(manifest_dir))
-    known = {r["_file"] for r in old.select("_file").collect()}
-    disk = [
-        f for f in Path(path).rglob("*.parquet")
-        if manifest_dir not in f.parents
-    ]
-    new_files = [f for f in disk if f.as_uri() not in known]
+    known = {
+        _uri_to_resolved_path(r["_file"])
+        for r in old.select("_file").collect()
+    }
+    if fmt is not None and table_name is not None:
+        disk = [
+            Path(f) for f in fmt._committed_file_list(Path(path), table_name)
+        ]
+    else:
+        disk = [
+            f for f in Path(path).rglob("*.parquet")
+            if manifest_dir not in f.parents
+            and not any(part.startswith("_")
+                        for part in f.relative_to(path).parts[:-1])
+        ]
+    new_files = [f for f in disk if str(f.resolve()) not in known]
     if not new_files:
         return 0, len(known)
     df = (

@@ -1091,7 +1091,19 @@ FROM sk JOIN exact e ON e.q = sk.q
 # exactly the relational semantics it claims. Until now this layer was
 # pytest-only evidence.
 # --------------------------------------------------------------------------
+_U05_SCRATCH_ROOTS: list = []
+
+
+def _u05_cleanup() -> None:
+    import shutil
+
+    for root in _U05_SCRATCH_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+    _U05_SCRATCH_ROOTS.clear()
+
+
 def u05_storage_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
     import tempfile
     from pathlib import Path as _P
 
@@ -1104,6 +1116,12 @@ def u05_storage_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     root = _P(tempfile.mkdtemp(prefix="dwbss-u05-"))
+    # the returned DataFrame lazily reads this scratch warehouse, so it
+    # cannot be deleted eagerly — sweep every root at process exit
+    # instead of accumulating one mkdtemp per bench/correctness run
+    if not _U05_SCRATCH_ROOTS:
+        atexit.register(_u05_cleanup)
+    _U05_SCRATCH_ROOTS.append(root)
     fmt = WriteIdParquetFormat(
         Ledger(spark, root / "_ledger"), root, move=lambda s, d: s.rename(d)
     )

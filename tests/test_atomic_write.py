@@ -641,3 +641,166 @@ def test_delete_keeps_null_condition_rows(spark, tmp_path):
         r["id"] for r in fmt.read_as_of(spark, table, struct, "t").collect()
     )
     assert kept == [1, 2]   # id=2 (NULL condition) survives; id=3 deleted
+
+
+def test_read_as_of_ignores_stats_manifest_dir(spark, tmp_path):
+    """ADVICE r4 (medium): after write_stats_manifest() drops its
+    default <table>/_stats dir, read_as_of's explicit file listing must
+    skip it like Spark's file index does — previously the manifest's
+    parquet joined the listing and the read failed with
+    CONFLICTING_DIRECTORY_STRUCTURES, breaking every DML built on it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datawarehouse_backup_system_spark.ledger import Ledger
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        WriteIdParquetFormat,
+        delete_from_table,
+        write_stats_manifest,
+    )
+
+    root = tmp_path / "w"
+    fmt = WriteIdParquetFormat(
+        Ledger(spark, root / "_ledger"), root, move=lambda s, d: s.rename(d)
+    )
+    table = root / "t"
+    struct = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    rows = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 2).alias("v"),
+        F.lit("2024-01-05").cast("date").alias("ingest_date"),
+    )
+    fmt.append(rows, table, "t")
+    write_stats_manifest(spark, table, ["id"], fmt=fmt, table_name="t")
+    assert (table / "_stats").exists()
+    # committed read works and sees exactly the data rows
+    assert fmt.read_as_of(spark, table, struct, "t").count() == 100
+    # ...and so does DML built on read_as_of (rewrite_table path)
+    delete_from_table(spark, fmt, table, struct, "t", "id >= 50")
+    assert fmt.read_as_of(spark, table, struct, "t").count() == 50
+
+
+def test_stats_manifest_committed_files_only(spark, tmp_path):
+    """ADVICE r4: on a write-id table the manifest must index only
+    COMMITTED files — an uncommitted (crashed mid-publish) write-id's
+    file must not be statted, or read_pruned would surface rows the
+    committed view excludes."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.ledger import Ledger
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        WriteIdParquetFormat,
+        pruned_files,
+        read_pruned,
+        write_stats_manifest,
+    )
+
+    root = tmp_path / "w"
+    fmt = WriteIdParquetFormat(
+        Ledger(spark, root / "_ledger"), root, move=lambda s, d: s.rename(d)
+    )
+    table = root / "t"
+    rows = spark.range(0, 100).select(
+        F.col("id"),
+        F.lit("2024-01-05").cast("date").alias("ingest_date"),
+    )
+    fmt.append(rows.coalesce(1), table, "t")
+    # simulate a crash mid-publish: a write-id-prefixed file on disk
+    # with a 'begin' marker but no commit
+    part = table / "ingest_date=2024-01-05"
+    orphan_src = tmp_path / "orphan"
+    spark.range(10_000, 10_050).select(F.col("id")).coalesce(1) \
+        .write.parquet(str(orphan_src))
+    orphan_file = next(orphan_src.glob("*.parquet"))
+    import datawarehouse_backup_system_spark.ledger as ledger_mod
+    fmt.ledger.append(
+        f"{ledger_mod.WRITE_MARKER_PREFIX}t:deadbeefdeadbeef",
+        ledger_mod.STATUS_WRITE_BEGIN,
+    )
+    orphan_file.rename(part / f"wdeadbeefdeadbeef-{orphan_file.name}")
+
+    write_stats_manifest(spark, table, ["id"], fmt=fmt, table_name="t")
+    # the uncommitted id range must be invisible through the manifest
+    assert pruned_files(spark, table, "id", 10_000, 10_049) == []
+    assert read_pruned(spark, table, "id", 10_000, 10_049).count() == 0
+    # the committed range is fully served
+    assert read_pruned(spark, table, "id", 0, 99).count() == 100
+
+
+def test_update_stats_manifest_uri_drift_no_readd(spark, tmp_path):
+    """ADVICE r4: membership is matched on resolved paths, not raw URI
+    strings — a path that URI-escapes differently between
+    input_file_name() and Path.as_uri() (here: a space in the dir name)
+    must not be silently re-added and double-counted."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        read_pruned,
+        update_stats_manifest,
+    )
+
+    table = tmp_path / "my table"          # space forces %20 in as_uri()
+    spark.range(0, 100).withColumn("v", F.col("id")) \
+        .coalesce(2).write.parquet(str(table))
+    assert update_stats_manifest(spark, table, ["id"]) == (2, 2)
+    # second pass: nothing new — URI drift would re-add both files here
+    assert update_stats_manifest(spark, table, ["id"]) == (0, 2)
+    # and the pruned read does not double-count
+    assert read_pruned(spark, table, "id", 0, 99).count() == 100
+
+
+def test_writer_lease_blocks_concurrent_writer(tmp_path):
+    """Single-writer enforcement (VERDICT r4 item 5): a second live
+    writer on the same warehouse fails LOUDLY; a stale (crashed) lease
+    past its TTL is stolen; release is token-guarded so the original
+    owner's late release never clobbers a stolen lease."""
+    import time as _time
+
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        ConcurrentWriterError,
+        WriterLease,
+    )
+
+    import pytest
+
+    w = tmp_path / "wh"
+    a = WriterLease(w, owner="job-a").acquire()
+    # concurrent second writer: loud failure, not interleaving
+    with pytest.raises(ConcurrentWriterError):
+        WriterLease(w, owner="job-b").acquire()
+    a.release()
+    assert not (w / "_writer.lease").exists()
+
+    # stale lease (crashed writer): stolen after ttl
+    c = WriterLease(w, owner="job-c", ttl_s=0.05).acquire()
+    _time.sleep(0.1)
+    d = WriterLease(w, owner="job-d", ttl_s=0.05).acquire()
+    assert (w / "_writer.lease").read_text() == "job-d"
+    # job-c's late release must NOT remove job-d's lease
+    c.release()
+    assert (w / "_writer.lease").read_text() == "job-d"
+    d.release()
+
+
+def test_ingest_run_rejects_second_concurrent_run(spark, tmp_path):
+    """IngestJob.run holds the warehouse lease for the cycle: a second
+    concurrent run on the same warehouse raises instead of racing the
+    ledger."""
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        ConcurrentWriterError,
+        WriterLease,
+    )
+
+    fx = generate_f1(tmp_path, n=10)
+    inbox = tmp_path / "in"
+    inbox.mkdir()
+    job = make_job(spark, tmp_path, fx)
+    wh = job.warehouse_dir
+    # simulate writer #1 mid-cycle by holding its lease
+    other = WriterLease(wh, owner="other-job").acquire()
+    with pytest.raises(ConcurrentWriterError):
+        job.run(inbox)
+    other.release()
+    # lease released -> the run proceeds (empty inbox: no results)
+    assert job.run(inbox) == []
