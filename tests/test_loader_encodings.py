@@ -1,0 +1,88 @@
+"""Loader preflight across testdata generations (VERDICT r4 item 6).
+
+Round 3's incident: the driver regenerated /root/testdata and events.ts
+changed physical encoding (BIGINT-nanos -> TIMESTAMP_NTZ micros),
+crashing 18 queries. ``queries/base.py`` now branches on the DECODED
+type; these tests synthesize an events table in EVERY encoding variant
+the branch handles — nanos (Spark reads long under
+``legacy.parquet.nanosAsLong``), micros-NTZ, and micros-UTC-adjusted —
+and pin that ``load()`` yields the identical session-UTC TimestampType
+rows for each, so a third generation's encoding flip cannot recreate
+the r3 incident silently.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+TS = [
+    dt.datetime(2024, 1, 5, 12, 0, 0, 123456),
+    dt.datetime(2024, 2, 6, 1, 30, 59, 999999),
+    dt.datetime(2024, 3, 7, 23, 59, 0, 1),
+]
+
+
+def _write_events(path, ts_array: pa.Array) -> None:
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([10, 20, 30], pa.int64()),
+            "event_type": pa.array(["view", "click", "purchase"]),
+            "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+            "props": pa.array(['{"a":1}', "{}", "{}"]),
+        }
+    )
+    pq.write_table(t, str(path))
+
+
+ENCODINGS = {
+    # r1/r2-generation: TIMESTAMP(NANOS) — Spark's vectorized reader
+    # rejects it; load() reads nanos-as-long and truncates to micros
+    "nanos": pa.timestamp("ns"),
+    # r3+-generation: TIMESTAMP(MICROS) isAdjustedToUTC=false — Spark
+    # decodes TIMESTAMP_NTZ; load() casts to session-UTC timestamp
+    "micros_ntz": pa.timestamp("us"),
+    # the plausible NEXT flip: micros adjusted-to-UTC — Spark decodes
+    # TimestampType directly; load() passes it through
+    "micros_utc": pa.timestamp("us", tz="UTC"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(ENCODINGS))
+def test_load_events_any_ts_encoding(spark, tmp_path, name):
+    from pyspark.sql import types as T
+
+    from datawarehouse_backup_system_spark.queries.base import load
+
+    sf_dir = tmp_path / name
+    sf_dir.mkdir()
+    _write_events(
+        sf_dir / "events.parquet", pa.array(TS, ENCODINGS[name])
+    )
+    df = load(spark, str(sf_dir), "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    got = [r["ts"] for r in df.orderBy("event_id").collect()]
+    assert got == TS  # same wall-clock instants in session-UTC
+
+
+def test_load_events_encodings_agree(spark, tmp_path):
+    """All encoding variants of the SAME data load to identical rows —
+    the invariant every event query depends on across regenerations."""
+    from datawarehouse_backup_system_spark.queries.base import load
+
+    results = {}
+    for name, typ in ENCODINGS.items():
+        sf_dir = tmp_path / name
+        sf_dir.mkdir()
+        _write_events(sf_dir / "events.parquet", pa.array(TS, typ))
+        results[name] = [
+            tuple(r) for r in
+            load(spark, str(sf_dir), "events").orderBy("event_id").collect()
+        ]
+    assert results["nanos"] == results["micros_ntz"] == results["micros_utc"]
