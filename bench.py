@@ -159,6 +159,13 @@ def main() -> int:
     # per-round timing.
     run_order = list(HEADLINE) + sorted(set(specs) - set(HEADLINE))
 
+    # Optional allowlist for focused runs (e.g. the sf1 scaling
+    # measurement in SCALE.md): comma-separated query names.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        run_order = [n for n in run_order if n in wanted]
+
     # best-of-2 per query: the first run includes shuffle-file/codegen
     # warmup and is exposed to host noise; min() approximates steady state.
     # A failing query must NOT sink the suite (r2/r3 lesson: one
@@ -222,7 +229,8 @@ def main() -> int:
     )
     families: dict[str, float] = {}
     for name, sec in timings.items():
-        fam = re.match(r"[a-z]+", name).group(0)
+        m = re.match(r"[a-z]+", name)
+        fam = m.group(0) if m else "other"
         families[fam] = round(families.get(fam, 0.0) + sec, 3)
     top10 = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]

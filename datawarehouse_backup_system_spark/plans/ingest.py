@@ -395,10 +395,13 @@ class IngestJob:
             WriterLease,
         )
 
-        with WriterLease(self.warehouse_dir):
+        with WriterLease(self.warehouse_dir) as lease:
             self.recover_writes()  # roll back any crashed append first
             processed = self.ledger.processed_set()
             results = []
             for f in discover_files(input_dir, processed):
                 results.append(self.process_file(f))
+                # heartbeat: a cycle longer than ttl_s would otherwise
+                # look crashed to a waiting writer and get stolen
+                lease.touch()
             return results

@@ -51,6 +51,7 @@ duration of each cycle.
 
 from __future__ import annotations
 
+import os
 import shutil
 import time
 import uuid
@@ -98,8 +99,6 @@ class WriterLease:
         self._held = False
 
     def acquire(self) -> "WriterLease":
-        import os
-
         self.path.parent.mkdir(parents=True, exist_ok=True)
         for attempt in (0, 1):
             try:
@@ -117,9 +116,21 @@ class WriterLease:
                 except OSError:
                     continue  # racing release — retry the create
                 if attempt == 0 and age >= self.ttl_s:
-                    # stale (crashed writer): steal once, then re-race
-                    # the O_EXCL create against any other stealer
-                    self.path.unlink(missing_ok=True)
+                    # stale (crashed writer): steal by RENAMING the stale
+                    # lease to a unique tombstone — rename is atomic and
+                    # fails with FileNotFoundError if another stealer got
+                    # there first, so exactly one stealer proceeds to
+                    # re-race the O_EXCL create (unlink-then-create has a
+                    # window where we could unlink a FRESH lease another
+                    # stealer just wrote; ADVICE r5)
+                    tomb = self.path.with_name(
+                        f"_writer.lease.stale.{self.owner}"
+                    )
+                    try:
+                        os.rename(self.path, tomb)
+                    except OSError:
+                        continue  # lost the steal race — retry create
+                    tomb.unlink(missing_ok=True)
                     continue
                 raise ConcurrentWriterError(
                     f"warehouse writer lease held by {holder!r} "
@@ -128,6 +139,18 @@ class WriterLease:
                     "other job or raise ttl_s only if it crashed"
                 )
         raise ConcurrentWriterError("could not acquire writer lease")
+
+    def touch(self) -> None:
+        """Refresh the lease mtime (heartbeat). A cycle longer than
+        ``ttl_s`` looks crashed to other writers and can be stolen —
+        long-running jobs call this between units of work (``IngestJob``
+        heartbeats per file)."""
+        if self._held:
+            try:
+                if self.path.read_text() == self.owner:
+                    os.utime(self.path)
+            except OSError:
+                pass
 
     def release(self) -> None:
         if self._held:
@@ -478,12 +501,26 @@ def write_stats_manifest(
     if fmt is not None and table_name is not None:
         committed = fmt._committed_file_list(Path(path), table_name)
         if not committed:
-            # nothing committed: write an EMPTY manifest with the right
-            # schema so pruned_files finds no files rather than crashing
-            schema = T.StructType([T.StructField("_file", T.StringType())])
-            spark.createDataFrame([], schema).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(str(manifest_dir))
+            # nothing committed: write an EMPTY manifest carrying every
+            # column pruned_files/read_pruned filter on (min_/max_/nulls_
+            # per requested column + n_rows) — a bare ``_file`` schema
+            # made those filters raise UNRESOLVED_COLUMN instead of the
+            # documented empty result (ADVICE r5). Min/max are typed
+            # string here (true types are unknowable with zero files);
+            # the manifest is empty so they are never compared to values.
+            fields = [
+                T.StructField("_file", T.StringType()),
+                T.StructField("n_rows", T.LongType()),
+            ]
+            for c in columns:
+                fields += [
+                    T.StructField(f"min_{c}", T.StringType()),
+                    T.StructField(f"max_{c}", T.StringType()),
+                    T.StructField(f"nulls_{c}", T.LongType()),
+                ]
+            spark.createDataFrame([], T.StructType(fields)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(str(manifest_dir))
             return 0
         df = (
             spark.read.option("basePath", str(path)).parquet(*committed)
@@ -562,7 +599,18 @@ def read_pruned(
     the pytest pins both the equality and that files were skipped."""
     files = pruned_files(spark, path, column, lo, hi, manifest_dir)
     if not files:
-        schema = spark.read.parquet(str(path)).schema
+        try:
+            schema = spark.read.parquet(str(path)).schema
+        except Exception:  # noqa: BLE001
+            # zero data files (e.g. manifest written before any commit):
+            # schema inference has nothing to read — answer with an
+            # empty frame typed from the manifest's own stats columns
+            # rather than crashing (same contract as pruned_files)
+            mdir = manifest_dir or (Path(path) / "_stats")
+            mtype = spark.read.parquet(str(mdir)).schema[
+                f"min_{column}"
+            ].dataType
+            schema = T.StructType([T.StructField(column, mtype)])
         return spark.createDataFrame([], schema)
     return (
         spark.read.option("basePath", str(path))

@@ -804,3 +804,83 @@ def test_ingest_run_rejects_second_concurrent_run(spark, tmp_path):
     other.release()
     # lease released -> the run proceeds (empty inbox: no results)
     assert job.run(inbox) == []
+
+
+def test_writer_lease_touch_prevents_steal(tmp_path):
+    """ADVICE r5: a live writer whose cycle outlasts ttl_s must not be
+    stolen from — ``touch()`` refreshes the lease mtime so the holder
+    stays visibly alive."""
+    import time as _time
+
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        ConcurrentWriterError,
+        WriterLease,
+    )
+
+    w = tmp_path / "wh"
+    a = WriterLease(w, owner="long-job", ttl_s=0.3).acquire()
+    deadline = _time.time() + 0.6  # two TTLs of heartbeat
+    while _time.time() < deadline:
+        _time.sleep(0.1)
+        a.touch()
+    # without the heartbeat this steal would succeed (age > ttl)
+    with pytest.raises(ConcurrentWriterError):
+        WriterLease(w, owner="thief", ttl_s=0.3).acquire()
+    a.release()
+    assert not (w / "_writer.lease").exists()
+
+
+def test_stale_lease_steal_is_single_winner(tmp_path):
+    """ADVICE r5: stealing renames the stale lease to a per-owner
+    tombstone before re-racing the create — the loser of the rename
+    retries and then fails against the winner's FRESH lease instead of
+    unlinking it (the two-live-writers interleaving)."""
+    import time as _time
+
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        ConcurrentWriterError,
+        WriterLease,
+    )
+
+    w = tmp_path / "wh"
+    WriterLease(w, owner="crashed", ttl_s=0.05).acquire()  # never released
+    _time.sleep(0.1)
+    # winner steals the stale lease
+    win = WriterLease(w, owner="winner", ttl_s=0.05).acquire()
+    assert (w / "_writer.lease").read_text() == "winner"
+    # a second stealer arriving now sees a FRESH lease: loud failure,
+    # and crucially the winner's lease survives the attempt
+    with pytest.raises(ConcurrentWriterError):
+        WriterLease(w, owner="loser", ttl_s=60).acquire()
+    assert (w / "_writer.lease").read_text() == "winner"
+    # no tombstone litter left behind
+    assert list(w.glob("_writer.lease.stale.*")) == []
+    win.release()
+
+
+def test_empty_stats_manifest_prunes_cleanly(spark, tmp_path):
+    """ADVICE r5: a manifest written before any commit must carry the
+    min_/max_/nulls_ columns pruned_files filters on — the bare-_file
+    schema raised UNRESOLVED_COLUMN instead of the documented empty
+    result."""
+    from datawarehouse_backup_system_spark.ledger import Ledger
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        WriteIdParquetFormat,
+        pruned_files,
+        read_pruned,
+        write_stats_manifest,
+    )
+
+    root = tmp_path / "w"
+    fmt = WriteIdParquetFormat(
+        Ledger(spark, root / "_ledger"), root, move=lambda s, d: s.rename(d)
+    )
+    table = root / "t"
+    table.mkdir(parents=True)
+    assert write_stats_manifest(
+        spark, table, ["id", "v"], fmt=fmt, table_name="t"
+    ) == 0
+    # both filter columns resolve; result is empty, not AnalysisException
+    assert pruned_files(spark, table, "id", 0, 10) == []
+    assert pruned_files(spark, table, "v", -5, 5) == []
+    assert read_pruned(spark, table, "id", 0, 10).count() == 0

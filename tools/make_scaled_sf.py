@@ -54,8 +54,12 @@ def main() -> int:
         .select(
             (F.col("doc_id") + F.col("copy") * doc_off).alias("doc_id"),
             # per-copy vocabulary bijection: word -> word_c<copy>
+            # replacement must be a Column built with concat — ``str + Column``
+            # compiles to arithmetic ``+`` and fails analysis (ADVICE r5)
             F.regexp_replace(
-                "text", r"(\S+)", r"$1_c" + F.col("copy").cast("string")
+                "text",
+                F.lit(r"(\S+)"),
+                F.concat(F.lit("$1_c"), F.col("copy").cast("string")),
             ).alias("text"),
             "lang", "source", "n_chars",
         )
@@ -82,6 +86,18 @@ def main() -> int:
         .repartition(32)
         .write.mode("overwrite").parquet(str(out / "events.parquet"))
     )
+    # symlink the unscaled tables so the output dir is a COMPLETE sf dir
+    # (any contract query can run against it; only the scale families'
+    # inputs actually grew)
+    scaled = {"documents", "lineitem", "events"}
+    for src_tbl in sorted(Path(SRC).glob("*.parquet")):
+        name = src_tbl.name.removesuffix(".parquet")
+        if name in scaled:
+            continue
+        link = out / src_tbl.name
+        if not link.exists():
+            link.symlink_to(src_tbl)
+
     for t in ("documents", "lineitem", "events"):
         n = spark.read.parquet(str(out / f"{t}.parquet")).count()
         print(f"{t}: {n} rows")
