@@ -204,3 +204,70 @@ def rolling_anomaly_flags(
         staged.where((n >= min_n) & (lhs > rhs))
         .select(key_col, ts_col, tiebreak_col, value_col, n.alias("n_window"))
     )
+
+
+def ewma_dyadic(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    k_window: int = 16,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average with α = 1/2 over
+    the last ``k_window`` observations — in EXACT dyadic-rational
+    arithmetic, so the result hash-compares across engines.
+
+    α = 1/2 is the one EWMA whose weights (2⁻¹, 2⁻², ...) are finite
+    binary fractions: with integer inputs every term is exact, and
+    truncating the tail at k_window bounds the dropped mass below
+    2^-k_window. The recurrence s_n = (x_n + s_{n-1})/2 is sequential,
+    but the TRUNCATED form is a fixed linear combination of the last k
+    values — expressible as k LAG columns inside one window pass (all
+    codegen, no UDF; the interpreted higher-order-function alternative
+    measured 10× slower on similar shapes — SCALE.md measured lessons):
+
+        num = Σ_{j=0..k-1} lag(x, j) · 2^(k-1-j)      (newest heaviest)
+        den = 2^k − 2^(k−m)        (m = observations actually present)
+
+    and the reported smoothed value is the exact integer floor of
+    1000·num/den (milli-units of the integer input). One shuffle on
+    ``key_col``; per-key state is the k-row window frame.
+
+    Returns the input keys + ``m_terms, ewma_num, ewma_den,
+    ewma_milli`` for the LATEST row per key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    x = F.col(value_col).cast("bigint")
+    lags = [F.lag(x, j).over(w) for j in range(k_window)]
+    num = None
+    for j, lg in enumerate(lags):
+        term = F.coalesce(lg, F.lit(0)) * F.lit(1 << (k_window - 1 - j))
+        num = term if num is None else num + term
+    m = None
+    for lg in lags:
+        t = lg.isNotNull().cast("bigint")
+        m = t if m is None else m + t
+    out = (
+        df.withColumn("ewma_num", num)
+        .withColumn("m_terms", m)
+        .withColumn(
+            "rn_desc",
+            F.row_number().over(
+                Window.partitionBy(key_col).orderBy(
+                    *[F.col(c).desc() for c in order_cols]
+                )
+            ),
+        )
+        .where(F.col("rn_desc") == 1)
+        .withColumn(
+            "ewma_den",
+            F.lit(1 << k_window)
+            - F.expr(f"cast(pow(2, {k_window} - m_terms) as bigint)"),
+        )
+        .withColumn("ewma_milli", F.expr("(ewma_num * 1000) div ewma_den"))
+    )
+    return out.select(
+        key_col, "m_terms", "ewma_num", "ewma_den", "ewma_milli"
+    )

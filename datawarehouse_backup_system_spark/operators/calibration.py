@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _pava_rows(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -77,3 +78,69 @@ def isotonic_calibrate(
     # group_cols); mapInPandas would hand arbitrary row batches and
     # break the per-group sequential invariant
     return df.groupBy(*group_cols).applyInPandas(_pava_rows, schema=schema)
+
+
+def conformal_threshold(
+    scores: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    cal_flag_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+) -> DataFrame:
+    """Split-conformal prediction threshold per group, exact-integer.
+
+    Classical split conformal (Vovk et al.; Lei et al. 2018): on a held
+    -out calibration split, the (1-α) upper prediction bound is the
+    k-th smallest nonconformity score with  k = ⌈(n_cal+1)·(1-α)⌉ —
+    a pure ORDER STATISTIC, so the whole operator is one window rank
+    per group plus counting, no floating point anywhere: k is computed
+    with integer ceiling division from the rational α = alpha_num/
+    alpha_den, and the reported empirical coverage on the evaluation
+    split is floor(1e6·n_covered/n_eval) micro-units.
+
+    Distributed shape: one shuffle on ``group_cols`` for the rank
+    window (calibration rows only — the small split), one broadcast-
+    joinable per-group threshold row, one aggregation over the eval
+    split. Scores must be integer-typed (cents).
+
+    Returns per group: ``n_cal, k_rank, q_hat, n_eval, n_covered,
+    coverage_ppm``.
+    """
+    from pyspark.sql import Window
+
+    cal = scores.where(F.col(cal_flag_col))
+    ev = scores.where(~F.col(cal_flag_col))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).asc(), F.monotonically_increasing_id()
+    )
+    ranked = cal.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    n_cal = cal.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_cal"))
+    # k = ceil((n_cal+1) * (den-num) / den), clamped into [1, n_cal]
+    num = alpha_den - alpha_num
+    k = n_cal.withColumn(
+        "k_rank",
+        F.least(
+            F.col("n_cal"),
+            F.expr(
+                f"(((n_cal + 1) * {num}) + {alpha_den} - 1) div {alpha_den}"
+            ),
+        ),
+    )
+    thresh = (
+        ranked.join(k, group_cols)
+        .where(F.col("rk") == F.col("k_rank"))
+        .select(*group_cols, "n_cal", "k_rank",
+                F.col(score_col).alias("q_hat"))
+    )
+    cov = ev.join(F.broadcast(thresh), group_cols).groupBy(
+        *group_cols, "n_cal", "k_rank", "q_hat"
+    ).agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum((F.col(score_col) <= F.col("q_hat")).cast("bigint")).alias(
+            "n_covered"
+        ),
+    )
+    return cov.withColumn(
+        "coverage_ppm", F.expr("(n_covered * 1000000) div n_eval")
+    )

@@ -1,0 +1,73 @@
+"""Incremental aggregate-view maintenance via mergeable partials.
+
+The reference recomputes its running counters per cycle over whatever it
+has on disk (``util/data_processing.py`` tallies per chunk); at 100 TB a
+materialized aggregate (revenue by priority, counts by day, ...) cannot
+be rebuilt by rescanning history every batch. The standard warehouse
+answer — Delta/Iceberg MERGE-maintained summary tables, Druid/Pinot
+rollup segments — is to keep the view as *mergeable partial aggregates*
+and fold each new batch in with a key-wise merge:
+
+    view ⊕ partial(batch)  ==  partial(history ∪ batch)
+
+for any aggregate expressible as a commutative monoid: COUNT and SUM
+(add), MIN/MAX (lattice meet/join), and anything derivable from kept
+partials (AVG = sum/count). One groupBy over the BATCH plus one
+merge-shuffle over O(|groups|) view rows — history is never rescanned.
+
+Aggregates that are NOT monoidal over these partials (exact DISTINCT,
+exact medians) need their own sketch partials — see
+``operators/sketches.py`` (HLL rollup) and ``operators/quantiles.py``
+(mergeable histograms), which slot into the same merge shape.
+
+Reference parity: running counters A5 (`util/data_processing.py:209`,
+tallies per 100k-row chunk) — re-expressed as a distributed monoid fold
+instead of a driver-side accumulator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: partial-aggregate columns produced per (value) metric
+_PARTIAL_COLS = ("n_rows", "sum_v", "min_v", "max_v")
+
+
+def partial_aggs(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """One map-side-combinable groupBy producing the monoid partials
+    (count, sum, min, max) of ``value_col`` per key. ``value_col`` must
+    already be exact-typed (integer cents, not raw doubles) if the view
+    is hash-compared downstream."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(value_col).alias("sum_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    )
+
+
+def merge_partials(view: DataFrame, batch_partial: DataFrame,
+                   keys: list[str]) -> DataFrame:
+    """Fold a batch's partials into the maintained view: key-wise monoid
+    merge (sum+sum, min∧min, max∨max). Cost is O(|view| + |batch
+    groups|) — independent of history row count. New keys appear via the
+    union; absent keys pass through unchanged."""
+    merged = view.unionByName(batch_partial).groupBy(*keys).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+    return merged
+
+
+def finalize(view: DataFrame) -> DataFrame:
+    """Derive the presented aggregates from the kept partials: AVG as an
+    exact integer floor-div (sum_v // n_rows) so the view hash-compares
+    across engines."""
+    return view.select(
+        *[c for c in view.columns if c not in _PARTIAL_COLS],
+        "n_rows", "sum_v", "min_v", "max_v",
+        F.expr("sum_v div n_rows").alias("avg_floor"),
+    )

@@ -179,3 +179,58 @@ def histograms_equal(a: DataFrame, b: DataFrame) -> DataFrame:
             F.lit(True),  # both empty
         ).alias("equal")
     )
+
+
+def log2_histogram(
+    df: DataFrame, key_cols: list[str], col: str
+) -> DataFrame:
+    """Exponential (log₂-bucketed) histogram — the DDSketch idea at
+    γ=2: bucket b holds values in [2^(b-1), 2^b), giving a bounded
+    RELATIVE-error quantile sketch in ⌈log₂(max)⌉ buckets, vs the
+    equi-width histogram's bounded absolute error. Mergeable like every
+    sketch here: (key, bucket) → cnt partials add across shards.
+
+    The bucket index is computed EXACTLY in both engines as the binary
+    string length of the integer value (``length(bin(v))`` =
+    ⌊log₂ v⌋+1) — never floating ``log2()``, whose rounding at powers
+    of two differs across libm builds. Values are clamped to ≥ 1
+    (bucket 1); integer-typed input required (cents).
+    """
+    v = F.greatest(F.col(col).cast("bigint"), F.lit(1))
+    return (
+        df.select(*key_cols, F.length(F.bin(v)).cast("bigint").alias("bucket"))
+        .groupBy(*key_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def log2_histogram_quantiles(
+    hist: DataFrame, key_cols: list[str], qs: list[float]
+) -> DataFrame:
+    """Per-group quantile estimates from a log₂ histogram: the quantile
+    lands in the first bucket whose cumulative count crosses ⌈q·n⌉; the
+    reported estimate is that bucket's lower bound 2^(b-1) — within a
+    factor of 2 of the true order statistic by construction (the sketch
+    guarantee the h04-style audit pins). All integer arithmetic."""
+    from pyspark.sql import SparkSession, Window
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n_total",
+        F.sum("cnt").over(Window.partitionBy(*key_cols)),
+    )
+    spark = SparkSession.getActiveSession()
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    return (
+        qdf.crossJoin(cum)
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n_total")))
+        .groupBy(*key_cols, "q")
+        .agg(
+            F.expr("cast(pow(2, min(bucket) - 1) as bigint)").alias("est_lo"),
+            F.min("n_total").alias("n_total"),
+        )
+    )
