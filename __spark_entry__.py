@@ -75,6 +75,14 @@ try:  # scale extensions (prefix-filter join, quantile sketch, SCD2 PIT, Q17)
 except ImportError:
     pass
 
+try:  # round-6 extensions (incremental view, bloom index, skyline, EWMA,
+    # conformal, log2 histogram)
+    from datawarehouse_backup_system_spark.queries import round6_ext
+
+    _ALL_SPECS += list(round6_ext.SPECS)
+except ImportError:
+    pass
+
 
 def _staleness_key(name: str) -> int:
     """Rotation priority from the CORRECTNESS_r{N}.json history.

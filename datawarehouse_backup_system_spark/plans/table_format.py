@@ -870,3 +870,135 @@ def delete_from_table(
         lambda cur: cur.where(~F.coalesce(cond, F.lit(False))),
         run_vacuum=run_vacuum,
     )
+
+
+def write_bloom_manifest(
+    spark: SparkSession,
+    path: Path,
+    column: str,
+    manifest_dir: Path | None = None,
+    n_bits: int = 1 << 13,
+    n_hashes: int = 3,
+    fmt: "WriteIdParquetFormat | None" = None,
+    table_name: str | None = None,
+) -> int:
+    """Per-FILE Bloom filters for POINT lookups — the complement of the
+    min/max stats manifest, which cannot prune equality probes on
+    columns uncorrelated with file layout (every file's [min, max]
+    spans the probe). One row per data file with a sparse
+    ``map<word_idx, word>`` of the file's ``column`` key bits; Parquet
+    itself has optional footer bloom filters, but Spark's scan does not
+    consult them for pruning — this manifest makes the same idea an
+    explicit, plannable index (Iceberg puts equality-delete blooms in
+    manifests for the same reason).
+
+    Built in ONE scan grouped by ``input_file_name()`` (no per-file
+    driver loop); ~n_bits/8 bytes per file worst case, so planning a
+    point read over 10⁵ files is a kilobyte-scale manifest scan instead
+    of opening every footer on object storage. Bit positions come from
+    the same salted-``xxhash64`` scheme as ``operators/bloom.py`` —
+    advisory pruning, so engine parity is not required; the read that
+    follows re-applies the exact predicate.
+
+    Pass ``fmt``/``table_name`` on a write-id table to index only
+    COMMITTED files (same contract as :func:`write_stats_manifest`).
+    Returns the number of files indexed.
+    """
+    from datawarehouse_backup_system_spark.operators.bloom import (
+        _positions,
+        _shiftleft,
+    )
+
+    manifest_dir = manifest_dir or (Path(path) / f"_bloom_{column}")
+    if fmt is not None and table_name is not None:
+        committed = fmt._committed_file_list(Path(path), table_name)
+        if not committed:
+            schema = T.StructType([
+                T.StructField("_file", T.StringType()),
+                T.StructField(
+                    "words", T.MapType(T.IntegerType(), T.LongType())
+                ),
+            ])
+            spark.createDataFrame([], schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(manifest_dir))
+            return 0
+        df = spark.read.option("basePath", str(path)).parquet(*committed)
+    else:
+        df = spark.read.parquet(str(path))
+    # hash the CANONICAL string rendering: xxhash64 is physical-type-
+    # sensitive (int literal != bigint column), and the probe side has
+    # no schema to coerce to — string form makes build and probe agree
+    # for any integer/string key type
+    pos = F.explode(
+        F.array(
+            *_positions(F.col(column).cast("string"), n_bits, n_hashes)
+        )
+    )
+    words = (
+        df.withColumn("_file", F.input_file_name())
+        .where(F.col(column).isNotNull())
+        .select("_file", pos.alias("_pos"))
+        .select(
+            "_file",
+            (F.col("_pos") / 64).cast("int").alias("_w"),
+            _shiftleft(
+                F.lit(1).cast("bigint"), (F.col("_pos") % 64).cast("int")
+            ).alias("_m"),
+        )
+        .groupBy("_file", "_w")
+        .agg(F.bit_or("_m").alias("_word"))
+        .groupBy("_file")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_w", "_word"))
+            ).alias("words")
+        )
+    )
+    words.coalesce(1).write.mode("overwrite").parquet(str(manifest_dir))
+    return spark.read.parquet(str(manifest_dir)).count()
+
+
+def bloom_candidate_files(
+    spark: SparkSession,
+    path: Path,
+    column: str,
+    value,
+    manifest_dir: Path | None = None,
+    n_bits: int = 1 << 13,
+    n_hashes: int = 3,
+) -> list[str]:
+    """Files that MAY contain ``column = value`` per the bloom manifest
+    (no false negatives; false positives at the filter's rate). Same
+    advisory-cache semantics as :func:`pruned_files`: entries whose file
+    has since been deleted are skipped, URIs are returned decoded."""
+    from urllib.parse import unquote, urlparse
+
+    from datawarehouse_backup_system_spark.operators.bloom import (
+        _positions,
+        _shiftleft,
+    )
+
+    manifest_dir = manifest_dir or (Path(path) / f"_bloom_{column}")
+    m = spark.read.parquet(str(manifest_dir))
+    cond = None
+    for pos in _positions(
+        F.lit(value).cast("string"), n_bits, n_hashes
+    ):
+        word = F.element_at(F.col("words"), (pos / 64).cast("int"))
+        mask = _shiftleft(
+            F.lit(1).cast("bigint"), (pos % 64).cast("int")
+        )
+        bit = word.isNotNull() & (word.bitwiseAND(mask) != 0)
+        cond = bit if cond is None else cond & bit
+    files = [r["_file"] for r in m.where(cond).select("_file").collect()]
+    out = []
+    for uri in files:
+        p = urlparse(uri)
+        if p.scheme in ("file", ""):
+            local = Path(unquote(p.path))
+            if local.exists():
+                out.append(str(local))
+        else:
+            out.append(uri)
+    return out

@@ -1,0 +1,372 @@
+"""Round-6 extension specs: incremental aggregate maintenance, per-file
+bloom point-lookup pruning, distributed 2-D skyline, dyadic EWMA,
+split-conformal thresholds, and log₂ (DDSketch-style) histograms.
+
+Every spec follows the repo's exactness recipes (queries/base.py):
+integer cents, rational threshold comparisons, `div` floor division,
+md5-derived deterministic hashing — so each Spark plan hash-matches its
+DuckDB oracle at sf0.01 under the driver gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import quantiles as qsk
+from ..operators.behavior import ewma_dyadic
+from ..operators.calibration import conformal_threshold
+from ..operators.incremental import finalize, merge_partials, partial_aggs
+from ..operators.skyline import skyline_2d
+from .base import QuerySpec, load
+from .relational import cents
+
+
+# --------------------------------------------------------------------------
+# u06 — incremental aggregate-view maintenance: fold a new batch into a
+# materialized summary by monoid merge; equals the full recompute the
+# oracle performs. History is partitioned off by date so the "view" and
+# the "batch" are disjoint scans — the merge itself never rescans
+# history (operators/incremental.py docstring has the 100 TB argument).
+# --------------------------------------------------------------------------
+_U06_SPLIT = "1997-01-01"
+
+
+def u06_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderdate",
+        cents(F.col("o_totalprice")).alias("price_c"),
+    )
+    history = orders.where(F.col("o_orderdate") < F.lit(_U06_SPLIT))
+    batch = orders.where(F.col("o_orderdate") >= F.lit(_U06_SPLIT))
+    view = partial_aggs(history, ["o_orderpriority"], "price_c")
+    updated = merge_partials(
+        view, partial_aggs(batch, ["o_orderpriority"], "price_c"),
+        ["o_orderpriority"],
+    )
+    return finalize(updated).select(
+        "o_orderpriority", "n_rows", "sum_v", "min_v", "max_v", "avg_floor"
+    )
+
+
+U06_SQL = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(c) AS BIGINT) AS sum_v,
+       min(c) AS min_v,
+       max(c) AS max_v,
+       CAST(sum(c) AS BIGINT) // count(*) AS avg_floor
+FROM (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM orders
+)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# z03 — per-"file" bloom index for point lookups, engine-portable replay
+# of the real on-disk API (plans/table_format.py:write_bloom_manifest /
+# bloom_candidate_files — pytest-verified on actual files; xxhash64
+# there, md5 here because the oracle must reproduce the bits). lineitem
+# is range-clustered into 32 simulated files by l_orderkey; the probe
+# column l_partkey is uncorrelated with that layout, so min/max stats
+# CANNOT prune (every file spans the probe) — the bloom is what turns a
+# 32-file point read into a ~1-file read. m=61 bits (prime, and < 63 so
+# shifts never touch the sign bit), k=3 md5-derived positions.
+# --------------------------------------------------------------------------
+_Z03_FILES = 32
+_Z03_PROBE = 7          # l_partkey literal probed
+
+
+def _z03_mask(key_sql: str, i: int) -> F.Column:
+    """Bit mask for hash i of ``key_sql`` — md5-derived position mod 61
+    (prime, below the sign bit), engine-portable by construction."""
+    return F.expr(
+        f"shiftleft(cast(1 as bigint), cast("
+        f"cast(conv(substr(md5(cast({key_sql} as string)),"
+        f" {i * 4 + 1}, 4), 16, 10) as bigint) % 61 as int))"
+    )
+
+
+def z03_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    max_ok = li.agg(F.max("l_orderkey")).first()[0]
+    per_file = (max_ok + _Z03_FILES) // _Z03_FILES
+    rows = li.select(
+        F.expr(f"(l_orderkey - 1) div {per_file}").alias("file_id"),
+        "l_partkey",
+    )
+    bits = None
+    for i in range(3):
+        m = _z03_mask("l_partkey", i)
+        bits = m if bits is None else bits.bitwiseOR(m)
+    per_file_bloom = rows.withColumn("bits", bits).groupBy("file_id").agg(
+        F.expr("bit_or(bits)").alias("bloom"),
+        F.max(
+            (F.col("l_partkey") == _Z03_PROBE).cast("int")
+        ).cast("boolean").alias("actual"),
+    )
+    # probe bits of the literal key (constant-folded expression)
+    probe = None
+    for i in range(3):
+        m = _z03_mask(str(_Z03_PROBE), i)
+        probe = m if probe is None else probe.bitwiseOR(m)
+    return per_file_bloom.select(
+        "file_id",
+        "bloom",
+        (F.col("bloom").bitwiseAND(probe) == probe).alias("candidate"),
+        "actual",
+    ).orderBy("file_id")
+
+
+Z03_SQL = f"""
+WITH params AS (
+  SELECT (max(l_orderkey) + {_Z03_FILES}) // {_Z03_FILES} AS per_file
+  FROM lineitem
+),
+rows_b AS (
+  SELECT (l_orderkey - 1) // per_file AS file_id,
+         l_partkey,
+         (1::BIGINT << CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 4))::BIGINT % 61 AS INT))
+       | (1::BIGINT << CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 5, 4))::BIGINT % 61 AS INT))
+       | (1::BIGINT << CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 9, 4))::BIGINT % 61 AS INT))
+         AS bits
+  FROM lineitem, params
+),
+blooms AS (
+  SELECT file_id, bit_or(bits) AS bloom,
+         max(CASE WHEN l_partkey = {_Z03_PROBE} THEN 1 ELSE 0 END) = 1 AS actual
+  FROM rows_b GROUP BY file_id
+),
+probe AS (
+  SELECT (1::BIGINT << CAST(('0x' || substr(md5('{_Z03_PROBE}'), 1, 4))::BIGINT % 61 AS INT))
+       | (1::BIGINT << CAST(('0x' || substr(md5('{_Z03_PROBE}'), 5, 4))::BIGINT % 61 AS INT))
+       | (1::BIGINT << CAST(('0x' || substr(md5('{_Z03_PROBE}'), 9, 4))::BIGINT % 61 AS INT))
+         AS pbits
+)
+SELECT file_id, bloom, (bloom & pbits) = pbits AS candidate, actual
+FROM blooms, probe
+ORDER BY file_id
+"""
+
+
+# --------------------------------------------------------------------------
+# y01 — 2-D skyline (Pareto frontier) over part: minimize retail price,
+# maximize size. Spark plan is the bucketed prefix-max scan in
+# operators/skyline.py (one groupBy + one bucket-local window — never
+# the quadratic join); the oracle replays the NOT EXISTS dominance
+# definition, so the window algebra is checked against the textbook
+# semantics.
+# --------------------------------------------------------------------------
+def y01_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").select(
+        cents(F.col("p_retailprice")).alias("price_c"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    return skyline_2d(part, "price_c", "size").select(
+        F.col("x").alias("price_c"), F.col("y").alias("size"), "n"
+    ).orderBy("price_c", "size")
+
+
+Y01_SQL = """
+WITH pts AS (
+  SELECT CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS size,
+         CAST(count(*) AS BIGINT) AS n
+  FROM part GROUP BY 1, 2
+)
+SELECT price_c, size, n
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.price_c <= p.price_c AND q.size >= p.size
+    AND (q.price_c < p.price_c OR q.size > p.size)
+)
+ORDER BY price_c, size
+"""
+
+
+# --------------------------------------------------------------------------
+# g02 — dyadic-exact EWMA (α = 1/2, 16-term window) over each user's
+# event-value series; latest smoothed level per user. The one EWMA whose
+# arithmetic is exact in both engines (operators/behavior.py docstring).
+# --------------------------------------------------------------------------
+def g02_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", cents(F.col("value")).alias("c")
+    )
+    return ewma_dyadic(
+        ev, "user_id", ["ts", "event_id"], "c", k_window=16
+    ).orderBy("user_id")
+
+
+_G02_NUM = " + ".join(
+    f"coalesce(lag(c, {j}) OVER w, 0) * {1 << (15 - j)}" for j in range(16)
+)
+_G02_M = " + ".join(
+    f"CASE WHEN lag(c, {j}) OVER w IS NULL THEN 0 ELSE 1 END"
+    for j in range(16)
+)
+G02_SQL = f"""
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+lagged AS (
+  SELECT user_id,
+         CAST({_G02_NUM} AS BIGINT) AS ewma_num,
+         CAST({_G02_M} AS BIGINT) AS m_terms,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM v
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, m_terms, ewma_num,
+       CAST(65536 - CAST(pow(2, 16 - m_terms) AS BIGINT) AS BIGINT)
+         AS ewma_den,
+       (ewma_num * 1000) // (65536 - CAST(pow(2, 16 - m_terms) AS BIGINT))
+         AS ewma_milli
+FROM lagged WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# c04 — split-conformal prediction threshold per event_type: k-th order
+# statistic on an md5-hash calibration split, exact-integer rank and
+# coverage (operators/calibration.py:conformal_threshold).
+# --------------------------------------------------------------------------
+def c04_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        cents(F.col("value")).alias("score"),
+        (
+            F.expr(
+                "cast(conv(substr(md5(cast(event_id as string)), 1, 14),"
+                " 16, 10) as bigint) % 1000000"
+            )
+            < 500000
+        ).alias("is_cal"),
+    )
+    return conformal_threshold(
+        ev, ["event_type"], "score", "is_cal", alpha_num=1, alpha_den=10
+    ).orderBy("event_type")
+
+
+C04_SQL = """
+WITH scored AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS score,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 14))::BIGINT
+           % 1000000 < 500000 AS is_cal
+  FROM events
+),
+cal AS (
+  SELECT event_type, score,
+         CAST(row_number() OVER (
+           PARTITION BY event_type ORDER BY score
+         ) AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_cal
+  FROM scored WHERE is_cal
+),
+thresh AS (
+  SELECT event_type, n_cal,
+         least(n_cal, ((n_cal + 1) * 9 + 9) // 10) AS k_rank, score AS q_hat
+  FROM cal
+  WHERE rk = least(n_cal, ((n_cal + 1) * 9 + 9) // 10)
+),
+cov AS (
+  SELECT s.event_type, t.n_cal, t.k_rank, t.q_hat,
+         CAST(count(*) AS BIGINT) AS n_eval,
+         CAST(sum(CASE WHEN s.score <= t.q_hat THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered
+  FROM scored s JOIN thresh t ON s.event_type = t.event_type
+  WHERE NOT s.is_cal
+  GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, n_cal, k_rank, q_hat, n_eval, n_covered,
+       (n_covered * 1000000) // n_eval AS coverage_ppm
+FROM cov
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# h05 — log₂-bucketed (exponential / DDSketch-style) histogram per
+# event_type with p50/p99 bucket lower bounds: bounded RELATIVE error in
+# ⌈log₂ max⌉ buckets, mergeable partials, bucket index computed exactly
+# as length(bin(v)) in both engines (operators/quantiles.py).
+# --------------------------------------------------------------------------
+_H05_QS = [0.5, 0.99]
+
+
+def h05_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", cents(F.col("value")).alias("c")
+    )
+    hist = qsk.log2_histogram(ev, ["event_type"], "c")
+    return qsk.log2_histogram_quantiles(
+        hist, ["event_type"], _H05_QS
+    ).select("event_type", "q", "est_lo", "n_total").orderBy(
+        "event_type", "q"
+    )
+
+
+H05_SQL = """
+WITH v AS (
+  SELECT event_type,
+         greatest(CAST(floor(value * 100 + 0.5) AS BIGINT), 1) AS c
+  FROM events
+),
+hist AS (
+  SELECT event_type, CAST(length(bin(c)) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM v GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bucket,
+         sum(cnt) OVER (
+           PARTITION BY event_type ORDER BY bucket
+         ) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_total
+  FROM hist
+),
+qs AS (SELECT unnest([0.5, 0.99]) AS q)
+SELECT event_type, q,
+       CAST(pow(2, min(bucket) - 1) AS BIGINT) AS est_lo,
+       min(n_total) AS n_total
+FROM qs JOIN cum ON cum.cum >= ceil(q * cum.n_total)
+GROUP BY event_type, q
+ORDER BY event_type, q
+"""
+
+
+SPECS = [
+    QuerySpec("u06_incremental_agg_view", u06_incremental_agg_view, U06_SQL,
+              "materialized-view maintenance by monoid partial merge — "
+              "batch folded into the view without rescanning history; "
+              "oracle is the full recompute"),
+    QuerySpec("z03_bloom_point_lookup", z03_bloom_point_lookup, Z03_SQL,
+              "per-file bloom index replay: point-lookup pruning where "
+              "min/max stats cannot prune (probe uncorrelated with "
+              "layout); real on-disk API pytest-verified"),
+    QuerySpec("y01_skyline_parts", y01_skyline_parts, Y01_SQL,
+              "distributed 2-D Pareto skyline via bucketed prefix-max "
+              "scan (sort+window, never the quadratic join); oracle "
+              "replays NOT-EXISTS dominance"),
+    QuerySpec("g02_ewma_user_value", g02_ewma_user_value, G02_SQL,
+              "dyadic-exact EWMA (alpha=1/2, 16 lags) per user — the "
+              "one EWMA whose arithmetic hash-matches across engines"),
+    QuerySpec("c04_conformal_threshold", c04_conformal_threshold, C04_SQL,
+              "split-conformal prediction threshold per group: exact "
+              "integer order-statistic rank + ppm coverage"),
+    QuerySpec("h05_log2_histogram", h05_log2_histogram, H05_SQL,
+              "exponential (log2-bucket) histogram quantiles — bounded "
+              "relative error, mergeable, bucket = length(bin(v))"),
+]

@@ -16,7 +16,7 @@ def test_oracle_keys_subset_of_queries():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
-    assert len(q) >= 145
+    assert len(q) >= 151
     # every query is oracle-checked (q30's sketches compare against
     # exact counts via tolerance booleans since round 2)
     assert set(q) - set(o) == set()
@@ -28,7 +28,7 @@ def test_query_names_and_callables():
     # stable naming convention: family prefix + snake_case
     import re
 
-    assert all(re.fullmatch(r"[qdtmrsfkuecizgawbpxvh]\d{2}_[a-z0-9_]+", n) for n in q)
+    assert all(re.fullmatch(r"[qdtmrsfkuecizgawbpxvhy]\d{2}_[a-z0-9_]+", n) for n in q)
 
 
 def test_entry_runs_on_smoke_sf(spark):

@@ -1,0 +1,209 @@
+"""Round-6 operator tests: incremental view maintenance, skyline,
+dyadic EWMA, conformal thresholds, log2 histograms. (The bloom file
+index is covered in test_scale_ext.py next to the stats manifest.)"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from datawarehouse_backup_system_spark.operators.behavior import (  # noqa: E402
+    ewma_dyadic,
+)
+from datawarehouse_backup_system_spark.operators.calibration import (  # noqa: E402
+    conformal_threshold,
+)
+from datawarehouse_backup_system_spark.operators.incremental import (  # noqa: E402
+    finalize,
+    merge_partials,
+    partial_aggs,
+)
+from datawarehouse_backup_system_spark.operators import quantiles as qsk  # noqa: E402
+from datawarehouse_backup_system_spark.operators.skyline import (  # noqa: E402
+    skyline_2d,
+)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# ---------------------------------------------------------------- incremental
+def test_incremental_merge_equals_full_recompute(spark):
+    """view ⊕ partial(batch) == partial(history ∪ batch), any split."""
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") * 13 % 101).alias("v")
+    )
+    for split in (0, 300, 1000):
+        hist = df.where(F.col("id") < split) if split else df.limit(0)
+        batch = df.where(F.col("id") >= split)
+        merged = merge_partials(
+            partial_aggs(hist, ["g"], "v"),
+            partial_aggs(batch, ["g"], "v"), ["g"],
+        )
+        direct = partial_aggs(df, ["g"], "v")
+        cols = ("g", "n_rows", "sum_v", "min_v", "max_v")
+        assert _rows(merged, *cols) == _rows(direct, *cols)
+
+
+def test_incremental_merge_is_associative(spark):
+    """Three batches folded left or right give the same view."""
+    df = spark.range(0, 300).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v")
+    )
+    parts = [
+        partial_aggs(df.where((F.col("id") % 3) == i), ["g"], "v")
+        for i in range(3)
+    ]
+    left = merge_partials(merge_partials(parts[0], parts[1], ["g"]),
+                          parts[2], ["g"])
+    right = merge_partials(parts[0],
+                           merge_partials(parts[1], parts[2], ["g"]), ["g"])
+    cols = ("g", "n_rows", "sum_v", "min_v", "max_v")
+    assert _rows(left, *cols) == _rows(right, *cols)
+    fin = finalize(left)
+    r = {x[0]: x for x in _rows(fin, "g", "sum_v", "n_rows", "avg_floor")}
+    for g, s, n, a in r.values():
+        assert a == s // n
+
+
+# -------------------------------------------------------------------- skyline
+def _naive_skyline(points):
+    pts = sorted(set(points))
+    out = []
+    for x, y in pts:
+        dominated = any(
+            (qx <= x and qy >= y and (qx < x or qy > y)) for qx, qy in pts
+        )
+        if not dominated:
+            out.append((x, y))
+    return sorted(out)
+
+
+def test_skyline_matches_naive_dominance(spark):
+    import random
+
+    rng = random.Random(42)
+    points = [(rng.randrange(0, 50), rng.randrange(0, 50))
+              for _ in range(400)]
+    df = spark.createDataFrame(points, "x bigint, y bigint")
+    got = _rows(skyline_2d(df, "x", "y", n_buckets=8), "x", "y")
+    assert got == _naive_skyline(points)
+
+
+def test_skyline_keeps_tied_points_with_multiplicity(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (1, 5), (2, 9), (2, 4), (3, 9)], "x bigint, y bigint"
+    )
+    # (1,5) survives with n=2; (2,9) beats (2,4) and dominates (3,9)
+    got = _rows(skyline_2d(df, "x", "y", n_buckets=4), "x", "y", "n")
+    assert got == [(1, 5, 2), (2, 9, 1)]
+
+
+def test_skyline_partitioning_invariant(spark):
+    df = spark.range(0, 500).select(
+        (F.xxhash64("id") % 100).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 100).alias("y"),
+    )
+    a = _rows(skyline_2d(df.repartition(1), "x", "y"), "x", "y", "n")
+    b = _rows(skyline_2d(df.repartition(17), "x", "y"), "x", "y", "n")
+    assert a == b and len(a) > 0
+
+
+# ----------------------------------------------------------------------- ewma
+def test_ewma_matches_sequential_reference(spark):
+    """Window-lag EWMA == per-key sequential computation of the same
+    truncated dyadic sum."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i % 5, i, rng.randrange(0, 10_000)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k bigint, t bigint, c bigint")
+    got = {
+        r["k"]: (r["m_terms"], r["ewma_num"], r["ewma_den"], r["ewma_milli"])
+        for r in ewma_dyadic(df, "k", ["t"], "c", k_window=16).collect()
+    }
+    by_key: dict[int, list[int]] = {}
+    for k, t, c in sorted(rows, key=lambda r: r[1]):
+        by_key.setdefault(k, []).append(c)
+    for k, vals in by_key.items():
+        last = vals[-16:]
+        m = len(last)
+        num = sum(c * (1 << (15 - j)) for j, c in enumerate(reversed(last)))
+        den = (1 << 16) - (1 << (16 - m))
+        assert got[k] == (m, num, den, num * 1000 // den)
+
+
+def test_ewma_short_history(spark):
+    df = spark.createDataFrame([(1, 1, 100), (1, 2, 200)],
+                               "k bigint, t bigint, c bigint")
+    (row,) = ewma_dyadic(df, "k", ["t"], "c").collect()
+    # newest=200 weight 2^15, prev=100 weight 2^14; den = 2^16 - 2^14
+    num = 200 * (1 << 15) + 100 * (1 << 14)
+    den = (1 << 16) - (1 << 14)
+    assert (row["m_terms"], row["ewma_num"], row["ewma_den"]) == (2, num, den)
+    assert row["ewma_milli"] == num * 1000 // den
+
+
+# ------------------------------------------------------------------ conformal
+def test_conformal_rank_and_coverage(spark):
+    """q_hat is the exact k-th calibration order statistic and the
+    marginal coverage on exchangeable data lands near 1-α."""
+    df = spark.range(0, 2000).select(
+        F.lit("g").alias("grp"),
+        (F.xxhash64("id") % 100_000).alias("score"),
+        (F.col("id") % 2 == 0).alias("is_cal"),
+    )
+    (row,) = conformal_threshold(
+        df, ["grp"], "score", "is_cal", alpha_num=1, alpha_den=10
+    ).collect()
+    cal = sorted(
+        r["score"] for r in df.where("is_cal").select("score").collect()
+    )
+    n = len(cal)
+    k = min(n, -(-((n + 1) * 9) // 10))
+    assert row["n_cal"] == n and row["k_rank"] == k
+    assert row["q_hat"] == cal[k - 1]
+    assert 850_000 <= row["coverage_ppm"] <= 950_000  # ~90% nominal
+
+
+# -------------------------------------------------------------- log2 histogram
+def test_log2_histogram_buckets_and_merge(spark):
+    df = spark.createDataFrame(
+        [("a", v) for v in [1, 2, 3, 4, 7, 8, 1000]], "g string, v bigint"
+    )
+    hist = qsk.log2_histogram(df, ["g"], "v")
+    got = {(r["bucket"]): r["cnt"] for r in hist.collect()}
+    # 1→b1; 2,3→b2; 4,7→b3; 8→b4; 1000→b10
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1, 10: 1}
+    # mergeable: two half-builds sum to the direct build
+    h1 = qsk.log2_histogram(df.where("v <= 4"), ["g"], "v")
+    h2 = qsk.log2_histogram(df.where("v > 4"), ["g"], "v")
+    merged = h1.unionByName(h2).groupBy("g", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    assert _rows(merged, "g", "bucket", "cnt") == _rows(
+        hist, "g", "bucket", "cnt"
+    )
+
+
+def test_log2_quantile_within_factor_two(spark):
+    import random
+
+    rng = random.Random(3)
+    vals = [rng.randrange(1, 1_000_000) for _ in range(5000)]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v bigint")
+    hist = qsk.log2_histogram(df, ["g"], "v")
+    out = {
+        r["q"]: r["est_lo"]
+        for r in qsk.log2_histogram_quantiles(hist, ["g"], [0.5, 0.99])
+        .collect()
+    }
+    s = sorted(vals)
+    for q, est in out.items():
+        true = s[-(-int(q * len(s)) // 1) - 1]
+        assert est <= true < 2 * est  # the sketch's relative-error bound

@@ -507,3 +507,71 @@ def test_prefix_jaccard_staged_parity(spark, tmp_path):
         ).collect()
     }
     assert mem == staged
+
+
+def test_bloom_manifest_point_lookup(spark, tmp_path):
+    """Per-file bloom index: candidate set always contains the files
+    that actually hold the probe key (no false negatives), and a point
+    read through the candidates equals the full-scan filter."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        bloom_candidate_files,
+        write_bloom_manifest,
+    )
+
+    table = tmp_path / "t"
+    # 8 files, l_partkey-style probe column uncorrelated with file split
+    spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        (F.xxhash64("id") % 977).alias("probe"),
+    ).repartition(8).write.parquet(str(table))
+    n = write_bloom_manifest(spark, table, "probe")
+    assert n == 8
+
+    full = spark.read.parquet(str(table))
+    for val in [5, -100, 976, 123456]:  # present and absent probes
+        actual_files = {
+            r["f"]
+            for r in full.withColumn("f", F.input_file_name())
+            .where(F.col("probe") == val)
+            .select("f").distinct().collect()
+        }
+        cands = bloom_candidate_files(spark, table, "probe", val)
+        from urllib.parse import unquote, urlparse
+
+        cand_set = {unquote(urlparse(u).path) if "://" in u else u
+                    for u in cands}
+        actual_set = {unquote(urlparse(u).path) for u in actual_files}
+        assert actual_set <= cand_set  # never a false negative
+        # the pruned point read equals the full-scan filter
+        if cands:
+            got = (
+                spark.read.parquet(*cands)
+                .where(F.col("probe") == val).count()
+            )
+        else:
+            got = 0
+        assert got == full.where(F.col("probe") == val).count()
+
+
+def test_bloom_manifest_empty_committed(spark, tmp_path):
+    """Zero-committed write-id table: empty manifest, zero candidates,
+    no crash (same contract as the empty stats manifest)."""
+    from datawarehouse_backup_system_spark.ledger import Ledger
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        WriteIdParquetFormat,
+        bloom_candidate_files,
+        write_bloom_manifest,
+    )
+
+    root = tmp_path / "w"
+    fmt = WriteIdParquetFormat(
+        Ledger(spark, root / "_ledger"), root, move=lambda s, d: s.rename(d)
+    )
+    table = root / "t"
+    table.mkdir(parents=True)
+    assert write_bloom_manifest(
+        spark, table, "probe", fmt=fmt, table_name="t"
+    ) == 0
+    assert bloom_candidate_files(spark, table, "probe", 7) == []
