@@ -434,23 +434,26 @@ def c01_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = groups.join(n_tok, groups.node == n_tok.doc_id).select(
         "canonical_id", "node", "n_tokens"
     )
+    # ONE shuffle on canonical_id serves both outputs: the ranked
+    # representative and the member count ride the same window
+    # partitioning, so the members subtree (which contains the
+    # ITERATIVE component pass) is evaluated once — the old
+    # kept-join-stats form evaluated it twice (union-double-eval
+    # lesson, SCALE.md)
     w = Window.partitionBy("canonical_id").orderBy(
         F.desc("n_tokens"), F.asc("node")
     )
-    kept = (
+    wall = Window.partitionBy("canonical_id")
+    return (
         members.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wall))
         .where(F.col("rk") == 1)
         .select(
             "canonical_id",
+            "n_members",
             F.col("node").alias("kept_doc_id"),
             F.col("n_tokens").alias("kept_n_tokens"),
         )
-    )
-    stats = members.groupBy("canonical_id").agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
-    return stats.join(kept, "canonical_id").select(
-        "canonical_id", "n_members", "kept_doc_id", "kept_n_tokens"
     )
 
 

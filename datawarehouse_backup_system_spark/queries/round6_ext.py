@@ -347,6 +347,104 @@ ORDER BY event_type, q
 """
 
 
+# --------------------------------------------------------------------------
+# q49 — TPC-H Q11 shape: share-of-total HAVING filter. The global total
+# is a 1-row aggregate broadcast into the per-group HAVING — never a
+# cross join of data; the share test stays rational (cross-multiplied
+# integers), only the REPORTED share is rounded.
+# --------------------------------------------------------------------------
+# scale-free HAVING: keep suppliers whose share exceeds 1.05x the MEAN
+# share (1/n_suppliers) — an absolute percent would empty out (or keep
+# everything) as supplier cardinality grows with sf
+_Q49_NUM, _Q49_DEN = 21, 20
+
+
+def q49_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (cents(F.col("l_extendedprice")) * F.col("l_quantity").cast("bigint"))
+        .alias("val_c"),
+    )
+    per_supp = li.groupBy("l_suppkey").agg(F.sum("val_c").alias("supp_val"))
+    total = per_supp.agg(
+        F.sum("supp_val").alias("total_val"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    return (
+        per_supp.crossJoin(F.broadcast(total))
+        .where(
+            F.col("supp_val") * F.col("n_supp") * _Q49_DEN
+            > F.col("total_val") * _Q49_NUM
+        )
+        .select(
+            "l_suppkey",
+            "supp_val",
+            F.round(F.col("supp_val") / F.col("total_val"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("supp_val"), "l_suppkey")
+    )
+
+
+Q49_SQL = f"""
+WITH v AS (
+  SELECT l_suppkey,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * CAST(l_quantity AS BIGINT) AS val_c
+  FROM lineitem
+),
+per_supp AS (
+  SELECT l_suppkey, CAST(sum(val_c) AS BIGINT) AS supp_val
+  FROM v GROUP BY l_suppkey
+),
+total AS (SELECT CAST(sum(supp_val) AS BIGINT) AS total_val,
+                 CAST(count(*) AS BIGINT) AS n_supp FROM per_supp)
+SELECT l_suppkey, supp_val,
+       round(CAST(supp_val AS DOUBLE) / total_val, 6) AS share
+FROM per_supp, total
+WHERE supp_val * n_supp * {_Q49_DEN} > total_val * {_Q49_NUM}
+ORDER BY supp_val DESC, l_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q50 — TPC-H Q14 shape: promo revenue share via conditional
+# aggregation — one scan, two sums, ppm-floor report (never a float
+# ratio in the hash).
+# --------------------------------------------------------------------------
+def q50_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey",
+                                                cents(F.col("l_extendedprice")).alias("price_c"))
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("is_promo")
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.sum(F.when(F.col("is_promo"), F.col("price_c")).otherwise(0))
+        .alias("promo_c"),
+        F.sum("price_c").alias("total_c"),
+    ).select(
+        "promo_c",
+        "total_c",
+        F.expr("(promo_c * 1000000) div total_c").alias("promo_ppm"),
+    )
+
+
+Q50_SQL = """
+SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN c ELSE 0 END) AS BIGINT)
+         AS promo_c,
+       CAST(sum(c) AS BIGINT) AS total_c,
+       CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN c ELSE 0 END) AS BIGINT)
+         * 1000000 // CAST(sum(c) AS BIGINT) AS promo_ppm
+FROM (
+  SELECT l_partkey, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+) li
+JOIN part ON p_partkey = l_partkey
+"""
+
+
 SPECS = [
     QuerySpec("u06_incremental_agg_view", u06_incremental_agg_view, U06_SQL,
               "materialized-view maintenance by monoid partial merge — "
@@ -369,4 +467,10 @@ SPECS = [
     QuerySpec("h05_log2_histogram", h05_log2_histogram, H05_SQL,
               "exponential (log2-bucket) histogram quantiles — bounded "
               "relative error, mergeable, bucket = length(bin(v))"),
+    QuerySpec("q49_supplier_share", q49_supplier_share, Q49_SQL,
+              "TPC-H Q11 shape: share-of-total HAVING via broadcast "
+              "1-row total + rational cross-multiplied threshold"),
+    QuerySpec("q50_promo_share", q50_promo_share, Q50_SQL,
+              "TPC-H Q14 shape: conditional-aggregation revenue share, "
+              "broadcast dim join, ppm-floor report"),
 ]

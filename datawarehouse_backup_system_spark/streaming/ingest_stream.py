@@ -619,3 +619,47 @@ def ingest_stream_txn(
                                               stream_id))
         .start()
     )
+
+
+def stream_agg_view_partials(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    keys: list[str],
+    value_col: str,
+):
+    """Streaming materialized-view maintenance: each micro-batch
+    overwrites its OWN monoid partials (operators/incremental.py —
+    count/sum/min/max per key) under ``state_dir/batch_id=N``, so
+    at-least-once foreachBatch replay rewrites a batch's contribution
+    instead of double-counting it (the LM/histogram-partials pattern).
+    :func:`read_agg_view` merges by the same monoid — EXACTLY the view
+    a batch build over every streamed row yields, at per-batch cost
+    O(batch groups), never O(history)."""
+    from datawarehouse_backup_system_spark.operators import incremental
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        incremental.partial_aggs(batch, keys, value_col).write.mode(
+            "overwrite"
+        ).parquet(f"{state_dir}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def read_agg_view(spark, state_dir: str, keys: list[str]) -> DataFrame:
+    """Fold all streamed partials into the current view (monoid merge
+    per key) and finalize the derived aggregates."""
+    from datawarehouse_backup_system_spark.operators import incremental
+
+    parts = spark.read.parquet(state_dir).groupBy(*keys).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+    return incremental.finalize(parts).drop("batch_id")

@@ -708,3 +708,45 @@ def test_exactly_once_sink_survives_rewrite_between_delivery_and_replay(
                     n_partitions=2)
     sink(batch, 0)   # replay AFTER the rewrite: must be a no-op
     assert fmt.read_as_of(spark, table, struct, "t").count() == 40
+
+
+def test_stream_agg_view_matches_batch_recompute(spark, tmp_path):
+    """Streamed monoid partials fold to EXACTLY the view a full batch
+    recompute over every streamed row yields — materialized-view
+    maintenance (u06) in its streaming deployment shape."""
+    from pyspark.sql import types as T
+
+    from datawarehouse_backup_system_spark.operators import incremental
+    from datawarehouse_backup_system_spark.streaming import ingest_stream as st
+
+    schema = T.StructType([
+        T.StructField("g", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ])
+    b1 = [(f"g{i % 3}", (i * 37) % 500) for i in range(200)]
+    b2 = [(f"g{i % 4}", (i * 53) % 500) for i in range(150)]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ck")
+    q = st.stream_agg_view_partials(stream, state, ckpt, ["g"], "v")
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    union = spark.createDataFrame(b1 + b2, schema)
+    want = sorted(
+        tuple(r) for r in incremental.finalize(
+            incremental.partial_aggs(union, ["g"], "v")
+        ).collect()
+    )
+    got = sorted(
+        tuple(r) for r in st.read_agg_view(spark, state, ["g"]).collect()
+    )
+    assert got == want and len(got) == 4
