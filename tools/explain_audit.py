@@ -29,6 +29,7 @@ from datawarehouse_backup_system_spark.queries import (  # noqa: E402
     llm_ops,
     relational,
     relational_ext,
+    round6_ext,
     scale_ext,
 )
 from datawarehouse_backup_system_spark.session import get_spark  # noqa: E402
@@ -71,7 +72,8 @@ def main() -> int:
     specs = {s.name: s for s in
              relational.SPECS + relational_ext.SPECS + llm_ops.SPECS
              + extras.SPECS + curation_ext.SPECS + analytics_ext.SPECS
-             + corpus_ext.SPECS + pipeline_ext.SPECS + scale_ext.SPECS}
+             + corpus_ext.SPECS + pipeline_ext.SPECS + scale_ext.SPECS
+             + round6_ext.SPECS}
     spark = get_spark(app_name="explain-audit")
     verbose = len(sys.argv) > 2
     for name in names:
