@@ -298,3 +298,37 @@ def weighted_sample(
     return kept.withColumn(
         "p_num", F.least(w, F.lit(scale)).cast("bigint")
     ).withColumn("p_den", F.lit(scale).cast("bigint"))
+
+
+def bottomk_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Bottom-k sketch: per group, the k rows whose salted md5(key) is
+    smallest — a MERGEABLE deterministic uniform sample (Cohen &
+    Kaplan's bottom-k lineage; the k-minimum-values distinct-count
+    sketch keeps exactly this set).
+
+    Why this is the 100 TB sampling primitive: ``rand()``-based
+    sampling is neither repeatable across retries nor mergeable across
+    shards, while bottom-k is both — each shard keeps its own k
+    smallest hashes, and merging shards = keep the k smallest of the
+    union, so a re-sharded or incrementally-extended corpus yields the
+    SAME sample as a single pass. Union semantics also compose:
+    bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B)). One window per
+    group (map-side partial possible via per-partition top-k under
+    AQE); no randomness, so retries and engines agree bit-for-bit.
+
+    Returns the sampled rows with their ``rank_in_group``.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws("\x01", F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank_in_group") <= k)
+    )

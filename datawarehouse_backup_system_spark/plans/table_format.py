@@ -72,6 +72,12 @@ class ConcurrentWriterError(RuntimeError):
     single-writer limit in the module docstring)."""
 
 
+class VersionConflictError(RuntimeError):
+    """The table advanced past the version a rewrite was planned
+    against (optimistic concurrency check in :func:`rewrite_table`) —
+    re-read and retry, Delta-style."""
+
+
 class WriterLease:
     """Exclusive writer lease over a warehouse dir (see module
     docstring: the write-id format is single-writer by design; this
@@ -742,6 +748,7 @@ def rewrite_table(
     table_name: str,
     transform: Callable[[DataFrame], DataFrame],
     run_vacuum: bool = True,
+    expected_version: int | None = None,
 ) -> dict:
     """Transactional whole-table rewrite — the write-id format's one
     primitive behind every DML that isn't an append: apply ``transform``
@@ -761,6 +768,16 @@ def rewrite_table(
     Like Delta's OPTIMIZE+VACUUM, prior versions leave time travel.
     Refuses tables with pre-protocol un-prefixed files (version 0
     cannot be tombstoned, so a rewrite would duplicate those rows).
+
+    **Optimistic concurrency**: pass ``expected_version`` (the version
+    the transform was planned against — ``len(versions(table))``) and
+    the rewrite refuses with :class:`VersionConflictError` if the table
+    has advanced, instead of silently basing the new version on rows
+    the caller never saw. This is the Delta commit-check shape; under
+    the supported single-writer-per-warehouse deployment (WriterLease)
+    the check-then-commit window is already exclusive, so the check is
+    sufficient, not merely advisory. The retry loop is the caller's:
+    re-read, re-plan, re-call.
     """
     if not Path(path).exists():
         return {"rewritten": 0, "files_retired": 0}
@@ -776,6 +793,11 @@ def rewrite_table(
             "append() first"
         )
     old_ids = [wid for wid, _ in fmt.ledger.committed_writes(table_name)]
+    if expected_version is not None and len(old_ids) != expected_version:
+        raise VersionConflictError(
+            f"table {table_name!r} is at version {len(old_ids)}, rewrite "
+            f"was planned against {expected_version} — re-read and retry"
+        )
     if not old_ids:
         return {"rewritten": 0, "files_retired": 0}
     current = fmt.read_as_of(spark, path, fallback, table_name)

@@ -445,6 +445,36 @@ JOIN part ON p_partkey = l_partkey
 """
 
 
+# --------------------------------------------------------------------------
+# w03 — bottom-k sketch sample per language: the mergeable deterministic
+# uniform sample (operators/sampling.py:bottomk_sample). Oracle replays
+# the md5 order statistics directly.
+# --------------------------------------------------------------------------
+_W03_K = 5
+
+
+def w03_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import bottomk_sample
+
+    docs = load(spark, sf_dir, "documents").select("lang", "doc_id")
+    return bottomk_sample(docs, ["lang"], "doc_id", _W03_K).select(
+        "lang", "doc_id", "rank_in_group"
+    ).orderBy("lang", "rank_in_group")
+
+
+W03_SQL = f"""
+SELECT lang, doc_id, rank_in_group FROM (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('' || chr(1) || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS rank_in_group
+  FROM documents
+) WHERE rank_in_group <= {_W03_K}
+ORDER BY lang, rank_in_group
+"""
+
+
 SPECS = [
     QuerySpec("u06_incremental_agg_view", u06_incremental_agg_view, U06_SQL,
               "materialized-view maintenance by monoid partial merge — "
@@ -473,4 +503,7 @@ SPECS = [
     QuerySpec("q50_promo_share", q50_promo_share, Q50_SQL,
               "TPC-H Q14 shape: conditional-aggregation revenue share, "
               "broadcast dim join, ppm-floor report"),
+    QuerySpec("w03_bottomk_sample", w03_bottomk_sample, W03_SQL,
+              "bottom-k sketch sample per stratum: mergeable, "
+              "deterministic, retry-stable (md5 order statistics)"),
 ]

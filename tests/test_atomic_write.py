@@ -884,3 +884,56 @@ def test_empty_stats_manifest_prunes_cleanly(spark, tmp_path):
     assert pruned_files(spark, table, "id", 0, 10) == []
     assert pruned_files(spark, table, "v", -5, 5) == []
     assert read_pruned(spark, table, "id", 0, 10).count() == 0
+
+
+def test_rewrite_optimistic_version_check(spark, tmp_path):
+    """rewrite_table(expected_version=N) refuses when the table has
+    advanced past the version the transform was planned against, and
+    succeeds after re-planning at the current version."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.ledger import Ledger
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        VersionConflictError,
+        WriteIdParquetFormat,
+        rewrite_table,
+    )
+
+    root = tmp_path / "w"
+    fmt = WriteIdParquetFormat(
+        Ledger(spark, root / "_ledger"), root, move=lambda s, d: s.rename(d)
+    )
+    table = root / "t"
+    rows = spark.range(0, 100).select(
+        F.col("id"), F.lit("2024-01-05").cast("date").alias("ingest_date")
+    )
+    fmt.append(rows, table, "t")
+    planned_at = len(fmt.ledger.committed_writes("t"))  # = 1
+
+    # another append lands after the plan was made -> version advanced
+    fmt.append(
+        spark.range(100, 150).select(
+            F.col("id"),
+            F.lit("2024-01-06").cast("date").alias("ingest_date"),
+        ),
+        table, "t",
+    )
+
+    with pytest.raises(VersionConflictError):
+        rewrite_table(
+            spark, fmt, table, rows.schema, "t",
+            lambda cur: cur.where(F.col("id") < 10),
+            expected_version=planned_at,
+        )
+    # nothing was committed by the refused attempt
+    got = fmt.read(spark, table, rows.schema)
+    assert got.count() == 150
+
+    # re-planned at the current version: proceeds
+    out = rewrite_table(
+        spark, fmt, table, rows.schema, "t",
+        lambda cur: cur.where(F.col("id") < 10),
+        expected_version=len(fmt.ledger.committed_writes("t")),
+    )
+    assert out["rewritten"] == 10
+    assert fmt.read(spark, table, rows.schema).count() == 10

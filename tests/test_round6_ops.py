@@ -207,3 +207,35 @@ def test_log2_quantile_within_factor_two(spark):
     for q, est in out.items():
         true = s[-(-int(q * len(s)) // 1) - 1]
         assert est <= true < 2 * est  # the sketch's relative-error bound
+
+
+# ------------------------------------------------------------------ bottom-k
+def test_bottomk_merge_and_union_semantics(spark):
+    """bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B)) and the
+    sample is identical under any partitioning / retry."""
+    from datawarehouse_backup_system_spark.operators.sampling import (
+        bottomk_sample,
+    )
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    a = df.where("k < 1200")
+    b = df.where("k >= 1200")
+    direct = _rows(bottomk_sample(df, ["g"], "k", 7), "g", "k",
+                   "rank_in_group")
+    merged = _rows(
+        bottomk_sample(
+            bottomk_sample(a, ["g"], "k", 7)
+            .select("g", "k")
+            .unionByName(bottomk_sample(b, ["g"], "k", 7).select("g", "k")),
+            ["g"], "k", 7,
+        ),
+        "g", "k", "rank_in_group",
+    )
+    assert direct == merged
+    repart = _rows(
+        bottomk_sample(df.repartition(13), ["g"], "k", 7),
+        "g", "k", "rank_in_group",
+    )
+    assert direct == repart and len(direct) == 21
