@@ -663,3 +663,56 @@ def read_agg_view(spark, state_dir: str, keys: list[str]) -> DataFrame:
         F.max("max_v").alias("max_v"),
     )
     return incremental.finalize(parts).drop("batch_id")
+
+
+def stream_bottomk_partials(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+    salt: str = "",
+):
+    """Maintain the bottom-k deterministic sample from a stream: each
+    micro-batch overwrites its OWN per-group bottom-k partial (≤ k·
+    groups rows) under ``state_dir/batch_id=N`` — replay-safe like the
+    LM/histogram partials. Because bottom-k is a MERGEABLE sketch
+    (bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B)),
+    operators/sampling.py), :func:`read_bottomk` re-ranks the union of
+    partials and yields EXACTLY the sample a batch pass over every
+    streamed row would — the streaming answer to "a uniform sample so
+    far" with state bounded by k·groups·batches rows (compaction =
+    rewriting merged partials)."""
+    from datawarehouse_backup_system_spark.operators.sampling import (
+        bottomk_sample,
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        bottomk_sample(batch, group_cols, key_col, k, salt).drop(
+            "rank_in_group"
+        ).write.mode("overwrite").parquet(f"{state_dir}/batch_id={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def read_bottomk(
+    spark, state_dir: str, group_cols: list[str], key_col: str, k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Merge all streamed bottom-k partials into the current sample —
+    one re-rank over ≤ k·groups·batches rows."""
+    from datawarehouse_backup_system_spark.operators.sampling import (
+        bottomk_sample,
+    )
+
+    parts = spark.read.parquet(state_dir).drop("batch_id")
+    return bottomk_sample(
+        parts.dropDuplicates([*group_cols, key_col]),
+        group_cols, key_col, k, salt,
+    )

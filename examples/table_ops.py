@@ -5,7 +5,8 @@
 
 append (atomic) → DESCRIBE HISTORY → time travel → change feed →
 OPTIMIZE ZORDER (atomic composite commit) → RESTORE → VACUUM →
-file-stats manifest + pruned range read.
+file-stats manifest + pruned range read → bloom manifest + point-lookup
+candidates → optimistic version check.
 """
 
 from __future__ import annotations
@@ -99,6 +100,29 @@ def main() -> None:
     n_files = write_stats_manifest(spark, table, ["id"])
     kept = pruned_files(spark, table, "id", 100, 200)
     print(f"   manifest covers {n_files} files; range query scans {len(kept)}")
+
+    print("== bloom-manifest point lookup")
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        bloom_candidate_files,
+        write_bloom_manifest,
+    )
+
+    write_bloom_manifest(spark, table, "id")
+    cand = bloom_candidate_files(spark, table, "id", 150)
+    print(f"   point read id=150 scans {len(cand)} of {n_files} files")
+
+    print("== optimistic version check")
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        VersionConflictError,
+        rewrite_table,
+    )
+
+    stale = len(fmt.ledger.committed_writes("t")) - 1  # planned too early
+    try:
+        rewrite_table(spark, fmt, table, SCHEMA, "t", lambda c: c,
+                      expected_version=stale)
+    except VersionConflictError as e:
+        print(f"   refused stale rewrite: {e}")
 
     shutil.rmtree(root, ignore_errors=True)
     print("done")

@@ -750,3 +750,45 @@ def test_stream_agg_view_matches_batch_recompute(spark, tmp_path):
         tuple(r) for r in st.read_agg_view(spark, state, ["g"]).collect()
     )
     assert got == want and len(got) == 4
+
+
+def test_stream_bottomk_matches_batch_sample(spark, tmp_path):
+    """Streamed bottom-k partials merge to EXACTLY the batch sample
+    over every streamed row (mergeable-sketch property, replay-safe)."""
+    from pyspark.sql import types as T
+
+    from datawarehouse_backup_system_spark.operators.sampling import (
+        bottomk_sample,
+    )
+    from datawarehouse_backup_system_spark.streaming import ingest_stream as st
+
+    schema = T.StructType([
+        T.StructField("g", T.StringType()),
+        T.StructField("k", T.LongType()),
+    ])
+    b1 = [(f"g{i % 3}", i) for i in range(300)]
+    b2 = [(f"g{i % 3}", i) for i in range(300, 500)]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ck")
+    q = st.stream_bottomk_partials(stream, state, ckpt, ["g"], "k", 5)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    union = spark.createDataFrame(b1 + b2, schema)
+    want = sorted(
+        tuple(r) for r in bottomk_sample(union, ["g"], "k", 5).collect()
+    )
+    got = sorted(
+        tuple(r) for r in st.read_bottomk(spark, state, ["g"], "k", 5)
+        .collect()
+    )
+    assert got == want and len(got) == 15
