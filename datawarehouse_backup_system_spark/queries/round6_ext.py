@@ -475,6 +475,101 @@ ORDER BY lang, rank_in_group
 """
 
 
+# --------------------------------------------------------------------------
+# q51 — TPC-H Q22 shape: customers above the average POSITIVE balance
+# with no RECENT order (dormant high-value accounts), grouped by
+# nation. The global average never materializes as a float: the
+# comparison is cross-multiplied integers (bal·n_pos > sum_pos), and
+# the 1-row (sum, count) aggregate broadcasts. Anti-join on the
+# date-filtered orders is the J2 shape with pushdown (the recency
+# predicate reaches the orders scan).
+# --------------------------------------------------------------------------
+_Q51_CUTOFF = "1998-01-01"
+
+
+def q51_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", cents(F.col("c_acctbal")).alias("bal_c")
+    )
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit(_Q51_CUTOFF)
+    ).select("o_custkey")
+    pos = cust.where(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("sum_pos"), F.count(F.lit(1)).alias("n_pos")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(pos))
+        .where(F.col("bal_c") * F.col("n_pos") > F.col("sum_pos"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("bal_c").alias("total_bal_c"),
+    ).orderBy("c_nationkey")
+
+
+Q51_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer
+),
+pos AS (
+  SELECT CAST(sum(bal_c) AS BIGINT) AS sum_pos,
+         CAST(count(*) AS BIGINT) AS n_pos
+  FROM cust WHERE bal_c > 0
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(bal_c) AS BIGINT) AS total_bal_c
+FROM cust, pos
+WHERE bal_c * n_pos > sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= '1998-01-01')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q52 — time-RANGE window frame: per-user rolling 1-hour sum at every
+# event, RANGE BETWEEN INTERVAL — the time-based frame semantics (peers
+# by timestamp, not row position) that ROWS frames can't express when
+# events arrive unevenly. Integer cents sums; both engines include the
+# full peer group in a RANGE frame.
+# --------------------------------------------------------------------------
+def q52_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", cents(F.col("value")).alias("c")
+    )
+    ev.createOrReplaceTempView("q52_events")
+    return spark.sql("""
+        SELECT user_id, event_id,
+               sum(c) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS hour_sum_c
+        FROM q52_events
+        ORDER BY user_id, event_id
+    """)
+
+
+Q52_SQL = """
+SELECT user_id, event_id,
+       CAST(sum(c) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS hour_sum_c
+FROM (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+)
+ORDER BY user_id, event_id
+"""
+
+
 SPECS = [
     QuerySpec("u06_incremental_agg_view", u06_incremental_agg_view, U06_SQL,
               "materialized-view maintenance by monoid partial merge — "
@@ -506,4 +601,10 @@ SPECS = [
     QuerySpec("w03_bottomk_sample", w03_bottomk_sample, W03_SQL,
               "bottom-k sketch sample per stratum: mergeable, "
               "deterministic, retry-stable (md5 order statistics)"),
+    QuerySpec("q51_sales_opportunity", q51_sales_opportunity, Q51_SQL,
+              "TPC-H Q22 shape: above-average-balance anti-join, "
+              "cross-multiplied average, broadcast 1-row aggregate"),
+    QuerySpec("q52_time_range_window", q52_time_range_window, Q52_SQL,
+              "time-RANGE window frame (INTERVAL 1 HOUR PRECEDING): "
+              "per-user rolling sum with timestamp-peer semantics"),
 ]
