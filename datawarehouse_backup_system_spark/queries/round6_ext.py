@@ -73,21 +73,23 @@ GROUP BY o_orderpriority
 # there, md5 here because the oracle must reproduce the bits). lineitem
 # is range-clustered into 32 simulated files by l_orderkey; the probe
 # column l_partkey is uncorrelated with that layout, so min/max stats
-# CANNOT prune (every file spans the probe) — the bloom is what turns a
-# 32-file point read into a ~1-file read. m=61 bits (prime, and < 63 so
-# shifts never touch the sign bit), k=3 md5-derived positions.
+# CANNOT prune (every file spans the probe). The filter is sized like a
+# real one: 256 words x 61 usable bits (~2 KB/file — the same map<word,
+# bits> shape the on-disk manifest stores), k=3 md5 positions; a single
+# 64-bit word would saturate at file cardinality and admit everything.
+# 61 = largest prime < 63, keeping every shift below the sign bit.
 # --------------------------------------------------------------------------
 _Z03_FILES = 32
+_Z03_WORDS = 256
+_Z03_BITS = _Z03_WORDS * 61
 _Z03_PROBE = 7          # l_partkey literal probed
 
 
-def _z03_mask(key_sql: str, i: int) -> F.Column:
-    """Bit mask for hash i of ``key_sql`` — md5-derived position mod 61
-    (prime, below the sign bit), engine-portable by construction."""
-    return F.expr(
-        f"shiftleft(cast(1 as bigint), cast("
+def _z03_pos(key_sql: str, i: int) -> str:
+    """SQL for md5-derived bit position i of ``key_sql`` in [0, m)."""
+    return (
         f"cast(conv(substr(md5(cast({key_sql} as string)),"
-        f" {i * 4 + 1}, 4), 16, 10) as bigint) % 61 as int))"
+        f" {i * 8 + 1}, 8), 16, 10) as bigint) % {_Z03_BITS}"
     )
 
 
@@ -99,26 +101,51 @@ def z03_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(l_orderkey - 1) div {per_file}").alias("file_id"),
         "l_partkey",
     )
-    bits = None
-    for i in range(3):
-        m = _z03_mask("l_partkey", i)
-        bits = m if bits is None else bits.bitwiseOR(m)
-    per_file_bloom = rows.withColumn("bits", bits).groupBy("file_id").agg(
-        F.expr("bit_or(bits)").alias("bloom"),
-        F.max(
-            (F.col("l_partkey") == _Z03_PROBE).cast("int")
-        ).cast("boolean").alias("actual"),
+    # one explode(x3) + one (file, word)-keyed bit_or builds every
+    # file's multi-word bloom in a single aggregation — the identical
+    # shape write_bloom_manifest uses on real files
+    pos = F.explode(F.array(
+        *[F.expr(_z03_pos("l_partkey", i)) for i in range(3)]
+    )).alias("pos")
+    blooms = (
+        rows.select("file_id", pos)
+        .select(
+            "file_id",
+            F.expr("pos div 61").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 61 as int))")
+            .alias("m"),
+        )
+        .groupBy("file_id", "w")
+        .agg(F.expr("bit_or(m)").alias("bloom"))
     )
-    # probe bits of the literal key (constant-folded expression)
-    probe = None
-    for i in range(3):
-        m = _z03_mask(str(_Z03_PROBE), i)
-        probe = m if probe is None else probe.bitwiseOR(m)
-    return per_file_bloom.select(
-        "file_id",
-        "bloom",
-        (F.col("bloom").bitwiseAND(probe) == probe).alias("candidate"),
-        "actual",
+    actual = rows.groupBy("file_id").agg(
+        F.max((F.col("l_partkey") == _Z03_PROBE).cast("int"))
+        .cast("boolean").alias("actual")
+    )
+    probe = spark.range(3).select(
+        F.expr(
+            f"cast(conv(substr(md5('{_Z03_PROBE}'),"
+            f" cast(id * 8 + 1 as int), 8), 16, 10) as bigint)"
+            f" % {_Z03_BITS}"
+        ).alias("pos")
+    ).select(
+        F.expr("pos div 61").alias("w"),
+        F.expr("shiftleft(cast(1 as bigint), cast(pos % 61 as int))")
+        .alias("mask"),
+    )
+    checked = (
+        actual.select("file_id").crossJoin(F.broadcast(probe))
+        .join(blooms, ["file_id", "w"], "left")
+        .groupBy("file_id")
+        .agg(
+            F.min(
+                F.col("bloom").isNotNull()
+                & (F.col("bloom").bitwiseAND(F.col("mask")) == F.col("mask"))
+            ).alias("candidate")
+        )
+    )
+    return checked.join(actual, "file_id").select(
+        "file_id", "candidate", "actual"
     ).orderBy("file_id")
 
 
@@ -128,28 +155,43 @@ WITH params AS (
   FROM lineitem
 ),
 rows_b AS (
-  SELECT (l_orderkey - 1) // per_file AS file_id,
-         l_partkey,
-         (1::BIGINT << CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 4))::BIGINT % 61 AS INT))
-       | (1::BIGINT << CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 5, 4))::BIGINT % 61 AS INT))
-       | (1::BIGINT << CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 9, 4))::BIGINT % 61 AS INT))
-         AS bits
+  SELECT (l_orderkey - 1) // per_file AS file_id, l_partkey
   FROM lineitem, params
 ),
+pos AS (
+  SELECT file_id,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), i * 8 + 1, 8))::BIGINT
+           % {_Z03_BITS} AS pos
+  FROM rows_b, (SELECT unnest([0, 1, 2]) AS i)
+),
 blooms AS (
-  SELECT file_id, bit_or(bits) AS bloom,
+  SELECT file_id, pos // 61 AS w,
+         bit_or(1::BIGINT << CAST(pos % 61 AS INT)) AS bloom
+  FROM pos GROUP BY 1, 2
+),
+actual AS (
+  SELECT file_id,
          max(CASE WHEN l_partkey = {_Z03_PROBE} THEN 1 ELSE 0 END) = 1 AS actual
   FROM rows_b GROUP BY file_id
 ),
 probe AS (
-  SELECT (1::BIGINT << CAST(('0x' || substr(md5('{_Z03_PROBE}'), 1, 4))::BIGINT % 61 AS INT))
-       | (1::BIGINT << CAST(('0x' || substr(md5('{_Z03_PROBE}'), 5, 4))::BIGINT % 61 AS INT))
-       | (1::BIGINT << CAST(('0x' || substr(md5('{_Z03_PROBE}'), 9, 4))::BIGINT % 61 AS INT))
-         AS pbits
+  SELECT ('0x' || substr(md5('{_Z03_PROBE}'), i * 8 + 1, 8))::BIGINT
+           % {_Z03_BITS} AS pos
+  FROM (SELECT unnest([0, 1, 2]) AS i)
+),
+checked AS (
+  SELECT a.file_id,
+         bool_and(b.bloom IS NOT NULL
+                  AND (b.bloom & (1::BIGINT << CAST(p.pos % 61 AS INT)))
+                      = (1::BIGINT << CAST(p.pos % 61 AS INT))) AS candidate
+  FROM actual a
+  CROSS JOIN probe p
+  LEFT JOIN blooms b ON b.file_id = a.file_id AND b.w = p.pos // 61
+  GROUP BY a.file_id
 )
-SELECT file_id, bloom, (bloom & pbits) = pbits AS candidate, actual
-FROM blooms, probe
-ORDER BY file_id
+SELECT c.file_id, c.candidate, a.actual
+FROM checked c JOIN actual a ON a.file_id = c.file_id
+ORDER BY c.file_id
 """
 
 
