@@ -925,6 +925,13 @@ def write_bloom_manifest(
     Pass ``fmt``/``table_name`` on a write-id table to index only
     COMMITTED files (same contract as :func:`write_stats_manifest`).
     Returns the number of files indexed.
+
+    **Sizing**: keep ``n_bits ≳ 10·n_hashes·(distinct keys per file)``
+    for a low-single-digit false-positive rate — an undersized filter
+    saturates and admits every file (candidates are still correct,
+    pruning just degrades to a full read). The default 8 Ki-bits (1 KiB
+    of words) covers ~2-3 k keys/file; compaction-time row-group sizing
+    controls the per-file key count.
     """
     from datawarehouse_backup_system_spark.operators.bloom import (
         _positions,

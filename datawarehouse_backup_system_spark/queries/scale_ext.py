@@ -432,28 +432,55 @@ FROM reports, matching
 # relationship is one anti-join against a broadcastable dim.
 # --------------------------------------------------------------------------
 def q46_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rels = [
-        ("orders.o_custkey->customer", "orders", "o_custkey",
-         "customer", "c_custkey"),
-        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
-         "orders", "o_orderkey"),
-        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
-         "part", "p_partkey"),
-        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
-         "supplier", "s_suppkey"),
-    ]
-    out = None
-    for name, child_t, fk, parent_t, pk in rels:
-        child = load(spark, sf_dir, child_t).select(F.col(fk).alias("fk"))
-        parent = load(spark, sf_dir, parent_t).select(F.col(pk).alias("pk"))
-        orphans = child.join(
-            F.broadcast(parent), child.fk == parent.pk, "left_anti"
+    """Referential-integrity audit in TWO child scans (was eight): each
+    orphan count is a LEFT join + null-flag sum riding the same pass as
+    the row count, and the three lineitem FKs share one scan — their
+    parent key sets join consecutively (dims broadcast; the
+    orders parent is un-hinted so AQE picks broadcast at test sf and a
+    shuffle join at scale), then one stack() reshapes the three sums
+    into audit rows. O(child) work per child table, not per FK."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pk_c"))
+    ordk = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("pk_o"))
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk_p"))
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("pk_s"))
+
+    o_row = (
+        load(spark, sf_dir, "orders").select("o_custkey")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("pk_c"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col("pk_c").isNull().cast("bigint")).alias("n_orphans"),
         )
-        row = child.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
-            orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
-        ).select(F.lit(name).alias("relationship"), "n_child", "n_orphans")
-        out = row if out is None else out.unionByName(row)
-    return out
+        .select(
+            F.lit("orders.o_custkey->customer").alias("relationship"),
+            "n_child", "n_orphans",
+        )
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(ordk, F.col("l_orderkey") == F.col("pk_o"), "left")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("pk_p"), "left")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("pk_s"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col("pk_o").isNull().cast("bigint")).alias("orph_o"),
+            F.sum(F.col("pk_p").isNull().cast("bigint")).alias("orph_p"),
+            F.sum(F.col("pk_s").isNull().cast("bigint")).alias("orph_s"),
+        )
+    )
+    li_rows = li.selectExpr(
+        """stack(3,
+           'lineitem.l_orderkey->orders', n_child, orph_o,
+           'lineitem.l_partkey->part', n_child, orph_p,
+           'lineitem.l_suppkey->supplier', n_child, orph_s
+        ) AS (relationship, n_child, n_orphans)"""
+    )
+    return o_row.unionByName(li_rows)
 
 
 Q46_SQL = """
