@@ -292,3 +292,188 @@ def pcm_features(df: DataFrame, window: int = 32) -> DataFrame:
             "max_window_sumsq long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real PIXEL decoding for PNG — pure stdlib (zlib is the only codec PNG
+# needs), so the "pixel decode is an environment seam" caveat no longer
+# applies to PNG: IDAT inflate + per-scanline unfilter (filters 0-4 per
+# the PNG spec) with no PIL/ffmpeg. JPEG/video stay env-gated
+# (decode_features(decode_stub='error')) — their codecs genuinely need
+# native libraries. Supports the non-interlaced 8-bit color types
+# (gray 0, RGB 2, gray+alpha 4, RGBA 6); anything else raises.
+# ---------------------------------------------------------------------------
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG to raw pixel bytes: (width, height, channels,
+    row-major samples). Critical chunks only; CRCs are not re-verified
+    (torn files surface as zlib/struct errors, which is the contract
+    crash-recovery expects)."""
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported color type {color}")
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("decompressed size mismatch")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    bpp = channels
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if f == 1:      # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif f == 2:    # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:    # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:    # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad filter {f}")
+        out[y * stride:(y + 1) * stride] = line
+        prev = line
+    return width, height, channels, bytes(out)
+
+
+def png_pixel_stats(df: DataFrame) -> DataFrame:
+    """Per-asset PIXEL statistics for PNG assets via ``mapInPandas``
+    (Arrow batches; numpy does the per-image reduction): width, height,
+    channels, per-channel mean in milli-units (exact integer
+    floor(1000·sum/n) — no float in the output), and the pixel-bytes
+    md5 (the content-addressed identity RESIZED/transcoded copies
+    share, which the container-bytes md5 does not). Non-PNG or
+    unsupported assets yield null stats with an ``err`` tag instead of
+    failing the batch — at 100 TB a poison asset must cost one row,
+    not a stage retry loop."""
+    import numpy as np
+
+    schema = (
+        "asset_id bigint, width int, height int, channels int, "
+        "mean_milli array<bigint>, pixel_md5 string, err string"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                data = bytes(row.data) if row.data is not None else b""
+                rec = {"asset_id": row.asset_id, "width": None,
+                       "height": None, "channels": None,
+                       "mean_milli": None, "pixel_md5": None, "err": None}
+                try:
+                    w, h, ch, px = decode_png_pixels(data)
+                    arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, ch)
+                    sums = arr.sum(axis=0, dtype=np.int64)
+                    n = arr.shape[0]
+                    rec.update(
+                        width=w, height=h, channels=ch,
+                        mean_milli=[int(s) * 1000 // n for s in sums],
+                        pixel_md5=hashlib.md5(px).hexdigest(),
+                    )
+                except Exception as exc:  # noqa: BLE001 — per-asset isolation
+                    rec["err"] = f"{type(exc).__name__}: {exc}"[:120]
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(op, schema)
+
+
+def synthesize_png(seed: int, width: int, height: int,
+                   channels: int = 3) -> bytes:
+    """Deterministic PNG fixture: sample (x, y, c) = (seed·7 + y·5 +
+    x·3 + c·11) mod 256, scanlines filtered cycling through ALL five
+    PNG filter types — a closed-form image whose statistics an
+    arithmetic oracle can compute independently of the decoder (the
+    m06 pattern; the pytest round-trips the same generator)."""
+    import zlib
+
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    stride = width * channels
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = bytes(
+            (seed * 7 + y * 5 + (i // channels) * 3 + (i % channels) * 11)
+            % 256
+            for i in range(stride)
+        )
+        f = y % 5
+        enc = bytearray(line)
+        if f == 1:
+            for i in range(stride - 1, channels - 1, -1):
+                enc[i] = (enc[i] - line[i - channels]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                enc[i] = (enc[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                enc[i] = (enc[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )

@@ -600,6 +600,10 @@ def _build_specs() -> list[QuerySpec]:
         QuerySpec("m05_wav_energy", m05_wav_energy, M05_SQL,
                   "REAL PCM sample decode (numpy in Arrow batch): integer "
                   "signal energy/peak/window stats vs arithmetic oracle"),
+        QuerySpec("m06_png_pixel_stats", m06_png_pixel_stats, M06_SQL,
+                  "REAL PNG pixel decode (pure-stdlib inflate+unfilter, "
+                  "all 5 filter types): exact channel means vs "
+                  "arithmetic oracle"),
         QuerySpec("r01_recall_bucketed", r01_recall_bucketed, _recall_sql(D07_SQL),
                   "recall@3 of sign-bucket ANN vs exact baseline"),
         QuerySpec("r02_recall_multiprobe", r02_recall_multiprobe, _recall_sql(D08_SQL),
@@ -617,6 +621,70 @@ def _build_specs() -> list[QuerySpec]:
         QuerySpec("u01_scd2_versions", u01_scd2_versions, U01_SQL,
                   "SCD2 dimension maintenance vs SQL close/chain replay"),
     ]
+
+
+# --------------------------------------------------------------------------
+# m06 — REAL PNG pixel decode (pure-stdlib inflate + unfilter,
+# operators/multimodal.py:decode_png_pixels) over 64 synthesized
+# closed-form images exercising all five PNG filter types; the oracle
+# recomputes the channel sums ARITHMETICALLY from the pixel formula,
+# fully independent of the decoder. Closes the "pixel decode is an
+# env seam" caveat for PNG (JPEG/video stay env-gated).
+# --------------------------------------------------------------------------
+_M06_N = 64
+
+
+def m06_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd
+
+    from ..operators.multimodal import png_pixel_stats, synthesize_png
+
+    # bounded fixture built driver-side (64 tiny PNGs; the DECODE is the
+    # distributed operator under test) — pandas-born frame avoids the
+    # 32-slice serial round-trip of createDataFrame(list) (SCALE.md)
+    pdf = _pd.DataFrame({
+        "asset_id": list(range(_M06_N)),
+        "data": [
+            synthesize_png(i, 8 + i % 9, 8 + i % 7) for i in range(_M06_N)
+        ],
+    })
+    assets = spark.createDataFrame(pdf).repartition(8)
+    stats = png_pixel_stats(assets)
+    return stats.select(
+        "asset_id", "width", "height", "channels",
+        F.element_at("mean_milli", 1).alias("mean0_milli"),
+        F.element_at("mean_milli", 2).alias("mean1_milli"),
+        F.element_at("mean_milli", 3).alias("mean2_milli"),
+    ).orderBy("asset_id")
+
+
+M06_SQL = f"""
+WITH ids AS (SELECT unnest(range({_M06_N})) AS id),
+dims AS (
+  SELECT id, CAST(8 + id % 9 AS INT) AS w, CAST(8 + id % 7 AS INT) AS h
+  FROM ids
+),
+px AS (
+  SELECT d.id, d.w, d.h, c.c,
+         sum((d.id * 7 + y.y * 5 + x.x * 3 + c.c * 11) % 256) AS s
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.h)) AS y) y,
+       LATERAL (SELECT unnest(range(d.w)) AS x) x,
+       (SELECT unnest([0, 1, 2]) AS c) c
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id AS asset_id,
+       min(w) AS width, min(h) AS height, CAST(3 AS INT) AS channels,
+       CAST(max(CASE WHEN c = 0 THEN s END) * 1000 // (min(w) * min(h))
+            AS BIGINT) AS mean0_milli,
+       CAST(max(CASE WHEN c = 1 THEN s END) * 1000 // (min(w) * min(h))
+            AS BIGINT) AS mean1_milli,
+       CAST(max(CASE WHEN c = 2 THEN s END) * 1000 // (min(w) * min(h))
+            AS BIGINT) AS mean2_milli
+FROM px
+GROUP BY id
+ORDER BY id
+"""
 
 
 SPECS = _build_specs()

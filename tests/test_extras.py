@@ -118,3 +118,106 @@ def test_m03_mp4_headers_match_ground_truth(spark, sf_dir):
     for r in rows:
         assert r["format"] == "mp4" and r["n_bytes"] == 44
         assert r["duration_ms"] == (r["asset_id"] % 20 + 1) * 1000 + 500
+
+
+# ------------------------------------------------------------- PNG pixels
+def _png_encode(width, height, channels, pixels, filters):
+    """Independent PNG encoder for the decoder test: applies the
+    FORWARD filter transform per the spec (the decoder implements the
+    inverse), so agreement pins both against the standard."""
+    import struct as _st
+    import zlib as _zl
+
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    stride = width * channels
+
+    def chunk(ctype, body):
+        return (
+            _st.pack(">I", len(body)) + ctype + body
+            + _st.pack(">I", _zl.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride:(y + 1) * stride]
+        f = filters[y % len(filters)]
+        enc = bytearray(line)
+        if f == 1:
+            for i in range(stride - 1, channels - 1, -1):
+                enc[i] = (enc[i] - line[i - channels]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                enc[i] = (enc[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                enc[i] = (enc[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+    ihdr = _st.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zl.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_pixel_decode_all_filters():
+    """Round-trip through every PNG filter type (0-4) and color depth:
+    decode(encode(pixels)) == pixels bit-for-bit."""
+    import random
+
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        decode_png_pixels,
+    )
+
+    rng = random.Random(11)
+    for channels in (1, 2, 3, 4):
+        w, h = 13, 9
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * channels))
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            png = _png_encode(w, h, channels, pixels, filters)
+            gw, gh, gc, got = decode_png_pixels(png)
+            assert (gw, gh, gc) == (w, h, channels)
+            assert got == pixels, f"filters={filters} ch={channels}"
+
+
+def test_png_pixel_stats_spark(spark):
+    """png_pixel_stats: exact integer channel means for a known image;
+    a poison (non-PNG) asset costs one err row, never the batch."""
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        png_pixel_stats,
+    )
+
+    w, h = 4, 2
+    # channel 0 constant 10, channel 1 ramp 0..7, channel 2 constant 200
+    px = bytearray()
+    for i in range(w * h):
+        px += bytes([10, i, 200])
+    png = _png_encode(w, h, 3, bytes(px), [0, 2])
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not a png"))],
+        "asset_id bigint, data binary",
+    )
+    rows = {r["asset_id"]: r for r in png_pixel_stats(df).collect()}
+    good = rows[1]
+    assert (good["width"], good["height"], good["channels"]) == (4, 2, 3)
+    assert good["err"] is None
+    n = w * h
+    assert good["mean_milli"] == [
+        10 * 1000, sum(range(n)) * 1000 // n, 200 * 1000
+    ]
+    bad = rows[2]
+    assert bad["err"] is not None and bad["width"] is None
