@@ -221,3 +221,41 @@ def test_png_pixel_stats_spark(spark):
     ]
     bad = rows[2]
     assert bad["err"] is not None and bad["width"] is None
+
+
+def test_resize_png_real(spark):
+    """resize_png replaces data with a real resized PNG: decoding the
+    output yields exactly the nearest-neighbor selection of the input
+    pixels; non-PNG passes through with an err tag."""
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        decode_png_pixels,
+        png_pixel_stats,
+        resize_png,
+        synthesize_png,
+    )
+
+    src = synthesize_png(3, 8, 6)           # 8x6 RGB, all filter types
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(src), {}),
+         (2, "image", bytearray(b"junk"), {})],
+        "asset_id bigint, kind string, data binary, meta map<string,string>",
+    )
+    out = {r["asset_id"]: r for r in resize_png(df, 4, 3).collect()}
+    w, h, ch, px = decode_png_pixels(bytes(out[1]["data"]))
+    assert (w, h, ch) == (4, 3, 3)
+    # nearest-neighbor ground truth from the synthesis formula
+    _, _, _, full = decode_png_pixels(src)
+    import numpy as np
+
+    arr = np.frombuffer(full, dtype=np.uint8).reshape(6, 8, 3)
+    want = arr[(np.arange(3) * 6) // 3][:, (np.arange(4) * 8) // 4]
+    assert px == want.tobytes()
+    assert out[1]["meta"]["resized_to"] == "4x3"
+    assert "resize_err" in out[2]["meta"]
+    assert bytes(out[2]["data"]) == b"junk"    # pass-through untouched
+
+    # and the resized asset flows through the stats operator
+    stats = png_pixel_stats(
+        resize_png(df, 4, 3).select("asset_id", "data")
+    ).where("err IS NULL").collect()
+    assert len(stats) == 1 and stats[0]["width"] == 4
