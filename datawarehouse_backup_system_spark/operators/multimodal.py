@@ -378,7 +378,8 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
 
 
 def png_pixel_stats(df: DataFrame) -> DataFrame:
-    """Per-asset PIXEL statistics for PNG assets via ``mapInPandas``
+    """Per-asset PIXEL statistics for PNG and uncompressed-BMP assets
+    (``decode_image_pixels`` dispatches on magic bytes) via ``mapInPandas``
     (Arrow batches; numpy does the per-image reduction): width, height,
     channels, per-channel mean in milli-units (exact integer
     floor(1000·sum/n) — no float in the output), and the pixel-bytes
@@ -403,7 +404,7 @@ def png_pixel_stats(df: DataFrame) -> DataFrame:
                        "height": None, "channels": None,
                        "mean_milli": None, "pixel_md5": None, "err": None}
                 try:
-                    w, h, ch, px = decode_png_pixels(data)
+                    w, h, ch, px = decode_image_pixels(data)
                     arr = np.frombuffer(px, dtype=np.uint8).reshape(-1, ch)
                     sums = arr.sum(axis=0, dtype=np.int64)
                     n = arr.shape[0]
@@ -526,7 +527,8 @@ def resize_png(df: DataFrame, width: int, height: int) -> DataFrame:
                 data = bytes(row.data) if row.data is not None else b""
                 meta = dict(row.meta or {})
                 try:
-                    w, h, ch, px = decode_png_pixels(data)
+                    # dispatcher: BMP inputs resize too (output is PNG)
+                    w, h, ch, px = decode_image_pixels(data)
                     arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
                     ys = (np.arange(height) * h) // height
                     xs = (np.arange(width) * w) // width
@@ -544,3 +546,46 @@ def resize_png(df: DataFrame, width: int, height: int) -> DataFrame:
 
     # schema-preserving: whatever asset columns ride along survive
     return df.mapInPandas(op, schema=df.schema)
+
+
+def decode_bmp_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an uncompressed 24-bit BMP to (width, height, 3, RGB
+    row-major top-down bytes) — BMP stores BGR bottom-up with rows
+    padded to 4 bytes; this normalizes to the PNG convention so the
+    stats/resize operators see one pixel layout. Pure struct slicing
+    (BMP needs no codec at all)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack("<I", data[10:14])
+    width, height = struct.unpack("<ii", data[18:26])
+    (bpp,) = struct.unpack("<H", data[28:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    flipped = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src_y = (height - 1 - y) if flipped else y
+        row = data[offset + src_y * stride:offset + src_y * stride
+                   + width * 3]
+        if len(row) < width * 3:
+            raise ValueError("truncated BMP pixel data")
+        # BGR -> RGB
+        o = y * width * 3
+        out[o:o + width * 3] = row
+        out[o:o + width * 3:3] = row[2::3]
+        out[o + 2:o + width * 3:3] = row[0::3]
+    return width, height, 3, bytes(out)
+
+
+def decode_image_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """Dispatch on magic bytes to the matching pure-stdlib pixel
+    decoder — PNG (zlib inflate + unfilter) or uncompressed 24-bit BMP.
+    JPEG/GIF/video remain env-gated (their codecs need native libs)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(data)
+    if data[:2] == b"BM":
+        return decode_bmp_pixels(data)
+    raise ValueError("no pure-stdlib decoder for this format")

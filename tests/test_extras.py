@@ -259,3 +259,46 @@ def test_resize_png_real(spark):
         resize_png(df, 4, 3).select("asset_id", "data")
     ).where("err IS NULL").collect()
     assert len(stats) == 1 and stats[0]["width"] == 4
+
+
+def test_bmp_pixel_decode_and_stats(spark):
+    """Hand-packed 24-bit BMP (bottom-up, BGR, padded rows) decodes to
+    top-down RGB and flows through the stats operator."""
+    import struct as _st
+
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        png_pixel_stats,
+    )
+
+    w, h = 3, 2          # stride = 12 (9 + 3 pad)
+    # target top-down RGB rows: row0 = red,green,blue; row1 = white,black,gray
+    rgb = [(255, 0, 0), (0, 255, 0), (0, 0, 255),
+           (255, 255, 255), (0, 0, 0), (128, 128, 128)]
+    stride = (w * 3 + 3) & ~3
+    px = bytearray()
+    for y in reversed(range(h)):             # bottom-up storage
+        for x in range(w):
+            r, g, b = rgb[y * w + x]
+            px += bytes([b, g, r])           # BGR
+        px += b"\x00" * (stride - w * 3)
+    header = (
+        b"BM" + _st.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        + _st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                   2835, 2835, 0, 0)
+    )
+    bmp = bytes(header) + bytes(px)
+    gw, gh, gc, got = decode_bmp_pixels(bmp)
+    assert (gw, gh, gc) == (w, h, 3)
+    assert got == bytes(v for p in rgb for v in p)
+
+    df = spark.createDataFrame([(9, bytearray(bmp))],
+                               "asset_id bigint, data binary")
+    (row,) = png_pixel_stats(df).collect()
+    assert row["err"] is None and (row["width"], row["height"]) == (3, 2)
+    n = w * h
+    assert row["mean_milli"] == [
+        sum(p[0] for p in rgb) * 1000 // n,
+        sum(p[1] for p in rgb) * 1000 // n,
+        sum(p[2] for p in rgb) * 1000 // n,
+    ]
