@@ -582,10 +582,131 @@ def decode_bmp_pixels(data: bytes) -> tuple[int, int, int, bytes]:
 
 def decode_image_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     """Dispatch on magic bytes to the matching pure-stdlib pixel
-    decoder — PNG (zlib inflate + unfilter) or uncompressed 24-bit BMP.
-    JPEG/GIF/video remain env-gated (their codecs need native libs)."""
+    decoder — PNG (zlib inflate + unfilter), uncompressed 24-bit BMP,
+    or GIF first-frame (pure-Python LZW). JPEG/video remain env-gated
+    (DCT/video codecs genuinely need native libs)."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(data)
     if data[:2] == b"BM":
         return decode_bmp_pixels(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(data)
     raise ValueError("no pure-stdlib decoder for this format")
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW decode (pure Python): little-endian bit packing,
+    clear/end codes, code width growing to 12 bits. Returns the index
+    stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    # bit reader over the concatenated sub-block payload
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read_code(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return end
+        byte0 = bitpos // 8
+        chunk = int.from_bytes(
+            data[byte0:byte0 + 3], "little"
+        )
+        code = (chunk >> (bitpos % 8)) & ((1 << width) - 1)
+        bitpos += width
+        return code
+
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset_table():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+
+    width = min_code_size + 1
+    reset_table()
+    prev: bytes | None = None
+    while True:
+        code = read_code(width)
+        if code == clear:
+            reset_table()
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]          # the KwKwK case
+        else:
+            raise ValueError("corrupt LZW stream")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def decode_gif_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the FIRST frame of a GIF (87a/89a) to (width, height, 3,
+    RGB bytes) — pure-Python LZW, global or local color table,
+    non-interlaced only. Frame dims are the image descriptor's (the
+    logical screen is canvas metadata). Extension blocks are skipped;
+    animation frame SAMPLING stays in frame_sample_stub (count
+    arithmetic) — compositing partial frames with disposal methods is
+    out of scope here."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    pos = 6
+    _sw, _sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[pos:pos + 7])
+    pos += 7
+    gct = b""
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = data[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:                        # extension: skip sub-blocks
+            pos += 2
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:                      # image descriptor
+            _lx, _ly, w, h, iflags = struct.unpack(
+                "<HHHHB", data[pos + 1:pos + 10]
+            )
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = data[pos:pos + 3 * n]
+                pos += 3 * n
+            if not pal:
+                raise ValueError("missing color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                lzw += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(lzw), min_code)
+            if len(idx) < w * h:
+                raise ValueError("short GIF index stream")
+            out = bytearray(w * h * 3)
+            for i in range(w * h):
+                p = idx[i] * 3
+                out[i * 3:i * 3 + 3] = pal[p:p + 3]
+            return w, h, 3, bytes(out)
+        elif b0 == 0x3B:                      # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b0:02x}")
+    raise ValueError("no image data in GIF")

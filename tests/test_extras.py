@@ -302,3 +302,112 @@ def test_bmp_pixel_decode_and_stats(spark):
         sum(p[1] for p in rgb) * 1000 // n,
         sum(p[2] for p in rgb) * 1000 // n,
     ]
+
+
+def _gif_lzw_encode(indices, min_code_size):
+    """Independent GIF-variant LZW compressor for the round-trip test
+    (standard dictionary algorithm, little-endian bit packing)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out_bits = []
+    width = min_code_size + 1
+
+    def emit(code):
+        nonlocal width
+        out_bits.append((code, width))
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    w = b""
+    for s in bytes(indices):
+        ws = w + bytes([s])
+        if ws in table:
+            w = ws
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[ws] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        w = bytes([s])
+    if w:
+        emit(table[w])
+    emit(end)
+    # pack little-endian
+    acc = bitlen = 0
+    data = bytearray()
+    for code, cw in out_bits:
+        acc |= code << bitlen
+        bitlen += cw
+        while bitlen >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            bitlen -= 8
+    if bitlen:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def test_gif_decode_known_pixel():
+    """External known-good vector: the canonical 1x1 black tracking
+    pixel decodes to a single black RGB pixel."""
+    import base64
+
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        decode_gif_pixels,
+    )
+
+    gif = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    assert decode_gif_pixels(gif) == (1, 1, 3, b"\x00\x00\x00")
+
+
+def test_gif_lzw_roundtrip_random_streams():
+    """Decoder vs an independent compressor on random index streams:
+    exercises table growth, width increases, and the KwKwK case."""
+    import random
+    import struct as _st
+
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        decode_gif_pixels,
+    )
+
+    rng = random.Random(23)
+    for ncolors_pow, w, h in ((2, 16, 8), (3, 25, 9), (4, 40, 20)):
+        ncolors = 1 << ncolors_pow
+        idx = bytes(rng.randrange(ncolors) for _ in range(w * h))
+        # also a repetitive stream to force deep dictionary chains
+        rep = (idx[: w] * h)[: w * h]
+        for stream in (idx, rep):
+            pal = bytes(
+                (i * 7) % 256 for i in range(ncolors * 3)
+            )
+            lzw = _gif_lzw_encode(stream, ncolors_pow)
+            blocks = bytearray()
+            for i in range(0, len(lzw), 255):
+                chunk = lzw[i:i + 255]
+                blocks += bytes([len(chunk)]) + chunk
+            blocks += b"\x00"
+            gif = (
+                b"GIF89a"
+                + _st.pack("<HHBBB", w, h, 0x80 | (ncolors_pow - 1),
+                           0, 0)
+                + pal
+                + b"\x2C" + _st.pack("<HHHHB", 0, 0, w, h, 0)
+                + bytes([ncolors_pow]) + bytes(blocks)
+                + b"\x3B"
+            )
+            gw, gh, gc, px = decode_gif_pixels(gif)
+            want = bytes(
+                v for i in stream for v in pal[i * 3:i * 3 + 3]
+            )
+            assert (gw, gh, gc) == (w, h, 3)
+            assert px == want
