@@ -131,13 +131,44 @@ def _d02_staged(stage_root: str):
     return run
 
 
+def _table_fingerprints(sf_dir: str) -> dict[str, list[int]]:
+    """{table: [n_rows, n_bytes]} via parquet footers only (no data scan).
+
+    Recorded so a round-over-round timing drift on untouched queries can
+    be attributed: if the fingerprints changed, the testdata was
+    regenerated; if not, blame host load (also recorded) or JVM state.
+    """
+    import pyarrow.dataset as ds
+
+    fps: dict[str, list[int]] = {}
+    for p in sorted(Path(sf_dir).glob("*.parquet")):
+        try:
+            n_rows = ds.dataset(str(p), format="parquet").count_rows()
+            if p.is_dir():
+                n_bytes = sum(
+                    f.stat().st_size for f in p.rglob("*") if f.is_file()
+                )
+            else:
+                n_bytes = p.stat().st_size
+            fps[p.stem] = [int(n_rows), int(n_bytes)]
+        except Exception:  # noqa: BLE001 — fingerprints must never sink the bench
+            fps[p.stem] = [-1, -1]
+    return fps
+
+
 def main() -> int:
+    import hashlib
     import shutil
     import tempfile
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    load_start = [round(x, 2) for x in os.getloadavg()]
+    fingerprints = _table_fingerprints(sf_dir)
+    data_fp = hashlib.md5(
+        json.dumps(fingerprints, sort_keys=True).encode()
+    ).hexdigest()[:12]
 
     specs = {
         s.name: s
@@ -205,12 +236,27 @@ def main() -> int:
     shutil.rmtree(stage_root, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    load_end = [round(x, 2) for x in os.getloadavg()]
+    try:
+        jvm_up_s = round(
+            time.time() - spark.sparkContext.startTime / 1000.0, 1
+        )
+    except Exception:  # noqa: BLE001
+        jvm_up_s = -1.0
+    env_ctx = {
+        "load_start": load_start,
+        "load_end": load_end,
+        "jvm_uptime_s": jvm_up_s,
+        "data_fp": data_fp,
+        "tables": fingerprints,
+    }
     out = {
         "metric": "headline-suite wall seconds (noop-forced, warm JVM, best of 2)",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "env": env_ctx,
     }
     if errors:
         out["errors"] = errors
@@ -249,6 +295,11 @@ def main() -> int:
         "top10": top10,
         "n_errors": len(errors),
         "n_skipped": len(skipped),
+        # drift attribution digest (full table fingerprints in the big
+        # line's "env"): same data_fp + similar load ⇒ blame JVM/plan.
+        "load": [load_start, load_end],
+        "jvm_uptime_s": jvm_up_s,
+        "data_fp": data_fp,
     }
     print(json.dumps(compact))
     try:

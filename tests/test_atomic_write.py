@@ -937,3 +937,53 @@ def test_rewrite_optimistic_version_check(spark, tmp_path):
     )
     assert out["rewritten"] == 10
     assert fmt.read(spark, table, rows.schema).count() == 10
+
+
+def test_two_threaded_ingest_cycles_single_winner(spark, tmp_path):
+    """VERDICT r5 item 7: two ``IngestJob.run`` cycles in separate
+    THREADS contend on one warehouse — exactly one wins the lease and
+    processes the whole inbox; the loser raises before touching the
+    ledger, so the ledger holds one coherent batch (every file exactly
+    once, no interleaving, idempotent re-run empty)."""
+    import threading
+
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        ConcurrentWriterError,
+    )
+
+    fx = generate_f1(tmp_path, n=10)
+    jobs = [make_job(spark, tmp_path, fx) for _ in range(2)]
+    barrier = threading.Barrier(2)
+    outcomes: list[tuple[int, object]] = []
+    lock = threading.Lock()
+
+    def cycle(i: int) -> None:
+        barrier.wait()
+        try:
+            res = jobs[i].run(tmp_path)
+        except ConcurrentWriterError as exc:
+            res = exc
+        with lock:
+            outcomes.append((i, res))
+
+    threads = [threading.Thread(target=cycle, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert len(outcomes) == 2
+    winners = [r for _, r in outcomes if isinstance(r, list)]
+    losers = [r for _, r in outcomes if isinstance(r, ConcurrentWriterError)]
+    assert len(winners) == 1 and len(losers) == 1
+    # the winner processed the full inbox in one coherent batch
+    assert [r.status for r in winners[0]] == [ledger_mod.STATUS_UPLOADED] * 3
+    ledger = jobs[0].ledger
+    names = {p.name for p in fx["files"]}
+    assert ledger.processed_set() >= names
+    # each file has exactly ONE uploaded row — no interleaved batch
+    rows = ledger.read().collect()
+    uploads = [r for r in rows if r["status"] == ledger_mod.STATUS_UPLOADED
+               and r["file_name"] in names]
+    assert len(uploads) == 3
+    # lease released: a fresh cycle proceeds and is idempotent-empty
+    assert jobs[1].run(tmp_path) == []
