@@ -6,10 +6,15 @@ Three tiers of honesty about what runs in this container:
   default): PNG / GIF / BMP / JPEG dimensions, WAV sample rate +
   duration, MP4 duration — parsed from container headers with stdlib
   ``struct`` inside the Arrow batch, no media libraries needed.
-- **Pixel/sample decoding is STUBBED** (``mode='error'`` raises
-  NotImplementedError where PIL/ffmpeg would plug in; ``mode='fake'``
+- **Image pixel and WAV sample decoding is REAL** — pure Python +
+  numpy, no PIL/ffmpeg: PNG (zlib inflate + unfilter), uncompressed
+  24-bit BMP, GIF first frame (LZW), baseline JPEG (huffman entropy
+  decode + matrix IDCT + chroma upsample + BT.601), and 16-bit PCM.
+- **Video frame decoding stays env-gated** (``mode='error'`` raises
+  NotImplementedError where ffmpeg would plug in; ``mode='fake'``
   derives deterministic fake features from the content md5 so plumbing
-  tests don't need real media).
+  tests don't need real media) — video codecs genuinely need native
+  libraries.
 - The Spark-side plumbing — typed asset schema, Arrow-batch signatures,
   frame-explode shape — is real and tested in all modes.
 
@@ -378,8 +383,8 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
 
 
 def png_pixel_stats(df: DataFrame) -> DataFrame:
-    """Per-asset PIXEL statistics for PNG and uncompressed-BMP assets
-    (``decode_image_pixels`` dispatches on magic bytes) via ``mapInPandas``
+    """Per-asset PIXEL statistics for PNG / BMP / GIF / baseline-JPEG
+    assets (``decode_image_pixels`` dispatches on magic bytes) via ``mapInPandas``
     (Arrow batches; numpy does the per-image reduction): width, height,
     channels, per-channel mean in milli-units (exact integer
     floor(1000·sum/n) — no float in the output), and the pixel-bytes
@@ -581,17 +586,20 @@ def decode_bmp_pixels(data: bytes) -> tuple[int, int, int, bytes]:
 
 
 def decode_image_pixels(data: bytes) -> tuple[int, int, int, bytes]:
-    """Dispatch on magic bytes to the matching pure-stdlib pixel
+    """Dispatch on magic bytes to the matching pure-Python pixel
     decoder — PNG (zlib inflate + unfilter), uncompressed 24-bit BMP,
-    or GIF first-frame (pure-Python LZW). JPEG/video remain env-gated
-    (DCT/video codecs genuinely need native libs)."""
+    GIF first-frame (pure-Python LZW), or baseline JPEG (huffman +
+    numpy IDCT). Only VIDEO remains env-gated (codecs genuinely need
+    native libs)."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png_pixels(data)
     if data[:2] == b"BM":
         return decode_bmp_pixels(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(data)
-    raise ValueError("no pure-stdlib decoder for this format")
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg_pixels(data)
+    raise ValueError("no pure-Python decoder for this format")
 
 
 def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
@@ -710,3 +718,371 @@ def decode_gif_pixels(data: bytes) -> tuple[int, int, int, bytes]:
         else:
             raise ValueError(f"bad GIF block 0x{b0:02x}")
     raise ValueError("no image data in GIF")
+
+
+# ---------------------------------------------------------------------------
+# Real PIXEL decoding for baseline JPEG — pure Python + numpy (huffman
+# entropy decode, dequant, matrix IDCT, chroma upsample, BT.601
+# YCbCr->RGB per the public ITU T.81 spec). With this, every image
+# format in the corpus (PNG/BMP/GIF/JPEG) decodes for real; only VIDEO
+# codecs remain env-gated (they genuinely need native libs).
+# ---------------------------------------------------------------------------
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: Annex K luminance DC table (BITS, HUFFVAL) — public T.81 defaults
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+
+
+def _huffman_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical JPEG huffman: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huffman_codes(bits: list[int], vals: list[int]) -> dict:
+    """Inverse direction for the encoder: {symbol: (code, length)}."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _huffman_table(bits, vals).items()
+    }
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; restart markers byte-align and are consumed by
+    ``restart()``."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartPending()
+            else:
+                raise ValueError("hit marker inside entropy data")
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+
+    def read_bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        out = (self.bitbuf >> self.nbits) & ((1 << n) - 1)
+        self.bitbuf &= (1 << self.nbits) - 1
+        return out
+
+    def read_symbol(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bits(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code")
+
+    def restart(self) -> None:
+        """Consume an RSTn marker and byte-align."""
+        self.bitbuf = 0
+        self.nbits = 0
+        if not (self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+class _RestartPending(Exception):
+    pass
+
+
+def _jpeg_extend(value: int, size: int) -> int:
+    """T.81 EXTEND: map a SIZE-bit magnitude to its signed value."""
+    if size == 0:
+        return 0
+    return value if value >= (1 << (size - 1)) else value - (1 << size) + 1
+
+
+def _idct_basis():
+    import numpy as np
+
+    u = np.arange(8)
+    a = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
+    a[0, :] *= 1.0 / np.sqrt(2.0)
+    return a  # A[u, x]; IDCT2(B) = A.T @ B @ A
+
+
+def decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a BASELINE (SOF0/SOF1, huffman) JPEG to (width, height,
+    channels, row-major samples) — pure Python entropy decode + numpy
+    dequant/IDCT. Supports 1- and 3-component images, integer-ratio
+    chroma subsampling (4:4:4 / 4:2:2 / 4:2:0), restart intervals, and
+    8- or 16-bit quant tables. Progressive (SOF2) and arithmetic coding
+    raise — at 100 TB a poison asset costs one tagged row
+    (``png_pixel_stats`` catches per asset), never a stage retry loop."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[dict] = []
+    width = height = 0
+    restart_interval = 0
+    scan_pos = None
+    scan_comps: list[dict] = []
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                n = 64 * (2 if pq else 1)
+                raw = body[i:i + n]
+                vals = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.int32)
+                    if pq else
+                    np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+                )
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_JPEG_ZIGZAG] = vals
+                qt[tq] = tbl.reshape(8, 8)
+                i += n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1:i + 17])
+                nval = sum(bits)
+                vals = list(body[i + 17:i + 17 + nval])
+                huff[(tc, th)] = _huffman_table(bits, vals)
+                i += 17 + nval
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline huffman
+            _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(k for k in comps if k["id"] == cid)
+                scan_comps.append(
+                    {**comp, "dc": tt >> 4, "ac": tt & 0xF}
+                )
+            scan_pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if scan_pos is None or not comps or not width:
+        raise ValueError("missing SOF/SOS")
+    if len(scan_comps) not in (1, 3):
+        raise ValueError("only 1- or 3-component scans supported")
+
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+    basis = _idct_basis()
+    planes = [
+        np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8),
+                 dtype=np.float64)
+        for c in scan_comps
+    ]
+    reader = _JpegBitReader(data, scan_pos)
+    pred = [0] * len(scan_comps)
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.restart()
+            pred = [0] * len(scan_comps)
+        my, mx = divmod(m, mcus_x)
+        for ci, c in enumerate(scan_comps):
+            q = qt[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coeffs = np.zeros(64, dtype=np.int32)
+                    s = reader.read_symbol(huff[(0, c["dc"])])
+                    diff = _jpeg_extend(reader.read_bits(s), s)
+                    pred[ci] += diff
+                    coeffs[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.read_symbol(huff[(1, c["ac"])])
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break        # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index overflow")
+                        coeffs[k] = _jpeg_extend(reader.read_bits(s), s)
+                        k += 1
+                    block = np.zeros(64, dtype=np.int32)
+                    block[_JPEG_ZIGZAG] = coeffs
+                    block = block.reshape(8, 8) * q
+                    px = basis.T @ block.astype(np.float64) @ basis
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+    out_planes = []
+    for ci, c in enumerate(scan_comps):
+        p = np.clip(np.round(planes[ci] + 128.0), 0, 255)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if vmax % c["v"] or hmax % c["h"]:
+            raise ValueError("non-integer subsampling ratio")
+        p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:height, :width])
+    if len(out_planes) == 1:
+        return width, height, 1, out_planes[0].astype(np.uint8).tobytes()
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
+    return width, height, 3, rgb.astype(np.uint8).tobytes()
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-fill per T.81
+        return bytes(self.out)
+
+
+def jpeg_flat_value(seed: int, comp: int, bx: int, by: int) -> int:
+    """Closed-form per-block sample value shared by the fixture
+    generator, its tests, and the m07 arithmetic oracle."""
+    if comp == 0:
+        return (seed * 7 + by * 5 + bx * 3) % 256
+    if comp == 1:
+        return (seed * 11 + bx * 5) % 256
+    return (seed * 13 + by * 3) % 256
+
+
+def synthesize_jpeg(seed: int, width: int, height: int, q0: int = 1,
+                    channels: int = 1, subsampling: str = "444") -> bytes:
+    """Deterministic BASELINE JPEG fixture: every 8x8 block of every
+    component is FLAT with value ``jpeg_flat_value(seed, comp, bx,
+    by)``, so the encoded stream is DC-only and the decoded block value
+    has the closed form clip(round(round(8·(v-128)/q0)·q0/8) + 128) —
+    with the default ``q0=1`` exactly v, giving the m07 oracle pure
+    arithmetic (the m06 pattern). ``channels=3`` emits an interleaved
+    YCbCr scan, 4:4:4 or 4:2:0 (``subsampling='420'``: one flat chroma
+    block per 16x16 MCU; dims must then be multiples of 16). Uses the
+    public Annex K DC table and a minimal 1-symbol AC table (EOB
+    only)."""
+    import math
+
+    sub = {"444": (1, 1), "420": (2, 2)}[subsampling]
+    hy, vy = sub if channels == 3 else (1, 1)
+    mcu = 8 * max(hy, 1)
+    if width % mcu or height % mcu:
+        raise ValueError(f"fixture dims must be multiples of {mcu}")
+    dc_codes = _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_bits = [1] + [0] * 15
+    ac_vals = [0x00]  # EOB
+    ac_codes = _huffman_codes(ac_bits, ac_vals)
+    qtab = bytes([q0] * 64)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    ncomp = channels
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        hv = (hy << 4) | vy if c == 0 else 0x11
+        sof += bytes([c + 1, hv, 0])
+        sos += bytes([c + 1, 0x00])
+    head = b"\xff\xd8"
+    head += seg(0xDB, bytes([0x00]) + qtab)
+    head += seg(0xC0, sof)
+    head += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+                + bytes(_JPEG_DC_VALS))
+    head += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    head += seg(0xDA, sos + bytes([0, 63, 0]))
+
+    w = _JpegBitWriter()
+    pred = [0] * ncomp
+
+    def put_block(comp: int, bx: int, by: int) -> None:
+        v = jpeg_flat_value(seed, comp, bx, by)
+        dc = 8 * (v - 128)
+        x = dc / q0
+        dcq = int(math.floor(x + 0.5)) if x >= 0 else -int(
+            math.floor(-x + 0.5)
+        )
+        diff = dcq - pred[comp]
+        pred[comp] = dcq
+        size = diff.bit_length() if diff else 0
+        code, length = dc_codes[size]
+        w.write(code, length)
+        if size:
+            w.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+        code, length = ac_codes[0x00]
+        w.write(code, length)  # EOB: all AC zero
+
+    for my in range(height // mcu):
+        for mx in range(width // mcu):
+            for by in range(vy):
+                for bx in range(hy):
+                    put_block(0, mx * hy + bx, my * vy + by)
+            for comp in range(1, ncomp):
+                put_block(comp, mx, my)
+    return head + w.flush() + b"\xff\xd9"

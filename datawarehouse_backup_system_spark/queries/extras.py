@@ -687,7 +687,67 @@ ORDER BY id
 """
 
 
-SPECS = _build_specs()
+# --------------------------------------------------------------------------
+# m07 — REAL baseline-JPEG pixel decode (pure-Python huffman entropy
+# decode + numpy dequant/IDCT, operators/multimodal.py:
+# decode_jpeg_pixels) over 48 synthesized DC-only grayscale JPEGs whose
+# 8x8 blocks are flat with a closed-form value; with the all-ones quant
+# table the DC path reconstructs exactly, so the oracle recomputes the
+# channel mean ARITHMETICALLY, fully independent of the decoder. With
+# m06 (PNG) this closes the "pixel decode is an env seam" caveat for
+# every image format in the corpus; lossy-quant, 4:4:4 and 4:2:0 color
+# paths are closed-form pytest-pinned (test_extras.py).
+# --------------------------------------------------------------------------
+_M07_N = 48
+
+
+def m07_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd
+
+    from ..operators.multimodal import png_pixel_stats, synthesize_jpeg
+
+    pdf = _pd.DataFrame({
+        "asset_id": list(range(_M07_N)),
+        "data": [
+            synthesize_jpeg(i, 8 * (1 + i % 4), 8 * (1 + i % 3))
+            for i in range(_M07_N)
+        ],
+    })
+    assets = spark.createDataFrame(pdf).repartition(8)
+    stats = png_pixel_stats(assets)  # dispatches on magic bytes
+    return stats.select(
+        "asset_id", "width", "height", "channels",
+        F.element_at("mean_milli", 1).alias("mean0_milli"),
+    ).orderBy("asset_id")
+
+
+M07_SQL = f"""
+WITH ids AS (SELECT unnest(range({_M07_N})) AS id),
+dims AS (
+  SELECT id, CAST(8 * (1 + id % 4) AS INT) AS w,
+         CAST(8 * (1 + id % 3) AS INT) AS h
+  FROM ids
+),
+blk AS (
+  SELECT d.id, d.w, d.h,
+         sum((d.id * 7 + by.by * 5 + bx.bx * 3) % 256) AS s
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.h // 8)) AS by) by,
+       LATERAL (SELECT unnest(range(d.w // 8)) AS bx) bx
+  GROUP BY 1, 2, 3
+)
+SELECT id AS asset_id, w AS width, h AS height, CAST(1 AS INT) AS channels,
+       CAST(s * 64 * 1000 // (w * h) AS BIGINT) AS mean0_milli
+FROM blk
+ORDER BY id
+"""
+
+
+SPECS = _build_specs() + [
+    QuerySpec("m07_jpeg_pixel_stats", m07_jpeg_pixel_stats, M07_SQL,
+              "REAL baseline-JPEG pixel decode (pure-Python huffman + "
+              "numpy IDCT): exact channel means vs arithmetic oracle"),
+]
 
 
 # --------------------------------------------------------------------------

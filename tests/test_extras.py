@@ -411,3 +411,140 @@ def test_gif_lzw_roundtrip_random_streams():
             )
             assert (gw, gh, gc) == (w, h, 3)
             assert px == want
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG pixel decode (m07 operator) — closed-form fixtures
+# ---------------------------------------------------------------------------
+def _expected_rgb(y, cb, cr):
+    import numpy as np
+
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return [int(np.clip(np.round(v), 0, 255)) for v in (r, g, b)]
+
+
+def test_jpeg_decode_grayscale_lossless_and_lossy():
+    """q0=1 (all-ones quant) reconstructs every flat block EXACTLY;
+    q0=16 reconstructs the closed-form quantized value — pinning the
+    encoder's DC rounding and the decoder's dequant+IDCT together."""
+    import math
+
+    import numpy as np
+
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        jpeg_flat_value,
+        synthesize_jpeg,
+    )
+
+    for seed in (0, 3, 9):
+        for q0 in (1, 16):
+            w, h = 8 * (1 + seed % 4), 8 * (1 + seed % 3)
+            gw, gh, ch, px = decode_jpeg_pixels(
+                synthesize_jpeg(seed, w, h, q0=q0)
+            )
+            assert (gw, gh, ch) == (w, h, 1)
+            arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    v = jpeg_flat_value(seed, 0, bx, by)
+                    dc = 8 * (v - 128)
+                    x = dc / q0
+                    dcq = (math.floor(x + 0.5) if x >= 0
+                           else -math.floor(-x + 0.5))
+                    exp = min(255, max(0, round(dcq * q0 / 8) + 128))
+                    blk = arr[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                    assert (blk == exp).all(), (seed, q0, bx, by)
+
+
+def test_jpeg_decode_color_444_and_420():
+    """3-component interleaved scans: per-component DC predictors,
+    sampling-factor block order, chroma upsample, and BT.601 YCbCr->RGB
+    all reconstruct the closed-form flat blocks exactly."""
+    import numpy as np
+
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        jpeg_flat_value,
+        synthesize_jpeg,
+    )
+
+    for seed in (1, 5):
+        w, h, ch, px = decode_jpeg_pixels(
+            synthesize_jpeg(seed, 16, 24, channels=3)
+        )
+        assert (w, h, ch) == (16, 24, 3)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                exp = _expected_rgb(
+                    *[jpeg_flat_value(seed, c, bx, by) for c in range(3)]
+                )
+                blk = arr[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                assert (blk == exp).all(), (seed, bx, by)
+    for seed in (2, 7):
+        w, h, ch, px = decode_jpeg_pixels(
+            synthesize_jpeg(seed, 32, 16, channels=3, subsampling="420")
+        )
+        assert (w, h, ch) == (32, 16, 3)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+        for my in range(h // 16):
+            for mx in range(w // 16):
+                cb = jpeg_flat_value(seed, 1, mx, my)
+                cr = jpeg_flat_value(seed, 2, mx, my)
+                for sy in range(2):
+                    for sx in range(2):
+                        y = jpeg_flat_value(seed, 0, mx * 2 + sx, my * 2 + sy)
+                        exp = _expected_rgb(y, cb, cr)
+                        blk = arr[my * 16 + sy * 8:my * 16 + (sy + 1) * 8,
+                                  mx * 16 + sx * 8:mx * 16 + (sx + 1) * 8]
+                        assert (blk == exp).all(), (seed, mx, my, sx, sy)
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    import pytest as _pytest
+
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        synthesize_jpeg,
+    )
+
+    good = bytearray(synthesize_jpeg(0, 8, 8))
+    # flip the SOF0 marker (0xC0) to SOF2 progressive (0xC2)
+    i = good.find(b"\xff\xc0")
+    good[i + 1] = 0xC2
+    with _pytest.raises(ValueError, match="progressive"):
+        decode_jpeg_pixels(bytes(good))
+    with _pytest.raises(ValueError):
+        decode_jpeg_pixels(b"\x00\x01not a jpeg")
+
+
+def test_jpeg_pixel_stats_spark_dispatch(spark):
+    """png_pixel_stats dispatches JPEG via magic bytes: exact integer
+    channel mean for a known DC-only image; a poison asset yields an
+    err-tagged row, never a task failure."""
+    import pandas as _pd
+
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        jpeg_flat_value,
+        png_pixel_stats,
+        synthesize_jpeg,
+    )
+
+    seed, w, h = 4, 16, 8
+    total = sum(
+        jpeg_flat_value(seed, 0, bx, by) * 64
+        for by in range(h // 8) for bx in range(w // 8)
+    )
+    pdf = _pd.DataFrame({
+        "asset_id": [1, 2],
+        "data": [synthesize_jpeg(seed, w, h), b"\xff\xd8truncated"],
+    })
+    rows = {r["asset_id"]: r
+            for r in png_pixel_stats(spark.createDataFrame(pdf)).collect()}
+    assert rows[1]["err"] is None
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (w, h, 1)
+    assert rows[1]["mean_milli"] == [total * 1000 // (w * h)]
+    assert rows[2]["err"] is not None and rows[2]["mean_milli"] is None
