@@ -743,10 +743,74 @@ ORDER BY id
 """
 
 
+# --------------------------------------------------------------------------
+# m08 — REAL video frame decode for MJPEG-AVI (container walk +
+# per-frame baseline-JPEG decode, every-k frame sampling). Same
+# closed-form DC-only fixture family as m07, keyed by seed + 31·frame,
+# so the oracle stays pure arithmetic and decoder-independent. With
+# this, frame SAMPLING (m04, count arithmetic) is joined by frame
+# PIXELS for a real video codec; inter-frame codecs stay env-gated.
+# --------------------------------------------------------------------------
+_M08_N = 12
+
+
+def m08_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd
+
+    from ..operators.multimodal import mjpeg_frame_stats, synthesize_mjpeg_avi
+
+    pdf = _pd.DataFrame({
+        "asset_id": list(range(_M08_N)),
+        "data": [
+            synthesize_mjpeg_avi(i, 8 * (1 + i % 3), 8 * (1 + i % 2),
+                                 n_frames=4 + i % 3)
+            for i in range(_M08_N)
+        ],
+    })
+    assets = spark.createDataFrame(pdf).repartition(4)
+    stats = mjpeg_frame_stats(assets, every_k=2)
+    return stats.select(
+        "asset_id", "frame_idx", "n_frames", "width", "height", "channels",
+        F.element_at("mean_milli", 1).alias("mean0_milli"),
+    ).orderBy("asset_id", "frame_idx")
+
+
+M08_SQL = f"""
+WITH ids AS (SELECT unnest(range({_M08_N})) AS id),
+dims AS (
+  SELECT id, CAST(8 * (1 + id % 3) AS INT) AS w,
+         CAST(8 * (1 + id % 2) AS INT) AS h,
+         CAST(4 + id % 3 AS INT) AS nf
+  FROM ids
+),
+fr AS (
+  SELECT d.id, d.w, d.h, d.nf, f.f
+  FROM dims d, LATERAL (SELECT unnest(range(d.nf)) AS f) f
+  WHERE f.f % 2 = 0
+),
+blk AS (
+  SELECT id, f, w, h, nf,
+         sum(((id + 31 * f) * 7 + by.by * 5 + bx.bx * 3) % 256) AS s
+  FROM fr,
+       LATERAL (SELECT unnest(range(h // 8)) AS by) by,
+       LATERAL (SELECT unnest(range(w // 8)) AS bx) bx
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT id AS asset_id, CAST(f AS INT) AS frame_idx, nf AS n_frames,
+       w AS width, h AS height, CAST(1 AS INT) AS channels,
+       CAST(s * 64 * 1000 // (w * h) AS BIGINT) AS mean0_milli
+FROM blk
+ORDER BY asset_id, frame_idx
+"""
+
+
 SPECS = _build_specs() + [
     QuerySpec("m07_jpeg_pixel_stats", m07_jpeg_pixel_stats, M07_SQL,
               "REAL baseline-JPEG pixel decode (pure-Python huffman + "
               "numpy IDCT): exact channel means vs arithmetic oracle"),
+    QuerySpec("m08_mjpeg_frame_stats", m08_mjpeg_frame_stats, M08_SQL,
+              "REAL MJPEG-AVI video frame decode (container walk + "
+              "JPEG per frame, every-2nd sampling) vs arithmetic oracle"),
 ]
 
 

@@ -548,3 +548,98 @@ def test_jpeg_pixel_stats_spark_dispatch(spark):
     assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) == (w, h, 1)
     assert rows[1]["mean_milli"] == [total * 1000 // (w * h)]
     assert rows[2]["err"] is not None and rows[2]["mean_milli"] is None
+
+
+def test_mjpeg_avi_frame_stats_spark(spark):
+    """mjpeg_frame_stats: every-2nd-frame sampling over a closed-form
+    MJPEG AVI yields exact per-frame means; a non-AVI asset yields one
+    err row; a poison FRAME costs only its own row."""
+    import pandas as _pd
+
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        jpeg_flat_value,
+        mjpeg_frame_stats,
+        synthesize_mjpeg_avi,
+    )
+
+    seed, w, h, nf = 6, 24, 16, 5
+    avi = synthesize_mjpeg_avi(seed, w, h, nf)
+    # poison one sampled frame's payload inside the container
+    broken = bytearray(synthesize_mjpeg_avi(seed, w, h, nf))
+    broken[broken.find(b"00dc") + 8:broken.find(b"00dc") + 12] = b"\x00\x00\x00\x00"
+    pdf = _pd.DataFrame({
+        "asset_id": [1, 2, 3],
+        "data": [avi, b"RIFF\x04\x00\x00\x00WAVE", bytes(broken)],
+    })
+    rows = mjpeg_frame_stats(
+        spark.createDataFrame(pdf), every_k=2
+    ).collect()
+    good = {r["frame_idx"]: r for r in rows if r["asset_id"] == 1}
+    assert sorted(good) == [0, 2, 4]
+    for f, r in good.items():
+        total = sum(
+            jpeg_flat_value(seed + 31 * f, 0, bx, by) * 64
+            for by in range(h // 8) for bx in range(w // 8)
+        )
+        assert r["err"] is None and r["n_frames"] == nf
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 1)
+        assert r["mean_milli"] == [total * 1000 // (w * h)]
+    bad = [r for r in rows if r["asset_id"] == 2]
+    assert len(bad) == 1 and bad[0]["err"] is not None
+    poisoned = {r["frame_idx"]: r for r in rows if r["asset_id"] == 3}
+    assert poisoned[0]["err"] is not None          # the corrupted frame
+    assert poisoned[2]["err"] is None              # later frames decode
+    assert poisoned[4]["err"] is None
+
+
+def test_transcode_to_png_normalizes_every_format(spark):
+    """transcode_to_png: JPEG/BMP/GIF assets come back as real PNGs with
+    identical pixels; undecodable data passes through err-tagged."""
+    import numpy as np
+    import pandas as _pd
+
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        decode_image_pixels,
+        decode_png_pixels,
+        jpeg_flat_value,
+        synthesize_jpeg,
+        transcode_to_png,
+    )
+
+    jpg = synthesize_jpeg(2, 16, 8)
+    pdf = _pd.DataFrame({
+        "asset_id": [1, 2],
+        "kind": ["image", "image"],
+        "mime": ["image/jpeg", None],
+        "meta": [{}, {}],
+        "data": [jpg, b"\x00garbage"],
+    })
+    df = spark.createDataFrame(
+        pdf,
+        "asset_id long, kind string, mime string, "
+        "meta map<string,string>, data binary",
+    )
+    rows = {r["asset_id"]: r for r in transcode_to_png(df).collect()}
+    out = bytes(rows[1]["data"])
+    assert out[:8] == b"\x89PNG\r\n\x1a\n"
+    assert rows[1]["mime"] == "image/png"
+    assert rows[1]["meta"]["transcoded_from"] == "jpeg"
+    w, h, ch, px = decode_png_pixels(out)
+    assert (w, h, ch) == (16, 8, 1)
+    ow, oh, och, opx = decode_image_pixels(jpg)
+    assert px == opx
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+    assert (arr[0:8, 0:8] == jpeg_flat_value(2, 0, 0, 0)).all()
+    assert rows[2]["meta"]["err"] is not None
+    assert bytes(rows[2]["data"]) == b"\x00garbage"  # untouched
+
+
+def test_avi_header_parse():
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        parse_media_header,
+        synthesize_mjpeg_avi,
+    )
+
+    meta = parse_media_header(synthesize_mjpeg_avi(0, 32, 16, 8, fps=4))
+    assert meta == {"format": "avi", "width": 32, "height": 16,
+                    "duration_ms": 2000}
