@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -226,4 +226,91 @@ def hll_rollup(
     )
     return fine.groupBy(*key_cols).agg(
         F.hll_sketch_estimate(F.hll_union_agg(F.col("_sk"))).alias("distinct_est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketches with SET
+# OPERATIONS — the capability HLL lacks: two groups' sketches support
+# union AND intersection cardinality estimates (Beyer et al., "On
+# synopses for distinct-value estimation under multiset operations").
+# Deterministic md5-prefix hashing (hashing.md5_prefix_long) keeps the
+# sketch retry-stable, mergeable (union = keep k smallest of the
+# union, exactly bottomk_sample's merge law), and bit-replayable by
+# the DuckDB oracle.
+# ---------------------------------------------------------------------------
+_KMV_SPACE = 1 << 56  # md5_prefix_long hashes are uniform in [0, 2^56)
+
+
+def kmv_sketch(df: DataFrame, group_col: str, key_col: str,
+               k: int) -> DataFrame:
+    """Per-group bottom-k DISTINCT-hash sketch: (group, h, rn) with the
+    k smallest 56-bit hashes of distinct keys. One shuffle on the
+    group; mergeable across shards/batches by union + re-take-k."""
+    from .hashing import md5_prefix_long
+
+    hashed = (
+        df.select(F.col(group_col).alias("g"),
+                  md5_prefix_long(F.col(key_col).cast("string")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+
+
+def kmv_pair_overlap(sketch: DataFrame, k: int) -> DataFrame:
+    """Distinct-count UNION and INTERSECTION estimates for every group
+    pair from their bottom-k sketches (pure integer arithmetic, no
+    floats): combine the two sketches, keep the k smallest distinct
+    hashes, tau = the largest kept hash; if the union saturates k,
+    est_union = (k-1)·2^56 div tau and est_inter = n_common·est_union
+    div k, else the kept set IS the exact union. The pair table is
+    O(groups²·k) — sketch-sized, never data-sized."""
+    groups = sketch.select("g").distinct()
+    pairs = (
+        groups.alias("x")
+        .join(groups.alias("y"), F.col("x.g") < F.col("y.g"))
+        .select(F.col("x.g").alias("ta"), F.col("y.g").alias("tb"))
+    )
+    sk = sketch.select("g", "h")
+    mem = (
+        pairs.join(sk, (F.col("g") == F.col("ta")) | (F.col("g") == F.col("tb")))
+        .groupBy("ta", "tb", "h")
+        .agg(
+            F.max(F.when(F.col("g") == F.col("ta"), 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("g") == F.col("tb"), 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    wp = Window.partitionBy("ta", "tb").orderBy("h")
+    wall = Window.partitionBy("ta", "tb")
+    ranked = (
+        mem.withColumn("rn", F.row_number().over(wp))
+        .withColumn("n_union", F.count(F.lit(1)).over(wall))
+    )
+    agg = ranked.groupBy("ta", "tb").agg(
+        F.max(
+            F.when(F.col("rn") == F.least(F.lit(k), F.col("n_union")),
+                   F.col("h"))
+        ).alias("tau"),
+        F.sum(
+            F.when((F.col("rn") <= k) & (F.col("in_a") == 1)
+                   & (F.col("in_b") == 1), 1).otherwise(0)
+        ).cast("bigint").alias("n_common"),
+        F.max("n_union").alias("n_union"),
+    )
+    # integer `div`, never float division (queries/base.py exactness
+    # recipe): (k-1)·2^56 fits int64 for k ≤ 128
+    scaled = (k - 1) * _KMV_SPACE
+    est_union = F.when(
+        F.col("n_union") >= k, F.expr(f"{scaled}L div tau")
+    ).otherwise(F.col("n_union")).cast("bigint")
+    return agg.withColumn("est_union", est_union).select(
+        F.col("ta").alias("type_a"), F.col("tb").alias("type_b"),
+        "tau", "n_common", "est_union",
+        F.when(F.col("n_union") >= k,
+               F.expr(f"(n_common * est_union) div {k}"))
+        .otherwise(F.col("n_common")).cast("bigint").alias("est_inter"),
     )

@@ -612,6 +612,142 @@ ORDER BY user_id, event_id
 """
 
 
+# --------------------------------------------------------------------------
+# w04 — KMV (bottom-k) distinct sketch SET OPERATIONS: union AND
+# intersection cardinality estimates between every event-type pair from
+# k=64 sketches of distinct user hashes — the set operation HLL cannot
+# do (Beyer et al. synopses lineage; operators/sketches.py:kmv_sketch).
+# exact_inter rides along so the artifact is estimate-vs-truth honest,
+# like the r-family recall specs. All integer arithmetic: tau, (k-1)·2^56
+# div tau, n_common·est div k — bit-replayable by the oracle.
+# --------------------------------------------------------------------------
+_W04_K = 64
+
+
+def w04_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_pair_overlap, kmv_sketch
+
+    ev = load(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, "event_type", "user_id", _W04_K)
+    est = kmv_pair_overlap(sk, _W04_K)
+    users = ev.select("event_type", "user_id").distinct()
+    exact = (
+        users.alias("ua")
+        .join(
+            users.alias("ub"),
+            (F.col("ua.user_id") == F.col("ub.user_id"))
+            & (F.col("ua.event_type") < F.col("ub.event_type")),
+        )
+        .groupBy(
+            F.col("ua.event_type").alias("type_a"),
+            F.col("ub.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    return (
+        est.join(exact, ["type_a", "type_b"], "left")
+        .fillna(0, subset=["exact_inter"])
+        .orderBy("type_a", "type_b")
+    )
+
+
+W04_SQL = f"""
+WITH eu AS (
+  SELECT DISTINCT event_type AS g,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT AS h
+  FROM events
+),
+sk AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM eu
+  ) WHERE rn <= {_W04_K}
+),
+gs AS (SELECT DISTINCT g FROM sk),
+pr AS (SELECT x.g AS ta, y.g AS tb FROM gs x, gs y WHERE x.g < y.g),
+mem AS (
+  SELECT p.ta, p.tb, s.h,
+         max(CASE WHEN s.g = p.ta THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.g = p.tb THEN 1 ELSE 0 END) AS in_b
+  FROM pr p JOIN sk s ON s.g IN (p.ta, p.tb)
+  GROUP BY 1, 2, 3
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY ta, tb) AS n_union
+  FROM mem
+),
+agg AS (
+  SELECT ta, tb,
+         max(CASE WHEN rn = LEAST({_W04_K}, n_union) THEN h END) AS tau,
+         CAST(sum(CASE WHEN rn <= {_W04_K} AND in_a = 1 AND in_b = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         max(n_union) AS n_union
+  FROM rk GROUP BY 1, 2
+),
+est AS (
+  SELECT ta, tb, tau, n_common,
+         CAST(CASE WHEN n_union >= {_W04_K}
+              THEN {(_W04_K - 1) * (1 << 56)} // tau
+              ELSE n_union END AS BIGINT) AS est_union,
+         n_union
+  FROM agg
+),
+ex AS (
+  SELECT ua.event_type AS ta, ub.event_type AS tb,
+         CAST(count(*) AS BIGINT) AS exact_inter
+  FROM (SELECT DISTINCT event_type, user_id FROM events) ua
+  JOIN (SELECT DISTINCT event_type, user_id FROM events) ub
+    ON ua.user_id = ub.user_id AND ua.event_type < ub.event_type
+  GROUP BY 1, 2
+)
+SELECT e.ta AS type_a, e.tb AS type_b, e.tau, e.n_common, e.est_union,
+       CAST(CASE WHEN e.n_union >= {_W04_K}
+            THEN (e.n_common * e.est_union) // {_W04_K}
+            ELSE e.n_common END AS BIGINT) AS est_inter,
+       coalesce(x.exact_inter, 0) AS exact_inter
+FROM est e LEFT JOIN ex x ON x.ta = e.ta AND x.tb = e.tb
+ORDER BY type_a, type_b
+"""
+
+
+# --------------------------------------------------------------------------
+# u07 — incremental JOIN-view maintenance by delta decomposition
+# (operators/incremental.py:merge_join_view): the maintained
+# history⋈history view plus three delta joins equals the full join the
+# oracle computes from scratch. Splits: orders by date (append-only
+# fact deltas), customers by key mod (late-arriving dim rows) — the
+# worst case where BOTH sides grew.
+# --------------------------------------------------------------------------
+_U07_SPLIT = "1997-01-01"
+
+
+def u07_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import merge_join_view
+
+    a = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("custkey"),
+        cents(F.col("o_totalprice")).alias("total_cents"), "o_orderdate",
+    )
+    b = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name",
+    )
+    a_hist = a.where(F.col("o_orderdate") < _U07_SPLIT)
+    a_new = a.where(F.col("o_orderdate") >= _U07_SPLIT)
+    b_hist = b.where(F.col("custkey") % 10 != 0)
+    b_new = b.where(F.col("custkey") % 10 == 0)
+    view = a_hist.join(b_hist, ["custkey"])   # the materialized state
+    out = merge_join_view(view, a_hist, a_new, b_hist, b_new, ["custkey"])
+    return out.select("o_orderkey", "custkey", "c_name", "total_cents")
+
+
+U07_SQL = """
+SELECT o_orderkey, o_custkey AS custkey, c_name,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
 SPECS = [
     QuerySpec("u06_incremental_agg_view", u06_incremental_agg_view, U06_SQL,
               "materialized-view maintenance by monoid partial merge — "
@@ -649,4 +785,10 @@ SPECS = [
     QuerySpec("q52_time_range_window", q52_time_range_window, Q52_SQL,
               "time-RANGE window frame (INTERVAL 1 HOUR PRECEDING): "
               "per-user rolling sum with timestamp-peer semantics"),
+    QuerySpec("w04_kmv_overlap", w04_kmv_overlap, W04_SQL,
+              "KMV bottom-k sketch set operations: union + intersection "
+              "distinct estimates per group pair, with exact truth column"),
+    QuerySpec("u07_incremental_join_view", u07_incremental_join_view, U07_SQL,
+              "incremental join-view maintenance: view + three delta "
+              "joins == full recompute (history never rejoined)"),
 ]

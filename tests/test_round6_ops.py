@@ -239,3 +239,107 @@ def test_bottomk_merge_and_union_semantics(spark):
         "g", "k", "rank_in_group",
     )
     assert direct == repart and len(direct) == 21
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k distinct sketches (w04 operator)
+# ---------------------------------------------------------------------------
+def test_kmv_sketch_merge_law(spark):
+    """Sketch of a union == k smallest of the union of shard sketches —
+    the mergeability that makes KMV a 100 TB primitive (each shard
+    ships k rows, the combiner re-takes k)."""
+    from datawarehouse_backup_system_spark.operators.sketches import (
+        kmv_sketch,
+    )
+
+    k = 8
+    rows = [("g", f"user{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, uid string")
+    shard1 = df.where(F.length("uid") % 2 == 0)
+    shard2 = df.where(F.length("uid") % 2 == 1)
+    full = {r["h"] for r in kmv_sketch(df, "g", "uid", k).collect()}
+    merged = (
+        kmv_sketch(shard1, "g", "uid", k)
+        .unionByName(kmv_sketch(shard2, "g", "uid", k))
+        .select("g", "h").distinct()
+        .orderBy("h").limit(k)
+    )
+    assert {r["h"] for r in merged.collect()} == full
+
+
+def test_kmv_overlap_unsaturated_is_exact(spark):
+    """Below k distinct keys, the kept set IS the union: est_union and
+    est_inter equal the exact cardinalities."""
+    from datawarehouse_backup_system_spark.operators.sketches import (
+        kmv_pair_overlap,
+        kmv_sketch,
+    )
+
+    rows = [("a", f"u{i}") for i in range(10)] + [
+        ("b", f"u{i}") for i in range(6, 14)
+    ]
+    df = spark.createDataFrame(rows, "t string, uid string")
+    out = kmv_pair_overlap(kmv_sketch(df, "t", "uid", 64), 64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["type_a"], r["type_b"]) == ("a", "b")
+    assert r["est_union"] == 14          # |{u0..u13}|
+    assert r["n_common"] == 4 and r["est_inter"] == 4   # {u6..u9}
+
+
+def test_kmv_overlap_saturated_estimate_close(spark):
+    """Saturated regime: k=64 sketches over 2000/1000-element sets with
+    a known 500-element intersection estimate within ~40% relative
+    error (KMV rse ≈ 1/sqrt(k-1) ≈ 12.6%; 3 sigma)."""
+    from datawarehouse_backup_system_spark.operators.sketches import (
+        kmv_pair_overlap,
+        kmv_sketch,
+    )
+
+    rows = [("a", f"user{i}") for i in range(2000)] + [
+        ("b", f"user{i}") for i in range(1500, 2500)
+    ]
+    df = spark.createDataFrame(rows, "t string, uid string")
+    r = kmv_pair_overlap(kmv_sketch(df, "t", "uid", 64), 64).collect()[0]
+    assert abs(r["est_union"] - 2500) / 2500 < 0.4
+    assert abs(r["est_inter"] - 500) / 500 < 0.6
+
+
+# ---------------------------------------------------------------------------
+# incremental join-view maintenance (u07 operator)
+# ---------------------------------------------------------------------------
+def test_merge_join_view_equals_full_recompute(spark):
+    from datawarehouse_backup_system_spark.operators.incremental import (
+        merge_join_view,
+    )
+
+    a = spark.createDataFrame(
+        [(i, i % 7, i * 10) for i in range(300)], "oid long, k long, v long"
+    )
+    b = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(9)], "k long, name string"
+    )
+    a_hist, a_new = a.where("oid < 200"), a.where("oid >= 200")
+    b_hist, b_new = b.where("k % 3 != 0"), b.where("k % 3 = 0")
+    view = a_hist.join(b_hist, ["k"])
+    got = merge_join_view(view, a_hist, a_new, b_hist, b_new, ["k"])
+    want = a.join(b, ["k"])
+    cols = ["oid", "k", "v", "name"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+    # a key that exists ONLY in the delta dim still joins new facts
+    assert got.where("k = 0").count() == a.where("k % 7 = 0").count()
+
+
+def test_merge_join_view_empty_deltas_is_identity(spark):
+    from datawarehouse_backup_system_spark.operators.incremental import (
+        merge_join_view,
+    )
+
+    a = spark.createDataFrame([(1, 1, 5)], "oid long, k long, v long")
+    b = spark.createDataFrame([(1, "x")], "k long, name string")
+    empty_a, empty_b = a.where("oid < 0"), b.where("k < 0")
+    view = a.join(b, ["k"])
+    got = merge_join_view(view, a, empty_a, b, empty_b, ["k"])
+    assert got.count() == view.count() == 1
