@@ -1011,10 +1011,19 @@ class _JpegBitWriter:
                 self.out.append(0x00)  # stuffing
             self.acc &= (1 << self.n) - 1
 
-    def flush(self) -> bytes:
+    def byte_align(self) -> None:
+        """1-fill to the next byte boundary (T.81 padding rule)."""
         if self.n:
             pad = 8 - self.n
-            self.write((1 << pad) - 1, pad)  # 1-fill per T.81
+            self.write((1 << pad) - 1, pad)
+
+    def write_marker(self, byte2: int) -> None:
+        """Emit a raw 2-byte marker (no entropy stuffing applies)."""
+        self.byte_align()
+        self.out += bytes([0xFF, byte2])
+
+    def flush(self) -> bytes:
+        self.byte_align()
         return bytes(self.out)
 
 
@@ -1029,7 +1038,8 @@ def jpeg_flat_value(seed: int, comp: int, bx: int, by: int) -> int:
 
 
 def synthesize_jpeg(seed: int, width: int, height: int, q0: int = 1,
-                    channels: int = 1, subsampling: str = "444") -> bytes:
+                    channels: int = 1, subsampling: str = "444",
+                    restart_interval: int = 0) -> bytes:
     """Deterministic BASELINE JPEG fixture: every 8x8 block of every
     component is FLAT with value ``jpeg_flat_value(seed, comp, bx,
     by)``, so the encoded stream is DC-only and the decoded block value
@@ -1069,6 +1079,8 @@ def synthesize_jpeg(seed: int, width: int, height: int, q0: int = 1,
     head += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
                 + bytes(_JPEG_DC_VALS))
     head += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    if restart_interval:
+        head += seg(0xDD, struct.pack(">H", restart_interval))
     head += seg(0xDA, sos + bytes([0, 63, 0]))
 
     w = _JpegBitWriter()
@@ -1091,8 +1103,13 @@ def synthesize_jpeg(seed: int, width: int, height: int, q0: int = 1,
         code, length = ac_codes[0x00]
         w.write(code, length)  # EOB: all AC zero
 
+    m = 0
     for my in range(height // mcu):
         for mx in range(width // mcu):
+            if restart_interval and m and m % restart_interval == 0:
+                w.write_marker(0xD0 + (m // restart_interval - 1) % 8)
+                pred[:] = [0] * ncomp
+            m += 1
             for by in range(vy):
                 for bx in range(hy):
                     put_block(0, mx * hy + bx, my * vy + by)

@@ -643,3 +643,31 @@ def test_avi_header_parse():
     meta = parse_media_header(synthesize_mjpeg_avi(0, 32, 16, 8, fps=4))
     assert meta == {"format": "avi", "width": 32, "height": 16,
                     "duration_ms": 2000}
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn handling: byte-aligned restart markers with DC-predictor
+    resets decode exactly at several intervals, grayscale and 4:2:0."""
+    import numpy as np
+
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        jpeg_flat_value,
+        synthesize_jpeg,
+    )
+
+    for ri in (1, 3, 4):
+        w, h, ch, px = decode_jpeg_pixels(
+            synthesize_jpeg(8, 32, 32, restart_interval=ri)
+        )
+        assert (w, h, ch) == (32, 32, 1)
+        arr = np.frombuffer(px, dtype=np.uint8).reshape(32, 32)
+        for by in range(4):
+            for bx in range(4):
+                assert (arr[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                        == jpeg_flat_value(8, 0, bx, by)).all(), (ri, bx, by)
+    w, h, ch, _ = decode_jpeg_pixels(
+        synthesize_jpeg(2, 32, 32, channels=3, subsampling="420",
+                        restart_interval=2)
+    )
+    assert (w, h, ch) == (32, 32, 3)
