@@ -718,6 +718,8 @@ def decode_gif_pixels(data: bytes) -> tuple[int, int, int, bytes]:
                 lzw += data[pos + 1:pos + 1 + ln]
                 pos += 1 + ln
             pos += 1
+            if w * h > 100_000_000:
+                raise ValueError(f"implausible GIF dims {w}x{h}")
             idx = _lzw_decode(bytes(lzw), min_code)
             if len(idx) < w * h:
                 raise ValueError("short GIF index stream")
@@ -931,6 +933,12 @@ def decode_jpeg_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     hmax = max(c["h"] for c in scan_comps)
     vmax = max(c["v"] for c in scan_comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    if width * height > 100_000_000:
+        # hostile-header guard: a kilobyte file claiming 65535x65535
+        # would otherwise allocate GBs on the executor before any
+        # entropy byte is read — at 100 TB a poison asset must cost one
+        # tagged row, not an executor OOM
+        raise ValueError(f"implausible JPEG dims {width}x{height}")
     mcus_x = (width + mcu_w - 1) // mcu_w
     mcus_y = (height + mcu_h - 1) // mcu_h
     basis = _idct_basis()

@@ -671,3 +671,51 @@ def test_jpeg_restart_intervals_roundtrip():
                         restart_interval=2)
     )
     assert (w, h, ch) == (32, 32, 3)
+
+
+def test_media_decoders_terminate_on_garbage():
+    """Poison-isolation property behind every media operator: any
+    garbage blob wearing a known magic prefix must raise promptly
+    (never hang, never allocate data-sized memory from a hostile
+    header) — 200 deterministic fuzz blobs x 5 formats."""
+    import random
+    import struct as _st
+
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        avi_frames,
+        decode_image_pixels,
+        parse_media_header,
+    )
+
+    rng = random.Random(7)
+    prefixes = (b"\xff\xd8", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM",
+                b"RIFF")
+    for _ in range(200):
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(4, 300)))
+        for prefix in prefixes:
+            blob = prefix + body
+            try:
+                decode_image_pixels(blob)
+            except Exception:  # noqa: BLE001 — any prompt raise is correct
+                pass
+            try:
+                avi_frames(blob)
+            except Exception:  # noqa: BLE001
+                pass
+            parse_media_header(blob)  # best-effort: must never raise? no —
+            # header parse is used inside the same per-asset try blocks;
+            # tolerate raises, require termination (this line returning)
+    # hostile huge-dims header: tiny file claiming 65535x65535 must
+    # raise BEFORE allocating plane arrays
+    import pytest as _pytest
+
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        synthesize_jpeg,
+    )
+
+    blob = bytearray(synthesize_jpeg(0, 8, 8))
+    i = blob.find(b"\xff\xc0")
+    blob[i + 5:i + 9] = _st.pack(">HH", 65535, 65535)  # height, width
+    with _pytest.raises(ValueError, match="implausible"):
+        decode_jpeg_pixels(bytes(blob))
