@@ -808,6 +808,19 @@ def rewrite_table(
          ledger_mod.STATUS_WRITE_RESTORED)
         for wid in old_ids
     ]
+    if expected_version is not None:
+        # re-check at the commit point: the transform's execution is the
+        # check-then-commit window a concurrent append can land in when
+        # no WriterLease serializes writers (rewrite_with_retry re-plans
+        # on this); ids are compared, not just the count, so a
+        # tombstone+append pair of the same arity is still caught
+        now_ids = [w for w, _ in fmt.ledger.committed_writes(table_name)]
+        if now_ids != old_ids:
+            raise VersionConflictError(
+                f"table {table_name!r} advanced during the rewrite "
+                f"transaction (planned {len(old_ids)} ids, now "
+                f"{len(now_ids)}) — re-read and retry"
+            )
     n = fmt.append(rewritten, path, table_name, extra_commit_rows=tombstones)
     swept = vacuum(fmt, path, table_name) if run_vacuum else 0
     return {
@@ -1031,3 +1044,41 @@ def bloom_candidate_files(
         else:
             out.append(uri)
     return out
+
+
+def rewrite_with_retry(
+    spark: SparkSession,
+    fmt: WriteIdParquetFormat,
+    path: Path,
+    fallback: T.StructType,
+    table_name: str,
+    transform: Callable[[DataFrame], DataFrame],
+    max_retries: int = 3,
+    run_vacuum: bool = True,
+) -> dict:
+    """Full Delta-style optimistic concurrency over :func:`rewrite_table`:
+    plan against the current version, commit with the version check, and
+    on :class:`VersionConflictError` RE-PLAN against the advanced table
+    and retry — the transform re-executes over the rows the conflicting
+    writer committed, so no write is ever based on stale state (the
+    conflict class the plain check surfaces but leaves to the caller).
+
+    ``transform`` must be a pure function of its input DataFrame
+    (re-planning re-applies it wholesale; a closure over previously-read
+    rows would defeat the re-read). Returns rewrite_table's result dict
+    plus ``"retries"``. Raises the final VersionConflictError after
+    ``max_retries`` exhausted — livelock surfaces loudly rather than
+    spinning."""
+    last: VersionConflictError | None = None
+    for attempt in range(max_retries + 1):
+        planned_at = len(fmt.ledger.committed_writes(table_name))
+        try:
+            out = rewrite_table(
+                spark, fmt, path, fallback, table_name, transform,
+                run_vacuum=run_vacuum, expected_version=planned_at,
+            )
+            out["retries"] = attempt
+            return out
+        except VersionConflictError as exc:
+            last = exc
+    raise last

@@ -987,3 +987,73 @@ def test_two_threaded_ingest_cycles_single_winner(spark, tmp_path):
     assert len(uploads) == 3
     # lease released: a fresh cycle proceeds and is idempotent-empty
     assert jobs[1].run(tmp_path) == []
+
+
+def test_rewrite_with_retry_replans_on_mid_transaction_conflict(spark, tmp_path):
+    """Full optimistic-concurrency loop: a concurrent append landing
+    INSIDE the rewrite transaction (after the plan check, before the
+    commit) trips the new commit-point re-check; rewrite_with_retry
+    re-plans against the advanced table and the final state includes
+    the concurrent writer's rows — no write is ever based on stale
+    state."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.ledger import Ledger
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        VersionConflictError,
+        WriteIdParquetFormat,
+        rewrite_with_retry,
+    )
+
+    root = tmp_path / "w"
+    fmt = WriteIdParquetFormat(
+        Ledger(spark, root / "_ledger"), root, move=lambda s, d: s.rename(d)
+    )
+    table = root / "t"
+    rows = spark.range(0, 100).select(
+        F.col("id"), F.lit("2024-01-05").cast("date").alias("ingest_date")
+    )
+    fmt.append(rows, table, "t")
+
+    fired = {"n": 0}
+
+    def transform(cur):
+        # simulate a concurrent writer landing mid-transaction, once
+        if fired["n"] == 0:
+            fired["n"] += 1
+            fmt.append(
+                spark.range(100, 150).select(
+                    F.col("id"),
+                    F.lit("2024-01-06").cast("date").alias("ingest_date"),
+                ),
+                table, "t",
+            )
+        return cur.where(F.col("id") % 2 == 0)
+
+    out = rewrite_with_retry(
+        spark, fmt, table, rows.schema, "t", transform, max_retries=2
+    )
+    assert out["retries"] == 1
+    got = fmt.read(spark, table, rows.schema)
+    # the retry re-planned over BOTH batches: evens of 0..149
+    assert got.count() == 75
+    assert got.agg(F.max("id")).collect()[0][0] == 148
+
+    # exhausted retries surface the conflict loudly
+    def always_conflict(cur):
+        fmt.append(
+            spark.range(1000, 1001).select(
+                F.col("id"),
+                F.lit("2024-01-07").cast("date").alias("ingest_date"),
+            ),
+            table, "t",
+        )
+        return cur
+
+    import pytest as _pytest
+
+    with _pytest.raises(VersionConflictError):
+        rewrite_with_retry(
+            spark, fmt, table, rows.schema, "t", always_conflict,
+            max_retries=1,
+        )
