@@ -716,3 +716,39 @@ def read_bottomk(
         parts.dropDuplicates([*group_cols, key_col]),
         group_cols, key_col, k, salt,
     )
+
+
+def stream_join_view(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    state_dir: str,
+    checkpoint: str,
+    on: list[str],
+):
+    """Streaming materialized JOIN view: each micro-batch materializes
+    its OWN delta join ΔA ⋈ B under ``state_dir/batch_id=N``
+    (overwrite → at-least-once replay rewrites, never duplicates — the
+    agg-view/LM-partials pattern), which is the streaming deployment of
+    the delta rule behind ``operators/incremental.merge_join_view``:
+    the accumulated view is exactly (Σ ΔA) ⋈ B with history never
+    rejoined. ``dim_df`` is the batch-side relation resolved at batch
+    time — a broadcastable dim, or a committed-only read of an SCD2 /
+    write-id table for slowly-changing sides. Per-batch cost is
+    |Δ|-proportional."""
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        batch.join(dim_df, on).write.mode("overwrite").parquet(
+            f"{state_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def read_join_view(spark, state_dir: str) -> DataFrame:
+    """The maintained join view: union of every batch's delta join."""
+    return spark.read.parquet(state_dir).drop("batch_id")

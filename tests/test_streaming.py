@@ -792,3 +792,51 @@ def test_stream_bottomk_matches_batch_sample(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) == 15
+
+
+def test_stream_join_view_matches_batch_join_and_replay_safe(spark, tmp_path):
+    """Streaming join-view maintenance (u07's deployment shape): the
+    accumulated per-batch delta joins equal the full batch join over
+    every streamed row, and replaying a batch's foreachBatch write
+    (at-least-once delivery) rewrites instead of duplicating."""
+    from pyspark.sql import types as T
+
+    from datawarehouse_backup_system_spark.streaming import ingest_stream as st
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType()),
+    ])
+    dim = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(5)], "k long, name string"
+    )
+    b1 = [(i % 5, i * 10) for i in range(80)]
+    b2 = [(i % 7, i * 11) for i in range(60)]   # keys 5,6 drop (inner)
+    src = str(tmp_path / "in")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ck")
+    q = st.stream_join_view(stream, dim, state, ckpt, ["k"])
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = st.read_join_view(spark, state)
+    want = spark.createDataFrame(b1 + b2, schema).join(dim, ["k"])
+    cols = ["k", "v", "name"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+    # at-least-once replay: rewrite batch 0's delta join by hand — the
+    # view must be unchanged (overwrite semantics, no duplication)
+    spark.createDataFrame(b1, schema).join(dim, ["k"]).write.mode(
+        "overwrite"
+    ).parquet(f"{state}/batch_id=0")
+    again = st.read_join_view(spark, state)
+    assert again.count() == want.count()
