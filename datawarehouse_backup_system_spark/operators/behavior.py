@@ -233,11 +233,21 @@ def ewma_dyadic(
     1000·num/den (milli-units of the integer input). One shuffle on
     ``key_col``; per-key state is the k-row window frame.
 
+    PRECONDITION: ``value_col`` must be non-NULL on every row. The
+    den = 2^k − 2^(k−m) correction is only exact when the m missing
+    terms are the OLDEST lags (i.e. the key simply has fewer than k
+    rows); an interior NULL value would be coalesced to 0 in num yet
+    subtracted from den as if it were the oldest weight, skewing the
+    result. Rows with NULL values are therefore dropped up front, which
+    restores the only-oldest-missing shape, and a key whose window is
+    all-NULL (den would be 0) reports ewma_milli = NULL explicitly.
+
     Returns the input keys + ``m_terms, ewma_num, ewma_den,
     ewma_milli`` for the LATEST row per key.
     """
     from pyspark.sql import Window
 
+    df = df.where(F.col(value_col).isNotNull())
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     x = F.col(value_col).cast("bigint")
     lags = [F.lag(x, j).over(w) for j in range(k_window)]
@@ -266,7 +276,13 @@ def ewma_dyadic(
             F.lit(1 << k_window)
             - F.expr(f"cast(pow(2, {k_window} - m_terms) as bigint)"),
         )
-        .withColumn("ewma_milli", F.expr("(ewma_num * 1000) div ewma_den"))
+        .withColumn(
+            "ewma_milli",
+            F.when(
+                F.col("ewma_den") > 0,
+                F.expr("(ewma_num * 1000) div ewma_den"),
+            ),
+        )
     )
     return out.select(
         key_col, "m_terms", "ewma_num", "ewma_den", "ewma_milli"

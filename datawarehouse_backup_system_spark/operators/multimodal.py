@@ -352,6 +352,11 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
             if color not in _PNG_CHANNELS:
                 raise ValueError(f"unsupported color type {color}")
             channels = _PNG_CHANNELS[color]
+            # hostile-header guard: dims come from untrusted bytes, and
+            # zlib amplifies ~1000x — cap BEFORE any allocation so a
+            # poison asset costs one err row, not an executor OOM
+            if width * height > 100_000_000:
+                raise ValueError(f"implausible PNG dims {width}x{height}")
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -359,9 +364,13 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bounded inflate: never emit more than the header-implied size, so
+    # a decompression bomb can't allocate past the (already capped) dims
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected)
+    if len(raw) != expected or dec.unconsumed_tail:
         raise ValueError("decompressed size mismatch")
     out = bytearray(stride * height)
     prev = bytearray(stride)
@@ -582,6 +591,10 @@ def decode_bmp_pixels(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
     flipped = height > 0
     height = abs(height)
+    # hostile-header guard (same cap as PNG/GIF/JPEG): a 54-byte file
+    # claiming 30000x30000 must not trigger a ~2.7 GB allocation
+    if width <= 0 or width * height > 100_000_000:
+        raise ValueError(f"implausible BMP dims {width}x{height}")
     stride = (width * 3 + 3) & ~3
     out = bytearray(width * height * 3)
     for y in range(height):
@@ -723,6 +736,10 @@ def decode_gif_pixels(data: bytes) -> tuple[int, int, int, bytes]:
             idx = _lzw_decode(bytes(lzw), min_code)
             if len(idx) < w * h:
                 raise ValueError("short GIF index stream")
+            # an index past the color-table end would slice a short
+            # pal[p:p+3], silently shrinking the pixel buffer — reject
+            if w * h and max(idx[:w * h]) >= len(pal) // 3:
+                raise ValueError("GIF palette index out of range")
             out = bytearray(w * h * 3)
             for i in range(w * h):
                 p = idx[i] * 3

@@ -136,6 +136,27 @@ class WriterLease:
                         os.rename(self.path, tomb)
                     except OSError:
                         continue  # lost the steal race — retry create
+                    # rename succeeds on WHATEVER is at self.path — if
+                    # another stealer tombstoned the stale lease and
+                    # re-created a FRESH one between our read and our
+                    # rename, we just renamed that fresh lease away.
+                    # Verify the tombstone still carries the stale
+                    # holder token we observed; if not, restore it with
+                    # link (atomic, no-clobber — never overwrites a
+                    # lease a third writer created meanwhile) and treat
+                    # the steal as lost. Residual 3-writer window is
+                    # backstopped by the commit-point OCC re-check.
+                    try:
+                        stolen = tomb.read_text()
+                    except OSError:
+                        stolen = ""
+                    if stolen != holder:
+                        try:
+                            os.link(tomb, self.path)
+                        except OSError:
+                            pass  # a newer lease already exists at path
+                        tomb.unlink(missing_ok=True)
+                        continue
                     tomb.unlink(missing_ok=True)
                     continue
                 raise ConcurrentWriterError(
@@ -150,13 +171,25 @@ class WriterLease:
         """Refresh the lease mtime (heartbeat). A cycle longer than
         ``ttl_s`` looks crashed to other writers and can be stolen —
         long-running jobs call this between units of work (``IngestJob``
-        heartbeats per file)."""
-        if self._held:
-            try:
-                if self.path.read_text() == self.owner:
-                    os.utime(self.path)
-            except OSError:
-                pass
+        heartbeats per file).
+
+        Read-and-utime on ONE fd (same inode): a path-based read-then-
+        utime could refresh a FOREIGN lease re-created between the two
+        calls, artificially extending its TTL. With the fd, a steal
+        after open() means we utime our own orphaned inode — harmless."""
+        if not self._held:
+            return
+        try:
+            fd = os.open(self.path, os.O_RDONLY)
+        except OSError:
+            return
+        try:
+            if os.read(fd, 64).decode(errors="replace") == self.owner:
+                os.utime(fd)
+        except OSError:
+            pass
+        finally:
+            os.close(fd)
 
     def release(self) -> None:
         if self._held:

@@ -1057,3 +1057,40 @@ def test_rewrite_with_retry_replans_on_mid_transaction_conflict(spark, tmp_path)
             spark, fmt, table, rows.schema, "t", always_conflict,
             max_retries=1,
         )
+
+
+def test_steal_verifies_tombstone_token(tmp_path, monkeypatch):
+    """ADVICE r6: rename succeeds on WHATEVER is at the lease path — if a
+    faster stealer tombstoned the stale lease and re-created a FRESH one
+    between our read and our rename, we must detect the token change in
+    the tombstone, restore the fresh lease, and treat the steal as lost
+    (never two live writers)."""
+    import os as _os
+
+    from datawarehouse_backup_system_spark.plans import table_format as tf
+
+    w = tmp_path / "wh"
+    w.mkdir()
+    lease = w / "_writer.lease"
+    lease.write_text("crashed")
+    old = _os.stat(lease).st_mtime - 100
+    _os.utime(lease, (old, old))
+
+    real_rename = _os.rename
+    fired = {"n": 0}
+
+    def racing_rename(src, dst):
+        # simulate the faster stealer: between the thief's read of the
+        # stale holder and its rename, the lease is replaced by a FRESH
+        # one with a different token
+        if str(src) == str(lease) and fired["n"] == 0:
+            fired["n"] = 1
+            lease.write_text("fresh-winner")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(tf.os, "rename", racing_rename)
+    with pytest.raises(tf.ConcurrentWriterError):
+        tf.WriterLease(w, owner="thief", ttl_s=0.3).acquire()
+    # the fresh winner's lease was restored, not destroyed
+    assert lease.read_text() == "fresh-winner"
+    assert list(w.glob("_writer.lease.stale.*")) == []

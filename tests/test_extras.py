@@ -719,3 +719,77 @@ def test_media_decoders_terminate_on_garbage():
     blob[i + 5:i + 9] = _st.pack(">HH", 65535, 65535)  # height, width
     with _pytest.raises(ValueError, match="implausible"):
         decode_jpeg_pixels(bytes(blob))
+
+
+def _mini_png(w, h, idat, color=2, depth=8):
+    """Minimal PNG container around arbitrary IDAT bytes (guard tests)."""
+    import struct as _st
+    import zlib as _zl
+
+    def chunk(t, b):
+        return (_st.pack(">I", len(b)) + t + b
+                + _st.pack(">I", _zl.crc32(t + b) & 0xFFFFFFFF))
+
+    ihdr = _st.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def test_hostile_header_allocation_guards():
+    """ADVICE r6: the w*h cap must cover EVERY decoder (it was JPEG/GIF
+    only) and PNG inflate must be bounded — a tiny poison blob claiming
+    huge dims or packing a decompression bomb costs one err-tagged row,
+    never a data-sized allocation."""
+    import struct as _st
+    import zlib as _zl
+
+    import pytest as _pytest
+
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_png_pixels,
+    )
+
+    # 54-byte BMP claiming 30000x30000 (~2.7 GB if allocated)
+    bmp = (b"BM" + _st.pack("<IHHI", 54, 0, 0, 54)
+           + _st.pack("<IiiHHIIiiII", 40, 30000, 30000, 1, 24, 0, 0,
+                      0, 0, 0, 0))
+    with _pytest.raises(ValueError, match="implausible"):
+        decode_bmp_pixels(bmp)
+
+    # PNG IHDR claiming 60000x60000: must raise at header parse
+    with _pytest.raises(ValueError, match="implausible"):
+        decode_png_pixels(_mini_png(60000, 60000, b"\x00"))
+
+    # decompression bomb: plausible 2x2 dims, IDAT inflating to ~1 MB —
+    # the bounded inflate must stop at the header-implied 14 bytes
+    bomb = _mini_png(2, 2, _zl.compress(b"\x00" * 1_000_000))
+    with _pytest.raises(ValueError, match="mismatch"):
+        decode_png_pixels(bomb)
+
+
+def test_gif_palette_index_out_of_range_raises():
+    """ADVICE r6: a palette index past the color-table end used to slice
+    short and silently shrink the pixel buffer — must raise instead."""
+    import struct as _st
+
+    import pytest as _pytest
+
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        decode_gif_pixels,
+    )
+
+    # 2x2 frame, LOCAL color table of only 2 entries, but index 3 in the
+    # stream (LZW min code size 2 makes codes 0..3 representable)
+    idx = bytes([3, 0, 1, 0])
+    lzw = _gif_lzw_encode(idx, 2)
+    gif = (
+        b"GIF89a" + _st.pack("<HHBBB", 2, 2, 0, 0, 0)     # no global table
+        + b"\x2C" + _st.pack("<HHHHB", 0, 0, 2, 2, 0x80)  # local table, 2 colors
+        + b"\x00\x00\x00\xff\xff\xff"                       # 2-entry palette
+        + bytes([2])                                        # min code size
+        + bytes([len(lzw)]) + lzw + b"\x00"                 # sub-blocks
+        + b"\x3B"
+    )
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_gif_pixels(gif)

@@ -343,3 +343,23 @@ def test_merge_join_view_empty_deltas_is_identity(spark):
     view = a.join(b, ["k"])
     got = merge_join_view(view, a, empty_a, b, empty_b, ["k"])
     assert got.count() == view.count() == 1
+
+
+def test_ewma_null_values_dropped_and_den_guarded(spark):
+    """ADVICE r6: the den = 2^k - 2^(k-m) correction is exact only when
+    the missing terms are the OLDEST lags — interior NULL values are now
+    dropped up front (restoring that shape) and an empty window can
+    never divide by zero."""
+    df = spark.createDataFrame(
+        [("k", 1, 10), ("k", 2, None), ("k", 3, 30)],
+        "k string, t int, c int",
+    )
+    (row,) = ewma_dyadic(df, "k", ["t"], "c", k_window=16).collect()
+    # surviving sequence [10, 30]: newest weight 2^15, m=2
+    num = 30 * (1 << 15) + 10 * (1 << 14)
+    den = (1 << 16) - (1 << 14)
+    assert (row["m_terms"], row["ewma_num"], row["ewma_den"]) == (2, num, den)
+    assert row["ewma_milli"] == num * 1000 // den
+    # an all-NULL key yields no row at all (not a den=0 crash)
+    df2 = spark.createDataFrame([("z", 1, None)], "k string, t int, c int")
+    assert ewma_dyadic(df2, "k", ["t"], "c").collect() == []
