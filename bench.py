@@ -43,8 +43,11 @@ HEADLINE = [
     "q05_self_dedup_first",
     "q06_crossfile_dedup",
     "q14_revenue_by_region",
-    "q16_running_total",
-    "q19_tumbling_window",
+    # r7 consolidation: q16->q39, q19->q20, m02->m05, u01->u03; the other
+    # folded twins' keepers were already in this list. headline_subtotal
+    # round-over-round comparability RESETS at r7 (new stable set).
+    "q39_rolling_mean",
+    "q20_sliding_window",
     "q22_topk_revenue_orders",
     "q25_rollup_revenue",
     "q28_asof_view_before_purchase",
@@ -70,15 +73,14 @@ HEADLINE = [
     "t08_shard_manifest",
     "t09_decontaminate",
     "t10_curation_pipeline",
-    "m02_wav_headers",
+    "m05_wav_energy",
     "r02_recall_multiprobe",
     "s01_watermark_dedup_batch",
     "f01_fuzzy_resolve",
     "k01_salted_join_revenue",
-    "u01_scd2_versions",
+    "u03_scd2_pointintime",
     "t11_line_dedup",
     "t12_domain_mixture",
-    "t13_vocab_topk",
     "t14_tfidf_terms",
     "e01_quantize_embeddings",
     "t15_chunk_overlap",
@@ -88,7 +90,6 @@ HEADLINE = [
     "a02_cohort_retention",
     "a05_anomaly_zscore",
     "b01_bloom_semi_join",
-    "e04_pq_codes",
     "r06_recall_pq",
     "c02_cms_frequency",
     "d12_semantic_dedup",
@@ -104,8 +105,6 @@ HEADLINE = [
     "t25_quality_lr",
     "t26_bigram_lm",
     "t27_corpus_report",
-    "t28_ngram_diversity",
-    "t29_padding_waste",
 ]
 
 

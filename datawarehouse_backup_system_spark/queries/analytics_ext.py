@@ -400,3 +400,11 @@ SPECS = [
     QuerySpec("r06_recall_pq", r06_recall_pq, _r06_sql(),
               "recall@3 of PQ/ADC compressed-domain search vs exact"),
 ]
+
+
+# r7 consolidation (COVERAGE.md): a03 -> q22 (per-group top-n window;
+# events-table variant pinned in tests/test_folded_twins.py), e04 -> r06
+# (the PQ/ADC recall replay re-encodes with the same codebooks).
+_FOLDED = {"a03_topn_per_group", "e04_pq_codes"}
+FOLDED_SPECS = [s for s in SPECS if s.name in _FOLDED]
+SPECS = [s for s in SPECS if s.name not in _FOLDED]

@@ -1079,3 +1079,11 @@ SPECS = [
     QuerySpec("g01_time_gapfill", g01_time_gapfill, G01_SQL,
               "dense time spine + LOCF gap fill per key (gapfill/locf)"),
 ]
+
+
+# r7 consolidation (COVERAGE.md): t13 -> t14 (df-count top-k is a TF-IDF
+# sub-expression), r05 -> e01 (SQ8 recall replay; recall==1 pinned in
+# tests/test_folded_twins.py). Parity still asserted per commit there.
+_FOLDED = {"t13_vocab_topk", "r05_recall_quantized"}
+FOLDED_SPECS = [s for s in SPECS if s.name in _FOLDED]
+SPECS = [s for s in SPECS if s.name not in _FOLDED]

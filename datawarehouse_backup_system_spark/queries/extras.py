@@ -863,3 +863,16 @@ SPECS.append(
     QuerySpec("m04_frame_sample", m04_frame_sample, M04_SQL,
               "frame sampling exploded from real mvhd header duration")
 )
+
+
+# r7 consolidation (COVERAGE.md): m01 -> m06 (expression probe vs real
+# decode, parity pinned in test_extras + test_folded_twins), m02 -> m05
+# (header fields ride the energy query), r01 -> r02 (bucketed recall is
+# the multi-probe's probes=0 dominance floor, pinned in test_extras),
+# u01 -> u03 (SCD2 chain integrity; point-in-time keeps the harder path).
+_FOLDED = {
+    "m01_png_dims", "m02_wav_headers", "r01_recall_bucketed",
+    "u01_scd2_versions",
+}
+FOLDED_SPECS = [s for s in SPECS if s.name in _FOLDED]
+SPECS = [s for s in SPECS if s.name not in _FOLDED]

@@ -1348,3 +1348,11 @@ SPECS = [
               "config — recall in the near-dup operating regime, not "
               "just the adversarial random floor"),
 ]
+
+
+# r7 consolidation (COVERAGE.md): h01 -> h02 (global quantiles == the
+# single-group case of grouped quantiles; shard-merge==direct stays
+# asserted inside the folded query, re-run by tests/test_folded_twins.py).
+_FOLDED = {"h01_binned_quantiles"}
+FOLDED_SPECS = [s for s in SPECS if s.name in _FOLDED]
+SPECS = [s for s in SPECS if s.name not in _FOLDED]

@@ -69,10 +69,17 @@ def summarize(name: str, text: str) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or DEFAULT
+    # FOLDED_SPECS included so the 17 consolidated twins stay auditable
+    # by name even though they left the driver contract (r7)
     specs = {s.name: s for s in
-             relational.SPECS + relational_ext.SPECS + llm_ops.SPECS
-             + extras.SPECS + curation_ext.SPECS + analytics_ext.SPECS
-             + corpus_ext.SPECS + pipeline_ext.SPECS + scale_ext.SPECS
+             relational.SPECS + relational.FOLDED_SPECS
+             + relational_ext.SPECS + llm_ops.SPECS
+             + extras.SPECS + extras.FOLDED_SPECS
+             + curation_ext.SPECS + curation_ext.FOLDED_SPECS
+             + analytics_ext.SPECS + analytics_ext.FOLDED_SPECS
+             + corpus_ext.SPECS
+             + pipeline_ext.SPECS + pipeline_ext.FOLDED_SPECS
+             + scale_ext.SPECS + scale_ext.FOLDED_SPECS
              + round6_ext.SPECS}
     spark = get_spark(app_name="explain-audit")
     verbose = len(sys.argv) > 2
