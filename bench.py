@@ -59,7 +59,6 @@ HEADLINE = [
     "d02_minhash_lsh",
     "d02_minhash_lsh_staged",
     "d05_embedding_neardup",
-    "d06_similarity_topk",
     "d07_ann_bucketed",
     "d08_ann_multiprobe",
     "d09_dedup_groups",
@@ -79,7 +78,6 @@ HEADLINE = [
     "f01_fuzzy_resolve",
     "k01_salted_join_revenue",
     "u03_scd2_pointintime",
-    "t11_line_dedup",
     "t12_domain_mixture",
     "t14_tfidf_terms",
     "e01_quantize_embeddings",

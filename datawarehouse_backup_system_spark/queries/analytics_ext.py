@@ -405,6 +405,9 @@ SPECS = [
 # r7 consolidation (COVERAGE.md): a03 -> q22 (per-group top-n window;
 # events-table variant pinned in tests/test_folded_twins.py), e04 -> r06
 # (the PQ/ADC recall replay re-encodes with the same codebooks).
-_FOLDED = {"a03_topn_per_group", "e04_pq_codes"}
+_FOLDED = {"a03_topn_per_group", "e04_pq_codes",
+           # candidate batch: w01 -> w03 (PPS weighted vs bottom-k
+           # uniform sampling; HT-weight math kept in the replay)
+           "w01_weighted_sample"}
 FOLDED_SPECS = [s for s in SPECS if s.name in _FOLDED]
 SPECS = [s for s in SPECS if s.name not in _FOLDED]

@@ -1084,6 +1084,9 @@ SPECS = [
 # r7 consolidation (COVERAGE.md): t13 -> t14 (df-count top-k is a TF-IDF
 # sub-expression), r05 -> e01 (SQ8 recall replay; recall==1 pinned in
 # tests/test_folded_twins.py). Parity still asserted per commit there.
-_FOLDED = {"t13_vocab_topk", "r05_recall_quantized"}
+_FOLDED = {"t13_vocab_topk", "r05_recall_quantized",
+           # candidate batch: t11 -> d01 (line- vs row-grain exact
+           # dedup), t16 -> h02 (quantile filter application)
+           "t11_line_dedup", "t16_quantile_filter"}
 FOLDED_SPECS = [s for s in SPECS if s.name in _FOLDED]
 SPECS = [s for s in SPECS if s.name not in _FOLDED]

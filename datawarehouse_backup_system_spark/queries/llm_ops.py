@@ -987,3 +987,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("t10_curation_pipeline", t10_curation_pipeline, T10_SQL,
               "composed curation verdict: lang+quality+repetition+dedup"),
 ]
+
+
+# r7 consolidation, candidate batch (COVERAGE.md): d06 -> r02 — the
+# brute-force exact top-k is replayed verbatim as the ground-truth side
+# inside every recall spec (r02-r04); its standalone parity stays pinned
+# in tests/test_folded_twins.py.
+_FOLDED = {"d06_similarity_topk"}
+FOLDED_SPECS = [s for s in SPECS if s.name in _FOLDED]
+SPECS = [s for s in SPECS if s.name not in _FOLDED]

@@ -736,6 +736,8 @@ SPECS.append(
 # r7 consolidation (COVERAGE.md): t28 -> t19 (distinct-ngram ratio is an
 # entropy-family diversity stat), t29 -> t06 (padding waste is the
 # pack_sequences accounting). Parity pinned in tests/test_folded_twins.py.
-_FOLDED = {"t28_ngram_diversity", "t29_padding_waste"}
+_FOLDED = {"t28_ngram_diversity", "t29_padding_waste",
+           # candidate batch: b02 -> a04 (per-user event-sequence twins)
+           "b02_user_sequences"}
 FOLDED_SPECS = [s for s in SPECS if s.name in _FOLDED]
 SPECS = [s for s in SPECS if s.name not in _FOLDED]

@@ -803,3 +803,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("q39_rolling_mean", q39_rolling_mean, Q39_SQL,
               "trailing 7-event rolling mean per user (bounded frame)"),
 ]
+
+
+# r7 consolidation, candidate batch (COVERAGE.md): q26 -> q27 (the reshape
+# pair; pivot parity pinned in tests/test_folded_twins.py), q38 -> w03
+# (both deterministic hash samplers; proportional-allocation math kept in
+# the folded spec's SQL replay).
+_FOLDED = {"q26_pivot_status", "q38_stratified_sample"}
+FOLDED_SPECS = [s for s in SPECS if s.name in _FOLDED]
+SPECS = [s for s in SPECS if s.name not in _FOLDED]

@@ -1353,6 +1353,8 @@ SPECS = [
 # r7 consolidation (COVERAGE.md): h01 -> h02 (global quantiles == the
 # single-group case of grouped quantiles; shard-merge==direct stays
 # asserted inside the folded query, re-run by tests/test_folded_twins.py).
-_FOLDED = {"h01_binned_quantiles"}
+_FOLDED = {"h01_binned_quantiles",
+           # candidate batch: z02 -> z01 (the layout-report pair)
+           "z02_skipping_report"}
 FOLDED_SPECS = [s for s in SPECS if s.name in _FOLDED]
 SPECS = [s for s in SPECS if s.name not in _FOLDED]

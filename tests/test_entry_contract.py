@@ -16,9 +16,9 @@ def test_oracle_keys_subset_of_queries():
     q = entry_mod.queries()
     o = entry_mod.oracle_sql()
     assert set(o) <= set(q)
-    # r7 consolidation: 161 -> 144 (17 near-duplicate specs folded into
-    # keepers per COVERAGE.md; parity pinned in tests/test_folded_twins.py)
-    assert len(q) >= 144
+    # r7 consolidation: 161 -> 136 (17 definite + 8 candidate folds per
+    # COVERAGE.md; parity pinned in tests/test_folded_twins.py)
+    assert len(q) >= 136
     # every query is oracle-checked (q30's sketches compare against
     # exact counts via tolerance booleans since round 2)
     assert set(q) - set(o) == set()

@@ -31,24 +31,26 @@ from datawarehouse_backup_system_spark.queries import (  # noqa: E402
     analytics_ext,
     curation_ext,
     extras,
+    llm_ops,
     pipeline_ext,
     relational,
+    relational_ext,
     scale_ext,
 )
 from datawarehouse_backup_system_spark.queries.base import TABLES  # noqa: E402
 
 FOLDED = [
     s
-    for mod in (relational, curation_ext, extras, pipeline_ext,
-                analytics_ext, scale_ext)
+    for mod in (relational, relational_ext, llm_ops, curation_ext, extras,
+                pipeline_ext, analytics_ext, scale_ext)
     for s in mod.FOLDED_SPECS
 ]
 
 
 def test_fold_inventory_matches_coverage_plan():
-    """The 17 definite folds from COVERAGE.md, no more, no fewer — a
-    fold that silently drops a twin from FOLDED_SPECS would orphan its
-    evidence."""
+    """The 17 definite + 8 candidate folds from COVERAGE.md, no more, no
+    fewer — a fold that silently drops a twin from FOLDED_SPECS would
+    orphan its evidence."""
     assert sorted(s.name for s in FOLDED) == sorted([
         "q02_scan_filter_project", "q13_topk_orders", "q16_running_total",
         "q17_sessionize", "q19_tumbling_window", "q21_cardinality_profile",
@@ -56,6 +58,10 @@ def test_fold_inventory_matches_coverage_plan():
         "r01_recall_bucketed", "r05_recall_quantized", "e04_pq_codes",
         "m01_png_dims", "m02_wav_headers", "h01_binned_quantiles",
         "u01_scd2_versions", "a03_topn_per_group",
+        # candidate batch (evaluated + executed r7)
+        "q26_pivot_status", "q38_stratified_sample", "d06_similarity_topk",
+        "t11_line_dedup", "t16_quantile_filter", "b02_user_sequences",
+        "w01_weighted_sample", "z02_skipping_report",
     ])
 
 

@@ -73,7 +73,8 @@ def main() -> int:
     # by name even though they left the driver contract (r7)
     specs = {s.name: s for s in
              relational.SPECS + relational.FOLDED_SPECS
-             + relational_ext.SPECS + llm_ops.SPECS
+             + relational_ext.SPECS + relational_ext.FOLDED_SPECS
+             + llm_ops.SPECS + llm_ops.FOLDED_SPECS
              + extras.SPECS + extras.FOLDED_SPECS
              + curation_ext.SPECS + curation_ext.FOLDED_SPECS
              + analytics_ext.SPECS + analytics_ext.FOLDED_SPECS
