@@ -162,6 +162,11 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     load_start = [round(x, 2) for x in os.getloadavg()]
+    # self-defense against host contention (the r6 artifact was poisoned
+    # by a busy co-tenant and burned a round of comparability): flag the
+    # run as contended up front so the artifact self-identifies.
+    load_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_THRESH", "2.0"))
+    contended = load_start[0] > load_thresh
     fingerprints = _table_fingerprints(sf_dir)
     data_fp = hashlib.md5(
         json.dumps(fingerprints, sort_keys=True).encode()
@@ -230,6 +235,23 @@ def main() -> int:
         if best < float("inf"):
             timings[name] = round(best, 3)
             errors.pop(name, None)
+
+    # best-of-3 top-up for the most expensive queries: they dominate the
+    # total and are the most exposed to a noisy co-tenant burst, so one
+    # extra run tightens their min toward steady state (r6 lesson: the
+    # apparent q-family blowup was load, not plans).
+    topup_n = int(os.environ.get("SPARK_GRAFT_BENCH_TOPUP_N", "8"))
+    for name, _sec in sorted(timings.items(), key=lambda kv: -kv[1])[:topup_n]:
+        if time.time() - bench_t0 > hard_budget:
+            break
+        fn = extra_fns[name] if name in extra_fns else specs[name].spark_fn
+        try:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = min(timings[name], round(time.time() - t0, 3))
+        except Exception:  # noqa: BLE001 — the best-of-2 number stands
+            pass
     shutil.rmtree(stage_root, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
@@ -243,12 +265,13 @@ def main() -> int:
     env_ctx = {
         "load_start": load_start,
         "load_end": load_end,
+        "contended": contended,
         "jvm_uptime_s": jvm_up_s,
         "data_fp": data_fp,
         "tables": fingerprints,
     }
     out = {
-        "metric": "headline-suite wall seconds (noop-forced, warm JVM, best of 2)",
+        "metric": "headline-suite wall seconds (noop-forced, warm JVM, best of 2; best of 3 for the slowest)",
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -281,7 +304,7 @@ def main() -> int:
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
     compact = {
-        "metric": "headline-suite wall seconds (noop-forced, warm JVM, best of 2)",
+        "metric": "headline-suite wall seconds (noop-forced, warm JVM, best of 2; best of 3 for the slowest)",
         "value": total,
         "unit": "sec",
         "sf": sf,
@@ -294,6 +317,9 @@ def main() -> int:
         "n_skipped": len(skipped),
         # drift attribution digest (full table fingerprints in the big
         # line's "env"): same data_fp + similar load ⇒ blame JVM/plan.
+        # contended=true marks the artifact as load-poisoned at entry —
+        # do not compare its timings round-over-round.
+        "contended": contended,
         "load": [load_start, load_end],
         "jvm_uptime_s": jvm_up_s,
         "data_fp": data_fp,

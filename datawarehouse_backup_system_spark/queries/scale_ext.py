@@ -1129,6 +1129,29 @@ def _u05_cleanup() -> None:
     _U05_SCRATCH_ROOTS.clear()
 
 
+def _sweep_stale_scratch(max_age_s: float = 3600.0) -> int:
+    """Age-based startup sweep of orphaned u05 scratch warehouses: a
+    SIGKILLed run never reaches the atexit cleanup, and on a shared host
+    the strays accumulate (19 found after r6). Own prefix only; anything
+    younger than ``max_age_s`` may belong to a live concurrent run and
+    is left alone. Returns the number of roots removed."""
+    import shutil
+    import tempfile
+    import time
+    from pathlib import Path as _P
+
+    now = time.time()
+    removed = 0
+    for d in _P(tempfile.gettempdir()).glob("dwbss-u05-*"):
+        try:
+            if d.is_dir() and now - d.stat().st_mtime > max_age_s:
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+        except OSError:
+            pass
+    return removed
+
+
 def u05_storage_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
     import tempfile
@@ -1142,6 +1165,7 @@ def u05_storage_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import types as T
 
+    _sweep_stale_scratch()  # crashed-run strays first (age-gated)
     root = _P(tempfile.mkdtemp(prefix="dwbss-u05-"))
     # the returned DataFrame lazily reads this scratch warehouse, so it
     # cannot be deleted eagerly — sweep every root at process exit

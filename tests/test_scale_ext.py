@@ -575,3 +575,32 @@ def test_bloom_manifest_empty_committed(spark, tmp_path):
         spark, table, "probe", fmt=fmt, table_name="t"
     ) == 0
     assert bloom_candidate_files(spark, table, "probe", 7) == []
+
+
+def test_u05_scratch_sweep_age_gated(tmp_path, monkeypatch):
+    """VERDICT r6: a SIGKILLed u05 run must not strand scratch space —
+    the startup sweep removes old own-prefix dirs and leaves fresh ones
+    (possibly a live concurrent run) alone."""
+    import os
+    import tempfile
+
+    from datawarehouse_backup_system_spark.queries.scale_ext import (
+        _sweep_stale_scratch,
+    )
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    old = tmp_path / "dwbss-u05-stale"
+    old.mkdir()
+    (old / "junk").write_text("x")
+    past = os.stat(old).st_mtime - 7200
+    os.utime(old, (past, past))
+    fresh = tmp_path / "dwbss-u05-live"
+    fresh.mkdir()
+    other = tmp_path / "unrelated-dir"
+    other.mkdir()
+    os.utime(other, (past, past))
+
+    assert _sweep_stale_scratch(max_age_s=3600) == 1
+    assert not old.exists()
+    assert fresh.exists()          # young: may be a live run
+    assert other.exists()          # never touches foreign prefixes
