@@ -1159,3 +1159,54 @@ def test_two_process_ingest_cycles_single_winner(spark, tmp_path):
     # back and a fresh cycle is idempotent-empty
     assert job.recover_writes() == []
     assert job.run(tmp_path) == []
+
+
+def test_reader_snapshot_isolation_across_rewrite(spark, tmp_path):
+    """Concurrent-reader guarantee the write-id format claims (the
+    rewrite_table docstring's commit→vacuum window): a DataFrame pinned
+    by read_as_of keeps returning its consistent committed view after a
+    DML rewrite commits a NEWER version with ``run_vacuum=False`` —
+    tombstone-first means the old files persist, so the reader never
+    observes a torn half-old/half-new state. After VACUUM (the default
+    DML behavior runs it inline), stale readers are out of retention
+    exactly as in Delta; fresh reads see the new version throughout."""
+    from pyspark.sql import types as T
+
+    from datawarehouse_backup_system_spark.ledger import Ledger
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        WriteIdParquetFormat,
+        delete_from_table,
+        vacuum,
+    )
+
+    root = tmp_path / "w"
+    fmt = WriteIdParquetFormat(
+        Ledger(spark, root / "_ledger"), root, move=lambda s, d: s.rename(d)
+    )
+    table = root / "t"
+    struct = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("ingest_date", T.DateType()),
+    ])
+    fmt.append(
+        spark.range(0, 100).selectExpr(
+            "id", "CAST('2024-01-05' AS DATE) AS ingest_date"
+        ),
+        table, "t",
+    )
+
+    snap = fmt.read_as_of(spark, table, struct, "t")  # pin BEFORE the DML
+    delete_from_table(
+        spark, fmt, table, struct, "t", "id % 2 = 0", run_vacuum=False
+    )
+
+    # acted on only AFTER the rewrite committed: still the exact pinned
+    # version — 100 rows, never 50, never a mixed 150
+    assert snap.count() == 100
+    assert fmt.read_as_of(spark, table, struct, "t").count() == 50
+
+    # vacuum sweeps the tombstoned pre-rewrite files; fresh reads are
+    # unaffected (the stale snapshot is now beyond retention, as in
+    # Delta after VACUUM)
+    assert vacuum(fmt, table, "t") >= 1
+    assert fmt.read_as_of(spark, table, struct, "t").count() == 50
