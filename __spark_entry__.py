@@ -83,6 +83,13 @@ try:  # round-6 extensions (incremental view, bloom index, skyline, EWMA,
 except ImportError:
     pass
 
+try:  # round-7 extensions (frequent-pattern co-occurrence mining)
+    from datawarehouse_backup_system_spark.queries import round7_ext
+
+    _ALL_SPECS += list(round7_ext.SPECS)
+except ImportError:
+    pass
+
 
 def _staleness_key(name: str) -> int:
     """Rotation priority from the CORRECTNESS_r{N}.json history.

@@ -31,6 +31,7 @@ from datawarehouse_backup_system_spark.queries import (  # noqa: E402
     relational,
     relational_ext,
     round6_ext,
+    round7_ext,
     scale_ext,
 )
 from datawarehouse_backup_system_spark.session import get_spark  # noqa: E402
@@ -180,6 +181,7 @@ def main() -> int:
         + pipeline_ext.SPECS
         + scale_ext.SPECS
         + round6_ext.SPECS
+        + round7_ext.SPECS
     }
     stage_root = tempfile.mkdtemp(prefix="dwbss-bench-stage-")
     extra_fns = {"d02_minhash_lsh_staged": _d02_staged(stage_root)}

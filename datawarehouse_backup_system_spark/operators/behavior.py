@@ -287,3 +287,73 @@ def ewma_dyadic(
     return out.select(
         key_col, "m_terms", "ewma_num", "ewma_den", "ewma_milli"
     )
+
+
+def pair_support(
+    df: DataFrame,
+    basket_cols: Sequence[str],
+    item_col: str,
+    min_support: int = 1,
+) -> DataFrame:
+    """Frequent co-occurring item PAIRS with support and lift — the
+    A-priori first pass / market-basket co-occurrence, the one frequent-
+    pattern primitive the analytics family lacked (reference analog:
+    none — the daemon has no pattern mining; this extends §2.6 the same
+    way the funnel/path operators do).
+
+    A basket is one distinct ``basket_cols`` tuple; items are the
+    distinct ``item_col`` values inside it. Pairs are generated by an
+    equi-join of the deduplicated basket-item relation with itself on
+    the basket key plus ``item_a < item_b`` — work is
+    Σ_baskets C(k, 2) with k ≤ |item vocabulary|, so the join is
+    candidate-bound exactly like the LSH bucket join, never |df|².
+    At 100 TB: one shuffle on the basket key (both sides identically
+    partitioned — AQE plans a single exchange per side); per-item
+    counts are a vocabulary-sized frame, broadcast; the basket total is
+    a broadcast 1-row frame (no driver-side collect in the plan).
+
+    Lift is reported exactly as integer milli-units:
+    ``lift_milli = floor(1000 · support · n_baskets / (n_a · n_b))``.
+    """
+    bc = list(basket_cols)
+    baskets = df.select(*bc, item_col).distinct()
+    a, b = baskets.alias("a"), baskets.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in bc]
+    cond.append(F.col(f"a.{item_col}") < F.col(f"b.{item_col}"))
+    pairs = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{item_col}").alias("item_a"),
+            F.col(f"b.{item_col}").alias("item_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    counts = baskets.groupBy(item_col).agg(F.count("*").alias("n"))
+    total = baskets.select(*bc).distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                counts.select(
+                    F.col(item_col).alias("item_a"), F.col("n").alias("n_a")
+                )
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                counts.select(
+                    F.col(item_col).alias("item_b"), F.col("n").alias("n_b")
+                )
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lift_milli",
+            F.expr("(support * n_baskets * 1000) div (n_a * n_b)"),
+        )
+        .select("item_a", "item_b", "support", "n_a", "n_b", "lift_milli")
+    )

@@ -199,3 +199,41 @@ def test_pq_adc_recall_floor(spark, sf_dir):
     # weakly-clustered embeddings shortlist imperfectly — the floor
     # asserts the machinery concentrates neighbors, not SOTA recall
     assert hits / total >= 0.4
+
+
+def test_pair_support_exact_counts_and_lift(spark):
+    """pair_support on a hand-built basket set: support counts the
+    baskets containing BOTH items, per-item counts and lift follow the
+    textbook definitions, ordering is canonical (item_a < item_b), and
+    duplicate rows inside a basket never double-count."""
+    from datawarehouse_backup_system_spark.operators.behavior import (
+        pair_support,
+    )
+
+    rows = [
+        # basket 1: a, b, c   (plus a duplicate 'a' row — must not count)
+        (1, "a"), (1, "a"), (1, "b"), (1, "c"),
+        # basket 2: a, b
+        (2, "a"), (2, "b"),
+        # basket 3: b, c
+        (3, "b"), (3, "c"),
+        # basket 4: a alone (contributes to n_a and the total only)
+        (4, "a"),
+    ]
+    df = spark.createDataFrame(rows, "bk bigint, item string")
+    got = {
+        (r["item_a"], r["item_b"]): (r["support"], r["n_a"], r["n_b"],
+                                     r["lift_milli"])
+        for r in pair_support(df, ["bk"], "item").collect()
+    }
+    # n_baskets=4, n_a=3, n_b=3, n_c=2
+    assert got[("a", "b")] == (2, 3, 3, 2 * 4 * 1000 // 9)
+    assert got[("a", "c")] == (1, 3, 2, 1 * 4 * 1000 // 6)
+    assert got[("b", "c")] == (2, 3, 2, 2 * 4 * 1000 // 6)
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    # min_support prunes below-threshold pairs
+    assert {
+        (r["item_a"], r["item_b"])
+        for r in pair_support(df, ["bk"], "item", min_support=2).collect()
+    } == {("a", "b"), ("b", "c")}
