@@ -237,3 +237,37 @@ def test_pair_support_exact_counts_and_lift(spark):
         (r["item_a"], r["item_b"])
         for r in pair_support(df, ["bk"], "item", min_support=2).collect()
     } == {("a", "b"), ("b", "c")}
+
+
+def test_pair_support_shard_mergeable(spark):
+    """The 100 TB maintenance story for a08: when batches split on
+    basket boundaries, per-batch pair supports (and item counts and
+    basket totals) are monoids — summing the shard outputs equals the
+    full recompute, so the co-occurrence table maintains incrementally
+    like the u06 views (no history rescan)."""
+    import random
+
+    from datawarehouse_backup_system_spark.operators.behavior import (
+        pair_support,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (bk, rng.choice("abcde"))
+        for bk in range(40)
+        for _ in range(rng.randrange(1, 6))
+    ]
+    df = spark.createDataFrame(rows, "bk bigint, item string")
+    shard_a = df.where("bk < 20")
+    shard_b = df.where("bk >= 20")
+
+    full = {
+        (r["item_a"], r["item_b"]): r["support"]
+        for r in pair_support(df, ["bk"], "item").collect()
+    }
+    merged: dict = {}
+    for shard in (shard_a, shard_b):
+        for r in pair_support(shard, ["bk"], "item").collect():
+            k = (r["item_a"], r["item_b"])
+            merged[k] = merged.get(k, 0) + r["support"]
+    assert merged == full
