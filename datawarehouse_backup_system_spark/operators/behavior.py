@@ -239,8 +239,10 @@ def ewma_dyadic(
     rows); an interior NULL value would be coalesced to 0 in num yet
     subtracted from den as if it were the oldest weight, skewing the
     result. Rows with NULL values are therefore dropped up front, which
-    restores the only-oldest-missing shape, and a key whose window is
-    all-NULL (den would be 0) reports ewma_milli = NULL explicitly.
+    restores the only-oldest-missing shape; a key whose values are ALL
+    NULL has no surviving rows and yields NO output row (and every
+    surviving latest row has m ≥ 1, so den ≥ 2^(k−1) > 0 — division is
+    always defined).
 
     Returns the input keys + ``m_terms, ewma_num, ewma_den,
     ewma_milli`` for the LATEST row per key.
@@ -276,13 +278,7 @@ def ewma_dyadic(
             F.lit(1 << k_window)
             - F.expr(f"cast(pow(2, {k_window} - m_terms) as bigint)"),
         )
-        .withColumn(
-            "ewma_milli",
-            F.when(
-                F.col("ewma_den") > 0,
-                F.expr("(ewma_num * 1000) div ewma_den"),
-            ),
-        )
+        .withColumn("ewma_milli", F.expr("(ewma_num * 1000) div ewma_den"))
     )
     return out.select(
         key_col, "m_terms", "ewma_num", "ewma_den", "ewma_milli"
@@ -351,9 +347,16 @@ def pair_support(
             "item_b",
         )
         .crossJoin(F.broadcast(total))
+        # DECIMAL(38,0) intermediates: support·n_baskets·1000 overflows
+        # int64 around 1e9 baskets × 1e7 support — silently negative in
+        # non-ANSI Spark, an error in DuckDB. The QUOTIENT (milli-lift)
+        # is always small, so DIV's bigint result is safe.
         .withColumn(
             "lift_milli",
-            F.expr("(support * n_baskets * 1000) div (n_a * n_b)"),
+            F.expr(
+                "(CAST(support AS DECIMAL(38,0)) * n_baskets * 1000)"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+            ),
         )
         .select("item_a", "item_b", "support", "n_a", "n_b", "lift_milli")
     )

@@ -370,7 +370,11 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     # a decompression bomb can't allocate past the (already capped) dims
     dec = zlib.decompressobj()
     raw = dec.decompress(bytes(idat), expected)
-    if len(raw) != expected or dec.unconsumed_tail:
+    # three failure shapes: bomb (unconsumed_tail non-empty after the
+    # bounded emit), short stream, and TRUNCATED stream that happens to
+    # emit exactly `expected` bytes (eof never reached — the old
+    # one-shot zlib.decompress raised on this; keep that contract)
+    if len(raw) != expected or dec.unconsumed_tail or not dec.eof:
         raise ValueError("decompressed size mismatch")
     out = bytearray(stride * height)
     prev = bytearray(stride)
@@ -628,10 +632,17 @@ def decode_image_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     raise ValueError("no pure-Python decoder for this format")
 
 
-def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+def _lzw_decode(data: bytes, min_code_size: int,
+                max_out: int | None = None) -> bytes:
     """GIF-variant LZW decode (pure Python): little-endian bit packing,
     clear/end codes, code width growing to 12 bits. Returns the index
-    stream."""
+    stream.
+
+    ``max_out`` bounds the emitted index count (the caller's w*h):
+    LZW amplifies up to ~4096x, so without a cap a kilobyte poison
+    stream under plausible dims could allocate gigabytes — the same
+    bomb class the PNG bounded inflate closes. Decoding stops as soon
+    as enough indices exist; the caller validates the count."""
     clear = 1 << min_code_size
     end = clear + 1
     # bit reader over the concatenated sub-block payload
@@ -676,6 +687,8 @@ def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
         else:
             raise ValueError("corrupt LZW stream")
         out += entry
+        if max_out is not None and len(out) >= max_out:
+            break
         if prev is not None and len(table) < 4096:
             table.append(prev + entry[:1])
             if len(table) == (1 << width) and width < 12:
@@ -733,7 +746,7 @@ def decode_gif_pixels(data: bytes) -> tuple[int, int, int, bytes]:
             pos += 1
             if w * h > 100_000_000:
                 raise ValueError(f"implausible GIF dims {w}x{h}")
-            idx = _lzw_decode(bytes(lzw), min_code)
+            idx = _lzw_decode(bytes(lzw), min_code, max_out=w * h)
             if len(idx) < w * h:
                 raise ValueError("short GIF index stream")
             # an index past the color-table end would slice a short

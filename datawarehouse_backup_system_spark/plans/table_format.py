@@ -184,7 +184,13 @@ class WriterLease:
         except OSError:
             return
         try:
-            if os.read(fd, 64).decode(errors="replace") == self.owner:
+            # read the WHOLE file: owner is a caller-supplied token of
+            # any length — a prefix compare would silently no-op the
+            # heartbeat for long tokens and let a live writer be stolen
+            chunks = bytearray()
+            while chunk := os.read(fd, 4096):
+                chunks += chunk
+            if chunks.decode(errors="replace") == self.owner:
                 os.utime(fd)
         except OSError:
             pass

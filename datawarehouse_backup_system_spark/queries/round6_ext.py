@@ -257,6 +257,7 @@ WITH v AS (
   SELECT user_id, ts, event_id,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
   FROM events
+  WHERE value IS NOT NULL  -- matches ewma_dyadic's up-front NULL drop
 ),
 lagged AS (
   SELECT user_id,

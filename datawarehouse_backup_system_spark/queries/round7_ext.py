@@ -59,7 +59,10 @@ total AS (
   FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
 )
 SELECT type_a, type_b, support, ca.n AS n_a, cb.n AS n_b,
-       (support * n_baskets * 1000) // (ca.n * cb.n) AS lift_milli
+       -- HUGEINT intermediates mirror the Spark side's DECIMAL(38,0):
+       -- the product overflows int64 at scale, the quotient never does
+       CAST((CAST(support AS HUGEINT) * n_baskets * 1000)
+            // (CAST(ca.n AS HUGEINT) * cb.n) AS BIGINT) AS lift_milli
 FROM pairs
 JOIN counts ca ON ca.event_type = type_a
 JOIN counts cb ON cb.event_type = type_b

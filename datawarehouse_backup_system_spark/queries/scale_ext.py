@@ -1130,11 +1130,18 @@ def _u05_cleanup() -> None:
 
 
 def _sweep_stale_scratch(max_age_s: float = 3600.0) -> int:
-    """Age-based startup sweep of orphaned u05 scratch warehouses: a
-    SIGKILLed run never reaches the atexit cleanup, and on a shared host
-    the strays accumulate (19 found after r6). Own prefix only; anything
-    younger than ``max_age_s`` may belong to a live concurrent run and
-    is left alone. Returns the number of roots removed."""
+    """Startup sweep of orphaned u05 scratch warehouses: a SIGKILLed run
+    never reaches the atexit cleanup, and on a shared host the strays
+    accumulate (19 found after r6). Own prefix only. Returns the number
+    of roots removed.
+
+    Liveness, not just age: new-format roots embed the owner pid
+    (``dwbss-u05-p{pid}-``) and are removed ONLY when that pid is dead
+    — a still-alive session that ran u05 hours ago keeps its scratch
+    (its lazily-read DataFrame may be re-evaluated any time). Roots
+    from before the pid format fall back to the age gate."""
+    import os
+    import re
     import shutil
     import tempfile
     import time
@@ -1144,9 +1151,24 @@ def _sweep_stale_scratch(max_age_s: float = 3600.0) -> int:
     removed = 0
     for d in _P(tempfile.gettempdir()).glob("dwbss-u05-*"):
         try:
-            if d.is_dir() and now - d.stat().st_mtime > max_age_s:
-                shutil.rmtree(d, ignore_errors=True)
-                removed += 1
+            if not d.is_dir():
+                continue
+            m = re.match(r"dwbss-u05-p(\d+)-", d.name)
+            if m:
+                pid = int(m.group(1))
+                if pid == os.getpid():
+                    continue
+                try:
+                    os.kill(pid, 0)
+                    continue          # owner alive — never touch
+                except ProcessLookupError:
+                    pass              # owner dead — safe to sweep
+                except PermissionError:
+                    continue          # alive under another uid
+            elif now - d.stat().st_mtime <= max_age_s:
+                continue              # legacy format: age gate only
+            shutil.rmtree(d, ignore_errors=True)
+            removed += 1
         except OSError:
             pass
     return removed
@@ -1165,8 +1187,10 @@ def u05_storage_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import types as T
 
-    _sweep_stale_scratch()  # crashed-run strays first (age-gated)
-    root = _P(tempfile.mkdtemp(prefix="dwbss-u05-"))
+    _sweep_stale_scratch()  # crashed-run strays first (pid-liveness-gated)
+    import os as _os
+
+    root = _P(tempfile.mkdtemp(prefix=f"dwbss-u05-p{_os.getpid()}-"))
     # the returned DataFrame lazily reads this scratch warehouse, so it
     # cannot be deleted eagerly — sweep every root at process exit
     # instead of accumulating one mkdtemp per bench/correctness run

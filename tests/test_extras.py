@@ -793,3 +793,45 @@ def test_gif_palette_index_out_of_range_raises():
     )
     with _pytest.raises(ValueError, match="palette index"):
         decode_gif_pixels(gif)
+
+
+def test_gif_lzw_bomb_bounded_and_png_truncation_detected():
+    """Review r7 follow-ups: (a) the GIF LZW decoder must stop emitting
+    at w*h indices, so a plausible-dims frame with a megabyte LZW
+    stream can't amplify ~4096x into executor memory; (b) the PNG
+    bounded inflate must still reject a TRUNCATED deflate stream that
+    happens to emit exactly the header-implied byte count (dec.eof)."""
+    import struct as _st
+    import time as _time
+    import zlib as _zl
+
+    import pytest as _pytest
+
+    from datawarehouse_backup_system_spark.operators.multimodal import (
+        decode_gif_pixels,
+        decode_png_pixels,
+    )
+
+    # (a) 2x2 GIF whose LZW stream encodes 300k indices
+    lzw = _gif_lzw_encode(bytes([1, 0, 1, 0] * 75_000), 2)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        part = lzw[i:i + 255]
+        blocks += bytes([len(part)]) + part
+    gif = (
+        b"GIF89a" + _st.pack("<HHBBB", 2, 2, 0x81, 0, 0)  # GCT, 4 colors
+        + b"\x00\x00\x00\xff\xff\xff\x01\x01\x01\x02\x02\x02"
+        + b"\x2C" + _st.pack("<HHHHB", 0, 0, 2, 2, 0)
+        + bytes([2]) + bytes(blocks) + b"\x00" + b"\x3B"
+    )
+    t0 = _time.time()
+    w, h, ch, px = decode_gif_pixels(gif)
+    assert (w, h, ch) == (2, 2, 3) and len(px) == 12
+    assert _time.time() - t0 < 5  # bounded work, not 300k entries
+
+    # (b) truncated deflate stream emitting exactly the expected bytes
+    raw = b"\x00" + b"\x11" * 6 + b"\x00" + b"\x22" * 6  # 2x2 RGB, filter 0
+    comp = _zl.compress(raw)
+    assert len(_zl.decompressobj().decompress(comp[:-1], len(raw))) == len(raw)
+    with _pytest.raises(ValueError, match="mismatch"):
+        decode_png_pixels(_mini_png(2, 2, comp[:-1]))

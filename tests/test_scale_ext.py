@@ -600,7 +600,16 @@ def test_u05_scratch_sweep_age_gated(tmp_path, monkeypatch):
     other.mkdir()
     os.utime(other, (past, past))
 
-    assert _sweep_stale_scratch(max_age_s=3600) == 1
-    assert not old.exists()
-    assert fresh.exists()          # young: may be a live run
+    # pid-format roots: dead owner swept regardless of age, live owner
+    # (this process) kept regardless of age
+    dead = tmp_path / "dwbss-u05-p999999999-x"
+    dead.mkdir()
+    mine = tmp_path / f"dwbss-u05-p{os.getpid()}-y"
+    mine.mkdir()
+    os.utime(mine, (past, past))
+
+    assert _sweep_stale_scratch(max_age_s=3600) == 2
+    assert not old.exists() and not dead.exists()
+    assert fresh.exists()          # legacy format, young: may be live
+    assert mine.exists()           # owner (this pid) alive: never touched
     assert other.exists()          # never touches foreign prefixes
