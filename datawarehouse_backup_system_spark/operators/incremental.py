@@ -47,19 +47,27 @@ def partial_aggs(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     )
 
 
+def merge_many(partials: DataFrame, keys: list[str]) -> DataFrame:
+    """Monoid merge of ANY number of stacked partials in one groupBy —
+    THE single definition of the merge algebra. Readers (the streaming
+    ``read_agg_view``) and folds (:func:`merge_partials`) must route
+    through here: a re-implemented column list would silently fork from
+    the writer when ``_PARTIAL_COLS`` changes."""
+    return partials.groupBy(*keys).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
 def merge_partials(view: DataFrame, batch_partial: DataFrame,
                    keys: list[str]) -> DataFrame:
     """Fold a batch's partials into the maintained view: key-wise monoid
     merge (sum+sum, min∧min, max∨max). Cost is O(|view| + |batch
     groups|) — independent of history row count. New keys appear via the
     union; absent keys pass through unchanged."""
-    merged = view.unionByName(batch_partial).groupBy(*keys).agg(
-        F.sum("n_rows").alias("n_rows"),
-        F.sum("sum_v").alias("sum_v"),
-        F.min("min_v").alias("min_v"),
-        F.max("max_v").alias("max_v"),
-    )
-    return merged
+    return merge_many(view.unionByName(batch_partial), keys)
 
 
 def finalize(view: DataFrame) -> DataFrame:

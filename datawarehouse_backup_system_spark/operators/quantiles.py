@@ -47,12 +47,16 @@ def binned_histogram(
 ) -> DataFrame:
     """(bin, cnt) rows — the sketch. ``value_col`` must be integral;
     values outside [lo, hi] clamp into the edge bins (count is never
-    silently dropped)."""
+    silently dropped). NULL values ARE dropped: greatest()/least() skip
+    NULL arguments in Spark, so an unfiltered NULL would silently land
+    in bin 0 and drag every quantile read toward ``lo``."""
     w = bin_width(lo, hi, n_bins)
     # SQL integer `div`, not float `/`+cast: a correctly-rounded double
     # quotient can land above the true floor for BIGINT operands, which
     # would misplace boundary values into the next bin.
-    shifted = df.select((F.col(value_col) - F.lit(lo)).alias("_shift"))
+    shifted = df.where(F.col(value_col).isNotNull()).select(
+        (F.col(value_col) - F.lit(lo)).alias("_shift")
+    )
     b = F.least(
         F.lit(n_bins - 1),
         F.greatest(F.lit(0), F.expr(f"_shift div {w}")),
@@ -115,9 +119,10 @@ def grouped_binned_histogram(
     """(keys..., bin, cnt) — one sketch per group, built in a SINGLE
     aggregation keyed by (keys..., bin): the per-group quantile at 100 TB
     without any per-group sort (contrast q29's exact percentile_approx
-    baseline). Shares the sketch's merge/read algebra."""
+    baseline). Shares the sketch's merge/read algebra, including the
+    NULL-drop (see binned_histogram)."""
     w = bin_width(lo, hi, n_bins)
-    shifted = df.select(
+    shifted = df.where(F.col(value_col).isNotNull()).select(
         *key_cols, (F.col(value_col) - F.lit(lo)).alias("_shift")
     )
     b = F.least(
@@ -194,11 +199,14 @@ def log2_histogram(
     string length of the integer value (``length(bin(v))`` =
     ⌊log₂ v⌋+1) — never floating ``log2()``, whose rounding at powers
     of two differs across libm builds. Values are clamped to ≥ 1
-    (bucket 1); integer-typed input required (cents).
+    (bucket 1); NULLs are DROPPED (greatest(NULL, 1) would otherwise
+    silently count them as value 1); integer-typed input required
+    (cents).
     """
     v = F.greatest(F.col(col).cast("bigint"), F.lit(1))
     return (
-        df.select(*key_cols, F.length(F.bin(v)).cast("bigint").alias("bucket"))
+        df.where(F.col(col).isNotNull())
+        .select(*key_cols, F.length(F.bin(v)).cast("bigint").alias("bucket"))
         .groupBy(*key_cols, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -212,7 +220,7 @@ def log2_histogram_quantiles(
     reported estimate is that bucket's lower bound 2^(b-1) — within a
     factor of 2 of the true order statistic by construction (the sketch
     guarantee the h04-style audit pins). All integer arithmetic."""
-    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import Window
 
     w = (
         Window.partitionBy(*key_cols)
@@ -223,14 +231,20 @@ def log2_histogram_quantiles(
         "n_total",
         F.sum("cnt").over(Window.partitionBy(*key_cols)),
     )
-    spark = SparkSession.getActiveSession()
+    spark = hist.sparkSession
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
     return (
         qdf.crossJoin(cum)
         .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n_total")))
         .groupBy(*key_cols, "q")
         .agg(
-            F.expr("cast(pow(2, min(bucket) - 1) as bigint)").alias("est_lo"),
+            # bit shift, not pow(): the module contract is libm-free
+            # integer arithmetic end to end (pow is double-exact only
+            # below 2^53 — fine today, a trap at wider domains)
+            F.expr(
+                "shiftleft(cast(1 as bigint),"
+                " cast(min(bucket) as int) - 1)"
+            ).alias("est_lo"),
             F.min("n_total").alias("n_total"),
         )
     )

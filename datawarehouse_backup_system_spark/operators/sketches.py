@@ -73,7 +73,11 @@ def heavy_hitters(
             {"item": list(counters), "cnt": list(counters.values())}
         )
 
-    summaries = df.select(F.col(col).alias(col)).mapInPandas(
+    # cast to string BEFORE the Pandas stage: the output schema declares
+    # `item string`, and Arrow raises on an int64 pandas column against
+    # it — a LongType item_col would crash the whole stage (the same
+    # cast-first discipline as kmv_sketch/_km_halves)
+    summaries = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
         summarize, schema="item string, cnt long"
     )
     # associative merge: summed summaries overcount nothing (each is an
@@ -182,17 +186,23 @@ def merge_summaries(
     )
     w = Window.orderBy(F.desc(count_col), F.asc(item_col))
     ranked = summed.withColumn("_rk", F.row_number().over(w))
-    cut = (
-        ranked.where(F.col("_rk") == capacity + 1)
-        .select(count_col)
-        .collect()
+    # the prune offset as a broadcast 1-row frame, NOT a collect(): a
+    # driver-side collect was a second action that re-evaluated the
+    # whole upstream (per micro-batch that doubled the mapInPandas MG
+    # pass); in one plan the shared shuffle is a ReusedExchange, and
+    # there is no persisted frame to leak across batches
+    cut = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("_rk") == capacity + 1, F.col(count_col))),
+            F.lit(0),
+        ).alias("_cut")
     )
-    offset = cut[0][0] if cut else 0
     return (
         ranked.where(F.col("_rk") <= capacity)
-        .withColumn(count_col, F.col(count_col) - F.lit(offset))
+        .crossJoin(F.broadcast(cut))
+        .withColumn(count_col, F.col(count_col) - F.col("_cut"))
         .where(F.col(count_col) > 0)
-        .drop("_rk")
+        .drop("_rk", "_cut")
     )
 
 

@@ -366,6 +366,7 @@ WITH v AS (
   SELECT event_type,
          greatest(CAST(floor(value * 100 + 0.5) AS BIGINT), 1) AS c
   FROM events
+  WHERE value IS NOT NULL  -- matches log2_histogram's NULL drop
 ),
 hist AS (
   SELECT event_type, CAST(length(bin(c)) AS BIGINT) AS bucket,

@@ -106,6 +106,7 @@ def h01_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 H01_SQL = f"""
 WITH v AS (
   SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+  WHERE value IS NOT NULL  -- matches the sketch operators' NULL drop
 ),
 b AS (SELECT min(c) AS lo, max(c) AS hi FROM v),
 p AS (
@@ -286,6 +287,7 @@ def h02_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 H02_SQL = f"""
 WITH v AS (
   SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+  WHERE value IS NOT NULL  -- matches the sketch operators' NULL drop
 ),
 b AS (SELECT min(c) AS lo, max(c) AS hi FROM v),
 p AS (SELECT lo, (hi - lo + {_H01_BINS}) // {_H01_BINS} AS w FROM b),
@@ -1075,6 +1077,7 @@ def h04_sketch_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 H04_SQL = f"""
 WITH v AS (
   SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+  WHERE value IS NOT NULL  -- matches the sketch operators' NULL drop
 ),
 b AS (SELECT min(c) AS lo, max(c) AS hi, count(*) AS n FROM v),
 p AS (SELECT lo, n, (hi - lo + {_H01_BINS}) // {_H01_BINS} AS w FROM b),

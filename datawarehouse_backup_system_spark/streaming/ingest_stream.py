@@ -327,6 +327,11 @@ def stream_heavy_hitters(
             )
         ]
         state = Path(state_dir)
+        aside = Path(f"{state_dir}__old")
+        if not state.exists() and aside.exists():
+            # crashed between the swap's two renames: the prior summary
+            # is intact in the aside dir — recover it, losing nothing
+            aside.rename(state)
         if state.exists() and any(state.glob("*.parquet")):
             prior = spark.read.parquet(state_dir)
             # foreachBatch is at-least-once: after a restart the last
@@ -342,14 +347,19 @@ def stream_heavy_hitters(
             parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1]),
             capacity,
         ).withColumn("_upto_batch", F.lit(batch_id))
-        # small (<= capacity rows): stage then swap for readers
+        # small (<= capacity rows): stage, rename ASIDE, swap, sweep —
+        # the accumulated summary is recoverable at every step (a
+        # rmtree-then-rename swap had a crash window that silently
+        # restarted the stream's history from one micro-batch)
         tmp = f"{state_dir}__next"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         import shutil
 
+        shutil.rmtree(aside, ignore_errors=True)
         if state.exists():
-            shutil.rmtree(state_dir)
+            state.rename(aside)
         Path(tmp).rename(state_dir)
+        shutil.rmtree(aside, ignore_errors=True)
 
     return (
         stream_df.writeStream.foreachBatch(_process)
@@ -380,12 +390,19 @@ def stream_interval_join(
     then evicts — without them state grows unboundedly and append mode
     can never finalize. The left watermark must cover its own lateness
     PLUS the join lag (a left row stays joinable until right's clock
-    passes ``left_ts + lag``). Output: one row per matched pair with
-    both timestamps, suffixed unambiguously.
+    passes ``left_ts + lag``). Output: one row per matched pair; the
+    timestamps become ``_l_<ts>``/``_r_<ts>``, and EVERY other right
+    column whose name collides with a left column is prefixed ``_r_``
+    (both sides usually share the event schema — without the prefix the
+    output would carry duplicate names unusable by reference).
     """
     l_ts, r_ts = f"_l_{left_ts}", f"_r_{right_ts}"
     lw = left.withColumnRenamed(left_ts, l_ts).withWatermark(l_ts, left_watermark)
-    rw = right.withColumnRenamed(right_ts, r_ts).withWatermark(r_ts, right_watermark)
+    rw = right.withColumnRenamed(right_ts, r_ts)
+    for c in rw.columns:
+        if c != key and c != r_ts and c in lw.columns:
+            rw = rw.withColumnRenamed(c, f"_r_{c}")
+    rw = rw.withWatermark(r_ts, right_watermark)
     cond = (
         (lw[key] == rw[key])
         & (F.col(l_ts) <= F.col(r_ts))
@@ -433,9 +450,12 @@ def stream_quality_gate(
         scored = lm.score_with_model(
             batch, id_col, text_col, model,
             pair_buckets=pair_buckets, ctx_buckets=ctx_buckets, k=k,
-        ).persist()
+        )
+        # persist the JOINED frame, not just the scores: the pass and
+        # reject writes are two actions — an unpersisted join re-scans
+        # the micro-batch source and re-runs the join for each
+        enriched = batch.join(scored, id_col).persist()
         try:
-            enriched = batch.join(scored, id_col)
             passed = enriched.where(
                 F.col("avg_logp").isNotNull()
                 & (F.col("avg_logp") >= min_avg_logp)
@@ -451,7 +471,7 @@ def stream_quality_gate(
                 f"{reject_dir}/batch_id={batch_id}"
             )
         finally:
-            scored.unpersist()
+            enriched.unpersist()
 
     return (
         stream_docs.writeStream.foreachBatch(_process)
@@ -653,16 +673,15 @@ def stream_agg_view_partials(
 
 def read_agg_view(spark, state_dir: str, keys: list[str]) -> DataFrame:
     """Fold all streamed partials into the current view (monoid merge
-    per key) and finalize the derived aggregates."""
+    per key) and finalize the derived aggregates. The merge is
+    ``incremental.merge_many`` — the same algebra the writer's partials
+    were built for, never a re-implemented column list."""
     from datawarehouse_backup_system_spark.operators import incremental
 
-    parts = spark.read.parquet(state_dir).groupBy(*keys).agg(
-        F.sum("n_rows").alias("n_rows"),
-        F.sum("sum_v").alias("sum_v"),
-        F.min("min_v").alias("min_v"),
-        F.max("max_v").alias("max_v"),
+    parts = incremental.merge_many(
+        spark.read.parquet(state_dir).drop("batch_id"), keys
     )
-    return incremental.finalize(parts).drop("batch_id")
+    return incremental.finalize(parts)
 
 
 def stream_bottomk_partials(
@@ -706,7 +725,15 @@ def read_bottomk(
     salt: str = "",
 ) -> DataFrame:
     """Merge all streamed bottom-k partials into the current sample —
-    one re-rank over ≤ k·groups·batches rows."""
+    one re-rank over ≤ k·groups·batches rows.
+
+    PRECONDITION (inherited from ``bottomk_sample``'s deterministic
+    ordering): ``key_col`` must uniquely identify a row within its
+    group. Under it, the dropDuplicates below removes only the SAME
+    logical row re-delivered by an at-least-once source across batch
+    ids — the cross-batch replay guard — and never collapses distinct
+    rows; with duplicate keys the base operator's tiebreak is already
+    arbitrary, so the merged sample could not be deterministic anyway."""
     from datawarehouse_backup_system_spark.operators.sampling import (
         bottomk_sample,
     )

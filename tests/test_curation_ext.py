@@ -429,3 +429,21 @@ def test_zorder_written_files_have_tight_minmax_stats(spark, tmp_path):
     # random layout: every file spans ~the whole domain on both axes;
     # clustered: average combined span well under half of that
     assert sum(z_spans) / len(z_spans) < 0.5 * sum(r_spans) / len(r_spans)
+
+
+def test_heavy_hitters_numeric_item_column(spark):
+    """Review r7: the mapInPandas schema declares `item string`; a
+    LongType item column used to crash the Arrow conversion. Items are
+    now cast up front, matching the kmv/cms cast-first discipline."""
+    from datawarehouse_backup_system_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    df = spark.createDataFrame(
+        [(7,)] * 30 + [(i,) for i in range(50)], "user_id bigint"
+    )
+    got = {
+        r["item"]: r["est_count"]
+        for r in heavy_hitters(df, "user_id", capacity=8).collect()
+    }
+    assert "7" in got and got["7"] >= 30 - 50 // 9  # MG retention bound

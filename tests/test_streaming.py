@@ -840,3 +840,50 @@ def test_stream_join_view_matches_batch_join_and_replay_safe(spark, tmp_path):
     ).parquet(f"{state}/batch_id=0")
     again = st.read_join_view(spark, state)
     assert again.count() == want.count()
+
+
+def test_stream_heavy_hitters_recovers_mid_swap_crash(spark, tmp_path):
+    """Review r7: the state swap is now rename-aside (stage -> aside ->
+    swap -> sweep). A crash between the two renames leaves the whole
+    accumulated summary in the aside dir; the next batch must recover
+    it instead of silently restarting history from one micro-batch."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("item", T.StringType())])
+    src = str(tmp_path / "items")
+    state = tmp_path / "state"
+    ckpt = str(tmp_path / "ck")
+
+    spark.createDataFrame([("hot",)] * 30, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = st.stream_heavy_hitters(stream, "item", str(state), ckpt,
+                                    capacity=8)
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    # simulate the crash window: state renamed aside, swap never finished
+    _sh.rmtree(f"{state}__old", ignore_errors=True)
+    state.rename(f"{state}__old")
+    assert not state.exists()
+
+    spark.createDataFrame([("hot",)] * 20, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run()  # same checkpoint: only the NEW batch processes
+
+    summary = {
+        r["item"]: r["est_count"]
+        for r in spark.read.parquet(str(state)).collect()
+    }
+    assert summary == {"hot": 50}  # history recovered, nothing lost
