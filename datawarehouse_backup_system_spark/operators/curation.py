@@ -36,9 +36,15 @@ def curation_report(
 ) -> DataFrame:
     """Per-document curation verdict: every gate's boolean plus the
     final ``keep`` (AND of all gates). Documents are never dropped here —
-    the report is the auditable artifact; filter on ``keep`` to export."""
+    the report is the auditable artifact; filter on ``keep`` to export.
+
+    The quality gate's stopword list follows ``keep_langs[0]`` — a gate
+    testing English stopwords against a corpus curated for another
+    language would fail virtually every document (review r7)."""
     lang = text.langid(df, id_col, text_col).select(id_col, "predicted_lang")
-    qual = text.quality_features(df, id_col, text_col).select(id_col, "quality_keep")
+    qual = text.quality_features(
+        df, id_col, text_col, lang=keep_langs[0]
+    ).select(id_col, "quality_keep")
     rep = text.repetition_features(df, id_col, text_col).select(
         id_col, "repetition_keep"
     )
@@ -69,8 +75,20 @@ def curation_report(
 
 def url_host(url) -> "F.Column":
     """Host component of a URL — regexp form rather than parse_url so the
-    DuckDB oracle evaluates the identical expression."""
-    return F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    DuckDB oracle evaluates the identical expression chain.
+
+    Hostile-URL hardening (review r7): lowercase FIRST (an uppercase
+    scheme or host must not dodge a lowercase blocklist), take the whole
+    authority (userinfo may contain ':'), strip userinfo up to the LAST
+    '@' (browsers parse 'http://blocked.com@evil.com/' as host
+    evil.com — extracting blocked.com@evil.com would never match a
+    pattern suffix), then strip the port."""
+    auth = F.regexp_extract(
+        F.lower(url), r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1
+    )
+    return F.regexp_replace(
+        F.regexp_replace(auth, "^.*@", ""), ":.*$", ""
+    )
 
 
 def host_suffixes(host) -> "F.Column":

@@ -42,6 +42,13 @@ def md5_prefix_long(col: Column) -> Column:
     keys) must derive from this so the DuckDB replay
     (``('0x' || substr(md5(x),1,14))::BIGINT``) stays bit-identical
     everywhere; a prefix-width change happens here or nowhere.
+
+    Known FROZEN exceptions (predate this rule and are pinned by
+    shipped driver hashes + their own oracle SQL — changing them now
+    would invalidate recorded evidence for zero benefit):
+    ``sampling._bucket`` (8-hex prefix % 1e6 buckets, w01/t12/t18) and
+    ``curation.leakage_safe_split`` (8-hex % 100, t23). New code must
+    NOT add further variants.
     """
     return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("bigint")
 

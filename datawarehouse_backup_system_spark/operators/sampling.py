@@ -146,7 +146,10 @@ def domain_mixture(
     return (
         df.join(F.broadcast(plan), domain_col)
         .where(_bucket(F.col(key_col), salt) < F.col("_thresh"))
-        .drop("_thresh", "_total_tokens")
+        # project back to the INPUT schema: the plan join also carries
+        # target_tokens (and any extra targets columns) — leaking them
+        # breaks downstream unionByName/strict-schema writes
+        .select(*df.columns)
     )
 
 
@@ -202,7 +205,11 @@ def quantile_filter_approx(
     Semantics match :func:`quantile_filter` up to sketch error at the
     cut point (ties at the threshold are KEPT here, while the exact
     form cuts a precise count — at 100 TB that boundary sliver is the
-    accepted trade for removing the window).
+    accepted trade for removing the window). A NULL stratum is its own
+    stratum (null-safe join, matching the exact form's NULL window
+    partition); rows with a NULL score are dropped in BOTH variants'
+    spirit (they cannot be ranked) but here that is explicit, not an
+    accident of NULL comparison.
     """
     if not 0 <= drop_frac < 1:
         raise ValueError("drop_frac must be in [0, 1)")
@@ -210,9 +217,12 @@ def quantile_filter_approx(
         F.percentile_approx(score_col, drop_frac, accuracy).alias("_cut")
     )
     return (
-        df.join(F.broadcast(cuts), stratum_col)
+        df.join(
+            F.broadcast(cuts.withColumnRenamed(stratum_col, "_stratum")),
+            F.col(stratum_col).eqNullSafe(F.col("_stratum")),
+        )
         .where(F.col(score_col) >= F.col("_cut"))
-        .drop("_cut")
+        .drop("_cut", "_stratum")
     )
 
 

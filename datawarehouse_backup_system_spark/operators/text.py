@@ -50,8 +50,15 @@ def punct_count(text: Column) -> Column:
     return F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?'\"()-]", ""))
 
 
-def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_features(
+    df: DataFrame, id_col: str, text_col: str, lang: str = "en"
+) -> DataFrame:
     """Per-document quality features + a simple keep/drop flag.
+
+    ``lang`` selects the stopword list the stopword-ratio gate tests
+    against (review r7: a hardcoded 'en' made the gate reject virtually
+    every document of a non-English corpus regardless of quality —
+    callers curating another language pass its code).
 
     Ratios are int/int divisions (exact given same ints) rounded at a
     fixed precision, so the output is engine-portable. Heavy string work
@@ -65,7 +72,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length(t).alias("n_chars_text"),
         token_count(t).alias("n_tokens"),
         F.length(F.regexp_replace(t, r"\s", "")).alias("n_nonspace"),
-        stopword_hits(t, "en").alias("stop_hits"),
+        stopword_hits(t, lang).alias("stop_hits"),
         punct_count(t).alias("n_punct"),
     )
     # try_divide: empty/NULL documents yield NULL ratios instead of an
@@ -86,9 +93,11 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Stopword-hit language ID: argmax of per-language marker hits, ties
-    and zero-evidence → 'und'. Deterministic CASE cascade ordered by
-    (hits desc, lang asc)."""
+    """Stopword-hit language ID: argmax of per-language marker hits.
+    Zero evidence (no hits in any language) → 'und'; a TIE between
+    nonzero languages resolves to the alphabetically-FIRST of them —
+    deterministic, and exactly what the DuckDB oracle's CASE cascade
+    replays (the driver hash pins this tie rule)."""
     t = F.col(text_col)
     hits = {lang: stopword_hits(t, lang) for lang in STOPWORDS}
     out = df.select(
@@ -103,7 +112,9 @@ def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             if other == lang:
                 continue
             o = F.col(f"hits_{other}")
-            # strictly greater than later-alphabet langs, >= earlier ones
+            # >= against LATER-alphabet langs, strictly > against
+            # EARLIER ones — so the alphabetically-first language wins
+            # a tie (first matching WHEN in the cascade)
             cond = cond & (c >= o if lang < other else c > o)
         best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
     return out.withColumn("predicted_lang", best.otherwise(F.lit("und")))
@@ -302,10 +313,17 @@ def line_dedup(
     restored by array_sort over (pos, line) structs, per row. At 100 TB
     the line-hash agg is the only corpus-wide shuffle and its keys are
     near-unique, so it partial-aggregates to almost nothing.
+
+    ``delim`` is a LITERAL string on both the split and the rejoin
+    (review r7: F.split treats its pattern as a Java regex, so a
+    metacharacter delimiter like '|' silently split on every character
+    while rejoining with the literal — and diverged from the oracle's
+    literal string_split). The split pattern is \\Q...\\E-quoted.
     """
+    dq = f"\\Q{delim}\\E"  # Java Pattern.quote: delim is literal
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), dq)).alias("pos", "line"),
     ).withColumn("lh", F.md5(F.col("line")))
     boiler = (
         lines.groupBy("lh")
@@ -325,7 +343,7 @@ def line_dedup(
         ).alias("clean_text"),
     )
     totals = df.select(
-        F.col(id_col), F.size(F.split(F.col(text_col), delim)).alias("n_lines")
+        F.col(id_col), F.size(F.split(F.col(text_col), dq)).alias("n_lines")
     )
     return totals.join(reassembled, id_col, "left").select(
         id_col,
@@ -347,19 +365,20 @@ def vocab_topk(
 
     ONE groupBy on (kind, term) with map-side partial aggregation (term
     frequencies are Zipfian — the hot keys combine before the exchange),
-    then a per-kind window over the surviving counts. The bigram array
-    is built per-row from the staged token array (no second explode
-    pass over text).
+    then a per-kind window over the surviving counts. Unigram and bigram
+    structs are concatenated per row and exploded ONCE — a union of two
+    selects would re-scan and re-tokenize the whole corpus per branch
+    (the measured union-double-eval lesson).
     """
     from pyspark.sql import Window
 
     arr = df.select(tokens(F.col(text_col)).alias("t"))
-    uni = arr.select(F.explode("t").alias("term")).withColumn(
-        "kind", F.lit("uni")
+    toks = F.col("t")
+    structs = F.transform(
+        toks,
+        lambda x: F.struct(F.lit("uni").alias("kind"), x.alias("term")),
     )
-    parts = [uni]
     if include_bigrams:
-        toks = F.col("t")
         grams = F.when(
             F.size(toks) >= 2,
             F.transform(
@@ -369,13 +388,16 @@ def vocab_topk(
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        bi = arr.select(F.explode(grams).alias("term")).withColumn(
-            "kind", F.lit("bi")
+        structs = F.concat(
+            structs,
+            F.transform(
+                grams,
+                lambda g: F.struct(F.lit("bi").alias("kind"), g.alias("term")),
+            ),
         )
-        parts.append(bi)
-    terms = parts[0]
-    for p in parts[1:]:
-        terms = terms.unionByName(p)
+    terms = arr.select(F.explode(structs).alias("s")).select(
+        "s.kind", "s.term"
+    )
     counts = terms.groupBy("kind", "term").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("kind").orderBy(F.desc("cnt"), F.asc("term"))
     return (
@@ -411,8 +433,10 @@ def tfidf_top_terms(
         .agg(F.count(F.lit(1)).alias("tf_count"))
     )
     doc_len = tf.groupBy(id_col).agg(F.sum("tf_count").alias("doc_tokens"))
+    # tf is already one row per (doc, term): a plain partial-combining
+    # count equals count_distinct(id) without the distinct-agg expand
     doc_freq = tf.groupBy("term").agg(
-        F.count_distinct(F.col(id_col)).alias("doc_freq")
+        F.count(F.lit(1)).alias("doc_freq")
     )
     n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
     scored = (
@@ -502,6 +526,11 @@ def token_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     then the per-doc entropy fold. No UDFs, no driver loops; at 100 TB
     this is a linear pass whose shuffle keys are (doc_id, token) then
     doc_id — skew-free because the first key includes the token.
+
+    Documents with NO tokens (empty/whitespace-only text) yield NO
+    output row — this is the contract the t19 oracle hash pins; a
+    caller building a full-corpus report should left-join this result
+    onto the id set and treat NULL entropy as n_tokens = 0.
     """
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")

@@ -195,7 +195,11 @@ WITH u AS (
 ),
 h AS (
   SELECT doc_id,
-         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1) AS host
+         -- identical chain to operators/curation.py:url_host —
+         -- lowercase, full authority, strip userinfo (last @), strip port
+         regexp_replace(regexp_replace(
+           regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+           '^.*@', ''), ':.*$', '') AS host
   FROM u
 ),
 s AS (

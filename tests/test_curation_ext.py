@@ -447,3 +447,37 @@ def test_heavy_hitters_numeric_item_column(spark):
         for r in heavy_hitters(df, "user_id", capacity=8).collect()
     }
     assert "7" in got and got["7"] >= 30 - 50 // 9  # MG retention bound
+
+
+def test_line_dedup_metachar_delimiter(spark):
+    """Review r7: delim is a LITERAL on both split and rejoin — a regex
+    metacharacter delimiter used to split on every character."""
+    from datawarehouse_backup_system_spark.operators.text import line_dedup
+
+    docs = [(i, f"unique{i}|SHARED AD BANNER|tail{i}") for i in range(4)]
+    df = spark.createDataFrame(docs, "id bigint, text string")
+    out = {r["id"]: r for r in line_dedup(df, "id", "text",
+                                          min_df=3, delim="|").collect()}
+    assert out[0]["n_lines"] == 3
+    assert out[0]["n_kept"] == 2
+    assert out[0]["clean_text"] == "unique0|tail0"
+
+
+def test_domain_mixture_preserves_input_schema(spark):
+    """Review r7: the broadcast plan join must not leak target_tokens
+    (or any extra targets column) into the sampled output."""
+    from datawarehouse_backup_system_spark.operators.sampling import (
+        domain_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "web", 100) for i in range(50)],
+        "doc_id bigint, source string, n_tokens bigint",
+    )
+    targets = spark.createDataFrame(
+        [("web", 2000, "note")],
+        "source string, target_tokens bigint, extra string",
+    )
+    out = domain_mixture(df, "doc_id", "source", "n_tokens", targets)
+    assert out.columns == df.columns
+    assert 0 < out.count() < 50
