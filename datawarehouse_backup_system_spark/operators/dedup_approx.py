@@ -158,6 +158,27 @@ def lsh_bands(sigs: DataFrame, id_col: str, k: int, band_size: int) -> DataFrame
     ).select(id_col, F.col("b.band_idx"), F.col("b.band_key"))
 
 
+def cap_hot_buckets(
+    df: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Drop rows of buckets larger than ``max_bucket_size`` — THE
+    hot-bucket cap, shared by the self-join and incremental LSH paths
+    so the cap semantics can never fork between them. ``None`` = no
+    cap (passthrough)."""
+    if max_bucket_size is None:
+        return df
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        df.withColumn("_bn", F.count("*").over(w))
+        .where(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
+    )
+
+
 def lsh_candidate_pairs(
     bands: DataFrame, id_col: str, max_bucket_size: int | None = None
 ) -> DataFrame:
@@ -170,15 +191,7 @@ def lsh_candidate_pairs(
     minimal shingle of a small vocabulary). This bounds worst-case join
     size and removes stragglers at scale.
     """
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band_idx", "band_key")
-        bands = (
-            bands.withColumn("_bn", F.count("*").over(w))
-            .where(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
-        )
+    bands = cap_hot_buckets(bands, ["band_idx", "band_key"], max_bucket_size)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -196,18 +209,25 @@ def lsh_candidate_pairs(
 
 
 def jaccard_pairs(
-    pairs: DataFrame, shingles: DataFrame, id_col: str
+    pairs: DataFrame, shingles: DataFrame, id_col: str,
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs: |A∩B| via shingle equi-join,
     |A∪B| = |A|+|B|-|A∩B|. Only candidate pairs are scored — the
-    verification cost is proportional to the LSH recall set, not N²."""
+    verification cost is proportional to the LSH recall set, not N².
+
+    ``broadcast_pairs`` must be True ONLY when something bounds the
+    candidate set (a hot-bucket cap): forcing a broadcast of an
+    uncapped O(B²) pair set through the driver is the OOM path —
+    uncapped callers pass False and let AQE choose the strategy."""
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sh_a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
-    # candidate pairs are bounded by LSH recall (tiny vs the shingle set):
-    # broadcast them so the big shingle relation is never shuffled here
+    # bounded candidate pairs broadcast so the big shingle relation is
+    # never shuffled here; unbounded ones go through AQE's choice
+    pairs_side = F.broadcast(pairs) if broadcast_pairs else pairs
     inter = (
-        F.broadcast(pairs).join(sh_a, "id_a")
+        pairs_side.join(sh_a, "id_a")
         .join(sh_b, ["id_b", "shingle"])  # shingle present in BOTH docs
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
@@ -262,7 +282,10 @@ def minhash_lsh_dedup(
     cands = lsh_candidate_pairs(
         lsh_bands(sigs, id_col, k, band_size), id_col, max_bucket_size
     )
-    scored = jaccard_pairs(cands, sh, id_col)
+    scored = jaccard_pairs(
+        cands, sh, id_col,
+        broadcast_pairs=max_bucket_size is not None,
+    )
     return scored.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard"
     )
@@ -530,15 +553,9 @@ def incremental_neardup_pairs(
     bands_hist = lsh_bands(
         minhash_signature(sh_hist, id_col, k), id_col, k, band_size
     )
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band_idx", "band_key")
-        bands_hist = (
-            bands_hist.withColumn("_bn", F.count("*").over(w))
-            .where(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
-        )
+    bands_hist = cap_hot_buckets(
+        bands_hist, ["band_idx", "band_key"], max_bucket_size
+    )
     cand = (
         F.broadcast(
             bands_new.select(
@@ -556,8 +573,11 @@ def incremental_neardup_pairs(
     )
     sizes_new = sh_new.groupBy(id_col).agg(F.count("*").alias("n_new"))
     sizes_hist = sh_hist.groupBy(id_col).agg(F.count("*").alias("n_hist"))
+    # candidates are batch-bounded (tiny new side × capped history
+    # buckets) ONLY when the cap is set — same rule as jaccard_pairs
+    cand_side = F.broadcast(cand) if max_bucket_size is not None else cand
     inter = (
-        F.broadcast(cand)
+        cand_side
         .join(sh_new.select(F.col(id_col).alias("id_new"), "shingle"), "id_new")
         .join(
             sh_hist.select(F.col(id_col).alias("id_hist"), "shingle"),

@@ -107,10 +107,18 @@ def brute_force_topk(
 
 
 def sign_bucket(vec_col: Column, n_bits: int = 8) -> Column:
-    """Bucket id from the sign bits of the first n_bits dimensions."""
+    """Bucket id from the sign bits of the first n_bits dimensions.
+
+    ``try_element_at``, not ``element_at``: under ANSI (the session
+    default) a vector shorter than n_bits would otherwise abort the job
+    with INVALID_ARRAY_INDEX instead of treating the missing dimension
+    as a 0-bit — one truncated ingest row must not kill the bucketing
+    pass (same degradation hyperplane_bucket gets from zip_with)."""
     b = None
     for i in range(n_bits):
-        bit = F.when(F.element_at(vec_col, i + 1) > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        bit = F.when(
+            F.try_element_at(vec_col, F.lit(i + 1)) > 0, F.lit(2 ** i)
+        ).otherwise(F.lit(0))
         b = bit if b is None else b + bit
     return b.cast("bigint")
 
@@ -261,15 +269,27 @@ def topk_pandas_udf(
     The sanctioned slow path (SURVEY §2.6 gap list): when the per-row
     math outgrows what expressions express cleanly, batch it through
     Arrow — numpy sees a (batch × dim) matrix per partition and BLAS does
-    the dot products. Same output contract as :func:`brute_force_topk`;
-    kept alongside it so bench can compare the two paths honestly.
+    the dot products. Same output contract as :func:`brute_force_topk`
+    (NULL embeddings are skipped on both sides — np.array over a ragged
+    row list would otherwise abort the job; id columns keep the input's
+    type); scores round HALF-UP like F.round so the two paths pick the
+    same ranks except where BLAS-vs-fold accumulation (~1e-14) straddles
+    a rounding boundary. Kept alongside the expression path so bench can
+    compare the two honestly.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    out_schema = "query_id long, neighbor_id long, score double, rank int"
+    id_t = dict(queries.dtypes)[id_col]
+    q_rows = (
+        queries.where(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .collect()
+    )
+    out_schema = (
+        f"query_id {id_t}, neighbor_id {id_t}, score double, rank int"
+    )
     if not q_rows:
         return corpus.sparkSession.createDataFrame([], out_schema)
     q_ids = np.array([r[id_col] for r in q_rows])
@@ -282,12 +302,19 @@ def topk_pandas_udf(
 
     def score(batches):
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if not len(pdf):
+                continue
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = (c_mat @ b_mat.value.T) / np.outer(c_norm, b_norm.value)
             n_c, n_q = sims.shape
-            scores = np.round(sims.ravel(), round_digits)
+            # HALF-UP like F.round (np.round is half-even): sign-aware
+            # floor(|x|*10^d + 0.5)
+            scale = 10.0 ** round_digits
+            flat = sims.ravel()
+            scores = np.sign(flat) * np.floor(np.abs(flat) * scale + 0.5) / scale
             out = pd.DataFrame(
                 {
                     "query_id": np.tile(b_ids.value, n_c),
@@ -302,7 +329,7 @@ def topk_pandas_udf(
             yield out[out.query_id != out.neighbor_id]
 
     scored = corpus.select(id_col, vec_col).mapInPandas(
-        score, schema="query_id long, neighbor_id long, score double"
+        score, schema=f"query_id {id_t}, neighbor_id {id_t}, score double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -328,7 +355,8 @@ def train_centroids(
     import numpy as np
 
     rows = (
-        emb.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
+        emb.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
         .orderBy(F.md5(F.concat(F.lit(salt), F.col("_id").cast("string"))), F.col("_id"))
         .limit(sample_rows)
         .collect()
@@ -564,7 +592,14 @@ def search_ivf_index(
     100 TB, where the unprobed lists never leave object storage."""
     cent = spark.read.parquet(f"{path}/_centroids")
     probes = _probe_lists(queries, cent, id_col, vec_col, n_probe, round_digits)
-    probe_lists = [r["list_id"] for r in probes.select("list_id").distinct().collect()]
+    # ONE evaluation of the probe pipeline: collect the bounded
+    # (n_queries × n_probe) probe rows and rebuild the small frame from
+    # them (the _centroid_frame pattern) — the previous shape ran the
+    # queries scan + centroid crossJoin + window TWICE, once for the
+    # list-id collect and again inside the scoring join
+    probe_rows = probes.collect()
+    probe_lists = sorted({r["list_id"] for r in probe_rows})
+    probes = spark.createDataFrame(probe_rows, probes.schema)
     assigned = spark.read.parquet(path).where(F.col("list_id").isin(probe_lists))
     return _score_candidates(assigned, probes, k, round_digits)
 
@@ -871,7 +906,8 @@ def kmeans_fit_distributed(
         cents = [[float(x) for x in c] for c in centroids]
     else:
         seed_rows = (
-            corpus.orderBy(F.col(id_col)).limit(n_centroids)
+            corpus.where(F.col(vec_col).isNotNull())
+            .orderBy(F.col(id_col)).limit(n_centroids)
             .select(_as_double(vec_col).alias("_v"))
             .collect()
         )

@@ -523,3 +523,48 @@ def test_simhash_expr_matches_groupby_simhash(spark, sf_dir):
                     dedup_approx.simhash_expr(F.col("text")).alias("sh"),
                 ).collect()}
     assert via_expr == via_groupby and via_expr
+
+
+def test_sign_bucket_tolerates_short_vectors(spark):
+    """Review r7 (confirmed crash): under ANSI, element_at beyond the
+    array end aborted the job — a truncated ingest row must bucket
+    (missing dims = 0-bits), not kill the pass."""
+    from datawarehouse_backup_system_spark.operators.similarity import (
+        sign_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.2, 0.1, 0.9]), (2, [0.5] * 16), (3, [])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r["b"]
+            for r in df.select("vec_id",
+                               sign_bucket(F.col("embedding"), 8).alias("b"))
+            .collect()}
+    assert rows[1] == 0b1101 and rows[2] == 0xFF and rows[3] == 0
+
+
+def test_topk_pandas_udf_skips_null_embeddings(spark):
+    """Review r7 (confirmed crash): a NULL embedding made np.array build
+    a ragged object array and abort; the UDF path now skips NULLs on
+    both sides like brute_force_topk, and keeps the input id type."""
+    from datawarehouse_backup_system_spark.operators.similarity import (
+        brute_force_topk,
+        topk_pandas_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None), (4, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    udf_rows = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in topk_pandas_udf(df, df.where("vec_id in (1, 3)"), k=2)
+        .collect()
+    }
+    exact_rows = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in brute_force_topk(df.where("embedding is not null"),
+                                  df.where("vec_id = 1"), k=2).collect()
+    }
+    assert udf_rows == exact_rows and len(udf_rows) == 2
