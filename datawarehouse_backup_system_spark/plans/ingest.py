@@ -130,6 +130,16 @@ class IngestJob:
             enc = quote(p.name, safe="")
             if enc != p.name:
                 keys.append((enc, i))
+        # collision check over the FULL key list, not just raw names: a
+        # literal 'a%20b.csv' next to 'a b.csv' (whose encoded key is
+        # also 'a%20b.csv') would double-join every row of the latter
+        # and corrupt the exact-ingest-order rank (review r7)
+        if len({k for k, _ in keys}) < len(keys):
+            raise ValueError(
+                "file-rank key collision (a basename equals a sibling's "
+                f"percent-encoded basename): {sorted(k for k, _ in keys)} "
+                "— split the batch"
+            )
         ranks = self.spark.createDataFrame(keys, "_fname string, _file_rank int")
         basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
         # capture metadata/order columns BEFORE the join: hidden _metadata
@@ -205,26 +215,32 @@ class IngestJob:
         if raw.drop(*SEQ_COLS).isEmpty():
             # reference records empty inputs distinctly
             # (util/data_processing.py:467-470)
-            for n in names:
-                self.ledger.append(n, ledger_mod.STATUS_EMPTY)
+            self.ledger.append_many(
+                [(n, ledger_mod.STATUS_EMPTY) for n in names]
+            )
             return FileResult(label, ledger_mod.STATUS_EMPTY)
         target = self.read_table(schema)
         last_id = next_id_watermark(target)
         plan, error = self.build_plan(raw, schema, rename_map, last_id)
         if error is not None:
-            for n in names:
-                self.ledger.append(n, ledger_mod.STATUS_COLUMN_MISMATCH)
+            self.ledger.append_many(
+                [(n, ledger_mod.STATUS_COLUMN_MISMATCH) for n in names]
+            )
             return FileResult(label, ledger_mod.STATUS_COLUMN_MISMATCH, error=error)
         try:
             loaded = self._atomic_append(plan, schema)
         except Exception as exc:  # noqa: BLE001 — reference 'insert error'
-            for n in names:
-                self.ledger.append(n, ledger_mod.STATUS_INSERT_ERROR)
+            self.ledger.append_many(
+                [(n, ledger_mod.STATUS_INSERT_ERROR) for n in names]
+            )
             return FileResult(
                 label, ledger_mod.STATUS_INSERT_ERROR, error=str(exc)
             )
-        for n in names:
-            self.ledger.append(n, ledger_mod.STATUS_UPLOADED)
+        # one ledger job + one file for the whole batch (0.35 s and a
+        # ledger part-file PER NAME otherwise — review r7)
+        self.ledger.append_many(
+            [(n, ledger_mod.STATUS_UPLOADED) for n in names]
+        )
         return FileResult(label, ledger_mod.STATUS_UPLOADED, rows_loaded=loaded)
 
     # -- exports (S10/S11 parity + watermark write-back) -------------------
@@ -308,6 +324,15 @@ class IngestJob:
 
     # -- file drivers ------------------------------------------------------
     def process_file(self, path: str | Path) -> FileResult:
+        """One file through the full pipeline, every failure ledgered
+        (D4 total function).
+
+        CONCURRENCY: building block — takes no :class:`WriterLease` and
+        runs no recovery; :meth:`run` provides both. A caller invoking
+        this directly on a shared warehouse must hold the lease (the
+        write-id format is single-writer) and recover first, or an
+        uncommitted crashed write's files leak into read_table's history
+        view and anti-join freshly re-ingested rows away."""
         import zipfile
 
         path = Path(path)
@@ -351,33 +376,53 @@ class IngestJob:
         serialize scheduling overhead. This runs one multi-path scan with
         reference-exact dedup order (first occurrence in file order,
         SEQ_COLS composite). Files must share header layout / encoding /
-        delimiter — group them with the sniffers first. Final table state
-        is identical to sequential process_file calls (asserted in tests).
+        delimiter — the pre-check below compares the full
+        (encoding, delimiter, header) triple per file, not just the
+        parsed header: a semicolon file parses to the same header list
+        as its comma siblings under its OWN sniffed delimiter, yet the
+        single multi-path scan reads it with the FIRST file's settings
+        and silently misparses every row (review r7). Final table state
+        is identical to sequential process_file calls (asserted in
+        tests).
+
+        CONCURRENCY: like :meth:`process_file`, this is a building block
+        — it does not take the :class:`WriterLease` or run recovery.
+        Callers outside :meth:`run` must hold the lease themselves (the
+        write-id format is single-writer) and recover first.
         """
-        from datawarehouse_backup_system_spark.sources.csv_source import read_header
+        from datawarehouse_backup_system_spark.sources.csv_source import (
+            detect_delimiter,
+            detect_encoding,
+            read_header,
+        )
 
         paths = [Path(p) for p in paths]
         label = f"batch:{paths[0].name}..{paths[-1].name}[{len(paths)}]"
         try:
-            # Spark applies the first file's header to every file in a
-            # multi-path scan — a divergent file would be silently
-            # misparsed. Pre-check headers (first line per file, O(files))
-            # and ledger/exclude mismatches instead.
-            golden = read_header(paths[0])
+            def _profile(p: Path) -> tuple:
+                enc = detect_encoding(p) or "utf-8"
+                delim = detect_delimiter(p, enc)
+                return (enc, delim, tuple(read_header(p, enc, delim)))
+
+            golden = _profile(paths[0])
             ok_paths = []
+            mismatched = []
             for p in paths:
-                if read_header(p) == golden:
+                if _profile(p) == golden:
                     ok_paths.append(p)
                 else:
-                    self.ledger.append(p.name, ledger_mod.STATUS_COLUMN_MISMATCH)
+                    mismatched.append(
+                        (p.name, ledger_mod.STATUS_COLUMN_MISMATCH)
+                    )
+            if mismatched:  # one ledger job for the batch, not one per file
+                self.ledger.append_many(mismatched)
             if not ok_paths:
                 return FileResult(label, ledger_mod.STATUS_COLUMN_MISMATCH,
-                                  error="no files share the batch header")
+                                  error="no files share the batch profile")
             return self._ingest(ok_paths, table_key, label)
         except Exception as exc:  # noqa: BLE001
             status = f"{ledger_mod.STATUS_UNEXPECTED}: {type(exc).__name__}"
-            for p in paths:
-                self.ledger.append(p.name, status)
+            self.ledger.append_many([(p.name, status) for p in paths])
             return FileResult(label, status, error=str(exc))
 
     def run(self, input_dir: str | Path) -> list[FileResult]:

@@ -56,9 +56,14 @@ def discover_files(input_dir: str | Path, processed: set[str] | None = None) -> 
     when the listing itself is large.
     """
     processed = processed or set()
+    # is_file(): a DIRECTORY named 'export.csv' would otherwise enter the
+    # pipeline, fail with IsADirectoryError, and — because ledgered names
+    # are skipped forever — permanently blacklist the real file's name
     files = sorted(
         p
         for p in Path(input_dir).iterdir()
-        if p.suffix.lower() in DATA_SUFFIXES and p.name not in processed
+        if p.suffix.lower() in DATA_SUFFIXES
+        and p.name not in processed
+        and p.is_file()
     )
     return files

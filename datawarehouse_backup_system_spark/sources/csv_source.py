@@ -9,8 +9,9 @@ Covers reference operators S3-S7 (SURVEY §2.1):
   ``util/data_processing.py:64-69``
 - S6/S7 chunked all-string CSV scan — ``util/data_processing.py:171-176``,
   ``util/data_pushing.py:311-325``; Spark's partitioned scan subsumes
-  chunking, and the utf-8→latin-1 fallback becomes a retry with
-  ``.option("encoding", "ISO-8859-1")``.
+  chunking, and the utf-8→latin-1 fallback happens at sniff time
+  (``detect_encoding``'s trial chain) since Spark, unlike pandas,
+  surfaces no decode error a read-time retry could catch.
 
 Sniffing is inherently a driver-side pre-pass (Spark cannot sniff
 per-file); it reads only the first ``sample_size`` bytes of each file, so
@@ -71,6 +72,17 @@ def _open_text(file_path: str | Path, encoding: str):
 def detect_encoding(file_path: str | Path, sample_size: int = DEFAULT_SAMPLE_SIZE) -> str | None:
     """BOM check first, then trial-decode of a bounded sample.
 
+    Two review-r7 hardenings of the trial chain:
+
+    - the sample is hard-truncated at ``sample_size``, so a multi-byte
+      UTF-8 character straddling the boundary must not fail the utf-8
+      trial — up to 3 trailing bytes are dropped before deciding;
+    - BOM-less utf-16 is tried ONLY when the sample contains NUL bytes
+      (ASCII code points in UTF-16 always carry a 0x00 half, while real
+      latin-1 text never does): any even-length byte string "decodes"
+      as UTF-16, so an ungated trial misread every large latin-1 file
+      as CJK mojibake and made the iso-8859-1 fallback unreachable.
+
     Returns a codec name or None when nothing decodes (the caller records a
     ledger failure instead of raising — D4 total-function discipline).
     """
@@ -81,9 +93,24 @@ def detect_encoding(file_path: str | Path, sample_size: int = DEFAULT_SAMPLE_SIZ
     for bom, enc in _BOMS:
         if sample.startswith(bom):
             return enc
-    for enc in ("utf-8", "utf-16", "iso-8859-1"):
+    truncated = len(sample) == sample_size
+    # NUL bytes: never genuine text in utf-8/latin-1 CSVs, but the 0x00
+    # half of every ASCII code point in UTF-16 — so NULs route to the
+    # utf-16 trial FIRST (NUL bytes are individually VALID utf-8, so
+    # utf-8-first would claim BOM-less UTF-16 ASCII content)
+    trials = (
+        ("utf-16", "utf-8", "iso-8859-1")
+        if b"\x00" in sample
+        else ("utf-8", "iso-8859-1")
+    )
+    for enc in trials:
+        body = sample
+        if truncated and enc == "utf-8":
+            # a UTF-8 sequence is at most 4 bytes: dropping 3 always
+            # removes any partial trailing character
+            body = sample[:-3]
         try:
-            sample.decode(enc)
+            body.decode(enc)
             return enc
         except (UnicodeDecodeError, UnicodeError):
             continue
@@ -110,8 +137,13 @@ def extract_zip_first_member(zip_path: str | Path, output_dir: str | Path) -> Pa
         members = zf.namelist()
         if not members:
             raise ValueError(f"empty zip archive: {zip_path}")
-        zf.extract(members[0], out)
-    return out / members[0]
+        # use extract()'s RETURN value: it sanitizes hostile member
+        # names (absolute paths, dot-dot) — recomputing `out / name`
+        # would escape the staging dir for '/etc/passwd'-style names
+        # (Path('/x') on the rhs replaces the lhs entirely) and point
+        # at a nonexistent path for 'a/../b.csv' (review r7)
+        extracted = zf.extract(members[0], out)
+    return Path(extracted)
 
 
 def read_header(
@@ -147,10 +179,12 @@ def read_raw_csv(
     ``dtype=str``). When ``schema`` is None the header is trusted and every
     column is StringType; casts happen later (operators.cast).
 
-    utf-8 → latin-1 fallback: callers catch the decode failure surfaced at
-    action time and retry with encoding='iso-8859-1' (reference
-    data_pushing.py:312-323).
-    """
+    The reference's utf-8 → latin-1 READ-TIME retry (data_pushing.py:
+    312-323) is realized at SNIFF time here: ``detect_encoding``'s trial
+    chain falls from utf-8 to iso-8859-1 before Spark ever reads, so a
+    non-UTF-8 file arrives with the right codec on the first read (Spark
+    does not raise on decode errors the way pandas does, so a read-time
+    retry hook would never fire)."""
     first = paths if isinstance(paths, str) else paths[0]
     if encoding is None:
         encoding = detect_encoding(first) or "utf-8"

@@ -55,10 +55,14 @@ def jsonl_projection(lines: DataFrame, schema: T.StructType) -> DataFrame:
         ).alias("_j"),
     )
     is_bad = F.col("_j").isNull() | F.col("_j._corrupt").isNotNull()
+    # getField, not F.col("_j.<name>"): a JSON key containing dots
+    # (e.g. 'headers.content-type') would parse as a deeper nested path
+    # and fail UNRESOLVED_COLUMN; getField treats the name literally
     return parsed.select(
         F.when(is_bad, F.col("value")).alias(RAW_COL),
         *[
-            F.when(is_bad, F.lit(None)).otherwise(F.col(f"_j.{f.name}"))
+            F.when(is_bad, F.lit(None))
+            .otherwise(F.col("_j").getField(f.name))
             .alias(f.name)
             for f in schema.fields
             if f.name != "_corrupt"

@@ -1210,3 +1210,16 @@ def test_reader_snapshot_isolation_across_rewrite(spark, tmp_path):
     # Delta after VACUUM)
     assert vacuum(fmt, table, "t") >= 1
     assert fmt.read_as_of(spark, table, struct, "t").count() == 50
+
+
+def test_append_many_writes_one_file(spark, tmp_path):
+    """Review r7 (confirmed): the Arrow local relation split a multi-row
+    batch into one parquet file PER ROW, voiding the whole-or-nothing
+    visibility the composite commit+tombstone transition depends on."""
+    from datawarehouse_backup_system_spark.ledger import Ledger
+
+    led = Ledger(spark, tmp_path / "ledger")
+    led.append_many([(f"f{i}", "processed") for i in range(5)])
+    files = list((tmp_path / "ledger").glob("*.parquet"))
+    assert len(files) == 1
+    assert led.read().count() == 5

@@ -86,3 +86,62 @@ def test_load_events_encodings_agree(spark, tmp_path):
             load(spark, str(sf_dir), "events").orderBy("event_id").collect()
         ]
     assert results["nanos"] == results["micros_ntz"] == results["micros_utc"]
+
+
+def test_detect_encoding_latin1_not_misread_as_utf16(tmp_path):
+    """Review r7 (confirmed): any even-length byte string 'decodes' as
+    UTF-16, so an ungated trial turned every BOM-less latin-1 file into
+    CJK mojibake; the trial is now gated on NUL bytes."""
+    from datawarehouse_backup_system_spark.sources.csv_source import (
+        detect_encoding,
+    )
+
+    p = tmp_path / "latin.csv"
+    p.write_bytes("name;city\nRené;Orléans!\n".encode("iso-8859-1"))
+    assert len(p.read_bytes()) % 2 == 0  # the hazard shape
+    assert detect_encoding(p) == "iso-8859-1"
+    # BOM-less utf-16 (has NUL halves for ASCII) still detects
+    p16 = tmp_path / "bomless16.csv"
+    p16.write_bytes("a,b\n1,2\n".encode("utf-16-le"))
+    assert detect_encoding(p16) in ("utf-16", "utf-16-le")
+
+
+def test_detect_encoding_truncated_multibyte_boundary(tmp_path):
+    """Review r7 (confirmed): a multi-byte UTF-8 char straddling the
+    sample boundary must not fail the utf-8 trial."""
+    from datawarehouse_backup_system_spark.sources.csv_source import (
+        detect_encoding,
+    )
+
+    p = tmp_path / "big.csv"
+    body = ("x" * 99) + "é"  # 101 bytes per chunk in utf-8
+    p.write_text(body * 1000, encoding="utf-8")
+    # pick a sample size that lands INSIDE the 2-byte 'é'
+    raw = p.read_bytes()
+    cut = raw.find("é".encode()[0:1], 90) + 1
+    assert detect_encoding(p, sample_size=cut) == "utf-8"
+
+
+def test_zip_first_member_hostile_names(tmp_path):
+    """Review r7: extract()'s sanitized return path is used — absolute
+    or dot-dot member names must stay inside the staging dir."""
+    import zipfile
+
+    from datawarehouse_backup_system_spark.sources.csv_source import (
+        extract_zip_first_member,
+    )
+
+    z = tmp_path / "evil.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("/abs/path.csv", "a,b\n1,2\n")
+    out = extract_zip_first_member(z, tmp_path / "staging")
+    assert out.exists()
+    assert str(out).startswith(str(tmp_path / "staging"))
+    assert out.read_text() == "a,b\n1,2\n"
+
+    z2 = tmp_path / "dotdot.zip"
+    with zipfile.ZipFile(z2, "w") as zf:
+        zf.writestr("a/../b.csv", "x,y\n3,4\n")
+    out2 = extract_zip_first_member(z2, tmp_path / "staging2")
+    assert out2.exists() and out2.read_text() == "x,y\n3,4\n"
+    assert str(out2).startswith(str(tmp_path / "staging2"))
