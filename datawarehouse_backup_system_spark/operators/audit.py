@@ -58,9 +58,14 @@ def table_fingerprint(
     # second full hash per row for zero extra uniformity (measured on
     # v01: the fingerprint pass is pure hashing)
     h = hex_prefix_long(row_hash_col(cols)).cast("decimal(38,0)")
+    # coalesce: an EMPTY table must fingerprint as 0, not NULL — two
+    # empty replicas compared with `a.fingerprint = b.fingerprint`
+    # would otherwise yield NULL instead of a match (review r7)
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(h).alias("fingerprint"),
+        F.coalesce(F.sum(h), F.lit(0).cast("decimal(38,0)")).alias(
+            "fingerprint"
+        ),
     ]
     if keys:
         return df.groupBy(*keys).agg(*aggs)
@@ -72,8 +77,10 @@ def merge_fingerprints(parts: DataFrame, group_by: list[str] | None = None) -> D
     over disjoint shards combine EXACTLY to the union's fingerprint."""
     keys = list(group_by or [])
     aggs = [
-        F.sum("n_rows").cast("bigint").alias("n_rows"),
-        F.sum("fingerprint").cast("decimal(38,0)").alias("fingerprint"),
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum("fingerprint"), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("fingerprint"),
     ]
     if keys:
         return parts.groupBy(*keys).agg(*aggs)

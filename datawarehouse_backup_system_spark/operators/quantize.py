@@ -162,6 +162,29 @@ def pq_seed_codebook(
     )
 
 
+def _collect_codebook(
+    codebook, m: int
+) -> tuple[dict[int, list[tuple[int, list[float], float]]], int]:
+    """Driver-side codebook: {subspace: [(code, centroid, c·c), ...]}
+    plus sub_dim — THE single collection/validation block shared by the
+    expression and pandas encoders (their outputs are contractually
+    bit-identical, so the fold order and coverage check must never
+    fork; review r7). c·c is folded sequentially to match
+    list_dot_product's order."""
+    cents: dict[int, list[tuple[int, list[float], float]]] = {}
+    for r in codebook.collect():
+        cc = 0.0
+        for x in r["centroid"]:
+            cc += x * x  # sequential, matches list_dot_product's fold
+        cents.setdefault(r["subspace"], []).append(
+            (r["code"], list(r["centroid"]), cc)
+        )
+    if sorted(cents) != list(range(m)):
+        raise ValueError("codebook subspaces do not cover 0..m-1")
+    sub_dim = len(next(iter(cents.values()))[0][1])
+    return cents, sub_dim
+
+
 def pq_encode(
     df: DataFrame,
     id_col: str,
@@ -181,15 +204,7 @@ def pq_encode(
     # and the candidate loop folds ONE dot product per centroid (a·a is
     # staged once per subspace; c·c is a driver-computed constant).
     # d = a·a + c·c − 2·a·c keeps the exact term order of the oracle.
-    cents: dict[int, list[tuple[int, list[float], float]]] = {}
-    for r in codebook.collect():
-        cc = 0.0
-        for x in r["centroid"]:
-            cc += x * x  # sequential, matches list_dot_product's fold
-        cents.setdefault(r["subspace"], []).append((r["code"], list(r["centroid"]), cc))
-    if sorted(cents) != list(range(m)):
-        raise ValueError("codebook subspaces do not cover 0..m-1")
-    sub_dim = len(next(iter(cents.values()))[0][1])
+    cents, sub_dim = _collect_codebook(codebook, m)
 
     v = _unit(vec_col)
     staged = df.select(
@@ -254,6 +269,22 @@ def pq_adc_topk(
     re-rank touches only |queries|·R full vectors, so the corpus is
     still scanned in compressed form."""
     from pyspark.sql import Window
+
+    # validate m against the CODEBOOK and the query dim up front: a
+    # mismatch makes zip_with pad with NULLs, every adc_micros NULL, and
+    # the ascending window then hands back k ARBITRARY ids as "nearest"
+    # with no error anywhere (review r7). Both probes are bounded
+    # (codebook is m·k rows; one query row).
+    cb_m = codebook.agg(
+        F.count_distinct(F.col("subspace")).alias("n")
+    ).first()["n"]
+    if cb_m != m:
+        raise ValueError(
+            f"m={m} does not match the codebook's {cb_m} subspaces"
+        )
+    qrow = queries.select(F.size(_unit(query_vec)).alias("d")).first()
+    if qrow is not None and qrow["d"] % m:
+        raise ValueError(f"query dim {qrow['d']} not divisible by m={m}")
 
     qv = _unit(query_vec)
     dim_expr = F.size(qv)
@@ -360,15 +391,7 @@ def pq_encode_pandas(
     import numpy as np
     import pandas as pd
 
-    cents: dict[int, list[tuple[int, list[float], float]]] = {}
-    for r in codebook.collect():
-        cc = 0.0
-        for x in r["centroid"]:
-            cc += x * x
-        cents.setdefault(r["subspace"], []).append((r["code"], list(r["centroid"]), cc))
-    if sorted(cents) != list(range(m)):
-        raise ValueError("codebook subspaces do not cover 0..m-1")
-    sub_dim = len(next(iter(cents.values()))[0][1])
+    cents, sub_dim = _collect_codebook(codebook, m)
     # per subspace: (k, sub_dim) centroid matrix + (k,) self-dot vector,
     # rows in code order so argmin's first-hit tiebreak = smallest code
     cmats = {

@@ -63,17 +63,20 @@ def build_positional_postings(
     """Positional inverted index: (term, doc_id, pos) — one row per token
     OCCURRENCE (0-based position), the artifact phrase search needs.
     posexplode keeps the index build a single linear pass; at scale,
-    persist partitioned by term like the tf postings."""
-    return (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(F.split(F.trim(F.col(text_col)), " ")).alias(
-                "pos", "term"
-            ),
-        )
-        .where(F.col("term") != "")
-        .select("term", "doc_id", F.col("pos").cast("bigint").alias("pos"))
+    persist partitioned by term like the tf postings.
+
+    Positions are assigned over the COMPACTED token list (empties
+    filtered first): raw-split positions would leave gaps at runs of
+    whitespace while the query side compacts its offsets, so a document
+    whose text literally equals the phrase would never match
+    (review r7; the x02 oracle compacts identically)."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), " "), lambda t: t != ""
     )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("pos", "term"),
+    ).select("term", "doc_id", F.col("pos").cast("bigint").alias("pos"))
 
 
 def phrase_search(

@@ -41,6 +41,11 @@ def merge_upsert(
     column (ties broken arbitrarily are not allowed: the column must be a
     total order per key); when None, ``updates`` MUST be key-unique —
     duplicates would corrupt the one-row-per-key snapshot downstream.
+
+    NULL join keys follow SQL MERGE semantics (Delta behaves the same):
+    NULL never equals NULL, so a NULL-keyed update row INSERTS alongside
+    a NULL-keyed target row instead of replacing it. Scrub or surrogate
+    NULL keys upstream when replacement semantics are required.
     """
     from pyspark.sql import Window
 
@@ -79,7 +84,14 @@ def scd2_apply(
     open_rows = dim.where(F.col(end_col).isNull())
     closed_now = (
         open_rows.join(closing_ts, keys, "inner")
-        .withColumn(end_col, F.col("_close_ts"))
+        # cast like the new_versions branch: an uncast _close_ts of a
+        # different type would widen the whole valid_to column through
+        # unionByName coercion (string beats timestamp) — silently
+        # changing the dimension's schema for ALL rows
+        .withColumn(
+            end_col,
+            F.col("_close_ts").cast(dim.schema[end_col].dataType),
+        )
         .drop("_close_ts")
     )
     untouched_open = open_rows.join(closing_ts.select(*keys), keys, "left_anti")
@@ -164,6 +176,19 @@ def delete_where(
     retention/compliance deletes AFTER any audit export.
     """
     table_path = Path(table_path)
+    # Recovery FIRST, by scanning for leftover backups — not inside the
+    # per-affected-partition loop: a crash between the two swap renames
+    # hides that partition's rows, so it can never re-enter `affected`
+    # and a loop-scoped recovery would never restore it (review r7).
+    for backup in sorted(table_path.glob("_delete_backup_*")):
+        part_dir = table_path / backup.name[len("_delete_backup_"):]
+        if part_dir.exists():
+            shutil.rmtree(backup)       # stale: crash after the swap
+        else:
+            backup.rename(part_dir)     # crash between the renames
+    for stray in table_path.glob("_delete_tmp_*"):
+        shutil.rmtree(stray, ignore_errors=True)
+
     df = spark.read.parquet(str(table_path))
     affected = [
         r[0]
@@ -177,11 +202,6 @@ def delete_where(
         partition = f"{partition_col}={part_val}"
         part_dir = table_path / partition
         backup = table_path / f"_delete_backup_{partition}"
-        if backup.exists():
-            if part_dir.exists():
-                shutil.rmtree(backup)
-            else:
-                backup.rename(part_dir)
         if not part_dir.exists():
             raise FileNotFoundError(f"no such partition: {part_dir}")
         # basePath keeps the partition column resolvable in the
@@ -190,7 +210,12 @@ def delete_where(
         pdf = spark.read.option("basePath", str(table_path)).parquet(
             str(part_dir)
         )
-        keep = pdf.where(~condition).drop(partition_col)
+        # coalesce(cond, False): rows where the predicate is NULL are
+        # KEPT — bare ~condition is NULL for them, silently deleting
+        # every NULL-keyed row in a touched partition (3VL; review r7)
+        keep = pdf.where(~F.coalesce(condition, F.lit(False))).drop(
+            partition_col
+        )
         n_del = pdf.count() - keep.count()
         if n_del == 0:
             continue

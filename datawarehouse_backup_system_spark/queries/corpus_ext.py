@@ -562,10 +562,13 @@ def _x02_sql() -> str:
             q_rows.append(f"('{qid}', '{term}', {off})")
     return f"""
 WITH postings AS (
+  -- positions over the COMPACTED token list, matching
+  -- operators/search.py:build_positional_postings (review r7)
   SELECT d.doc_id, d.t[u.i + 1] AS term, CAST(u.i AS BIGINT) AS pos
-  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents) d,
+  FROM (SELECT doc_id,
+               list_filter(string_split(trim(text), ' '), x -> x <> '') AS t
+        FROM documents) d,
        UNNEST(range(len(d.t))) AS u(i)
-  WHERE d.t[u.i + 1] <> ''
 ),
 q(query_id, term, off) AS (VALUES {", ".join(q_rows)}),
 need(query_id, need) AS (VALUES {", ".join(need_rows)}),
