@@ -165,8 +165,15 @@ def main() -> int:
     load_start = [round(x, 2) for x in os.getloadavg()]
     # self-defense against host contention (the r6 artifact was poisoned
     # by a busy co-tenant and burned a round of comparability): flag the
-    # run as contended up front so the artifact self-identifies.
-    load_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_THRESH", "2.0"))
+    # run as contended up front so the artifact self-identifies. The
+    # threshold is normalized to the core count (r7 lesson: an absolute
+    # "load > 2" flagged a 32-CPU box at ~20% utilization and tainted an
+    # otherwise-clean artifact); default = 0.25 x cpus, env override is
+    # still an ABSOLUTE load value.
+    n_cpus = os.cpu_count() or 4
+    load_thresh = float(
+        os.environ.get("SPARK_GRAFT_BENCH_LOAD_THRESH", str(0.25 * n_cpus))
+    )
     contended = load_start[0] > load_thresh
     fingerprints = _table_fingerprints(sf_dir)
     data_fp = hashlib.md5(
@@ -183,7 +190,13 @@ def main() -> int:
         + round6_ext.SPECS
         + round7_ext.SPECS
     }
-    stage_root = tempfile.mkdtemp(prefix="dwbss-bench-stage-")
+    # crashed-run strays first (pid-liveness-gated, shared with u05)
+    from datawarehouse_backup_system_spark.queries.scale_ext import (
+        _sweep_stale_scratch,
+    )
+
+    _sweep_stale_scratch()
+    stage_root = tempfile.mkdtemp(prefix=f"dwbss-bench-stage-p{os.getpid()}-")
     extra_fns = {"d02_minhash_lsh_staged": _d02_staged(stage_root)}
     spark = get_spark(app_name="dwbss-bench")
 
@@ -228,36 +241,45 @@ def main() -> int:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    for name in run_order:
-        elapsed = time.time() - bench_t0
-        if elapsed > hard_budget:
-            skipped.append(name)
-            continue
-        runs = 1 if elapsed > soft_budget else 2
-        best = float("inf")
-        for _ in range(runs):
-            try:
-                best = min(best, _time_once(name))
-            except Exception as exc:  # noqa: BLE001 — isolate per query
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                break
-        if best < float("inf"):
-            timings[name] = round(best, 3)
-            errors.pop(name, None)
+    try:
+        for name in run_order:
+            elapsed = time.time() - bench_t0
+            if elapsed > hard_budget:
+                skipped.append(name)
+                continue
+            runs = 1 if elapsed > soft_budget else 2
+            best = float("inf")
+            for _ in range(runs):
+                try:
+                    best = min(best, _time_once(name))
+                except Exception as exc:  # noqa: BLE001 — isolate per query
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                    break
+            if best < float("inf"):
+                timings[name] = round(best, 3)
+                errors.pop(name, None)
 
-    # best-of-3 top-up for the most expensive queries: they dominate the
-    # total and are the most exposed to a noisy co-tenant burst, so one
-    # extra run tightens their min toward steady state (r6 lesson: the
-    # apparent q-family blowup was load, not plans).
-    topup_n = int(os.environ.get("SPARK_GRAFT_BENCH_TOPUP_N", "8"))
-    for name, _sec in sorted(timings.items(), key=lambda kv: -kv[1])[:topup_n]:
-        if time.time() - bench_t0 > hard_budget:
-            break
-        try:
-            timings[name] = min(timings[name], round(_time_once(name), 3))
-        except Exception:  # noqa: BLE001 — the best-of-2 number stands
-            pass
-    shutil.rmtree(stage_root, ignore_errors=True)
+        # best-of-3 top-up for the most expensive queries: they dominate
+        # the total and are the most exposed to a noisy co-tenant burst,
+        # so one extra run tightens their min toward steady state (r6
+        # lesson: the apparent q-family blowup was load, not plans).
+        topup_n = int(os.environ.get("SPARK_GRAFT_BENCH_TOPUP_N", "8"))
+        for name, _sec in sorted(
+            timings.items(), key=lambda kv: -kv[1]
+        )[:topup_n]:
+            if time.time() - bench_t0 > hard_budget:
+                break
+            try:
+                timings[name] = min(
+                    timings[name], round(_time_once(name), 3)
+                )
+            except Exception:  # noqa: BLE001 — best-of-2 number stands
+                pass
+    finally:
+        # a killed/failed run must not strand the staging root (r7
+        # stranded /tmp/dwbss-bench-stage-*; SIGKILL is still covered by
+        # the pid-gated startup sweep above)
+        shutil.rmtree(stage_root, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     load_end = [round(x, 2) for x in os.getloadavg()]

@@ -81,7 +81,9 @@ class Ledger:
     def append(self, file_name: str, status: str) -> None:
         self.append_many([(file_name, status)])
 
-    def append_many(self, rows: list[tuple[str, str]]) -> None:
+    def append_many(
+        self, rows: list[tuple[str, str]], cas_token: str | None = None
+    ) -> bool:
         """Write several (file_name, status) rows as ONE parquet file —
         the closest thing the format has to an atomic multi-row commit:
         the file appears whole or not at all, so a composite transition
@@ -98,16 +100,50 @@ class Ledger:
         without it; with it, 1 file, and faster). The coalesce only
         walks the ≤ len(rows) non-empty Arrow slices, so the old
         32-empty-slice objection does not apply.
+
+        ``cas_token``: put-if-absent commit (the Delta commit-log
+        shape, r8). The batch is staged next to the ledger and
+        HARD-LINKED in under ``cas-{token}.parquet`` — link is atomic
+        and fails EEXIST if a batch for the same token already landed,
+        so exactly ONE caller per token ever commits; the link IS the
+        commit, so a crash leaves either nothing (retryable) or the
+        whole batch. Returns True if this call committed, False if the
+        token was already taken (the caller rolls back its write).
         """
         if not rows:
-            return
+            return True
         import pandas as pd
 
         pdf = pd.DataFrame(rows, columns=["file_name", "status"])
         df = self.spark.createDataFrame(pdf).withColumn(
             "created_at", F.current_timestamp()
         )
-        df.coalesce(1).write.mode("append").parquet(self.path)
+        if cas_token is None:
+            df.coalesce(1).write.mode("append").parquet(self.path)
+            return True
+        import os
+        import shutil
+        import uuid as _uuid
+
+        target = Path(self.path) / f"cas-{cas_token}.parquet"
+        if target.exists():
+            return False
+        # stage as a SIBLING of the ledger dir ("_"-prefixed: invisible
+        # to table readers) so os.link stays on one filesystem
+        staging = (
+            Path(self.path).parent / f"_ledger_stage-{_uuid.uuid4().hex[:8]}"
+        )
+        try:
+            df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+            part = next(staging.glob("part-*.parquet"))
+            Path(self.path).mkdir(parents=True, exist_ok=True)
+            try:
+                os.link(part, target)
+            except FileExistsError:
+                return False
+            return True
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     def _exists(self) -> bool:
         p = Path(self.path)

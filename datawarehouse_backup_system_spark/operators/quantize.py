@@ -270,11 +270,13 @@ def pq_adc_topk(
     still scanned in compressed form."""
     from pyspark.sql import Window
 
-    # validate m against the CODEBOOK and the query dim up front: a
+    # validate m against the CODEBOOK and the query dims up front: a
     # mismatch makes zip_with pad with NULLs, every adc_micros NULL, and
     # the ascending window then hands back k ARBITRARY ids as "nearest"
     # with no error anywhere (review r7). Both probes are bounded
-    # (codebook is m·k rows; one query row).
+    # (codebook is m·k rows; ONE distinct-remainder agg over the queries
+    # — ADVICE r7: checking only `.first()` let a later query row with a
+    # bad dimension through to exactly that silent failure).
     cb_m = codebook.agg(
         F.count_distinct(F.col("subspace")).alias("n")
     ).first()["n"]
@@ -282,9 +284,15 @@ def pq_adc_topk(
         raise ValueError(
             f"m={m} does not match the codebook's {cb_m} subspaces"
         )
-    qrow = queries.select(F.size(_unit(query_vec)).alias("d")).first()
-    if qrow is not None and qrow["d"] % m:
-        raise ValueError(f"query dim {qrow['d']} not divisible by m={m}")
+    bad = queries.agg(
+        F.sum(
+            F.when(F.size(_unit(query_vec)) % m != 0, 1).otherwise(0)
+        ).alias("n_bad")
+    ).first()["n_bad"]
+    if bad:
+        raise ValueError(
+            f"{bad} query vector(s) have a dimension not divisible by m={m}"
+        )
 
     qv = _unit(query_vec)
     dim_expr = F.size(qv)

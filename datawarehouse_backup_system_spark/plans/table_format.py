@@ -154,7 +154,24 @@ class WriterLease:
                         try:
                             os.link(tomb, self.path)
                         except OSError:
-                            pass  # a newer lease already exists at path
+                            # a THIRD writer already re-created the
+                            # lease at path. Do NOT unlink the tomb:
+                            # it is the displaced second writer's only
+                            # surviving token (deleting it would leave
+                            # that writer heartbeating nothing and
+                            # writing unleased; ADVICE r7). Rename it
+                            # to a diagnostic name instead so repeated
+                            # steals don't collide on the tomb path.
+                            try:
+                                os.rename(
+                                    tomb,
+                                    tomb.with_name(
+                                        tomb.name + ".displaced"
+                                    ),
+                                )
+                            except OSError:
+                                pass
+                            continue
                         tomb.unlink(missing_ok=True)
                         continue
                     tomb.unlink(missing_ok=True)
@@ -287,6 +304,7 @@ class WriteIdParquetFormat(SnapshotFormat):
         table_name: str,
         extra_commit_rows: list[tuple[str, str]] | None = None,
         write_id: str | None = None,
+        commit_cas_token: str | None = None,
     ) -> int:
         """``extra_commit_rows``: ledger rows written in the SAME
         atomic batch as this append's commit marker (one parquet file —
@@ -297,7 +315,17 @@ class WriteIdParquetFormat(SnapshotFormat):
         ``write_id``: caller-chosen DETERMINISTIC id (16 hex chars) —
         the idempotency key for exactly-once streaming sinks (a replayed
         micro-batch re-derives the same id; see
-        streaming.exactly_once_table_sink). Default: a fresh uuid."""
+        streaming.exactly_once_table_sink). Default: a fresh uuid.
+
+        ``commit_cas_token``: put-if-absent commit (r8) — the commit
+        batch lands under a token-derived ledger file name via an
+        atomic hard link; if another writer already committed the same
+        token, THIS append rolls its published files back, marks the
+        write aborted, and raises :class:`VersionConflictError`.
+        rewrite_table derives the token from the exact predecessor
+        write-id set, making its check-then-commit window atomic (two
+        rewrites planned against the same committed state can never
+        both commit — the 3-writer lease-steal window's backstop)."""
         from pyspark.sql import Observation
 
         write_id = write_id or uuid.uuid4().hex[:16]
@@ -325,10 +353,23 @@ class WriteIdParquetFormat(SnapshotFormat):
             shutil.rmtree(inflight, ignore_errors=True)
             self.ledger.append(marker, ledger_mod.STATUS_WRITE_ABORTED)
             raise
-        self.ledger.append_many(
+        won = self.ledger.append_many(
             [(marker, ledger_mod.STATUS_WRITE_COMMIT)]
-            + list(extra_commit_rows or [])
+            + list(extra_commit_rows or []),
+            cas_token=commit_cas_token,
         )
+        if not won:
+            # lost the commit CAS: another writer already committed
+            # against the same predecessor state — this write must
+            # vanish exactly like a failed publish
+            for f in path.rglob(f"w{write_id}-*.parquet"):
+                f.unlink(missing_ok=True)
+            shutil.rmtree(inflight, ignore_errors=True)
+            self.ledger.append(marker, ledger_mod.STATUS_WRITE_ABORTED)
+            raise VersionConflictError(
+                f"table {table_name!r}: a concurrent writer committed "
+                "against the same predecessor version — re-read and retry"
+            )
         shutil.rmtree(inflight, ignore_errors=True)
         return int(obs.get["n"])
 
@@ -847,6 +888,7 @@ def rewrite_table(
          ledger_mod.STATUS_WRITE_RESTORED)
         for wid in old_ids
     ]
+    cas_token = None
     if expected_version is not None:
         # re-check at the commit point: the transform's execution is the
         # check-then-commit window a concurrent append can land in when
@@ -860,7 +902,20 @@ def rewrite_table(
                 f"transaction (planned {len(old_ids)} ids, now "
                 f"{len(now_ids)}) — re-read and retry"
             )
-    n = fmt.append(rewritten, path, table_name, extra_commit_rows=tombstones)
+        # the check above is itself check-then-commit; the CAS token
+        # (hash of the exact predecessor id set — write-ids are uuids,
+        # so a set never repeats) makes the COMMIT the arbiter: of all
+        # rewrites planned against this committed state, exactly one
+        # ever lands (r8; proven by the 3-writer steal-race pytest)
+        import hashlib
+
+        cas_token = hashlib.sha256(
+            ("\n".join([table_name] + sorted(old_ids))).encode()
+        ).hexdigest()[:24]
+    n = fmt.append(
+        rewritten, path, table_name, extra_commit_rows=tombstones,
+        commit_cas_token=cas_token,
+    )
     swept = vacuum(fmt, path, table_name) if run_vacuum else 0
     return {
         "rewritten": n,

@@ -1132,17 +1132,23 @@ def _u05_cleanup() -> None:
     _U05_SCRATCH_ROOTS.clear()
 
 
-def _sweep_stale_scratch(max_age_s: float = 3600.0) -> int:
-    """Startup sweep of orphaned u05 scratch warehouses: a SIGKILLed run
-    never reaches the atexit cleanup, and on a shared host the strays
-    accumulate (19 found after r6). Own prefix only. Returns the number
-    of roots removed.
+def _sweep_stale_scratch(
+    max_age_s: float = 86400.0,
+    prefixes: tuple[str, ...] = ("dwbss-u05-", "dwbss-bench-stage-"),
+) -> int:
+    """Startup sweep of orphaned scratch roots (u05 warehouses, bench
+    staging dirs): a SIGKILLed run never reaches the atexit/finally
+    cleanup, and on a shared host the strays accumulate (19 u05 roots
+    found after r6; one bench stage root after r7). Own prefixes only.
+    Returns the number of roots removed.
 
     Liveness, not just age: new-format roots embed the owner pid
-    (``dwbss-u05-p{pid}-``) and are removed ONLY when that pid is dead
-    — a still-alive session that ran u05 hours ago keeps its scratch
+    (``{prefix}p{pid}-``) and are removed ONLY when that pid is dead
+    — a still-alive session that created scratch hours ago keeps it
     (its lazily-read DataFrame may be re-evaluated any time). Roots
-    from before the pid format fall back to the age gate."""
+    from before the pid format fall back to an age gate so wide (24 h
+    default) that no plausibly-live session could still reference them
+    (ADVICE r7: a 1 h gate could yank a running session's warehouse)."""
     import os
     import re
     import shutil
@@ -1152,28 +1158,29 @@ def _sweep_stale_scratch(max_age_s: float = 3600.0) -> int:
 
     now = time.time()
     removed = 0
-    for d in _P(tempfile.gettempdir()).glob("dwbss-u05-*"):
-        try:
-            if not d.is_dir():
-                continue
-            m = re.match(r"dwbss-u05-p(\d+)-", d.name)
-            if m:
-                pid = int(m.group(1))
-                if pid == os.getpid():
+    for prefix in prefixes:
+        for d in _P(tempfile.gettempdir()).glob(prefix + "*"):
+            try:
+                if not d.is_dir():
                     continue
-                try:
-                    os.kill(pid, 0)
-                    continue          # owner alive — never touch
-                except ProcessLookupError:
-                    pass              # owner dead — safe to sweep
-                except PermissionError:
-                    continue          # alive under another uid
-            elif now - d.stat().st_mtime <= max_age_s:
-                continue              # legacy format: age gate only
-            shutil.rmtree(d, ignore_errors=True)
-            removed += 1
-        except OSError:
-            pass
+                m = re.match(re.escape(prefix) + r"p(\d+)-", d.name)
+                if m:
+                    pid = int(m.group(1))
+                    if pid == os.getpid():
+                        continue
+                    try:
+                        os.kill(pid, 0)
+                        continue      # owner alive — never touch
+                    except ProcessLookupError:
+                        pass          # owner dead — safe to sweep
+                    except PermissionError:
+                        continue      # alive under another uid
+                elif now - d.stat().st_mtime <= max_age_s:
+                    continue          # legacy format: wide age gate only
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+            except OSError:
+                pass
     return removed
 
 

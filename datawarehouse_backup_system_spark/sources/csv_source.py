@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import codecs
 import gzip
+import sys
 import zipfile
 from collections import Counter
 from pathlib import Path
@@ -72,11 +73,17 @@ def _open_text(file_path: str | Path, encoding: str):
 def detect_encoding(file_path: str | Path, sample_size: int = DEFAULT_SAMPLE_SIZE) -> str | None:
     """BOM check first, then trial-decode of a bounded sample.
 
-    Two review-r7 hardenings of the trial chain:
+    Two hardenings of the trial chain:
 
     - the sample is hard-truncated at ``sample_size``, so a multi-byte
-      UTF-8 character straddling the boundary must not fail the utf-8
-      trial — up to 3 trailing bytes are dropped before deciding;
+      character straddling the boundary must not fail the trial. r7
+      dropped a FIXED 3 trailing bytes, which could bisect a COMPLETE
+      trailing sequence and misdetect valid UTF-8 as iso-8859-1
+      (ADVICE r7); r8 uses the codec's own incremental decoder with
+      ``final=False`` — an incomplete tail is buffered (benign) while a
+      genuinely invalid byte mid-sample still raises. The same applies
+      to truncated BOM-less UTF-16 (odd-length tail, lone trailing high
+      surrogate);
     - BOM-less utf-16 is tried ONLY when the sample contains NUL bytes
       (ASCII code points in UTF-16 always carry a 0x00 half, while real
       latin-1 text never does): any even-length byte string "decodes"
@@ -104,13 +111,27 @@ def detect_encoding(file_path: str | Path, sample_size: int = DEFAULT_SAMPLE_SIZ
         else ("utf-8", "iso-8859-1")
     )
     for enc in trials:
-        body = sample
-        if truncated and enc == "utf-8":
-            # a UTF-8 sequence is at most 4 bytes: dropping 3 always
-            # removes any partial trailing character
-            body = sample[:-3]
         try:
-            body.decode(enc)
+            if truncated:
+                # final=False: an incomplete trailing sequence is
+                # buffered, not an error; invalid bytes mid-sample
+                # still raise — exactly the truncation semantics.
+                # The incremental "utf-16" decoder REFUSES BOM-less
+                # input (plain decode falls back to native order), so
+                # pin the endianness the plain decode would use — the
+                # BOM case already returned above.
+                inc_enc = enc
+                if enc == "utf-16":
+                    inc_enc = (
+                        "utf-16-le"
+                        if sys.byteorder == "little"
+                        else "utf-16-be"
+                    )
+                codecs.getincrementaldecoder(inc_enc)().decode(
+                    sample, final=False
+                )
+            else:
+                sample.decode(enc)
             return enc
         except (UnicodeDecodeError, UnicodeError):
             continue

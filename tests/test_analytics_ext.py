@@ -201,6 +201,27 @@ def test_pq_adc_recall_floor(spark, sf_dir):
     assert hits / total >= 0.4
 
 
+def test_pq_adc_dim_guard_all_rows(spark, sf_dir):
+    """ADVICE r7: the dim guard probed only the FIRST query row; a
+    LATER row with a vector length not divisible by m sailed through to
+    all-NULL adc_micros and k arbitrary "nearest" ids. The guard must
+    validate every row."""
+    import pytest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = pq_seed_codebook(emb, "vec_id", "embedding", m=8, k=16)
+    codes = pq_encode(emb, "vec_id", "embedding", cb, m=8)
+    good = emb.where(F.col("vec_id") % 100 == 0).select("vec_id", "embedding")
+    # first row valid, a LATER row truncated to a non-divisible length
+    bad_tail = good.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.slice("embedding", 1, 13).alias("embedding"),
+    )
+    mixed = good.unionByName(bad_tail)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_adc_topk(codes, "vec_id", mixed, "vec_id", "embedding", cb, m=8, k=3)
+
+
 def test_pair_support_exact_counts_and_lift(spark):
     """pair_support on a hand-built basket set: support counts the
     baskets containing BOTH items, per-item counts and lift follow the
@@ -271,3 +292,46 @@ def test_pair_support_shard_mergeable(spark):
             k = (r["item_a"], r["item_b"])
             merged[k] = merged.get(k, 0) + r["support"]
     assert merged == full
+
+
+def test_pair_support_hot_basket_cap(spark):
+    """VERDICT r7 item 3: a planted mega-basket (one bot user touching
+    hundreds of distinct items) must not explode into C(k,2) pairs —
+    with ``max_basket_size`` its pair contribution is bounded at
+    C(cap,2), normal baskets are untouched, the keep rule is
+    deterministic, lift denominators stay exact, and the audit reports
+    the capped basket and its dropped memberships."""
+    from datawarehouse_backup_system_spark.operators.behavior import (
+        pair_support,
+        pair_support_audit,
+    )
+
+    mega = [(999, f"it{i:04d}") for i in range(400)]  # C(400,2)=79800
+    normal = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "b")]
+    df = spark.createDataFrame(
+        normal + mega, "bk bigint, item string"
+    ).repartition(8)
+
+    cap = 10
+    got = pair_support(df, ["bk"], "item", max_basket_size=cap)
+    rows = got.collect()
+    # bounded: mega contributes at most C(10,2)=45 pairs, not 79800
+    mega_pairs = [r for r in rows if r["item_a"].startswith("it")]
+    assert len(mega_pairs) == cap * (cap - 1) // 2
+    # normal baskets untouched, and denominators stay EXACT (n_baskets
+    # still counts the mega basket; n_a/n_b unaffected by the cap)
+    ab = next(r for r in rows if (r["item_a"], r["item_b"]) == ("a", "b"))
+    assert ab["support"] == 2 and ab["n_a"] == 2 and ab["n_b"] == 3
+    assert ab["lift_milli"] == 2 * 4 * 1000 // (2 * 3)
+
+    # deterministic keep rule: same result under a different partitioning
+    again = pair_support(
+        df.repartition(3, "item"), ["bk"], "item", max_basket_size=cap
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # audit: one capped basket, 390 dropped memberships
+    audit = pair_support_audit(df, ["bk"], "item", max_basket_size=cap)
+    a = audit.collect()[0]
+    assert (a["n_baskets"], a["n_baskets_capped"], a["n_items_dropped"]) \
+        == (4, 1, 390)

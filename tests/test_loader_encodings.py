@@ -122,6 +122,53 @@ def test_detect_encoding_truncated_multibyte_boundary(tmp_path):
     assert detect_encoding(p, sample_size=cut) == "utf-8"
 
 
+def test_detect_encoding_truncated_complete_tail(tmp_path):
+    """ADVICE r7 (medium): the old fix dropped a FIXED 3 trailing bytes,
+    which bisects a COMPLETE trailing multi-byte char (all-2-byte chars
+    with the sample boundary ON a char boundary; or a 4-byte emoji
+    flush with the boundary) and misdetected valid UTF-8 as
+    iso-8859-1. The incremental-decoder tail handling must accept
+    both complete and split tails."""
+    from datawarehouse_backup_system_spark.sources.csv_source import (
+        detect_encoding,
+    )
+
+    p = tmp_path / "twobyte.csv"
+    p.write_bytes(("é" * 100).encode("utf-8"))  # 200 bytes
+    assert detect_encoding(p, sample_size=200) == "utf-8"  # on boundary
+    assert detect_encoding(p, sample_size=199) == "utf-8"  # mid-char
+
+    q = tmp_path / "emoji.csv"
+    q.write_bytes(("a" * 96 + "\U0001F389").encode("utf-8"))  # 100 bytes
+    assert detect_encoding(q, sample_size=100) == "utf-8"  # flush
+    assert detect_encoding(q, sample_size=98) == "utf-8"   # split
+
+
+def test_detect_encoding_truncated_utf16_tails(tmp_path):
+    """ADVICE r7 (low): a truncated BOM-less UTF-16 sample ending
+    mid-code-unit (odd sample size) or on a lone high surrogate must
+    not fail the utf-16 trial and fall through to utf-8 (NUL bytes are
+    valid UTF-8)."""
+    from datawarehouse_backup_system_spark.sources.csv_source import (
+        detect_encoding,
+    )
+
+    p = tmp_path / "odd16.csv"
+    p.write_bytes("id,name\n1,abc\n".encode("utf-16-le"))
+    assert detect_encoding(p, sample_size=15) == "utf-16"  # odd cut
+
+    q = tmp_path / "surr16.csv"
+    q.write_bytes(
+        "ab".encode("utf-16-le") + "\U0001F600".encode("utf-16-le")[:2]
+    )
+    assert detect_encoding(q, sample_size=6) == "utf-16"  # lone high
+
+    # truncated latin-1 must still fall through cleanly
+    r = tmp_path / "lat.csv"
+    r.write_bytes(("café " * 50).encode("iso-8859-1"))
+    assert detect_encoding(r, sample_size=100) == "iso-8859-1"
+
+
 def test_zip_first_member_hostile_names(tmp_path):
     """Review r7: extract()'s sanitized return path is used — absolute
     or dot-dot member names must stay inside the staging dir."""

@@ -608,8 +608,18 @@ def test_u05_scratch_sweep_age_gated(tmp_path, monkeypatch):
     mine.mkdir()
     os.utime(mine, (past, past))
 
-    assert _sweep_stale_scratch(max_age_s=3600) == 2
+    # r8: bench staging roots share the sweep (r7 stranded one on a
+    # killed bench run)
+    bench_dead = tmp_path / "dwbss-bench-stage-p999999999-z"
+    bench_dead.mkdir()
+    bench_mine = tmp_path / f"dwbss-bench-stage-p{os.getpid()}-w"
+    bench_mine.mkdir()
+    os.utime(bench_mine, (past, past))
+
+    assert _sweep_stale_scratch(max_age_s=3600) == 3
     assert not old.exists() and not dead.exists()
+    assert not bench_dead.exists()
     assert fresh.exists()          # legacy format, young: may be live
     assert mine.exists()           # owner (this pid) alive: never touched
+    assert bench_mine.exists()     # live bench owner: never touched
     assert other.exists()          # never touches foreign prefixes
