@@ -90,6 +90,13 @@ try:  # round-7 extensions (frequent-pattern co-occurrence mining)
 except ImportError:
     pass
 
+try:  # round-8 extensions (large-star/small-star connected components)
+    from datawarehouse_backup_system_spark.queries import round8_ext
+
+    _ALL_SPECS += list(round8_ext.SPECS)
+except ImportError:
+    pass
+
 
 def _staleness_key(name: str) -> int:
     """Rotation priority from the CORRECTNESS_r{N}.json history.

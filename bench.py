@@ -32,6 +32,7 @@ from datawarehouse_backup_system_spark.queries import (  # noqa: E402
     relational_ext,
     round6_ext,
     round7_ext,
+    round8_ext,
     scale_ext,
 )
 from datawarehouse_backup_system_spark.session import get_spark  # noqa: E402
@@ -189,6 +190,7 @@ def main() -> int:
         + scale_ext.SPECS
         + round6_ext.SPECS
         + round7_ext.SPECS
+        + round8_ext.SPECS
     }
     # crashed-run strays first (pid-liveness-gated, shared with u05)
     from datawarehouse_backup_system_spark.queries.scale_ext import (

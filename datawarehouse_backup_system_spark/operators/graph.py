@@ -88,3 +88,184 @@ def pagerank(
     return ranks.select(
         "node", F.round(F.col("rank"), round_digits).alias("rank")
     )
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (lo, hi), lo < hi, distinct."""
+    return (
+        e.select(
+            F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi")
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star step (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", public literature): every node connects its
+    strictly-LARGER neighbors to the minimum of its closed
+    neighborhood. Preserves components; shrinks tall chains toward
+    local minima in parallel.
+
+    Both orientations come from ONE explode over the edge scan (a
+    two-branch self-union evaluates the upstream twice — SCALE.md
+    measured lesson), and m(a) = least(a, min(b)) is computed AFTER
+    the agg (F.first is nondeterministic to Catalyst and poisons plan
+    reuse)."""
+    d = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("lo").alias("a"), F.col("hi").alias("b")),
+                F.struct(F.col("hi").alias("a"), F.col("lo").alias("b")),
+            )
+        ).alias("x")
+    ).select("x.a", "x.b")
+    m = d.groupBy("a").agg(F.min("b").alias("_mn")).select(
+        "a", F.least(F.col("a"), F.col("_mn")).alias("m")
+    )
+    out = (
+        d.where(F.col("b") > F.col("a"))
+        .join(m, "a")
+        .select(F.col("m").alias("u"), F.col("b").alias("v"))
+    )
+    return _canon(out)
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star step: every node connects its smaller-or-equal
+    neighborhood (plus itself) to that neighborhood's minimum."""
+    # orient each edge toward its larger endpoint: group key h > l.
+    # One pass: collect each h's smaller neighborhood min m, then emit
+    # (l, m) per member plus (h, m) — the member edges via the join,
+    # the center edge via the (bounded, one-row-per-group) m frame.
+    d = e.select(F.col("hi").alias("h"), F.col("lo").alias("l"))
+    m = d.groupBy("h").agg(F.min("l").alias("m"))
+    out = d.join(m, "h").select(
+        F.col("m").alias("u"),
+        F.explode(F.array("l", "h")).alias("v"),
+    )
+    return _canon(out)
+
+
+#: scratch roots of still-referenced final-round edge sets — the output
+#: DataFrame lazily reads the last round's parquet, so the root cannot
+#: be deleted before process exit (the u05 scratch-lifetime pattern).
+_WCC_SCRATCH_ROOTS: list = []
+
+
+def _wcc_cleanup() -> None:
+    import shutil
+
+    for root in _WCC_SCRATCH_ROOTS:
+        shutil.rmtree(root, ignore_errors=True)
+    _WCC_SCRATCH_ROOTS.clear()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    max_iter: int = 50,
+    stage_path: str | None = None,
+) -> DataFrame:
+    """Weakly-connected components via alternating large-star /
+    small-star rounds → ``(node, component_id)`` where component_id is
+    the component's MINIMUM node id.
+
+    Why not plain min-label propagation (``dedup_approx.dedup_groups``):
+    label propagation needs O(graph diameter) rounds — a chain of 10⁶
+    nodes (exactly what event-succession graphs produce) is 10⁶
+    shuffles. The star algorithm contracts chains at both ends toward
+    local minima every round and provably converges in O(log n) rounds
+    on any graph, each round being two groupBy shuffles over the edge
+    set — the 100 TB shape.
+
+    Each round is STAGED TO PARQUET, exactly like the MapReduce
+    originals materialize between jobs (and like d02's ``stage_path``
+    tier). Not persist, not localCheckpoint — measured on a 40-edge
+    toy graph: a star round references its input ~4×, so under persist
+    the logical plan (and driver-side canonicalization/cache-lookup
+    cost) grows ~4^round — round 0 took 2.8 s, round 3 never finished;
+    and eager ``localCheckpoint`` intermittently served the PREVIOUS
+    round's rows (observed: round 1 returned round 0's exact edge set
+    while a fresh JVM returned the correct one). A parquet round-trip
+    is a flat scan: constant plan size, deterministic, and at cluster
+    scale doubles as restartable progress. Convergence is a 1-row agg
+    on the staged file (count + order-insensitive XOR of edge hashes —
+    SUM would overflow ANSI int64), never a data-sized collect;
+    superseded round files are deleted as soon as the next lands.
+
+    ``stage_path``: directory for the round files (reused across runs
+    or pointed at cluster storage); default a process-scoped temp dir
+    swept at exit and by the stale-scratch startup sweep. The FINAL
+    round's parquet backs the returned (lazy) DataFrame, so the scratch
+    root must outlive the caller's reads — the default root lives
+    until process exit, the u05 scratch pattern.
+
+    ``nodes``: optional one-column frame of ALL node ids — isolated
+    nodes (no incident edge) appear in the output as their own
+    singleton components. Node ids must be orderable and non-null
+    (component_id = the min id, the dedup_groups convention)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Observation
+
+    spark = edges.sparkSession
+    if stage_path is None:
+        root = tempfile.mkdtemp(prefix=f"dwbss-wcc-p{os.getpid()}-")
+        if not _WCC_SCRATCH_ROOTS:
+            atexit.register(_wcc_cleanup)
+        _WCC_SCRATCH_ROOTS.append(root)
+    else:
+        root = stage_path
+    # round 0's input stays UNstaged: its plan is one flat pass over
+    # the caller's edges and round 1 reads round 0's staged output, so
+    # no lineage can compound — saves a full write+read of the largest
+    # edge set. The convergence signature rides the write job itself
+    # via Observation (no separate read-back agg): one job per round.
+    e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    cur = None
+    prev_sig = None
+    for i in range(max_iter):
+        nxt = f"{root}/r{i + 1}"
+        obs = Observation()
+        _small_star(_large_star(e)).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)
+            ).alias("h"),
+        ).write.mode("overwrite").parquet(nxt)
+        sig = (obs.get["n"], obs.get["h"])
+        if cur is not None:
+            shutil.rmtree(cur, ignore_errors=True)  # superseded round
+        cur = nxt
+        e = spark.read.parquet(nxt)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "alternating star rounds (theory bound is O(log n))"
+        )
+    # fixpoint is a star forest: every edge is (root=lo, member=hi)
+    labels = e.select(
+        F.col("hi").alias("node"), F.col("lo").alias("component_id")
+    ).union(
+        e.select(F.col("lo").alias("node"), F.col("lo").alias("component_id"))
+    ).distinct()
+    if nodes is not None:
+        nid = nodes.columns[0]
+        labels = labels.unionByName(
+            nodes.select(F.col(nid).alias("node"))
+            .distinct()
+            .join(labels, "node", "left_anti")
+            .select("node", F.col("node").alias("component_id"))
+        )
+    return labels

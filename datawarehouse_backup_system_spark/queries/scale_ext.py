@@ -1134,7 +1134,9 @@ def _u05_cleanup() -> None:
 
 def _sweep_stale_scratch(
     max_age_s: float = 86400.0,
-    prefixes: tuple[str, ...] = ("dwbss-u05-", "dwbss-bench-stage-"),
+    prefixes: tuple[str, ...] = (
+        "dwbss-u05-", "dwbss-bench-stage-", "dwbss-wcc-"
+    ),
 ) -> int:
     """Startup sweep of orphaned scratch roots (u05 warehouses, bench
     staging dirs): a SIGKILLed run never reaches the atexit/finally

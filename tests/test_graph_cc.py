@@ -1,0 +1,156 @@
+"""Large-star/small-star connected components (operators/graph.py).
+
+The two step functions carry the algorithm's correctness proof
+obligations (Kiveris et al.): each step PRESERVES the component
+partition, and the alternation's fixpoint is a star forest whose
+centers are the component minima. These tests machine-check those
+invariants directly, then the end-to-end operator against a
+union-find reference on random graphs; g03's DuckDB oracle re-checks
+the full pipeline against window sessionization per driver round.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from datawarehouse_backup_system_spark.operators.graph import (
+    _canon,
+    _large_star,
+    _small_star,
+    connected_components,
+)
+
+
+def _uf(edge_list, universe):
+    """Union-find reference: {node: min id of its component}."""
+    parent = {v: v for v in universe}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for v in universe:
+        comps.setdefault(find(v), []).append(v)
+    return {v: min(vs) for vs in comps.values() for v in vs}
+
+
+def _partition(edge_list, universe):
+    """Frozen component partition (set of frozensets) for comparison."""
+    lab = _uf(edge_list, universe)
+    groups: dict = {}
+    for v, c in lab.items():
+        groups.setdefault(c, set()).add(v)
+    return {frozenset(g) for g in groups.values()}
+
+
+def _edges_of(df):
+    return [(r["lo"], r["hi"]) for r in df.collect()]
+
+
+def test_star_steps_preserve_components(spark):
+    """THE invariant both steps must satisfy: the component partition
+    over the touched nodes is identical before and after each step
+    (edges move, connectivity never does)."""
+    rng = random.Random(3)
+    n = 50
+    raw = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    e = _canon(
+        spark.createDataFrame(raw, "u bigint, v bigint")
+    )
+    before = _edges_of(e)
+    universe = {x for p in before for x in p}
+
+    ls = _edges_of(_large_star(e))
+    assert _partition(ls, universe) == _partition(before, universe)
+
+    ss = _edges_of(_small_star(_large_star(e)))
+    assert _partition(ss, universe) == _partition(before, universe)
+
+
+def test_fixpoint_is_star_forest_with_min_centers(spark):
+    """At convergence every edge is (component_min, member): centers
+    are exactly the component minima and no member is itself a
+    center — the property the label read-off step relies on."""
+    rng = random.Random(9)
+    n = 40
+    raw = [(rng.randrange(n), rng.randrange(n)) for _ in range(35)]
+    df = spark.createDataFrame(raw, "src bigint, dst bigint")
+    labels = {
+        r["node"]: r["component_id"]
+        for r in connected_components(df).collect()
+    }
+    universe = {x for p in raw for x in p if True}
+    canon_pairs = [(min(a, b), max(a, b)) for a, b in raw if a != b]
+    exp = _uf(canon_pairs, {x for p in canon_pairs for x in p})
+    assert labels == exp
+    # star-forest read-off: centers label themselves, members label
+    # their center, and centers are minima of their own groups
+    for v, c in labels.items():
+        assert labels[c] == c
+        assert c <= v
+
+
+def test_connected_components_matches_union_find(spark):
+    """End-to-end equality with a union-find reference on random
+    graphs of varying density, isolated nodes included via nodes=."""
+    rng = random.Random(17)
+    for trial in range(3):
+        n = 70
+        raw = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(25 + 20 * trial)
+        ]
+        df = spark.createDataFrame(raw, "src bigint, dst bigint")
+        nodes = spark.range(n).select(F.col("id").alias("node"))
+        got = {
+            r["node"]: r["component_id"]
+            for r in connected_components(df, nodes=nodes).collect()
+        }
+        assert got == _uf(raw, set(range(n)))
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    """The reason this operator exists: a 300-node path (diameter 300,
+    where label propagation needs 300 rounds) must collapse to ONE
+    component within the operator's max_iter=50 — the O(log n) bound
+    means ~12 alternations, so hitting 50 would fail loudly."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "src bigint, dst bigint"
+    )
+    lab = connected_components(chain).collect()
+    assert len(lab) == 301
+    assert {r["component_id"] for r in lab} == {0}
+
+
+def test_self_loops_duplicates_and_singletons(spark):
+    """Self-loops are dropped, duplicate/reversed edges collapse, and
+    isolated nodes come back as their own singleton components."""
+    raw = [(5, 5), (1, 2), (2, 1), (1, 2), (8, 9)]
+    df = spark.createDataFrame(raw, "src bigint, dst bigint")
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 5, 8, 9)], "node bigint"
+    )
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(df, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 5: 5, 8: 8, 9: 8}
+
+
+def test_nonconvergence_raises(spark):
+    """max_iter exhaustion is loud, never a partial labeling."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
