@@ -269,3 +269,91 @@ def connected_components(
             .select("node", F.col("node").alias("component_id"))
         )
     return labels
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact per-node triangle counts → ``(node, n_triangles)`` over
+    the undirected simple graph (self-loops dropped, parallel/reversed
+    edges collapsed). Nodes in no triangle are omitted — callers join
+    back with a zero default when they need the full vertex set.
+
+    The classic degree-ordered orientation (node-iterator++ / Schank):
+    orient every undirected edge from the endpoint with (degree, id)
+    rank LOWER to higher. Each triangle then has exactly ONE wedge
+    a→b, a→c with both edges outgoing from its lowest-ranked corner,
+    so counting = one self-join of the oriented list on the wedge
+    apex + one semi-join against the oriented closure edge. Out-degree
+    under this orientation is O(√m) on any graph, which bounds the
+    wedge count at O(m^1.5) — the property that makes exact triangle
+    counting feasible at web scale where a naive neighbor-join on the
+    raw (skewed) degree distribution explodes on hub nodes.
+
+    Plan: degrees = one groupBy over the exploded edge list; the
+    orientation join broadcasts nothing and shuffles the edge list
+    twice (once per endpoint's degree lookup); the wedge self-join
+    shuffles on the apex; the closure check is an inner join on the
+    canonical (lo, hi) pair. Per-node counts credit all three corners
+    via one explode + groupBy."""
+    e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    # (degree, id) total order: rank(x) = (deg(x), x)
+    d = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("lo").alias("a"), F.col("hi").alias("b")),
+                F.struct(F.col("hi").alias("a"), F.col("lo").alias("b")),
+            )
+        ).alias("x")
+    ).select("x.a", "x.b")
+    deg = d.groupBy("a").agg(F.count("*").alias("deg"))
+    # orient lo→hi in rank order; keep the canonical pair for closure
+    ranked = (
+        e.join(
+            deg.select(
+                F.col("a").alias("lo"), F.col("deg").alias("_dlo")
+            ),
+            "lo",
+        )
+        .join(
+            deg.select(
+                F.col("a").alias("hi"), F.col("deg").alias("_dhi")
+            ),
+            "hi",
+        )
+        .select(
+            "lo",
+            "hi",
+            F.when(
+                (F.col("_dlo") < F.col("_dhi"))
+                | (
+                    (F.col("_dlo") == F.col("_dhi"))
+                    & (F.col("lo") < F.col("hi"))
+                ),
+                F.struct(F.col("lo").alias("s"), F.col("hi").alias("t")),
+            )
+            .otherwise(
+                F.struct(F.col("hi").alias("s"), F.col("lo").alias("t"))
+            )
+            .alias("o"),
+        )
+        .select(F.col("o.s").alias("s"), F.col("o.t").alias("t"))
+    )
+    # wedges at the lowest-ranked corner: s→t1, s→t2 with t1 < t2
+    w1 = ranked.select(F.col("s").alias("_apex"), F.col("t").alias("_b"))
+    w2 = ranked.select(F.col("s").alias("_apex"), F.col("t").alias("_c"))
+    wedges = w1.join(w2, "_apex").where(F.col("_b") < F.col("_c"))
+    # closure: the third side exists as a canonical undirected edge
+    tri = wedges.join(
+        e.select(F.col("lo").alias("_b"), F.col("hi").alias("_c")),
+        ["_b", "_c"],
+    )
+    return (
+        tri.select(
+            F.explode(F.array("_apex", "_b", "_c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.graph import connected_components
+from ..operators.graph import connected_components, triangle_counts
 from .base import QuerySpec, load
 
 #: session gap: consecutive same-user events at most 12 h apart are
@@ -101,11 +101,85 @@ GROUP BY user_id, sid
 """
 
 
+def g04_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node exact triangle counts over the 2nd-order succession
+    graph: within each user's timeline, edges link an event to its
+    next AND next-next event when each pair is ≤ 12 h apart — so every
+    within-window consecutive triple closes a triangle. Triangle
+    participation is the local clustering signal (dense bursts score
+    high, isolated events zero). Scale shape: the edge build is the
+    same one user-window pass as g03 with two lags; the count uses
+    degree-ordered orientation (operators/graph.py:triangle_counts) —
+    wedges are generated only at each triangle's lowest-(degree,id)
+    corner, bounding work at O(m^1.5) independent of hub skew."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    succ = ev.select(
+        F.col("event_id").alias("_id"),
+        us.alias("_us"),
+        F.lag("event_id", 1).over(w).alias("_p1"),
+        F.lag(us, 1).over(w).alias("_p1us"),
+        F.lag("event_id", 2).over(w).alias("_p2"),
+        F.lag(us, 2).over(w).alias("_p2us"),
+    )
+    e1 = succ.where(
+        F.col("_p1").isNotNull()
+        & ((F.col("_us") - F.col("_p1us")) <= F.lit(_G03_GAP_US))
+    ).select(F.col("_p1").alias("src"), F.col("_id").alias("dst"))
+    e2 = succ.where(
+        F.col("_p2").isNotNull()
+        & ((F.col("_us") - F.col("_p2us")) <= F.lit(_G03_GAP_US))
+    ).select(F.col("_p2").alias("src"), F.col("_id").alias("dst"))
+    return triangle_counts(e1.unionByName(e2)).select(
+        F.col("node").alias("event_id"), "n_triangles"
+    )
+
+
+G04_SQL = f"""
+WITH s AS (
+  SELECT event_id AS id, epoch_us(ts) AS us,
+         lag(event_id, 1) OVER w AS p1, lag(epoch_us(ts), 1) OVER w AS p1us,
+         lag(event_id, 2) OVER w AS p2, lag(epoch_us(ts), 2) OVER w AS p2us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+raw_e AS (
+  SELECT p1 AS a, id AS b FROM s
+  WHERE p1 IS NOT NULL AND us - p1us <= {_G03_GAP_US}
+  UNION ALL
+  SELECT p2, id FROM s
+  WHERE p2 IS NOT NULL AND us - p2us <= {_G03_GAP_US}
+),
+edges AS (
+  SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+  FROM raw_e WHERE a <> b
+),
+tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.lo = e1.hi
+  JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+)
+SELECT node AS event_id, COUNT(*) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+GROUP BY node
+"""
+
+
 SPECS = [
     QuerySpec(
         "g03_wcc_sessions", g03_wcc_sessions, G03_SQL,
         "weakly-connected components (large-star/small-star) over the "
         "event-succession graph; oracle re-derives the partition via "
         "window sessionization",
+    ),
+    QuerySpec(
+        "g04_triangle_participation", g04_triangle_participation, G04_SQL,
+        "exact per-node triangle counts (degree-ordered orientation, "
+        "O(m^1.5) wedges) over the 2nd-order succession graph; oracle "
+        "replays the a<b<c 3-way join enumeration",
     ),
 ]

@@ -154,3 +154,60 @@ def test_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=1)
+
+
+def test_triangle_counts_matches_brute_force(spark):
+    """Per-node triangle counts equal the C(n,3) brute-force census on
+    random graphs — self-loops and duplicate/reversed edges included
+    in the input to prove the canonicalization."""
+    import itertools
+
+    from datawarehouse_backup_system_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    rng = random.Random(5)
+    for trial in range(2):
+        n = 30
+        raw = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(60 + 25 * trial)
+        ]
+        edge_set = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+        adj: dict = {}
+        for a, b in edge_set:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        exp: dict = {}
+        for a, b, c in itertools.combinations(sorted(adj), 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                for v in (a, b, c):
+                    exp[v] = exp.get(v, 0) + 1
+        df = spark.createDataFrame(raw, "src bigint, dst bigint")
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_counts(df).collect()
+        }
+        assert got == exp
+
+
+def test_triangle_counts_hub_star_is_triangle_free(spark):
+    """The orientation's reason to exist: a hub star (one node joined
+    to every other) has ZERO triangles and must produce zero wedge
+    survivors — and adding one rim edge creates exactly one triangle
+    crediting hub + both rim nodes."""
+    from datawarehouse_backup_system_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    star = [(0, i) for i in range(1, 40)]
+    df = spark.createDataFrame(star, "src bigint, dst bigint")
+    assert triangle_counts(df).count() == 0
+
+    df2 = spark.createDataFrame(
+        star + [(1, 2)], "src bigint, dst bigint"
+    )
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df2).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1}
