@@ -192,12 +192,10 @@ def main() -> int:
         + round7_ext.SPECS
         + round8_ext.SPECS
     }
-    # crashed-run strays first (pid-liveness-gated, shared with u05)
-    from datawarehouse_backup_system_spark.queries.scale_ext import (
-        _sweep_stale_scratch,
-    )
+    # crashed-run strays first (pid-liveness-gated, shared lifecycle)
+    from datawarehouse_backup_system_spark.scratch import sweep_stale_scratch
 
-    _sweep_stale_scratch()
+    sweep_stale_scratch()
     stage_root = tempfile.mkdtemp(prefix=f"dwbss-bench-stage-p{os.getpid()}-")
     extra_fns = {"d02_minhash_lsh_staged": _d02_staged(stage_root)}
     spark = get_spark(app_name="dwbss-bench")

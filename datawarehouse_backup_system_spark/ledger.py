@@ -111,6 +111,13 @@ class Ledger:
         token was already taken (the caller rolls back its write).
         """
         if not rows:
+            if cas_token is not None:
+                # an empty CAS batch cannot consume the token — two
+                # racers would both "win" and a later non-empty batch
+                # for the same token would also land (review r8)
+                raise ValueError(
+                    "append_many: cas_token requires a non-empty batch"
+                )
             return True
         import pandas as pd
 
@@ -129,7 +136,21 @@ class Ledger:
         if target.exists():
             return False
         # stage as a SIBLING of the ledger dir ("_"-prefixed: invisible
-        # to table readers) so os.link stays on one filesystem
+        # to table readers) so os.link stays on one filesystem. A
+        # SIGKILL between the staging write and the link strands the
+        # stage dir (no finally runs), so sweep siblings old enough
+        # that no live commit could still own them (review r8 — the
+        # crashed-run-strands-scratch class, in a dir the /tmp sweep
+        # never visits).
+        import time as _time
+
+        now = _time.time()
+        for stray in Path(self.path).parent.glob("_ledger_stage-*"):
+            try:
+                if now - stray.stat().st_mtime > 86_400:
+                    shutil.rmtree(stray, ignore_errors=True)
+            except OSError:
+                pass
         staging = (
             Path(self.path).parent / f"_ledger_stage-{_uuid.uuid4().hex[:8]}"
         )

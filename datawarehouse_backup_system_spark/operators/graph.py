@@ -101,6 +101,20 @@ def _canon(e: DataFrame) -> DataFrame:
     )
 
 
+def _directed(e: DataFrame) -> DataFrame:
+    """Both orientations (a, b) of a canonical edge set from ONE
+    explode over one scan (a two-branch self-union evaluates the
+    upstream twice — SCALE.md measured lesson)."""
+    return e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("lo").alias("a"), F.col("hi").alias("b")),
+                F.struct(F.col("hi").alias("a"), F.col("lo").alias("b")),
+            )
+        ).alias("x")
+    ).select("x.a", "x.b")
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star step (Kiveris et al., "Connected Components in
     MapReduce and Beyond", public literature): every node connects its
@@ -113,14 +127,7 @@ def _large_star(e: DataFrame) -> DataFrame:
     measured lesson), and m(a) = least(a, min(b)) is computed AFTER
     the agg (F.first is nondeterministic to Catalyst and poisons plan
     reuse)."""
-    d = e.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("lo").alias("a"), F.col("hi").alias("b")),
-                F.struct(F.col("hi").alias("a"), F.col("lo").alias("b")),
-            )
-        ).alias("x")
-    ).select("x.a", "x.b")
+    d = _directed(e)
     m = d.groupBy("a").agg(F.min("b").alias("_mn")).select(
         "a", F.least(F.col("a"), F.col("_mn")).alias("m")
     )
@@ -146,20 +153,6 @@ def _small_star(e: DataFrame) -> DataFrame:
         F.explode(F.array("l", "h")).alias("v"),
     )
     return _canon(out)
-
-
-#: scratch roots of still-referenced final-round edge sets — the output
-#: DataFrame lazily reads the last round's parquet, so the root cannot
-#: be deleted before process exit (the u05 scratch-lifetime pattern).
-_WCC_SCRATCH_ROOTS: list = []
-
-
-def _wcc_cleanup() -> None:
-    import shutil
-
-    for root in _WCC_SCRATCH_ROOTS:
-        shutil.rmtree(root, ignore_errors=True)
-    _WCC_SCRATCH_ROOTS.clear()
 
 
 def connected_components(
@@ -208,19 +201,18 @@ def connected_components(
     nodes (no incident edge) appear in the output as their own
     singleton components. Node ids must be orderable and non-null
     (component_id = the min id, the dedup_groups convention)."""
-    import atexit
-    import os
     import shutil
-    import tempfile
 
     from pyspark.sql import Observation
 
+    from ..scratch import new_scratch_root
+
     spark = edges.sparkSession
     if stage_path is None:
-        root = tempfile.mkdtemp(prefix=f"dwbss-wcc-p{os.getpid()}-")
-        if not _WCC_SCRATCH_ROOTS:
-            atexit.register(_wcc_cleanup)
-        _WCC_SCRATCH_ROOTS.append(root)
+        # the FINAL round's parquet backs the returned lazy DataFrame,
+        # so the root must outlive the caller's reads — scratch roots
+        # live until process exit (shared lifecycle in ..scratch)
+        root = str(new_scratch_root("dwbss-wcc-"))
     else:
         root = stage_path
     # round 0's input stays UNstaged: its plan is one flat pass over
@@ -300,15 +292,7 @@ def triangle_counts(
     via one explode + groupBy."""
     e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     # (degree, id) total order: rank(x) = (deg(x), x)
-    d = e.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("lo").alias("a"), F.col("hi").alias("b")),
-                F.struct(F.col("hi").alias("a"), F.col("lo").alias("b")),
-            )
-        ).alias("x")
-    ).select("x.a", "x.b")
-    deg = d.groupBy("a").agg(F.count("*").alias("deg"))
+    deg = _directed(e).groupBy("a").agg(F.count("*").alias("deg"))
     # orient lo→hi in rank order; keep the canonical pair for closure
     ranked = (
         e.join(

@@ -106,6 +106,16 @@ class WriterLease:
 
     def acquire(self) -> "WriterLease":
         self.path.parent.mkdir(parents=True, exist_ok=True)
+        # age out old displaced-lease forensic files (review r8: they
+        # were write-only). A day is far past any debugging window and
+        # far past any TTL a live writer could still be running under.
+        now = time.time()
+        for d in self.path.parent.glob("_writer.lease.stale.*.displaced.*"):
+            try:
+                if now - d.stat().st_mtime > 86_400:
+                    d.unlink(missing_ok=True)
+            except OSError:
+                pass
         for attempt in (0, 1):
             try:
                 fd = os.open(
@@ -160,13 +170,16 @@ class WriterLease:
                             # surviving token (deleting it would leave
                             # that writer heartbeating nothing and
                             # writing unleased; ADVICE r7). Rename it
-                            # to a diagnostic name instead so repeated
-                            # steals don't collide on the tomb path.
+                            # to a UNIQUE diagnostic name (review r8:
+                            # a fixed suffix would clobber the previous
+                            # displaced token on repeat displacement —
+                            # the forensic record the rename preserves).
                             try:
                                 os.rename(
                                     tomb,
                                     tomb.with_name(
-                                        tomb.name + ".displaced"
+                                        f"{tomb.name}.displaced."
+                                        f"{uuid.uuid4().hex[:8]}"
                                     ),
                                 )
                             except OSError:
@@ -904,9 +917,17 @@ def rewrite_table(
             )
         # the check above is itself check-then-commit; the CAS token
         # (hash of the exact predecessor id set — write-ids are uuids,
-        # so a set never repeats) makes the COMMIT the arbiter: of all
-        # rewrites planned against this committed state, exactly one
-        # ever lands (r8; proven by the 3-writer steal-race pytest)
+        # so a set never repeats) makes the COMMIT the arbiter among
+        # REWRITES: of all rewrites planned against this committed
+        # state, exactly one ever lands (r8; proven by the 3-writer
+        # steal-race pytest). Scope (review r8): a plain APPEND commits
+        # without a CAS, so an append landing between this re-check and
+        # the link can still slip past a concurrently-committing
+        # rewrite — that residual is the documented append-vs-rewrite
+        # window the WriterLease exists to close (appends and rewrites
+        # share the lease in the supported deployment); the CAS closes
+        # the rewrite-vs-rewrite double-commit that the 3-writer lease
+        # steal could reach even WITH the lease.
         import hashlib
 
         cas_token = hashlib.sha256(

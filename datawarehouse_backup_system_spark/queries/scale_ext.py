@@ -1121,94 +1121,27 @@ FROM sk JOIN exact e ON e.q = sk.q
 # exactly the relational semantics it claims. Until now this layer was
 # pytest-only evidence.
 # --------------------------------------------------------------------------
-_U05_SCRATCH_ROOTS: list = []
-
-
-def _u05_cleanup() -> None:
-    import shutil
-
-    for root in _U05_SCRATCH_ROOTS:
-        shutil.rmtree(root, ignore_errors=True)
-    _U05_SCRATCH_ROOTS.clear()
-
-
-def _sweep_stale_scratch(
-    max_age_s: float = 86400.0,
-    prefixes: tuple[str, ...] = (
-        "dwbss-u05-", "dwbss-bench-stage-", "dwbss-wcc-"
-    ),
-) -> int:
-    """Startup sweep of orphaned scratch roots (u05 warehouses, bench
-    staging dirs): a SIGKILLed run never reaches the atexit/finally
-    cleanup, and on a shared host the strays accumulate (19 u05 roots
-    found after r6; one bench stage root after r7). Own prefixes only.
-    Returns the number of roots removed.
-
-    Liveness, not just age: new-format roots embed the owner pid
-    (``{prefix}p{pid}-``) and are removed ONLY when that pid is dead
-    — a still-alive session that created scratch hours ago keeps it
-    (its lazily-read DataFrame may be re-evaluated any time). Roots
-    from before the pid format fall back to an age gate so wide (24 h
-    default) that no plausibly-live session could still reference them
-    (ADVICE r7: a 1 h gate could yank a running session's warehouse)."""
-    import os
-    import re
-    import shutil
-    import tempfile
-    import time
-    from pathlib import Path as _P
-
-    now = time.time()
-    removed = 0
-    for prefix in prefixes:
-        for d in _P(tempfile.gettempdir()).glob(prefix + "*"):
-            try:
-                if not d.is_dir():
-                    continue
-                m = re.match(re.escape(prefix) + r"p(\d+)-", d.name)
-                if m:
-                    pid = int(m.group(1))
-                    if pid == os.getpid():
-                        continue
-                    try:
-                        os.kill(pid, 0)
-                        continue      # owner alive — never touch
-                    except ProcessLookupError:
-                        pass          # owner dead — safe to sweep
-                    except PermissionError:
-                        continue      # alive under another uid
-                elif now - d.stat().st_mtime <= max_age_s:
-                    continue          # legacy format: wide age gate only
-                shutil.rmtree(d, ignore_errors=True)
-                removed += 1
-            except OSError:
-                pass
-    return removed
+# the lifecycle implementation lives in ..scratch (review r8 — it was
+# three line-for-line copies across scale_ext/graph/bench whose sweep
+# prefixes had to be kept in sync by hand); this alias keeps the
+# established call sites and tests stable.
+from ..scratch import sweep_stale_scratch as _sweep_stale_scratch  # noqa: E402
 
 
 def u05_storage_dml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
-    import tempfile
-    from pathlib import Path as _P
-
     from ..ledger import Ledger
     from ..plans.table_format import (
         WriteIdParquetFormat,
         delete_from_table,
         merge_into_table,
     )
+    from ..scratch import new_scratch_root
     from pyspark.sql import types as T
 
     _sweep_stale_scratch()  # crashed-run strays first (pid-liveness-gated)
-    import os as _os
-
-    root = _P(tempfile.mkdtemp(prefix=f"dwbss-u05-p{_os.getpid()}-"))
     # the returned DataFrame lazily reads this scratch warehouse, so it
-    # cannot be deleted eagerly — sweep every root at process exit
-    # instead of accumulating one mkdtemp per bench/correctness run
-    if not _U05_SCRATCH_ROOTS:
-        atexit.register(_u05_cleanup)
-    _U05_SCRATCH_ROOTS.append(root)
+    # cannot be deleted eagerly — scratch roots live until process exit
+    root = new_scratch_root("dwbss-u05-")
     fmt = WriteIdParquetFormat(
         Ledger(spark, root / "_ledger"), root, move=lambda s, d: s.rename(d)
     )

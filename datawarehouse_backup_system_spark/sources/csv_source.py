@@ -105,8 +105,16 @@ def detect_encoding(file_path: str | Path, sample_size: int = DEFAULT_SAMPLE_SIZ
     # half of every ASCII code point in UTF-16 — so NULs route to the
     # utf-16 trial FIRST (NUL bytes are individually VALID utf-8, so
     # utf-8-first would claim BOM-less UTF-16 ASCII content)
+    # BOM-less UTF-16 must be reported as the CONCRETE endianned codec,
+    # never bare "utf-16": Python's incremental utf-16 decoder (which
+    # backs every TextIOWrapper open downstream) raises "UTF-16 stream
+    # does not start with BOM" on such files even with errors="replace",
+    # and Java's "UTF-16" charset assumes big-endian — so the bare name
+    # either crashes the read or mojibakes LE files (review r8). Plain
+    # ``bytes.decode("utf-16")`` falls back to NATIVE order; pin that.
+    utf16 = "utf-16-le" if sys.byteorder == "little" else "utf-16-be"
     trials = (
-        ("utf-16", "utf-8", "iso-8859-1")
+        (utf16, "utf-8", "iso-8859-1")
         if b"\x00" in sample
         else ("utf-8", "iso-8859-1")
     )
@@ -115,19 +123,8 @@ def detect_encoding(file_path: str | Path, sample_size: int = DEFAULT_SAMPLE_SIZ
             if truncated:
                 # final=False: an incomplete trailing sequence is
                 # buffered, not an error; invalid bytes mid-sample
-                # still raise — exactly the truncation semantics.
-                # The incremental "utf-16" decoder REFUSES BOM-less
-                # input (plain decode falls back to native order), so
-                # pin the endianness the plain decode would use — the
-                # BOM case already returned above.
-                inc_enc = enc
-                if enc == "utf-16":
-                    inc_enc = (
-                        "utf-16-le"
-                        if sys.byteorder == "little"
-                        else "utf-16-be"
-                    )
-                codecs.getincrementaldecoder(inc_enc)().decode(
+                # still raise — exactly the truncation semantics
+                codecs.getincrementaldecoder(enc)().decode(
                     sample, final=False
                 )
             else:

@@ -148,25 +148,50 @@ def test_detect_encoding_truncated_utf16_tails(tmp_path):
     """ADVICE r7 (low): a truncated BOM-less UTF-16 sample ending
     mid-code-unit (odd sample size) or on a lone high surrogate must
     not fail the utf-16 trial and fall through to utf-8 (NUL bytes are
-    valid UTF-8)."""
+    valid UTF-8). Review r8: BOM-less detection must report the
+    CONCRETE endianned codec — bare "utf-16" crashes every downstream
+    TextIOWrapper open ("stream does not start with BOM")."""
+    import sys as _sys
+
     from datawarehouse_backup_system_spark.sources.csv_source import (
         detect_encoding,
     )
 
+    native16 = "utf-16-le" if _sys.byteorder == "little" else "utf-16-be"
     p = tmp_path / "odd16.csv"
     p.write_bytes("id,name\n1,abc\n".encode("utf-16-le"))
-    assert detect_encoding(p, sample_size=15) == "utf-16"  # odd cut
+    assert detect_encoding(p, sample_size=15) == native16  # odd cut
 
     q = tmp_path / "surr16.csv"
     q.write_bytes(
         "ab".encode("utf-16-le") + "\U0001F600".encode("utf-16-le")[:2]
     )
-    assert detect_encoding(q, sample_size=6) == "utf-16"  # lone high
+    assert detect_encoding(q, sample_size=6) == native16  # lone high
 
     # truncated latin-1 must still fall through cleanly
     r = tmp_path / "lat.csv"
     r.write_bytes(("café " * 50).encode("iso-8859-1"))
     assert detect_encoding(r, sample_size=100) == "iso-8859-1"
+
+
+def test_bomless_utf16_detected_encoding_opens_and_reads(tmp_path):
+    """Review r8 end-to-end regression: the codec name detect_encoding
+    returns for a BOM-less UTF-16 file must be USABLE — the delimiter
+    sniff (TextIOWrapper open + readline) previously crashed with
+    UnicodeError because the bare "utf-16" incremental decoder refuses
+    BOM-less input (errors="replace" does NOT catch that raise)."""
+    from datawarehouse_backup_system_spark.sources.csv_source import (
+        detect_delimiter,
+        detect_encoding,
+        read_header,
+    )
+
+    p = tmp_path / "bomless.csv"
+    p.write_bytes("id;name\n1;René\n".encode("utf-16-le"))
+    enc = detect_encoding(p)
+    assert enc is not None
+    assert detect_delimiter(p, enc) == ";"
+    assert read_header(p, enc, ";") == ["id", "name"]
 
 
 def test_zip_first_member_hostile_names(tmp_path):
