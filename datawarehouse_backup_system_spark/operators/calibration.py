@@ -43,7 +43,26 @@ def _pava_rows(pdf: pd.DataFrame) -> pd.DataFrame:
     blocks: list[list[int]] = []
     for idx, row in enumerate(pdf.itertuples(index=False)):
         s, c = int(row.y_sum), int(row.n)
+        if c == 0 and s != 0:
+            raise ValueError(
+                f"isotonic bucket {row.bucket} has y_sum={s} with n=0"
+            )
+        if c == 0 and blocks:
+            # a zero-WEIGHT bucket carries no constraint of its own
+            # (sklearn drops zero-weight samples); folding it into the
+            # current pool keeps the output non-decreasing — a separate
+            # (0,0) block never merges (0 > 0 is false both ways) and
+            # reported rate 0, breaking the isotonic guarantee
+            # (review r8)
+            continue
         blocks.append([idx, s, c])
+        # a zero-weight LEADING block is absorbed by the first real one
+        # (it kept idx 0 so the bounds still cover its rows)
+        while len(blocks) >= 2 and blocks[-2][2] == 0:
+            start0, s0, _c0 = blocks[-2]
+            blocks[-1][0] = start0
+            blocks[-1][1] += s0
+            del blocks[-2]
         # violation: prev_mean > cur_mean  <=>  S1*C2 > S2*C1 (exact)
         while (
             len(blocks) >= 2
@@ -120,10 +139,16 @@ def conformal_threshold(
     num = alpha_den - alpha_num
     k = n_cal.withColumn(
         "k_rank",
-        F.least(
-            F.col("n_cal"),
-            F.expr(
-                f"(((n_cal + 1) * {num}) + {alpha_den} - 1) div {alpha_den}"
+        F.greatest(
+            # the lower clamp was missing (review r8): α=1 gives k=0,
+            # which matches NO rank row and silently dropped the group
+            F.lit(1).cast("bigint"),
+            F.least(
+                F.col("n_cal"),
+                F.expr(
+                    f"(((n_cal + 1) * {num}) + {alpha_den} - 1) "
+                    f"div {alpha_den}"
+                ),
             ),
         ),
     )

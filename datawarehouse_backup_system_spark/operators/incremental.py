@@ -71,9 +71,15 @@ def merge_partials(view: DataFrame, batch_partial: DataFrame,
 
 
 def finalize(view: DataFrame) -> DataFrame:
-    """Derive the presented aggregates from the kept partials: AVG as an
-    exact integer floor-div (sum_v // n_rows) so the view hash-compares
-    across engines."""
+    """Derive the presented aggregates from the kept partials: AVG as
+    exact integer division so the view hash-compares across engines.
+
+    Precisely: ``div`` TRUNCATES TOWARD ZERO (-7 div 2 = -3), and
+    DuckDB's integer ``//`` does the same — so the Spark↔DuckDB hash
+    parity holds on negative sums too (verified: both give -3).
+    Python's ``//`` FLOORS (-4); the column is named ``avg_floor`` for
+    historical reasons but is truncating division — don't reconcile it
+    against Python ``//`` on negative aggregates (review r8)."""
     return view.select(
         *[c for c in view.columns if c not in _PARTIAL_COLS],
         "n_rows", "sum_v", "min_v", "max_v",

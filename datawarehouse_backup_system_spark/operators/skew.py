@@ -33,8 +33,18 @@ def salted_join(
 
     ``build`` is replicated ``salt`` times (explode) — use the SMALLER
     side there. The probe's salt comes from a deterministic hash of
-    ``salt_source`` (default: every probe column), spreading a hot key's
-    rows uniformly over the replicas.
+    ``salt_source`` (default: every probe column) MIXED with the scan
+    partition id, spreading a hot key's rows uniformly over the
+    replicas. The partition-id term matters when the hot key's rows
+    are content-IDENTICAL (dedup/log workloads, or a probe projected
+    down to just the join key): a pure content hash is then one
+    constant and the whole hot key still lands on a single task
+    (review r8). spark_partition_id is stable under task retry and
+    speculative execution (unlike rand()), which is the determinism
+    the docstring promises; the salt only ROUTES rows, so join output
+    is identical either way. Residual: identical rows inside ONE scan
+    partition still co-route — at that point they are already in the
+    same task's input and salting cannot separate what one task reads.
 
     Supported ``how``: inner / left joins (semantics preserved because
     each probe row matches exactly one replica of each build row).
@@ -46,7 +56,9 @@ def salted_join(
         # duplicated or inverted results — refuse instead of corrupting
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
     src = F.col(salt_source) if salt_source else F.concat_ws("\x01", *probe.columns)
-    probe_s = probe.withColumn("_salt", F.pmod(F.hash(src), F.lit(salt)))
+    probe_s = probe.withColumn(
+        "_salt", F.pmod(F.hash(src, F.spark_partition_id()), F.lit(salt))
+    )
     build_s = build.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

@@ -160,6 +160,8 @@ def pack_sequences(
     token_count_col: str,
     capacity: int,
     n_shards: int = 8,
+    shard_expr=None,
+    order_exprs=None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing (GPT-pretraining style): within
     each shard, documents are laid out contiguously in id order and the
@@ -171,12 +173,24 @@ def pack_sequences(
     the cluster; one sequential stream per shard is the semantics, not a
     bottleneck).
 
+    ``shard_expr`` / ``order_exprs`` override the default assignment
+    and layout order so the PLAN can describe a physical layout chosen
+    elsewhere — corpus_build passes the md5 shard assignment and
+    (md5, id) order that export_shards writes, making (shard,
+    local_bin, offset) valid coordinates INTO the written files
+    (review r8: the defaults described a layout no exporter produced).
+
     Output: (id, shard, local_bin, offset, n_tokens).
     """
-    shard = (F.col(id_col) % n_shards).alias("shard")
+    shard = (
+        shard_expr if shard_expr is not None else F.col(id_col) % n_shards
+    ).alias("shard")
+    order = (
+        list(order_exprs) if order_exprs is not None else [F.col(id_col)]
+    )
     w = (
         Window.partitionBy("shard")
-        .orderBy(id_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     staged = df.select(F.col(id_col), shard, F.col(token_count_col).alias("_n"))

@@ -46,19 +46,44 @@ def zorder_by(
     code_col: str = "_zcode",
 ) -> DataFrame:
     """Cluster a frame for write-out: range-partition + in-partition
-    sort by the Morton code of ``cols`` (clamped to ``bits`` via
-    pmod — callers wanting true value order should pre-bucket to ranks).
-    Each output file then covers a small hyper-rectangle of the space,
-    so min/max stats prune multi-column predicates.
+    sort by the Morton code of ``cols``, each column first bucketed
+    into [0, 2^bits) by min/max linear scaling. Each output file then
+    covers a small hyper-rectangle of the space, so min/max stats prune
+    multi-column predicates.
+
+    Scaling, not pmod (review r8): pmod WRAPS — an id or cents column
+    whose range exceeds 2^bits maps far-apart values onto the same
+    Morton coordinate, every file spans the wrapped domain, and the
+    operator silently delivers zero data skipping exactly on the
+    wide-range columns it is pointed at. The min/max probe is one
+    1-row aggregate over the frame — a bounded extra job at
+    compaction time. NULLs sort together (NULL bucket → NULL code),
+    same as before.
 
     One range shuffle (sampling pass + exchange) and a per-partition
     sort — the same cost as any ORDER BY write, paid at compaction time,
     amortized over every pruned read after.
     """
-    lim = F.lit(1 << bits)
-    code = morton_code(
-        [F.pmod(F.col(c).cast("bigint"), lim) for c in cols], bits
-    )
+    probes = []
+    for c in cols:
+        probes.append(F.min(F.col(c).cast("bigint")).alias(f"_mn_{c}"))
+        probes.append(F.max(F.col(c).cast("bigint")).alias(f"_mx_{c}"))
+    row = df.agg(*probes).first()
+    lim = 1 << bits
+    scaled = []
+    for c in cols:
+        mn = row[f"_mn_{c}"]
+        mx = row[f"_mx_{c}"]
+        if mn is None:  # empty frame / all-NULL column
+            mn, mx = 0, 0
+        # driver-side integer step: ceil(span / 2^bits), never 0 —
+        # (value - min) div step lands in [0, 2^bits) with no wrap
+        # and no 64-bit overflow (no multiplication of wide ranges)
+        step = max(1, -((mn - mx - 1) // lim))
+        scaled.append(
+            F.expr(f"(CAST(`{c}` AS BIGINT) - {mn}) div {step}")
+        )
+    code = morton_code(scaled, bits)
     staged = df.withColumn(code_col, code)
     parts = n_partitions or staged.rdd.getNumPartitions()
     return (

@@ -56,8 +56,18 @@ def _temperature_copies(
     integer micro-epoch arithmetic), capped at ``max_epochs`` (standard
     practice: unbounded upsampling of rare languages just memorizes
     them). Returns (id, lang, n_copies >= 0)."""
+    # NULL-safe grouping key: an equi-join on the raw lang column would
+    # silently drop every NULL-lang doc from the export (review r8);
+    # NULLs form their own temperature group instead.
+    kk = kept.select(
+        id_col,
+        lang_col,
+        F.coalesce(F.col(lang_col).cast("string"), F.lit("\x00null")).alias(
+            "_lk"
+        ),
+    )
     per = (
-        kept.groupBy(lang_col)
+        kk.groupBy("_lk")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .withColumn(
             "wq",
@@ -67,17 +77,22 @@ def _temperature_copies(
     tot = per.agg(
         F.sum("wq").alias("wq_total"), F.sum("n_docs").alias("n_total")
     )
+    # DECIMAL(38,0) intermediates (the a08 recipe): wq·n_total·10⁶ is
+    # ~10¹²·n^1.5, past int64 at ~45 k docs in one language — silently
+    # negative non-ANSI, an ArithmeticException under ANSI (review r8).
+    # The QUOTIENT is ≤ max_epochs·10⁶, so div's bigint result is safe.
     lang_epochs = per.crossJoin(F.broadcast(tot)).select(
-        lang_col,
+        "_lk",
         F.least(
-            F.expr("(wq * n_total * 1000000) div (wq_total * n_docs)"),
-            F.lit(max_epochs * 1_000_000),
+            F.expr(
+                "(CAST(wq AS DECIMAL(38,0)) * n_total * 1000000)"
+                " div (CAST(wq_total AS DECIMAL(38,0)) * n_docs)"
+            ),
+            F.lit(max_epochs * 1_000_000).cast("bigint"),
         ).alias("epochs_micro"),
     )
     u = F.pmod(md5_prefix_long(F.col(id_col).cast("string")), F.lit(1_000_000))
-    return kept.select(id_col, lang_col).join(
-        F.broadcast(lang_epochs), lang_col
-    ).select(
+    return kk.join(F.broadcast(lang_epochs), "_lk").select(
         id_col,
         lang_col,
         (
@@ -160,12 +175,24 @@ def build_training_corpus(
         )
     )
 
-    # 4. packing plan at fixed context length (token counts = whitespace)
+    # 4. packing plan at fixed context length (token counts = whitespace).
+    # The plan MUST use the same shard assignment and within-shard order
+    # export_shards writes (md5(salt||seq_id) % n_shards, rows in
+    # (md5, seq_id) order) — otherwise (shard, local_bin, offset) are
+    # coordinates into a layout no file has (review r8).
     with_tokens = exported.withColumn(
         "n_tokens", F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     )
+    from ..operators.sampling import _bucket
+
+    _md5 = F.md5(F.concat(F.lit("shard"), F.col("seq_id").cast("string")))
     packed = text.pack_sequences(
-        with_tokens, "seq_id", "n_tokens", capacity, n_shards=n_shards
+        with_tokens, "seq_id", "n_tokens", capacity, n_shards=n_shards,
+        # EXACTLY shard_assign's expression (the frozen _bucket recipe)
+        shard_expr=(_bucket(F.col("seq_id"), "shard") % n_shards).cast(
+            "bigint"
+        ),
+        order_exprs=[_md5, F.col("seq_id")],
     )
     packed.write.mode("overwrite").parquet(str(out_dir / "packing_plan"))
 

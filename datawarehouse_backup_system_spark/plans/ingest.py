@@ -375,15 +375,19 @@ class IngestJob:
         A production cycle sees thousands of files; per-file plans
         serialize scheduling overhead. This runs one multi-path scan with
         reference-exact dedup order (first occurrence in file order,
-        SEQ_COLS composite). Files must share header layout / encoding /
-        delimiter — the pre-check below compares the full
-        (encoding, delimiter, header) triple per file, not just the
+        SEQ_COLS composite). The multi-path scan requires one header
+        layout / encoding / delimiter — the pre-check below compares the
+        full (encoding, delimiter, header) triple per file, not just the
         parsed header: a semicolon file parses to the same header list
         as its comma siblings under its OWN sniffed delimiter, yet the
         single multi-path scan reads it with the FIRST file's settings
-        and silently misparses every row (review r7). Final table state
-        is identical to sequential process_file calls (asserted in
-        tests).
+        and silently misparses every row (review r7). Files whose
+        profile differs from the batch's are NOT failed — they fall
+        back to per-file ingestion under their own sniffed settings
+        (review r8: ledgering them COLUMN_MISMATCH marked perfectly
+        valid files processed-forever, permanently losing their rows).
+        Final table state is identical to sequential process_file calls
+        (asserted in tests).
 
         CONCURRENCY: like :meth:`process_file`, this is a building block
         — it does not take the :class:`WriterLease` or run recovery.
@@ -397,7 +401,13 @@ class IngestJob:
         )
 
         paths = [Path(p) for p in paths]
+        if not paths:
+            # total-function discipline: an empty listing is a no-op
+            # cycle, not an IndexError (review r8)
+            return FileResult("batch:[]", ledger_mod.STATUS_EMPTY,
+                              error="empty batch")
         label = f"batch:{paths[0].name}..{paths[-1].name}[{len(paths)}]"
+        handled: set = set()
         try:
             def _profile(p: Path) -> tuple:
                 enc = detect_encoding(p) or "utf-8"
@@ -406,23 +416,24 @@ class IngestJob:
 
             golden = _profile(paths[0])
             ok_paths = []
-            mismatched = []
+            divergent = []
             for p in paths:
                 if _profile(p) == golden:
                     ok_paths.append(p)
                 else:
-                    mismatched.append(
-                        (p.name, ledger_mod.STATUS_COLUMN_MISMATCH)
-                    )
-            if mismatched:  # one ledger job for the batch, not one per file
-                self.ledger.append_many(mismatched)
-            if not ok_paths:
-                return FileResult(label, ledger_mod.STATUS_COLUMN_MISMATCH,
-                                  error="no files share the batch profile")
+                    divergent.append(p)
+            # divergent profiles are ingested CORRECTLY one at a time
+            # under their own sniffed settings; each ledgers its own
+            # outcome (they are valid files, just un-batchable)
+            for p in divergent:
+                self.process_file(p)
+                handled.add(p)
             return self._ingest(ok_paths, table_key, label)
         except Exception as exc:  # noqa: BLE001
             status = f"{ledger_mod.STATUS_UNEXPECTED}: {type(exc).__name__}"
-            self.ledger.append_many([(p.name, status) for p in paths])
+            self.ledger.append_many(
+                [(p.name, status) for p in paths if p not in handled]
+            )
             return FileResult(label, status, error=str(exc))
 
     def run(self, input_dir: str | Path) -> list[FileResult]:

@@ -66,6 +66,27 @@ def test_corpus_build_invariants(spark, builds):
     per_source = shards.groupBy("source_id").count()
     assert per_source.agg(F.max("count")).collect()[0][0] <= 3 + 1
 
+    # review r8: the packing plan's coordinates must describe the
+    # WRITTEN shards — same shard assignment, and within each shard the
+    # (local_bin, offset) progression follows the file's physical row
+    # order (md5 layout), so a trainer can seek by plan coordinates
+    joined = plan.join(shards.select("seq_id", "shard_id"), "seq_id")
+    assert joined.where(F.col("shard") != F.col("shard_id")).count() == 0
+    file0 = sorted((root / "a" / "shards" / "shard_id=0").glob("*.parquet"))
+    assert len(file0) == 1  # one file per shard
+    import pyarrow.parquet as pq
+
+    written_order = pq.read_table(str(file0[0]), columns=["seq_id"])[
+        "seq_id"
+    ].to_pylist()
+    plan_order = [
+        r["seq_id"]
+        for r in plan.where("shard = 0")
+        .orderBy("local_bin", "offset", "seq_id")
+        .collect()
+    ]
+    assert written_order == plan_order
+
 
 def test_corpus_build_no_two_exports_share_neardup_group(spark, builds):
     from datawarehouse_backup_system_spark.operators.dedup_approx import (

@@ -297,6 +297,16 @@ def test_zorder_partitions_cover_small_rectangles(spark):
     clustered = zorder_by(df, ["x", "y"], bits=12, n_partitions=16)
     assert spread(clustered) < spread(df.repartition(16)) * 0.5
 
+    # review r8: a column whose RANGE exceeds 2^bits must still cluster
+    # — the old pmod "clamp" wrapped (0 and 2^bits mapped together), so
+    # every partition spanned the whole domain and pruning was void
+    wide = df.select(
+        (F.col("x") * 1_000_003).alias("x"),  # range >> 2^12
+        (F.col("y") * 777_777).alias("y"),
+    )
+    wide_clustered = zorder_by(wide, ["x", "y"], bits=12, n_partitions=16)
+    assert spread(wide_clustered) < spread(wide.repartition(16)) * 0.5
+
 
 def test_quantile_filter_approx_tracks_exact(spark):
     from datawarehouse_backup_system_spark.operators.sampling import (

@@ -121,6 +121,39 @@ def test_batch_ingest_equals_sequential(spark, tmp_path):
     assert batch_job.ledger.processed_set() == {f.name for f in fx["files"][:2]}
 
 
+def test_batch_divergent_profile_falls_back_per_file(spark, tmp_path):
+    """Review r8: a valid file whose (encoding, delimiter, header)
+    profile differs from the batch's first file must still be INGESTED
+    (per-file fallback under its own sniffed settings) — the old
+    behavior ledgered it COLUMN_MISMATCH, which processed_set() treats
+    as done, permanently losing its rows."""
+    from datawarehouse_backup_system_spark import ledger as ledger_mod
+
+    fx = generate_f1(tmp_path)
+    # make file 3 a comma-delimited variant of file 1's content: valid,
+    # same header NAMES, different sniffed delimiter → profile diverges
+    src = fx["files"][0].read_text(encoding="utf-8")
+    comma = tmp_path / "last24h__comma_variant.csv"
+    comma.write_text(
+        "\n".join(line.replace(";", ",") for line in src.splitlines())
+        + "\n",
+        encoding="utf-8",
+    )
+    job = make_job(spark, tmp_path, fx)
+    res = job.process_batch(
+        [fx["files"][0], fx["files"][1], comma], "mini_campaign_events"
+    )
+    assert res.status == ledger_mod.STATUS_UPLOADED
+    # the divergent file was ingested, not blacklisted
+    rows = job.ledger.read().collect()
+    mine = [r for r in rows if r["file_name"] == comma.name]
+    assert [r["status"] for r in mine] == [ledger_mod.STATUS_UPLOADED]
+
+    # empty batch is a total-function no-op, not an IndexError
+    empty = job.process_batch([], "mini_campaign_events")
+    assert empty.status == ledger_mod.STATUS_EMPTY
+
+
 def test_ingest_date_partitioning_and_retention(spark, tmp_path):
     """Snapshots are partitioned by ingest_date; retention = partition drop."""
     from datawarehouse_backup_system_spark.operators.retention import (

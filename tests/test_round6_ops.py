@@ -171,6 +171,61 @@ def test_conformal_rank_and_coverage(spark):
     assert 850_000 <= row["coverage_ppm"] <= 950_000  # ~90% nominal
 
 
+def test_conformal_alpha_one_clamps_k_to_one(spark):
+    """Review r8: α=1 made k_rank=0 (no rank row matches) and the
+    group silently VANISHED from the output; the documented lower
+    clamp k>=1 must hold."""
+    df = spark.range(0, 100).select(
+        F.lit("g").alias("grp"),
+        F.col("id").alias("score"),
+        (F.col("id") % 2 == 0).alias("is_cal"),
+    )
+    (row,) = conformal_threshold(
+        df, ["grp"], "score", "is_cal", alpha_num=1, alpha_den=1
+    ).collect()
+    assert row["k_rank"] == 1
+    assert row["q_hat"] == 0  # the smallest calibration score
+
+
+def test_isotonic_zero_weight_bucket_stays_monotone(spark):
+    """Review r8: an (y_sum=0, n=0) bucket never pooled (0>0 is false
+    both ways) and reported rate 0, breaking the non-decreasing
+    guarantee; it must inherit its pool's rate — leading, middle, and
+    trailing positions."""
+    from datawarehouse_backup_system_spark.operators.calibration import (
+        isotonic_calibrate,
+    )
+
+    rows = [
+        ("g", 0, 0, 0),    # leading empty
+        ("g", 1, 5, 10),
+        ("g", 2, 0, 0),    # middle empty
+        ("g", 3, 9, 10),
+        ("g", 4, 0, 0),    # trailing empty
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, bucket int, y_sum long, n long"
+    )
+    got = {
+        r["bucket"]: r["rate_micro"]
+        for r in isotonic_calibrate(df, ["grp"]).collect()
+    }
+    rates = [got[b] for b in sorted(got)]
+    assert rates == sorted(rates)          # isotonic restored
+    assert got[0] == got[1] == 500_000     # leading inherits first pool
+    assert got[2] == 500_000               # middle inherits its pool
+    assert got[3] == got[4] == 900_000     # trailing inherits last pool
+
+    # malformed: evidence without weight is loudly rejected
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [("g", 0, 3, 0)], "grp string, bucket int, y_sum long, n long"
+    )
+    with _pytest.raises(Exception, match="n=0"):
+        isotonic_calibrate(bad, ["grp"]).collect()
+
+
 # -------------------------------------------------------------- log2 histogram
 def test_log2_histogram_buckets_and_merge(spark):
     df = spark.createDataFrame(
