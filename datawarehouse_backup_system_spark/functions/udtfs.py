@@ -27,10 +27,15 @@ _BOUNDARY = re.compile(r"([.!?])\s+")
 
 
 def split_sentences_py(text: str | None) -> list[str]:
-    """Reference implementation (shared by the UDTF and tests)."""
+    """Reference implementation (shared by the UDTF and tests).
+
+    Trims ASCII SPACES only — ``strip(" ")``, not ``strip()`` — because
+    the expression twin uses ``F.trim``, which removes only 0x20; a
+    bare strip() also eats tabs/newlines and the pinned bit-equality
+    would break on edge whitespace (review r8)."""
     if text is None:
         return []
-    marked = _BOUNDARY.sub("\\1" + SENT_MARK, text.strip())
+    marked = _BOUNDARY.sub("\\1" + SENT_MARK, text.strip(" "))
     return [s for s in marked.split(SENT_MARK) if s != ""]
 
 

@@ -35,9 +35,21 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # testdata generations: TIMESTAMP(NANOS) (which Spark's vectorized
         # reader rejects — read nanos as long, truncate to micros like
         # DuckDB) and plain TIMESTAMP(MICROS) with isAdjustedToUTC=false
-        # (which Spark reads as TIMESTAMP_NTZ). Branch on the decoded type
-        # so either generation yields the same session-UTC TimestampType.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # (which Spark reads as TIMESTAMP_NTZ). Decide from the parquet
+        # FOOTER (review r8: unconditionally flipping the session-wide
+        # legacy.parquet.nanosAsLong flag made every LATER parquet read
+        # in the session silently decode nanos timestamps as BIGINT);
+        # the flag is touched only for a nanos-generation file, where
+        # it is the documented requirement for the session.
+        try:
+            import pyarrow.parquet as _pq
+
+            _ts = _pq.read_schema(f"{sf_dir}/{table}.parquet").field("ts")
+            _is_nanos = "ns" in str(_ts.type)
+        except Exception:  # noqa: BLE001 — fall back to the legacy path
+            _is_nanos = True
+        if _is_nanos:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         from pyspark.sql import functions as F
         from pyspark.sql import types as T

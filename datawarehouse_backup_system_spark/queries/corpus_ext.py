@@ -146,10 +146,13 @@ def t19_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_entropy(docs, "doc_id", "text")
 
 
-T19_SQL = """
+T19_SQL = r"""
 WITH t AS (
   SELECT doc_id, tok FROM (
-    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+    -- \s+ regex split, matching text.tokens on the Spark side — a
+    -- literal-space split diverges on tab/newline whitespace
+    -- (review r8; every other token spec already pairs regex↔regex)
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
     FROM documents
   ) WHERE tok <> ''
 ),

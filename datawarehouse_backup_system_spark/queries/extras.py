@@ -141,15 +141,13 @@ FROM documents
 # container, so every decode_features branch (image/audio/video) is
 # under the hard signal
 # --------------------------------------------------------------------------
-def m03_mp4_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize a minimal ISO-BMFF prefix per document — an ``ftyp``
-    box plus a version-0 ``mvhd`` box with big-endian timescale and
-    duration — and run the PRODUCTION mapInPandas header decoder over
-    the blobs. duration = timescale·k + timescale/2 with an even
-    timescale, so duration_ms = 1000·k + 500 exactly and the oracle is
-    pure integer arithmetic on ``doc_id``.
-    """
-    docs = load(spark, sf_dir, "documents")
+def _mp4_assets(docs: DataFrame) -> DataFrame:
+    """Shared minimal ISO-BMFF synthesis (``ftyp`` box + version-0
+    ``mvhd`` with big-endian timescale/duration) for m03 AND m04 — ONE
+    copy, so the two arithmetic oracles can never silently drift from
+    different container layouts (review r8). duration = ts·k + ts/2
+    with an even timescale ⇒ duration_ms = 1000·k + 500 exactly,
+    k = doc_id % 20 + 1."""
     k = (F.col("doc_id") % 20 + 1).cast("long")
     ts = (F.lit(1000) * (F.col("doc_id") % 4 + 1)).cast("long")
     dur = ts * k + ts / 2
@@ -162,11 +160,19 @@ def m03_mp4_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.hex(ts), 8, "0"),
         F.lpad(F.hex(dur.cast("long")), 8, "0"),
     )
-    assets = docs.select(
+    return docs.select(
         F.col("doc_id").alias("asset_id"),
         F.lit("video").alias("kind"),
         F.unhex(hexstr).alias("data"),
     )
+
+
+def m03_mp4_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a minimal ISO-BMFF prefix per document (shared
+    :func:`_mp4_assets`) and run the PRODUCTION mapInPandas header
+    decoder over the blobs; the oracle is pure integer arithmetic on
+    ``doc_id``."""
+    assets = _mp4_assets(load(spark, sf_dir, "documents"))
     return decode_features(assets).select(
         "asset_id", "kind", "format", "n_bytes", "duration_ms"
     )
@@ -368,8 +374,10 @@ def k01_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"), "c_mktsegment"
     )
+    from .relational import cents
+
     joined = salted_join(orders, customer, on="custkey", salt=8)
-    total = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    total = cents(F.col("o_totalprice"))  # THE fixed-point recipe, not a copy
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
         (F.sum(total) / 100.0).alias("revenue"),
@@ -828,20 +836,8 @@ def m04_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_sample_stub,
     )
 
-    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    k = (F.col("doc_id") % 20 + 1).cast("long")
-    ts = (F.lit(1000) * (F.col("doc_id") % 4 + 1)).cast("long")
-    dur = ts * k + ts / 2
-    hexstr = F.concat(
-        F.lit("00000010" "66747970" "69736F6D" "00000000"),
-        F.lit("0000001C" "6D766864" "00000000" "00000000" "00000000"),
-        F.lpad(F.hex(ts), 8, "0"),
-        F.lpad(F.hex(dur.cast("long")), 8, "0"),
-    )
-    assets = docs.select(
-        F.col("doc_id").alias("asset_id"),
-        F.lit("video").alias("kind"),
-        F.unhex(hexstr).alias("data"),
+    assets = _mp4_assets(
+        load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     )
     frames = frame_sample_stub(assets, every_ms=1000, decode_stub="headers")
     return frames.select(

@@ -737,7 +737,7 @@ def q43_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q43_SQL = """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
               THEN 1 ELSE 0 END AS new_session
@@ -745,8 +745,11 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 islands AS (
+  -- ORDER BY ts, event_id: the cumulative sum must walk rows in the
+  -- SAME order the flags were computed in — ts alone is
+  -- nondeterministic under (user_id, ts) ties (review r8)
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
