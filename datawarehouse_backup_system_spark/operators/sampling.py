@@ -310,6 +310,101 @@ def weighted_sample(
     ).withColumn("p_den", F.lit(scale).cast("bigint"))
 
 
+def weighted_reservoir(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    weight_col: str,
+    k: int,
+    weight_cap: int = 16,
+    salt: str = "",
+    presplit: int = 32,
+) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement, inclusion
+    probability proportional to weight (Efraimidis & Spirtakis 2006,
+    "Weighted random sampling with a reservoir" — the A-ES scheme):
+    per group, keep the ``k`` rows with the largest *priority*, where a
+    row of integer weight ``w`` gets priority ``max_{j=1..w} h(key, j)``
+    for the repo's uniform 56-bit md5 hash ``h``.
+
+    Why max-of-w-hashes instead of the textbook ``u^(1/w)`` key:
+    ``u^(1/w)`` is exactly the distribution of the MAX of ``w`` iid
+    uniforms, so for integral weights the two samplers are the SAME
+    distribution — but the max form never leaves integer arithmetic
+    (no ``pow``/``ln``, whose last-ulp rounding differs across engines
+    and could flip a top-k boundary), so the sample is bit-reproducible
+    on any engine and MERGEABLE: priorities are per-row constants, so
+    sample(A ∪ B) = top-k(sample(A) ∪ sample(B)) — the bottom-k/KMV
+    property that makes a re-sharded or incrementally-grown corpus
+    yield the identical sample (reference analog: none; completes the
+    sampler triad: ``weighted_sample`` = Poisson-PPS, random size;
+    ``bottomk_sample`` = uniform, fixed size; this = weighted, fixed
+    size — the per-item selector that consumes importance weights such
+    as DSIR's).
+
+    Scale shape: priorities are computed in the scan (≤ ``weight_cap``
+    md5s per row, no shuffle, no data-sized state); the per-group top-k
+    runs TWO row_number windows — first within ``(group, md5-bucket %
+    presplit)``, then over the ≤ ``presplit·k`` survivors per group —
+    so a hot group (one domain holding half the corpus) never funnels
+    through a single reducer. Two-phase equals one-phase exactly
+    because priorities are deterministic per row.
+
+    ``weight_col`` must be a non-NULL integral column; values are
+    clamped to ``[1, weight_cap]``. The cap bounds per-row hash work;
+    above it inclusion probability saturates, so callers needing more
+    dynamic range rescale weights upstream (sub-linear weighting is
+    usually what corpus mixing wants anyway).
+
+    Output adds ``weight_clamped``, ``priority``, ``rank_in_group``.
+    """
+    from pyspark.sql import Window
+
+    from .hashing import md5_prefix_long
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if weight_cap <= 0 or presplit <= 0:
+        raise ValueError("weight_cap and presplit must be positive")
+    key_s = F.col(key_col).cast("string")
+    w = F.least(
+        F.greatest(F.col(weight_col).cast("bigint"), F.lit(1)),
+        F.lit(int(weight_cap)),
+    )
+    pri = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1).cast("bigint"), w),
+            lambda j: md5_prefix_long(
+                F.concat_ws("\x01", F.lit(salt), key_s, j.cast("string"))
+            ),
+        )
+    )
+    with_pri = df.withColumn("weight_clamped", w).withColumn(
+        "priority", pri
+    )
+    # phase 1: top-k inside each (group, key-hash presplit) slice — the
+    # bucket expression need not be engine-portable (it only SPLITS;
+    # the survivors' final ranking is recomputed in phase 2)
+    bucket = F.pmod(
+        md5_prefix_long(F.concat_ws("\x01", F.lit("wr-split"), key_s)),
+        F.lit(int(presplit)),
+    )
+    local = Window.partitionBy(*group_cols, bucket).orderBy(
+        F.col("priority").desc(), F.col(key_col).asc()
+    )
+    survivors = (
+        with_pri.withColumn("_wr_rn", F.row_number().over(local))
+        .where(F.col("_wr_rn") <= k)
+        .drop("_wr_rn")
+    )
+    final = Window.partitionBy(*group_cols).orderBy(
+        F.col("priority").desc(), F.col(key_col).asc()
+    )
+    return survivors.withColumn(
+        "rank_in_group", F.row_number().over(final).cast("bigint")
+    ).where(F.col("rank_in_group") <= k)
+
+
 def bottomk_sample(
     df: DataFrame,
     group_cols: list[str],

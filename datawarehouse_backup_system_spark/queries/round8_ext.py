@@ -169,6 +169,70 @@ GROUP BY node
 """
 
 
+# --------------------------------------------------------------------------
+# w05 — fixed-size weighted sample per domain (Efraimidis–Spirtakis A-ES
+# via the max-of-w-uniforms identity, operators/sampling.py:
+# weighted_reservoir). Weight = document length in 64-char units
+# (clamped 1..16), k = 5 per source. The oracle replays the integer
+# priority construction directly (list_max over the same md5 prefixes),
+# so an EXACT match machine-checks both the hash recipe and the top-k
+# boundary on every group. Completes the sampler triad next to w01
+# (Poisson-PPS) and w03 (uniform bottom-k).
+# --------------------------------------------------------------------------
+_W05_K = 5
+_W05_CAP = 16
+
+
+def w05_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted fixed-size per-domain sample: length-derived integer
+    weights, priorities = max of w 56-bit md5 draws (computed in the
+    scan, ≤ 16 md5s/row, zero shuffle), then the skew-safe two-window
+    top-k. Scale shape: nothing here is data-sized but the scan itself;
+    a mega-domain splits across 32 presplit buckets before the final
+    ≤ 160-row-per-group ranking."""
+    from ..operators.sampling import weighted_reservoir
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("(n_chars + 63) div 64").cast("bigint").alias("wgt_raw"),
+    )
+    out = weighted_reservoir(
+        docs, ["source"], "doc_id", "wgt_raw", _W05_K, weight_cap=_W05_CAP
+    )
+    return out.select(
+        "source",
+        "doc_id",
+        F.col("weight_clamped").alias("wgt"),
+        "priority",
+        "rank_in_group",
+    ).orderBy("source", "rank_in_group")
+
+
+W05_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         LEAST(GREATEST((n_chars + 63) // 64, 1), {_W05_CAP}) AS wgt
+  FROM documents
+),
+pri AS (
+  SELECT doc_id, source, wgt,
+         list_max(list_transform(range(1, wgt + 1),
+           j -> ('0x' || substr(md5('' || chr(1) || CAST(doc_id AS VARCHAR)
+                 || chr(1) || CAST(j AS VARCHAR)), 1, 14))::BIGINT
+         )) AS priority
+  FROM w
+)
+SELECT source, doc_id, wgt, priority, rank_in_group FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY source ORDER BY priority DESC, doc_id
+    ) AS BIGINT) AS rank_in_group
+  FROM pri
+) sub WHERE rank_in_group <= {_W05_K}
+ORDER BY source, rank_in_group
+"""
+
+
 SPECS = [
     QuerySpec(
         "g03_wcc_sessions", g03_wcc_sessions, G03_SQL,
@@ -181,5 +245,11 @@ SPECS = [
         "exact per-node triangle counts (degree-ordered orientation, "
         "O(m^1.5) wedges) over the 2nd-order succession graph; oracle "
         "replays the a<b<c 3-way join enumeration",
+    ),
+    QuerySpec(
+        "w05_weighted_reservoir", w05_weighted_reservoir, W05_SQL,
+        "fixed-size weighted sample per domain (A-ES via integer "
+        "max-of-w-uniforms priorities, mergeable, skew-safe two-phase "
+        "top-k); oracle replays the exact priority construction",
     ),
 ]

@@ -18,9 +18,9 @@ def test_oracle_keys_subset_of_queries():
     assert set(o) <= set(q)
     # r7 consolidation: 161 -> 136 (17 definite + 8 candidate folds per
     # COVERAGE.md; parity pinned in tests/test_folded_twins.py) + a08
-    # (r7) + g03/g04 (r8) — the floor tracks len(queries()) at HEAD so
-    # deleting any spec trips a test (VERDICT r7 item 4)
-    assert len(q) >= 139
+    # (r7) + g03/g04/w05 (r8) — the floor tracks len(queries()) at HEAD
+    # so deleting any spec trips a test (VERDICT r7 item 4)
+    assert len(q) >= 140
     # every query is oracle-checked (q30's sketches compare against
     # exact counts via tolerance booleans since round 2)
     assert set(q) - set(o) == set()
