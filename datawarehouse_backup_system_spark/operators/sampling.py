@@ -350,7 +350,11 @@ def weighted_reservoir(
     through a single reducer. Two-phase equals one-phase exactly
     because priorities are deterministic per row.
 
-    ``weight_col`` must be a non-NULL integral column; values are
+    ``weight_col`` must be a non-NULL integral column, and ``key_col``
+    must be unique within each group — priority and tie-break both
+    derive from the key, so duplicate keys would make WHICH physical
+    row survives arbitrary (the kept key SET stays deterministic, but
+    payload columns could differ between plans/retries). Weights are
     clamped to ``[1, weight_cap]``. The cap bounds per-row hash work;
     above it inclusion probability saturates, so callers needing more
     dynamic range rescale weights upstream (sub-linear weighting is
@@ -360,7 +364,7 @@ def weighted_reservoir(
     """
     from pyspark.sql import Window
 
-    from .hashing import md5_prefix_long
+    from .hashing import md5_bucket, md5_prefix_long
 
     if k <= 0:
         raise ValueError("k must be positive")
@@ -385,9 +389,8 @@ def weighted_reservoir(
     # phase 1: top-k inside each (group, key-hash presplit) slice — the
     # bucket expression need not be engine-portable (it only SPLITS;
     # the survivors' final ranking is recomputed in phase 2)
-    bucket = F.pmod(
-        md5_prefix_long(F.concat_ws("\x01", F.lit("wr-split"), key_s)),
-        F.lit(int(presplit)),
+    bucket = md5_bucket(
+        F.concat_ws("\x01", F.lit("wr-split"), key_s), int(presplit)
     )
     local = Window.partitionBy(*group_cols, bucket).orderBy(
         F.col("priority").desc(), F.col(key_col).asc()
