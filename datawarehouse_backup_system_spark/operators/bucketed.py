@@ -69,10 +69,19 @@ def bucketed_join(
 
 
 def assert_no_exchange(df: DataFrame) -> str:
-    """Raise if the physical plan contains a shuffle (Exchange). Returns
+    """Raise if the physical plan contains a SHUFFLE Exchange. Returns
     the plan string for logging/audit. Guard helper for plan-regression
-    tests and PLANS.md audits."""
+    tests and PLANS.md audits.
+
+    Matches the standalone ``Exchange`` node name only: a bare
+    substring test would also trip on ``BroadcastExchange`` (not a
+    shuffle — e.g. Catalyst broadcasting the small side of a bucketed
+    join is still a zero-shuffle plan) and ``ReusedExchange`` (which
+    can only reference an Exchange caught elsewhere in the same plan);
+    review r8."""
+    import re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan:
+    if re.search(r"\bExchange\b", plan):
         raise AssertionError(f"plan contains a shuffle Exchange:\n{plan}")
     return plan

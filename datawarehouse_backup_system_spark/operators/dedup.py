@@ -43,6 +43,15 @@ def self_dedup_first(
 
     One shuffle on ``hash_col`` (window partition); no global sort.
     """
+    reserved = {"_rn"} | ({"_seq"} if order_col is None else set())
+    clash = reserved & set(df.columns)
+    if clash:
+        # silently overwriting-then-dropping a user column loses data;
+        # fail loudly like asof_join's reserved-name guard (review r8)
+        raise ValueError(
+            f"self_dedup_first reserves column name(s) {sorted(clash)}; "
+            "rename them before deduplicating"
+        )
     if order_col is None:
         cols = ["_seq"]
         out = df.withColumn("_seq", F.monotonically_increasing_id())

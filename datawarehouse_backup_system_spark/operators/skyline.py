@@ -41,32 +41,57 @@ def skyline_2d(
 ) -> DataFrame:
     """Pareto frontier minimizing ``x_col``, maximizing ``y_col`` (both
     integer-typed). Returns distinct surviving points ``(x, y, n)`` with
-    their input multiplicity."""
+    their input multiplicity.
+
+    Rows with a NULL in either coordinate are dropped up front: NULL has
+    no position in the dominance order, so a NULL-x row would otherwise
+    land in an arbitrary bucket and poison the running max for real
+    points (the quadratic NOT-EXISTS formulation instead keeps such
+    rows vacuously — callers wanting that semantics must handle NULLs
+    upstream; review r8).
+
+    Zero driver-side collects: the (lo, width) pair is a broadcast
+    1-row aggregate and the exclusive prefix-max over bucket maxima is
+    a window over the ≤ ``n_buckets``-row aggregate — everything stays
+    one lineage, so the shared distinct-points shuffle is planned once
+    and reused (ReusedExchange) instead of re-run per driver job, and
+    there is no collect/recompute determinism seam (review r8; same
+    single-lineage discipline as ``operators/ids.py``).
+    """
+    nb = int(n_buckets)
     pts = (
         df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    lo, hi = pts.agg(F.min("x"), F.max("x")).first()
-    if lo is None:
-        return pts
-    width = max(1, (hi - lo + n_buckets) // n_buckets)
-    pts = pts.withColumn(
-        "bucket",
-        F.least(F.lit(n_buckets - 1), F.expr(f"(x - {lo}) div {width}")),
+    # equi-width bucket bounds as a broadcast 1-row frame (empty input
+    # degrades gracefully: no point rows flow past the crossJoin)
+    totals = pts.agg(
+        F.min("x").alias("_lo"),
+        F.greatest(
+            F.lit(1), F.expr(f"(max(x) - min(x) + {nb}) div {nb}")
+        ).alias("_w"),
     )
-    # tiny exclusive prefix-max over bucket maxima (O(n_buckets) rows)
-    bucket_max = {
-        r["bucket"]: r["m"]
-        for r in pts.groupBy("bucket").agg(F.max("y").alias("m")).collect()
-    }
-    prefix: dict[int, int] = {}
-    running = _NEG_INF
-    for b in range(n_buckets):
-        prefix[b] = running
-        running = max(running, bucket_max.get(b, _NEG_INF))
-    prefix_map = F.create_map(
-        *[F.lit(v) for kv in prefix.items() for v in kv]
+    bpts = (
+        pts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "bucket", F.least(F.lit(nb - 1), F.expr("(x - _lo) div _w"))
+        )
+        .drop("_lo", "_w")
+    )
+    # exclusive prefix-max over bucket maxima: one single-task window
+    # over ≤ n_buckets rows, broadcast-joined back
+    w_pre = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pre = (
+        bpts.groupBy("bucket")
+        .agg(F.max("y").alias("_m"))
+        .withColumn(
+            "_prefix", F.coalesce(F.max("_m").over(w_pre), F.lit(_NEG_INF))
+        )
+        .select("bucket", "_prefix")
     )
     w = (
         Window.partitionBy("bucket")
@@ -74,9 +99,10 @@ def skyline_2d(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        pts.withColumn("prev_max", F.greatest(
+        bpts.join(F.broadcast(pre), "bucket")
+        .withColumn("prev_max", F.greatest(
             F.coalesce(F.max("y").over(w), F.lit(_NEG_INF)),
-            prefix_map[F.col("bucket")],
+            F.col("_prefix"),
         ))
         .where(F.col("y") > F.col("prev_max"))
         .select("x", "y", "n")

@@ -48,6 +48,21 @@ def test_self_dedup_keeps_first_occurrence(spark):
     assert kept == {(1, "a"), (3, "b")}  # seq=1 survives, not 2 or 4
 
 
+def test_self_dedup_rejects_reserved_columns(spark):
+    """A pre-existing '_rn' (or '_seq' in auto-order mode) would be
+    silently overwritten then dropped — fail loudly instead (review r8)."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a", 9)], "seq int, row_hash string, _rn int"
+    )
+    with pytest.raises(ValueError, match="_rn"):
+        self_dedup_first(df, order_col="seq")
+    df2 = spark.createDataFrame([(1, "a")], "_seq int, row_hash string")
+    with pytest.raises(ValueError, match="_seq"):
+        self_dedup_first(df2)
+
+
 def test_anti_join_history(spark):
     new = spark.createDataFrame([("h1", 1), ("h2", 2), ("h3", 3)], "row_hash string, v int")
     hist = spark.createDataFrame([("h2",), ("h4",)], "row_hash string")

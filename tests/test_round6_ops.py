@@ -104,6 +104,19 @@ def test_skyline_keeps_tied_points_with_multiplicity(spark):
     assert got == [(1, 5, 2), (2, 9, 1)]
 
 
+def test_skyline_drops_null_coordinates(spark):
+    """A NULL coordinate has no dominance position: the row is dropped
+    up front instead of landing in an arbitrary bucket and poisoning
+    the running max for real points (review r8)."""
+    df = spark.createDataFrame(
+        [(None, 1000), (0, 1), (6300, 500), (5, None)],
+        "x bigint, y bigint",
+    )
+    got = _rows(skyline_2d(df, "x", "y", n_buckets=64), "x", "y", "n")
+    # without the filter, (None,1000)'s max-y would shadow (6300,500)
+    assert got == [(0, 1, 1), (6300, 500, 1)]
+
+
 def test_skyline_partitioning_invariant(spark):
     df = spark.range(0, 500).select(
         (F.xxhash64("id") % 100).alias("x"),
