@@ -61,17 +61,35 @@ def satisfies(name: str, cond: Column) -> Check:
 
 def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     """Evaluate every check in one aggregation pass → long-format report
-    (check, violations, n_rows, passed)."""
+    (check, violations, n_rows, passed).
+
+    The long format is built with bound literals (explode over an
+    array of structs), never by splicing check names into SQL text — a
+    quote or backslash in a name previously broke the generated
+    ``stack(...)`` or silently altered the reported check_name
+    (review r8)."""
+    if not checks:
+        raise ValueError("run_checks requires at least one Check")
     agg = df.agg(
         F.count(F.lit(1)).alias("_n"),
         *[c.violations.alias(f"_v{i}") for i, c in enumerate(checks)],
     )
-    stack = ", ".join(
-        f"'{c.name.replace(chr(39), '')}', _v{i}" for i, c in enumerate(checks)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(c.name).alias("check_name"),
+            F.col(f"_v{i}").alias("violations"),
+        )
+        for i, c in enumerate(checks)
+    ])
+    return (
+        agg.select(F.explode(pairs).alias("_kv"), F.col("_n"))
+        .select(
+            F.col("_kv.check_name").alias("check_name"),
+            F.col("_kv.violations").alias("violations"),
+            F.col("_n").alias("n_rows"),
+        )
+        .withColumn("passed", F.col("violations") == 0)
     )
-    return agg.selectExpr(
-        f"stack({len(checks)}, {stack}) AS (check_name, violations)", "_n AS n_rows"
-    ).withColumn("passed", F.col("violations") == 0)
 
 
 def fk_exists(child: DataFrame, child_col: str, parent: DataFrame, parent_col: str) -> DataFrame:

@@ -29,6 +29,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: staged token frames from prior dsir_weights(stage=True) calls —
+#: evicted on the next call (same single-slot policy as lm.py)
+_LIVE_STAGED: list[DataFrame] = []
+
 
 def hash_bucket(col: Column, n_buckets: int) -> Column:
     """Portable token → bucket in [0, n_buckets): md5-prefix mod B
@@ -36,13 +40,6 @@ def hash_bucket(col: Column, n_buckets: int) -> Column:
     from .hashing import md5_bucket
 
     return md5_bucket(col, n_buckets)
-
-
-def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
-    ).where(F.col("token") != "")
 
 
 def bucket_logratio(
@@ -101,6 +98,7 @@ def dsir_weights(
     n_buckets: int = 64,
     alpha: float = 1.0,
     quantize_decimals: int | None = None,
+    stage: bool = True,
 ) -> DataFrame:
     """Importance weight per document of ``df``.
 
@@ -116,10 +114,30 @@ def dsir_weights(
     order-independent, so the aggregate is bit-stable across partition
     orders and engines (double summation order varies run-to-run) — use
     it when the weights feed a reproducibility-checked pipeline.
+
+    The token frame feeds THREE consumers (source counts, target
+    counts, the scoring join); with ``stage=True`` (default) it is
+    persisted so the corpus is tokenized once per action instead of
+    ~4 raw scans (review r8 — the lm.py bigram stage pattern), and the
+    target side is a FILTER over the same frame (``target_pred`` is
+    evaluated per document before the explode) rather than a second
+    tokenize. ``stage=False`` keeps the plan fully lazy.
     """
-    tok = _tokens(df, id_col, text_col)
-    tgt_tok = _tokens(df.where(target_pred), id_col, text_col)
-    ratio = bucket_logratio(tok, tgt_tok, n_buckets, alpha)
+    tok = df.select(
+        F.col(id_col),
+        target_pred.alias("_is_tgt"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    if stage:
+        while _LIVE_STAGED:
+            old = _LIVE_STAGED.pop()
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — owning session may be gone
+                pass
+        tok = tok.persist()
+        _LIVE_STAGED.append(tok)
+    ratio = bucket_logratio(tok, tok.where(F.col("_is_tgt")), n_buckets, alpha)
     if quantize_decimals is not None:
         ratio = ratio.select(
             "bucket",

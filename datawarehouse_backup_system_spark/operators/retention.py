@@ -113,4 +113,13 @@ def drop_old_partitions(
                 removed += 1
         except ValueError:
             continue
+    if removed:
+        # invalidate any cached reader over the table path — without
+        # this a cached DataFrame keeps serving the dropped partitions
+        # (review r8: the spark parameter previously went unused,
+        # implying an invalidation that never happened)
+        try:
+            spark.catalog.refreshByPath(str(base))
+        except Exception:  # noqa: BLE001 — best-effort metadata refresh
+            pass
     return removed

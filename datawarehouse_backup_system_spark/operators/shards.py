@@ -2,10 +2,10 @@
 
 Trainers consume data as numbered shard files (webdataset/tfrecord
 style): workers each stream a disjoint shard subset, so shard assignment
-must be deterministic, uniform, and reproducible across reruns — exactly
-the content-hash recipe :mod:`sampling` uses. Shard id is
-``md5(salt||key) % n_shards``: no global sort, no driver state, stable
-on any partitioning and any engine.
+must be deterministic, uniform, and reproducible across reruns. Shard id
+is ``md5(salt||key) % n_shards`` over the canonical 56-bit prefix
+(:mod:`hashing`): no global sort, no driver state, stable on any
+partitioning and any engine, uniform at any realistic shard count.
 
 - **shard_assign** — add the shard_id column (pure expression).
 - **shard_manifest** — per-shard audit row (doc/token counts, key
@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from datawarehouse_backup_system_spark.operators import text
-from datawarehouse_backup_system_spark.operators.sampling import _bucket
+from datawarehouse_backup_system_spark.operators.hashing import md5_bucket
 
 
 def shard_assign(
@@ -36,11 +36,24 @@ def shard_assign(
     salt: str = "shard",
     out_col: str = "shard_id",
 ) -> DataFrame:
-    """Deterministic uniform shard id: ``md5(salt||key) % n_shards``."""
+    """Deterministic uniform shard id: ``md5(salt||key) % n_shards``
+    over the canonical 56-bit prefix (``hashing.md5_bucket``).
+
+    Review r8: the previous route through ``sampling._bucket`` double-
+    modded through its 1,000,000-bucket space, so any ``n_shards`` not
+    dividing 10^6 was skewed (33% size imbalance at 300k shards — the
+    module's own design point) and ``n_shards > 10^6`` left shards
+    permanently empty. The 56-bit prefix is uniform at any realistic
+    shard count. A NULL ``key_col`` yields a NULL shard id (concat with
+    NULL is NULL on both engines); the manifest surfaces such rows as a
+    ``shard_id IS NULL`` audit row rather than dropping them."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     return df.withColumn(
-        out_col, (_bucket(F.col(key_col), salt) % n_shards).cast("bigint")
+        out_col,
+        md5_bucket(
+            F.concat(F.lit(salt), F.col(key_col).cast("string")), n_shards
+        ),
     )
 
 
@@ -52,20 +65,32 @@ def _manifest_from_assigned(
     rather than vanishing, so a training job planning worker/shard
     assignment can tell 'empty' from 'missing'."""
     aggs = [
-        F.count(key_col).cast("bigint").alias("n_docs"),
+        # count rows, not keys: count(key_col) would report 0 docs on
+        # the NULL-key audit row this manifest exists to surface
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.min(key_col).alias("min_key"),
         F.max(key_col).alias("max_key"),
     ]
     if text_col is not None:
+        # strict variant: empty/whitespace-only docs are 0 tokens, the
+        # same accounting lm.bigram_rows / importance use — the plain
+        # count reports 1 (split('') == ['']) and would overstate a
+        # shard of blank docs by n_docs (review r8)
         aggs.append(
-            F.sum(text.token_count(F.col(text_col))).cast("bigint").alias("n_tokens")
+            F.sum(text.token_count_strict(F.col(text_col)))
+            .cast("bigint")
+            .alias("n_tokens")
         )
     per_shard = assigned.groupBy("shard_id").agg(*aggs)
     all_ids = assigned.sparkSession.range(n_shards).select(
         F.col("id").cast("bigint").alias("shard_id")
     )
+    # full outer, not left: rows whose key was NULL carry a NULL
+    # shard_id — a left join would silently drop them from the audit,
+    # the one thing a manifest must never do (review r8). With non-NULL
+    # keys this is identical to the left join.
     return (
-        all_ids.join(per_shard, "shard_id", "left")
+        all_ids.join(per_shard, "shard_id", "full")
         .na.fill({"n_docs": 0})
     )
 
@@ -121,5 +146,8 @@ def export_shards(
         .partitionBy("shard_id")
         .parquet(path)
     )
-    written = df.sparkSession.read.parquet(path)
+    # explicit schema: an all-filtered-out corpus writes only _SUCCESS,
+    # and schema inference over zero part files raises instead of
+    # returning the documented all-shards-empty manifest (review r8)
+    written = df.sparkSession.read.schema(assigned.schema).parquet(path)
     return _manifest_from_assigned(written, key_col, n_shards, text_col)

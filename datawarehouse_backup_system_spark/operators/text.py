@@ -36,6 +36,19 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+def token_count_strict(text: Column) -> Column:
+    """Like :func:`token_count` but 0 for empty/whitespace-only text
+    (``split('')`` is ``['']``, so the plain count reports 1). The lm /
+    importance operators already drop the '' token; use this variant
+    where the accounting must agree with them (review r8: the shard
+    manifest counted a shard of empty docs as n_docs tokens). The plain
+    variant stays as-is — its quirk is pinned by several spec oracles
+    and the two engines agree on it."""
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(
+        F.size(tokens(text))
+    )
+
+
 def subword_count(text: Column) -> Column:
     """Count of BPE-ish subword units (regexp_extract_all length)."""
     return F.size(F.regexp_extract_all(text, F.lit(SUBWORD_RE), 0))

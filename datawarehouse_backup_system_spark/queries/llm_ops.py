@@ -828,14 +828,16 @@ def t08_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 T08_SQL = r"""
 WITH b AS (
   SELECT doc_id, text,
-         CAST('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
-           % 1000000 % 8 AS shard_id
+         CAST('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT)
+           % 8 AS shard_id
   FROM documents
 ),
 agg AS (
   SELECT shard_id, CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
          MIN(doc_id) AS min_key, MAX(doc_id) AS max_key,
-         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+         CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END)
+              AS BIGINT) AS n_tokens
   FROM b GROUP BY shard_id
 )
 SELECT r.range AS shard_id, COALESCE(agg.n_docs, 0) AS n_docs,

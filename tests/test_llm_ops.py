@@ -165,6 +165,41 @@ def test_curation_report_each_gate_fires_independently(spark):
     assert got[1]["dedup_keep"] is True  # canonical copy survives
 
 
+def test_export_shards_empty_corpus(spark, sf_dir, tmp_path):
+    """An all-filtered-out corpus still yields the full n_docs=0
+    manifest — the read-back uses an explicit schema, since zero part
+    files cannot be inferred (review r8)."""
+    from datawarehouse_backup_system_spark.operators import shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where("1=0")
+    manifest = shards.export_shards(
+        docs, str(tmp_path / "empty"), "doc_id", n_shards=3
+    ).collect()
+    assert sorted(r["shard_id"] for r in manifest) == [0, 1, 2]
+    assert all(r["n_docs"] == 0 for r in manifest)
+
+
+def test_shard_manifest_surfaces_null_keys_and_strict_tokens(spark):
+    """NULL keys appear as a shard_id IS NULL audit row (never silently
+    dropped), and blank docs count 0 tokens in the manifest (review r8)."""
+    from datawarehouse_backup_system_spark.operators import shards
+
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, "   "), (None, "lost doc")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["shard_id"]: r
+        for r in shards.shard_manifest(
+            df, "doc_id", n_shards=2, text_col="text"
+        ).collect()
+    }
+    assert None in rows and rows[None]["n_docs"] == 1
+    assert sum(r["n_docs"] for r in rows.values()) == 3
+    # doc 1 has 2 tokens, doc 2 (whitespace-only) has 0
+    assert sum(r["n_tokens"] or 0 for k, r in rows.items() if k is not None) == 2
+
+
 def test_export_shards_roundtrip_one_file_per_shard(spark, sf_dir, tmp_path):
     """export_shards writes shard_id=K/ dirs with ONE parquet file each
     (repartition-by-shard makes a single task own each shard), loses no

@@ -98,6 +98,18 @@ def test_expectations_report(spark):
     assert report["unique(k)"] == (1, False)        # k=2 twice
     assert report["in_range(v,0,10)"] == (2, False)  # -1 and 50
     assert report["matches(s)"] == (1, False)        # 'zz'
+
+    # names with quotes/backslashes pass through verbatim — the long
+    # format binds literals, it never splices names into SQL (review r8)
+    hostile = r"can't \ break \" it"
+    rep2 = {r["check_name"]: r["passed"]
+            for r in ex.run_checks(df, [
+                ex.satisfies(hostile, F.col("v") > -100),
+            ]).collect()}
+    assert rep2 == {hostile: True}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one"):
+        ex.run_checks(df, [])
     parent = spark.createDataFrame([(1,), (2,)], "k long")
     fk = ex.fk_exists(df, "k", parent, "k").collect()[0]
     assert (fk["violations"], fk["passed"]) == (1, False)  # k=3 orphan
