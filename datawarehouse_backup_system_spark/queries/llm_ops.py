@@ -20,16 +20,28 @@ from datawarehouse_backup_system_spark.operators import dedup_approx, similarity
 from datawarehouse_backup_system_spark.queries.base import QuerySpec, load
 
 
+def _with_neardups(docs: DataFrame) -> DataFrame:
+    """``docs(doc_id, text)`` ∪ perturbed copies (id+100000, first 3
+    words dropped, only docs over 6 tokens)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # filter BEFORE the select: after it, the unresolved F.col("text")
+    # inside toks would re-resolve against the PERTURBED text, diverging
+    # from the oracle's original-length filter for 7-9-token docs and
+    # leaving the negative slice length unguarded for <=3-token docs
+    # (review r8; latent on the fixture — every doc exceeds 9 tokens)
+    perturbed = docs.where(F.size(toks) > 6).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(toks, 4, F.size(toks) - 3), " ").alias("text"),
+    )
+    return docs.unionByName(perturbed)
+
+
 def _docs_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ perturbed copies (id+100000, first 3 words dropped) —
     the deterministic near-dup corpus used by d02/d03."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    perturbed = docs.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.array_join(F.slice(toks, 4, F.size(toks) - 3), " ").alias("text"),
-    ).where(F.size(toks) > 6)
-    return docs.unionByName(perturbed)
+    return _with_neardups(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
 
 _NEARDUP_CORPUS_SQL = """
@@ -847,7 +859,7 @@ FROM range(8) r LEFT JOIN agg ON agg.shard_id = r.range
 
 
 # --------------------------------------------------------------------------
-# t09 — benchmark decontamination (word-5-gram overlap vs an eval set)
+# t09 — benchmark decontamination (word-3-gram overlap vs an eval set)
 # --------------------------------------------------------------------------
 def t09_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs sharing ≥1 word 3-gram with the pseudo-benchmark set

@@ -165,6 +165,26 @@ def test_curation_report_each_gate_fires_independently(spark):
     assert got[1]["dedup_keep"] is True  # canonical copy survives
 
 
+def test_neardup_corpus_filters_on_original_length(spark):
+    """The >6-token gate must test the ORIGINAL text: a 7-token doc gets
+    a (4-token) perturbed copy, and a 3-token doc must neither crash the
+    slice nor emit a copy (review r8: a post-select filter re-resolved
+    against the perturbed text)."""
+    from datawarehouse_backup_system_spark.queries.llm_ops import (
+        _with_neardups,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y z")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["text"] for r in _with_neardups(docs).collect()}
+    assert rows == {
+        1: "a b c d e f g",
+        2: "x y z",
+        100001: "d e f g",
+    }
+
+
 def test_export_shards_empty_corpus(spark, sf_dir, tmp_path):
     """An all-filtered-out corpus still yields the full n_docs=0
     manifest — the read-back uses an explicit schema, since zero part
