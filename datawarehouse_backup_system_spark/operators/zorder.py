@@ -38,6 +38,20 @@ def morton_code(cols: list[Column], bits: int = 16) -> Column:
     return code
 
 
+def morton_interleave_sql(cols: list[str], bits: int) -> str:
+    """The DuckDB replay of :func:`morton_code` — same bit layout (bit
+    j of column i at position j*k + i), generated from ONE place so a
+    layout change can never leave an oracle checking different code
+    (review r8: z01 and z02 each carried a hand-synced copy)."""
+    k = len(cols)
+    terms = [
+        f"((({col} >> {j}) & 1) << {j * k + i})"
+        for i, col in enumerate(cols)
+        for j in range(bits)
+    ]
+    return " | ".join(terms)
+
+
 def zorder_by(
     df: DataFrame,
     cols: list[str],

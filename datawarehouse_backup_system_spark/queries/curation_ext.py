@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import zorder
 from ..operators.quantize import quantize_embeddings
 from ..operators.sampling import domain_mixture
 from ..operators.text import line_dedup, tfidf_top_terms, token_count, vocab_topk
@@ -297,25 +298,31 @@ def e01_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-E01_SQL = """
-WITH v AS (
+#: the SQ8 quantize CTE chain (embedding -> q_min/q_scale -> integer
+#: codes) shared by E01_SQL and _R05_APPROX_SQL, so the two oracles can
+#: never silently replay different quantizers (review r8)
+_SQ8_CTES = """
+WITH vsrc AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
-s AS (
+sq AS (
   SELECT vec_id, v, list_min(v) AS q_min,
          (list_max(v) - list_min(v)) / 255 AS q_scale
-  FROM v
+  FROM vsrc
 ),
-q AS (
+qz AS (
   SELECT vec_id, v, q_min, q_scale,
          CASE WHEN q_scale = 0
               THEN list_transform(v, x -> CAST(0 AS BIGINT))
               ELSE list_transform(
                      v, x -> CAST(floor((x - q_min) / q_scale + 0.5) AS BIGINT))
          END AS q
-  FROM s
-)
+  FROM sq
+)"""
+
+
+E01_SQL = f"""{_SQ8_CTES}
 SELECT vec_id,
        CAST(len(q) AS INT) AS n_dims,
        CAST(list_sum(q) AS BIGINT) AS q_sum,
@@ -327,7 +334,7 @@ SELECT vec_id,
        round(list_max(list_transform(range(1, len(v) + 1),
                                      i -> abs(v[i] - (q_min + q[i] * q_scale)))),
              6) AS max_err
-FROM q
+FROM qz
 """
 
 
@@ -359,25 +366,7 @@ def r05_recall_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_frame(exact, approx)
 
 
-_R05_APPROX_SQL = """
-WITH vsrc AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings
-),
-sq AS (
-  SELECT vec_id, v, list_min(v) AS q_min,
-         (list_max(v) - list_min(v)) / 255 AS q_scale
-  FROM vsrc
-),
-qz AS (
-  SELECT vec_id, q_min, q_scale,
-         CASE WHEN q_scale = 0
-              THEN list_transform(v, x -> CAST(0 AS BIGINT))
-              ELSE list_transform(
-                     v, x -> CAST(floor((x - q_min) / q_scale + 0.5) AS BIGINT))
-         END AS q
-  FROM sq
-),
+_R05_APPROX_SQL = f"""{_SQ8_CTES},
 dv AS (
   SELECT vec_id, list_transform(q, c -> q_min + c * q_scale) AS e FROM qz
 ),
@@ -692,14 +681,6 @@ def z01_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _z01_interleave_sql() -> str:
-    terms = []
-    for i, col in enumerate(("zx", "zy")):
-        for j in range(_Z_BITS):
-            terms.append(f"((({col} >> {j}) & 1) << {j * 2 + i})")
-    return " | ".join(terms)
-
-
 Z01_SQL = f"""
 WITH b AS (
   SELECT event_id,
@@ -707,7 +688,8 @@ WITH b AS (
          CAST(floor(value * 100 + 0.5) AS BIGINT) % {1 << _Z_BITS} AS zy
   FROM events
 )
-SELECT event_id, zx, zy, CAST({_z01_interleave_sql()} AS BIGINT) AS zcode
+SELECT event_id, zx, zy,
+       CAST({zorder.morton_interleave_sql(["zx", "zy"], _Z_BITS)} AS BIGINT) AS zcode
 FROM b
 """
 

@@ -93,6 +93,24 @@ def _le_hex(col: F.Column, nbytes: int) -> F.Column:
     return F.concat(*parts)
 
 
+def _wav_header_hex(rate: F.Column, data_size: F.Column) -> F.Column:
+    """Canonical 44-byte 16-bit mono PCM WAV header as a hex expression
+    — ONE copy shared by m02 and m05, so an edit to the RIFF/WAVE/fmt/
+    data layout can never leave the other spec's blobs (and its
+    arithmetic oracle) on a stale layout (review r8; the same cure as
+    the shared _mp4_assets helper for m03/m04)."""
+    byte_rate = rate * 2
+    return F.concat(
+        F.lit("52494646"), _le_hex(data_size + 36, 4),   # "RIFF" + size
+        F.lit("57415645"),                               # "WAVE"
+        F.lit("666D7420"), F.lit("10000000"),            # "fmt " + 16
+        F.lit("0100"), F.lit("0100"),                    # PCM, mono
+        _le_hex(rate, 4), _le_hex(byte_rate, 4),
+        F.lit("0200"), F.lit("1000"),                    # align 2, 16 bit
+        F.lit("64617461"), _le_hex(data_size, 4),        # "data" + size
+    )
+
+
 def m02_wav_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a complete 44-byte WAV header per document (canonical
     RIFF/WAVE/fmt/data layout, little-endian fields built with hex
@@ -104,17 +122,8 @@ def m02_wav_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     rate = (F.lit(8000) * (F.col("doc_id") % 6 + 1)).cast("long")
-    byte_rate = rate * 2                       # 16-bit mono PCM
-    data_size = byte_rate * (F.col("doc_id") % 10 + 1)   # whole seconds
-    hexstr = F.concat(
-        F.lit("52494646"), _le_hex(data_size + 36, 4),   # "RIFF" + size
-        F.lit("57415645"),                               # "WAVE"
-        F.lit("666D7420"), F.lit("10000000"),            # "fmt " + 16
-        F.lit("0100"), F.lit("0100"),                    # PCM, mono
-        _le_hex(rate, 4), _le_hex(byte_rate, 4),
-        F.lit("0200"), F.lit("1000"),                    # align 2, 16 bit
-        F.lit("64617461"), _le_hex(data_size, 4),        # "data" + size
-    )
+    data_size = rate * 2 * (F.col("doc_id") % 10 + 1)    # whole seconds
+    hexstr = _wav_header_hex(rate, data_size)
     assets = docs.select(
         F.col("doc_id").alias("asset_id"),
         F.lit("audio").alias("kind"),
@@ -208,15 +217,7 @@ def m05_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = (did % 64 + 64).cast("long")            # 64..127 samples
     data_size = n * 2                            # 16-bit mono PCM
     rate = F.lit(8000).cast("long")
-    header = F.concat(
-        F.lit("52494646"), _le_hex(data_size + 36, 4),   # "RIFF" + size
-        F.lit("57415645"),                               # "WAVE"
-        F.lit("666D7420"), F.lit("10000000"),            # "fmt " + 16
-        F.lit("0100"), F.lit("0100"),                    # PCM, mono
-        _le_hex(rate, 4), _le_hex(rate * 2, 4),
-        F.lit("0200"), F.lit("1000"),                    # align 2, 16 bit
-        F.lit("64617461"), _le_hex(data_size, 4),        # "data" + size
-    )
+    header = _wav_header_hex(rate, data_size)
 
     def le16(i):  # sample i as 2 little-endian hex bytes
         v = F.pmod(did * 31 + i * 17, F.lit(4096)) - 2048

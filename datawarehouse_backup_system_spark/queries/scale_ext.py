@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import quantiles as qsk
+from ..operators import zorder
 from ..operators.setjoin import prefix_jaccard_join
 from ..operators.upsert import scd2_apply
 from .base import QuerySpec, load
@@ -122,7 +123,7 @@ cum AS (
          sum(cnt) OVER () AS n_total
   FROM binned
 ),
-qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+qs AS (SELECT unnest({_H01_QS}) AS q)
 SELECT q,
        (SELECT lo FROM p) + min(bin) * (SELECT w FROM p) AS value,
        CAST(min(n_total) AS BIGINT) AS n_total,
@@ -303,7 +304,7 @@ cum AS (
          sum(cnt) OVER (PARTITION BY event_type) AS n_total
   FROM binned
 ),
-qs AS (SELECT unnest([0.5, 0.95]) AS q)
+qs AS (SELECT unnest({_H02_QS}) AS q)
 SELECT event_type, q,
        (SELECT lo FROM p) + min(bin) * (SELECT w FROM p) AS value,
        CAST(min(n_total) AS BIGINT) AS n_total
@@ -370,19 +371,11 @@ def z02_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _z02_interleave_sql() -> str:
-    terms = []
-    for i, col in enumerate(("d1", "d2")):
-        for j in range(_Z02_BITS):
-            terms.append(f"((({col} >> {j}) & 1) << {j * 2 + i})")
-    return " | ".join(terms)
-
-
 Z02_SQL = f"""
 WITH staged AS (
   SELECT l_partkey % {1 << _Z02_BITS} AS d1,
          l_suppkey % {1 << _Z02_BITS} AS d2,
-         ({_z02_interleave_sql()}) // {_Z02_TILE_DIV} AS zbucket,
+         ({zorder.morton_interleave_sql(["d1", "d2"], _Z02_BITS)}) // {_Z02_TILE_DIV} AS zbucket,
          l_orderkey % 64 AS rbucket
   FROM lineitem
 ),
@@ -622,9 +615,11 @@ FROM per, tot
 # lands under the fractional part. EVERYTHING is integer (micro-epoch
 # units, 56-bit hash mod 1e6), so the manifest is reproducible across
 # engines, partitionings, and reruns — the property a training run
-# actually needs from its sampler. 64-bit bound: wq·N·1e6 must fit a
-# signed long (holds to ~10^9 docs per language group; beyond that,
-# promote the micro-epoch arithmetic to decimal(38,0)).
+# actually needs from its sampler. The micro-epoch products run in
+# DECIMAL(38,0)/HUGEINT (review r8: the int64 form wq·N·1e6 ≈
+# √n_lang·N·1e12 already hit 77% of int64 at a 50k-doc corpus — Spark
+# would wrap silently with ANSI off while DuckDB raised; decimal holds
+# to ~10^12 docs) and only the small quotient returns to BIGINT.
 # --------------------------------------------------------------------------
 def w02_temperature_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
@@ -643,7 +638,8 @@ def w02_temperature_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_epochs = per.crossJoin(F.broadcast(tot)).select(
         "lang",
         F.expr(
-            "(wq * n_total * 1000000) div (wq_total * n_docs)"
+            "cast((cast(wq as decimal(38,0)) * n_total * 1000000)"
+            " div (cast(wq_total as decimal(38,0)) * n_docs) as bigint)"
         ).alias("epochs_micro"),
     )
     u = (
@@ -675,7 +671,8 @@ tot AS (
   FROM per
 ),
 le AS (
-  SELECT lang, (wq * n_total * 1000000) // (wq_total * n_docs) AS epochs_micro
+  SELECT lang, CAST((CAST(wq AS HUGEINT) * n_total * 1000000)
+               // (CAST(wq_total AS HUGEINT) * n_docs) AS BIGINT) AS epochs_micro
   FROM per, tot
 )
 SELECT d.doc_id, d.lang,
@@ -929,6 +926,9 @@ FROM base JOIN outer_max om ON om.g = base.g AND om.i = base.bucket
 # sketch family (h01) — integer lag seconds end to end.
 # --------------------------------------------------------------------------
 _A07_BINS = 32
+#: single source for both the Spark call and the oracle's unnest —
+#: hardcoding the list twice was the h01/h02/h04 trap too (review r8)
+_A07_QS = [0.5, 0.9]
 
 
 def a07_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -957,7 +957,7 @@ def a07_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     w = qsk.bin_width(lo, hi, _A07_BINS)
     hist = qsk.binned_histogram(lags, "lag_s", lo, hi, _A07_BINS)
-    return qsk.histogram_quantiles(hist, [0.5, 0.9], lo, w)
+    return qsk.histogram_quantiles(hist, _A07_QS, lo, w)
 
 
 A07_SQL = f"""
@@ -983,7 +983,7 @@ cum AS (
          sum(cnt) OVER () AS n_total
   FROM binned
 ),
-qs AS (SELECT unnest([0.5, 0.9]) AS q)
+qs AS (SELECT unnest({_A07_QS}) AS q)
 SELECT q,
        (SELECT lo FROM p) + min(bin) * (SELECT w FROM p) AS value,
        CAST(min(n_total) AS BIGINT) AS n_total
@@ -1050,7 +1050,10 @@ def h04_sketch_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = qsk.histogram_quantiles(hist, _H01_QS, lo, w).select(
         "q", F.col("value").alias("sketch_value"), "n_total"
     )
-    ranked = ev.withColumn(
+    # NULL drop BEFORE ranking — the sketch and the oracle both skip
+    # NULLs, and NULLS FIRST ordering would shift every rank by the
+    # NULL count (review r8; latent: the fixture column has no NULLs)
+    ranked = ev.where(F.col("c").isNotNull()).withColumn(
         "rk", F.row_number().over(Window.orderBy("c"))
     )
     exact = (
@@ -1091,7 +1094,7 @@ cum AS (
          sum(cnt) OVER () AS n_total
   FROM binned
 ),
-qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+qs AS (SELECT unnest({_H01_QS}) AS q),
 sk AS (
   SELECT q, (SELECT lo FROM p) + min(bin) * (SELECT w FROM p)
            AS sketch_value,
