@@ -41,16 +41,30 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # in the session silently decode nanos timestamps as BIGINT);
         # the flag is touched only for a nanos-generation file, where
         # it is the documented requirement for the session.
+        path = f"{sf_dir}/{table}.parquet"
         try:
             import pyarrow.parquet as _pq
 
-            _ts = _pq.read_schema(f"{sf_dir}/{table}.parquet").field("ts")
-            _is_nanos = "ns" in str(_ts.type)
-        except Exception:  # noqa: BLE001 — fall back to the legacy path
-            _is_nanos = True
+            _is_nanos = "ns" in str(_pq.read_schema(path).field("ts").type)
+        except Exception:  # noqa: BLE001 — probe with Spark below
+            # unknown footer (no pyarrow / unreadable): do NOT assume
+            # nanos — that set the session-wide flag for micros files
+            # and re-created the r8 session-poisoning bug this branch
+            # exists to avoid (review r8). Try the plain read; only a
+            # genuine nanos file raises, and only then flip the flag.
+            _is_nanos = None
         if _is_nanos:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        if _is_nanos is None:
+            try:
+                df = spark.read.parquet(path)
+            except Exception:  # noqa: BLE001 — nanos rejection
+                spark.conf.set(
+                    "spark.sql.legacy.parquet.nanosAsLong", "true"
+                )
+                df = spark.read.parquet(path)
+        else:
+            df = spark.read.parquet(path)
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 

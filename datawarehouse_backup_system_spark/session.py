@@ -47,9 +47,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
+    env_master = os.environ.get("SPARK_MASTER")
     if master is not None:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER"):
+    elif env_master:
+        # apply the env value, don't just skip the local[] fallback — a
+        # plain-python launch has no master conf, so treating the var as
+        # a sentinel crashed getOrCreate with 'A master URL must be set'
+        # (review r8)
+        builder = builder.master(env_master)
+    else:
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -41,9 +41,17 @@ def jsonl_projection(lines: DataFrame, schema: T.StructType) -> DataFrame:
     corruption. Blank lines are dropped.
     """
     # StructType.add mutates in place — build a fresh struct instead of
-    # corrupting the caller's schema object
+    # corrupting the caller's schema object. The corrupt-record field
+    # name is derived to dodge the caller's field names: a schema that
+    # itself contains '_corrupt' previously produced a duplicate-named
+    # struct field and the user's column was silently dropped by the
+    # output filter (review r8).
+    corrupt_col = "_corrupt"
+    taken = {f.name for f in schema.fields}
+    while corrupt_col in taken:
+        corrupt_col += "_"
     parse_schema = T.StructType(
-        list(schema.fields) + [T.StructField("_corrupt", T.StringType())]
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
     )
     nonblank = lines.where(F.length(F.trim(F.col("value"))) > 0)
     parsed = nonblank.select(
@@ -51,10 +59,12 @@ def jsonl_projection(lines: DataFrame, schema: T.StructType) -> DataFrame:
         F.from_json(
             F.col("value"),
             parse_schema,
-            {"columnNameOfCorruptRecord": "_corrupt"},
+            {"columnNameOfCorruptRecord": corrupt_col},
         ).alias("_j"),
     )
-    is_bad = F.col("_j").isNull() | F.col("_j._corrupt").isNotNull()
+    is_bad = F.col("_j").isNull() | F.col("_j").getField(
+        corrupt_col
+    ).isNotNull()
     # getField, not F.col("_j.<name>"): a JSON key containing dots
     # (e.g. 'headers.content-type') would parse as a deeper nested path
     # and fail UNRESOLVED_COLUMN; getField treats the name literally
@@ -65,7 +75,6 @@ def jsonl_projection(lines: DataFrame, schema: T.StructType) -> DataFrame:
             .otherwise(F.col("_j").getField(f.name))
             .alias(f.name)
             for f in schema.fields
-            if f.name != "_corrupt"
         ],
     )
 

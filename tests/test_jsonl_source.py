@@ -69,6 +69,28 @@ def test_sample_schema_roundtrip(spark, tmp_path):
     assert good.count() == 3 and bad.count() == 0
 
 
+def test_user_corrupt_column_survives(spark, tmp_path):
+    """A caller schema containing '_corrupt' keeps its column — the
+    quarantine field name is derived to dodge collisions (review r8:
+    a duplicate-named struct field silently dropped the user's)."""
+    import pyspark.sql.types as T
+
+    p = tmp_path / "c.jsonl"
+    p.write_text('{"doc_id": 1, "_corrupt": "user-data"}\nnot json\n')
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    out = read_jsonl(spark, str(p), schema=schema)
+    good, bad = split_corrupt(out)
+    assert bad.count() == 1
+    rows = good.collect()
+    assert len(rows) == 1
+    assert rows[0]["doc_id"] == 1 and rows[0]["_corrupt"] == "user-data"
+
+
 def test_export_jsonl_roundtrip(spark, tmp_path):
     """export_snapshot_jsonl -> read_jsonl is lossless for scalars."""
     from datawarehouse_backup_system_spark.operators.export import (

@@ -108,6 +108,12 @@ def main() -> int:
     only = set(sys.argv[2:])
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd name used to be silently skipped, printing 'all
+        # queries match' on zero runs — a false green gate (review r8)
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 2
 
     con = duckdb.connect()
     for t in TABLES:
