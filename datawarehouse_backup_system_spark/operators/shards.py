@@ -29,6 +29,16 @@ from datawarehouse_backup_system_spark.operators import text
 from datawarehouse_backup_system_spark.operators.hashing import md5_bucket
 
 
+def shard_id_expr(key_col: str, n_shards: int, salt: str = "shard"):
+    """THE shard-assignment expression — single-sourced so a consumer
+    replicating the layout (e.g. plans.corpus_build's packing plan) can
+    never fork from what export_shards actually writes (review r8: the
+    hand-copied expression did exactly that when the recipe changed)."""
+    return md5_bucket(
+        F.concat(F.lit(salt), F.col(key_col).cast("string")), n_shards
+    )
+
+
 def shard_assign(
     df: DataFrame,
     key_col: str,
@@ -49,12 +59,7 @@ def shard_assign(
     ``shard_id IS NULL`` audit row rather than dropping them."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    return df.withColumn(
-        out_col,
-        md5_bucket(
-            F.concat(F.lit(salt), F.col(key_col).cast("string")), n_shards
-        ),
-    )
+    return df.withColumn(out_col, shard_id_expr(key_col, n_shards, salt))
 
 
 def _manifest_from_assigned(

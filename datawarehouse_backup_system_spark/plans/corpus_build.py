@@ -183,15 +183,14 @@ def build_training_corpus(
     with_tokens = exported.withColumn(
         "n_tokens", F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     )
-    from ..operators.sampling import _bucket
+    from ..operators.shards import shard_id_expr
 
     _md5 = F.md5(F.concat(F.lit("shard"), F.col("seq_id").cast("string")))
     packed = text.pack_sequences(
         with_tokens, "seq_id", "n_tokens", capacity, n_shards=n_shards,
-        # EXACTLY shard_assign's expression (the frozen _bucket recipe)
-        shard_expr=(_bucket(F.col("seq_id"), "shard") % n_shards).cast(
-            "bigint"
-        ),
+        # shard_assign's OWN expression, imported not copied (review r8:
+        # the hand-copied twin silently forked when the recipe changed)
+        shard_expr=shard_id_expr("seq_id", n_shards),
         order_exprs=[_md5, F.col("seq_id")],
     )
     packed.write.mode("overwrite").parquet(str(out_dir / "packing_plan"))
