@@ -117,9 +117,13 @@ def cohort_retention(
     first-activity epoch week; each (cohort_week, week_offset) cell
     counts the distinct entities from that cohort active that week.
 
-    Weeks are ``floor(unix_micros / week)`` — integer, engine-portable,
-    no calendar/locale semantics. The first-activity frame is one row
-    per entity; at 100 TB it is the small side and broadcasts.
+    Weeks are ``unix_micros div week`` — integer TRUNCATION toward
+    zero, which Spark ``div`` and DuckDB ``//`` agree on (review r8:
+    this is not floor for negatives — pre-epoch timestamps would merge
+    weeks −1 and 0; event data postdates the epoch, so the precondition
+    is ts ≥ 1970-01-01). No calendar/locale semantics. The
+    first-activity frame is one row per entity; at 100 TB it is the
+    small side and broadcasts.
     """
     # integer `div`, not float division + floor: micros ~1e15 are exact
     # in double, but the quotient's rounding could land on a boundary —
@@ -177,7 +181,10 @@ def rolling_anomaly_flags(
     (cents); the z² test is cross-multiplied to integers —
     ``(n·x − s)² > z²·(n·ssq − s²)`` with s=Σv, ssq=Σv² over the
     preceding frame — so the flag is EXACT on every engine (a float
-    stddev comparison would not hash-stably reproduce).
+    stddev comparison would not hash-stably reproduce). The products
+    run in DECIMAL(38,0) (review r8: raw bigint wrapped for cent
+    values ≳ 1e8 with the default lookback — n·ssq ~ 1e20 exceeds
+    int64 — the same overflow class pair_support already guards).
 
     One shuffle on the key; the frame is bounded rows (not time), so
     per-row state is O(lookback) and the window never globalizes.
@@ -188,18 +195,25 @@ def rolling_anomaly_flags(
         .rowsBetween(-lookback, -1)
     )
     v = F.col(value_col)
+    dec = "decimal(38,0)"
+    # the promotion must start INSIDE the window sums: v² for a 5e9-cent
+    # value already exceeds int64, so a bigint Σv² throws under ANSI
+    # (or wraps with it off) before any downstream cast could help
+    vd0 = v.cast(dec)
     staged = df.select(
         key_col,
         ts_col,
         tiebreak_col,
         value_col,
         F.count(v).over(w).alias("_n"),
-        F.sum(v).over(w).alias("_s"),
-        F.sum(v * v).over(w).alias("_ssq"),
+        F.sum(vd0).over(w).alias("_s"),
+        F.sum(vd0 * vd0).over(w).alias("_ssq"),
     )
-    n, s, ssq = F.col("_n"), F.col("_s"), F.col("_ssq")
-    lhs = (n * v - s) * (n * v - s)
-    rhs = F.lit(z_threshold * z_threshold) * (n * ssq - s * s)
+    n = F.col("_n")
+    nd, vd = n.cast(dec), v.cast(dec)
+    sd, ssqd = F.col("_s").cast(dec), F.col("_ssq").cast(dec)
+    lhs = (nd * vd - sd) * (nd * vd - sd)
+    rhs = F.lit(int(z_threshold) ** 2).cast(dec) * (nd * ssqd - sd * sd)
     return (
         staged.where((n >= min_n) & (lhs > rhs))
         .select(key_col, ts_col, tiebreak_col, value_col, n.alias("n_window"))

@@ -95,13 +95,16 @@ def apply_typed_casts(
             e = parse_timestamp(c, formats)
         elif name in int_cols:
             # pandas to_numeric accepts '3.0' for Int64; try bigint then
-            # round-trip through double for decimal-rendered integers.
-            # Both casts must be try_cast: a plain cast of an overflowing
-            # double ('9e99') raises under ANSI mode instead of coercing
-            # that one cell to NULL.
+            # round-trip through double for decimal-rendered integers —
+            # gated on the double being INTEGRAL, since an ungated
+            # round-trip fabricated 3 from '3.7' instead of the
+            # documented coerce-to-NULL (review r8). Both casts must be
+            # try_cast: a plain cast of an overflowing double ('9e99')
+            # raises under ANSI mode instead of coercing that cell.
+            d = c.try_cast("double")
             e = F.coalesce(
                 c.try_cast("bigint"),
-                c.try_cast("double").try_cast("bigint"),
+                F.when(d == F.floor(d), d.try_cast("bigint")),
             )
         elif name in float_cols:
             e = c.try_cast("double")

@@ -43,6 +43,18 @@ def validate_headers(
     main.py:166)."""
     rename_map = rename_map or {}
     canonical = [rename_map.get(c, c) for c in found_columns]
+    dupes = sorted({c for c in canonical if canonical.count(c) > 1})
+    if dupes:
+        # duplicate canonical names (rename collision or duplicated raw
+        # headers) previously passed width validation and crashed
+        # normalize() later with AMBIGUOUS_REFERENCE — reject on the
+        # clean ledger path instead (review r8)
+        return NormalizeReport(
+            ok=False,
+            unknown_columns=(),
+            missing_columns=(),
+            error=f"duplicate canonical column names: {dupes}",
+        )
     unknown = tuple(c for c in canonical if c not in expected_columns)
     missing = tuple(c for c in expected_columns if c not in canonical)
     if len(canonical) > len(expected_columns) or unknown:

@@ -151,8 +151,10 @@ WITH c AS (
 ), wnd AS (
   SELECT event_type, ts, event_id, cents,
          CAST(count(cents) OVER w AS BIGINT) AS n,
-         CAST(sum(cents) OVER w AS BIGINT) AS s,
-         CAST(sum(cents * cents) OVER w AS BIGINT) AS ssq
+         -- HUGEINT sums mirror the operator's in-window DECIMAL(38,0)
+         -- promotion: cents*cents alone can exceed int64 (review r8)
+         sum(CAST(cents AS HUGEINT)) OVER w AS s,
+         sum(CAST(cents AS HUGEINT) * cents) OVER w AS ssq
   FROM c
   WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
@@ -160,7 +162,10 @@ WITH c AS (
 SELECT event_type, ts, event_id, cents, n AS n_window
 FROM wnd
 WHERE n >= 30
-  AND (n * cents - s) * (n * cents - s) > 9 * (n * ssq - s * s)
+  -- HUGEINT promotion mirrors the operator's DECIMAL(38,0) products
+  -- (review r8: raw 64-bit wrapped for ~1e8-cent values)
+  AND (CAST(n AS HUGEINT) * cents - s) * (CAST(n AS HUGEINT) * cents - s)
+      > 9 * (CAST(n AS HUGEINT) * ssq - CAST(s AS HUGEINT) * s)
 """
 
 

@@ -445,7 +445,7 @@ def t28_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE array expression and only BIGINTs shuffle; the exact distinct is
     a second agg on the same uniform hash key."""
     docs = load(spark, sf_dir, "documents")
-    t = F.split(F.trim(F.col("text")), r"\s+")
+    t = text.tokens(F.col("text"))  # THE canonical tokenizer (review r8)
     # slice+arrays_zip, hash AFTER the explode: md5 inside a transform()
     # lambda runs interpreted per element (~10× slower, measured on the
     # t26 bigram path); the flat post-explode expression is codegen'd.
@@ -563,7 +563,7 @@ def t30_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
         "source",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+        F.explode(text.tokens(F.col("text"))).alias("token"),
     ).where(F.col("token") != "")
     vocab = (
         tok.groupBy("token")

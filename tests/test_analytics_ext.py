@@ -97,6 +97,23 @@ def test_rolling_anomaly_flags_spike(spark):
     assert [r["event_id"] for r in out] == [40]
 
 
+def test_rolling_anomaly_flags_survive_large_cents(spark):
+    """$1M-scale cent values: n·ssq ~ 1e20 overflows int64; the
+    DECIMAL(38,0) products must still flag exactly the spike
+    (review r8 — raw bigint wrapped and emitted false flags)."""
+    base = 100_000_000  # 1e8 cents = $1M
+    rows = [("k", _ts(i), i, base + i) for i in range(40)] + [
+        ("k", _ts(40), 40, base * 50)
+    ]
+    df = spark.createDataFrame(
+        rows, "key STRING, ts TIMESTAMP, event_id INT, cents LONG"
+    )
+    out = behavior.rolling_anomaly_flags(
+        df, "key", "ts", "cents", "event_id", lookback=100, min_n=30
+    ).collect()
+    assert [r["event_id"] for r in out] == [40]
+
+
 # --------------------------------------------------------------------------
 # weighted sampling
 # --------------------------------------------------------------------------

@@ -61,6 +61,21 @@ def test_notebook_extra_header_rejected(reg):
         assert "SMTP response" in (report.error or "")
 
 
+def test_duplicate_canonical_names_reject(reg):
+    """A rename collision (two raw headers mapping to one canonical
+    name) must fail validation on the ledger path, not crash
+    normalize() later with AMBIGUOUS_REFERENCE (review r8)."""
+    key = "smallable_contacts"
+    schema = reg.get(key)
+    rename = dict(reg.rename_map(key))
+    first_canonical = schema.data_columns[0]
+    rename["Some Extra Header"] = first_canonical
+    headers = list(reg.rename_map(key).keys()) + ["Some Extra Header"]
+    report = validate_headers(headers, schema.data_columns, rename)
+    assert not report.ok
+    assert "duplicate" in (report.error or "")
+
+
 def test_missing_columns_warn_not_reject(reg):
     """Q4 asymmetry on the real schema: fewer columns -> ok + backfill."""
     key = "smallable_contacts"

@@ -48,6 +48,26 @@ def test_self_dedup_keeps_first_occurrence(spark):
     assert kept == {(1, "a"), (3, "b")}  # seq=1 survives, not 2 or 4
 
 
+def test_int_coercion_nulls_fractions(spark):
+    """pandas errors='coerce' parity: '3.0' casts to 3, '3.7' must be
+    NULL — the ungated double round-trip fabricated 3 (review r8)."""
+    from datawarehouse_backup_system_spark.operators.cast import (
+        apply_typed_casts,
+    )
+    from datawarehouse_backup_system_spark.registry import TableSchema
+
+    schema = TableSchema(
+        key="t", table_name="t",
+        column_names=("n",), column_types=("Int64",),
+        int_columns=("n",),
+    )
+    df = spark.createDataFrame(
+        [("3",), ("3.0",), ("3.7",), ("9e99",), ("x",)], "n string"
+    )
+    got = [r["n"] for r in apply_typed_casts(df, schema).collect()]
+    assert got == [3, 3, None, None, None]
+
+
 def test_self_dedup_rejects_reserved_columns(spark):
     """A pre-existing '_rn' (or '_seq' in auto-order mode) would be
     silently overwritten then dropped — fail loudly instead (review r8)."""
