@@ -122,12 +122,13 @@ def z03_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max((F.col("l_partkey") == _Z03_PROBE).cast("int"))
         .cast("boolean").alias("actual")
     )
-    probe = spark.range(3).select(
-        F.expr(
-            f"cast(conv(substr(md5('{_Z03_PROBE}'),"
-            f" cast(id * 8 + 1 as int), 8), 16, 10) as bigint)"
-            f" % {_Z03_BITS}"
-        ).alias("pos")
+    # probe positions via the SAME _z03_pos helper the build side uses —
+    # an inline twin of the hash recipe could drift and silently return
+    # candidate=false for files that do contain the key (review r8)
+    probe = spark.range(1).select(
+        F.explode(F.array(
+            *[F.expr(_z03_pos(str(_Z03_PROBE), i)) for i in range(3)]
+        )).alias("pos")
     ).select(
         F.expr("pos div 61").alias("w"),
         F.expr("shiftleft(cast(1 as bigint), cast(pos % 61 as int))")
@@ -285,7 +286,12 @@ ORDER BY user_id
 # coverage (operators/calibration.py:conformal_threshold).
 # --------------------------------------------------------------------------
 def c04_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").select(
+    # NULL drop matches g02/h05: a NULL score would rank NULLS FIRST on
+    # Spark but NULLS LAST in the DuckDB oracle, shifting the k-th
+    # order statistic (review r8; latent — fixture has no NULL values)
+    ev = load(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    ).select(
         "event_type",
         "event_id",
         cents(F.col("value")).alias("score"),
@@ -309,6 +315,7 @@ WITH scored AS (
          ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 14))::BIGINT
            % 1000000 < 500000 AS is_cal
   FROM events
+  WHERE value IS NOT NULL  -- matches the Spark side's NULL drop
 ),
 cal AS (
   SELECT event_type, score,
@@ -414,11 +421,15 @@ def q49_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("supp_val").alias("total_val"),
         F.count(F.lit(1)).alias("n_supp"),
     )
+    dec = "decimal(38,0)"
     return (
         per_supp.crossJoin(F.broadcast(total))
+        # DECIMAL(38,0) share test: supp_val·n_supp·20 passes int64 max
+        # near sf 140 — non-ANSI Spark would wrap while DuckDB raised
+        # (review r8; the pair_support/a05 overflow class)
         .where(
-            F.col("supp_val") * F.col("n_supp") * _Q49_DEN
-            > F.col("total_val") * _Q49_NUM
+            F.col("supp_val").cast(dec) * F.col("n_supp") * _Q49_DEN
+            > F.col("total_val").cast(dec) * _Q49_NUM
         )
         .select(
             "l_suppkey",
@@ -447,7 +458,8 @@ total AS (SELECT CAST(sum(supp_val) AS BIGINT) AS total_val,
 SELECT l_suppkey, supp_val,
        round(CAST(supp_val AS DOUBLE) / total_val, 6) AS share
 FROM per_supp, total
-WHERE supp_val * n_supp * {_Q49_DEN} > total_val * {_Q49_NUM}
+WHERE CAST(supp_val AS HUGEINT) * n_supp * {_Q49_DEN}
+      > CAST(total_val AS HUGEINT) * {_Q49_NUM}
 ORDER BY supp_val DESC, l_suppkey
 """
 
@@ -587,16 +599,17 @@ def q52_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", cents(F.col("value")).alias("c")
     )
-    ev.createOrReplaceTempView("q52_events")
-    return spark.sql("""
-        SELECT user_id, event_id,
-               sum(c) OVER (
-                 PARTITION BY user_id ORDER BY ts
-                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
-               ) AS hour_sum_c
-        FROM q52_events
-        ORDER BY user_id, event_id
-    """)
+    # selectExpr, not a temp view: createOrReplaceTempView mutates
+    # session-global state (clobbers/races any same-named view) for a
+    # frame expression that needs no SQL plumbing (review r8)
+    return ev.selectExpr(
+        "user_id",
+        "event_id",
+        "sum(c) OVER ("
+        "  PARTITION BY user_id ORDER BY ts"
+        "  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
+        ") AS hour_sum_c",
+    ).orderBy("user_id", "event_id")
 
 
 Q52_SQL = """
