@@ -123,8 +123,14 @@ def conformal_threshold(
     joinable per-group threshold row, one aggregation over the eval
     split. Scores must be integer-typed (cents).
 
-    Returns per group: ``n_cal, k_rank, q_hat, n_eval, n_covered,
-    coverage_ppm``.
+    Returns per group: ``n_cal, k_rank, q_hat, saturated, n_eval,
+    n_covered, coverage_ppm``. ``saturated`` is true when the unclamped
+    rank ⌈(n_cal+1)·(1-α)⌉ exceeds n_cal — classical split conformal
+    returns +∞ there (no finite bound can deliver (1-α) coverage from
+    so few calibration points; the guarantee degrades to
+    n_cal/(n_cal+1)); the clamped max-score q_hat is still emitted, but
+    callers must not treat a saturated bound as a valid (1-α) bound
+    (review r8).
     """
     from pyspark.sql import Window
 
@@ -137,29 +143,26 @@ def conformal_threshold(
     n_cal = cal.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_cal"))
     # k = ceil((n_cal+1) * (den-num) / den), clamped into [1, n_cal]
     num = alpha_den - alpha_num
+    k_raw = F.expr(
+        f"(((n_cal + 1) * {num}) + {alpha_den} - 1) div {alpha_den}"
+    )
     k = n_cal.withColumn(
         "k_rank",
         F.greatest(
             # the lower clamp was missing (review r8): α=1 gives k=0,
             # which matches NO rank row and silently dropped the group
             F.lit(1).cast("bigint"),
-            F.least(
-                F.col("n_cal"),
-                F.expr(
-                    f"(((n_cal + 1) * {num}) + {alpha_den} - 1) "
-                    f"div {alpha_den}"
-                ),
-            ),
+            F.least(F.col("n_cal"), k_raw),
         ),
-    )
+    ).withColumn("saturated", k_raw > F.col("n_cal"))
     thresh = (
         ranked.join(k, group_cols)
         .where(F.col("rk") == F.col("k_rank"))
-        .select(*group_cols, "n_cal", "k_rank",
+        .select(*group_cols, "n_cal", "k_rank", "saturated",
                 F.col(score_col).alias("q_hat"))
     )
     cov = ev.join(F.broadcast(thresh), group_cols).groupBy(
-        *group_cols, "n_cal", "k_rank", "q_hat"
+        *group_cols, "n_cal", "k_rank", "saturated", "q_hat"
     ).agg(
         F.count(F.lit(1)).alias("n_eval"),
         F.sum((F.col(score_col) <= F.col("q_hat")).cast("bigint")).alias(

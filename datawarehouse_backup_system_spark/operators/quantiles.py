@@ -49,23 +49,12 @@ def binned_histogram(
     values outside [lo, hi] clamp into the edge bins (count is never
     silently dropped). NULL values ARE dropped: greatest()/least() skip
     NULL arguments in Spark, so an unfiltered NULL would silently land
-    in bin 0 and drag every quantile read toward ``lo``."""
-    w = bin_width(lo, hi, n_bins)
-    # SQL integer `div`, not float `/`+cast: a correctly-rounded double
-    # quotient can land above the true floor for BIGINT operands, which
-    # would misplace boundary values into the next bin.
-    shifted = df.where(F.col(value_col).isNotNull()).select(
-        (F.col(value_col) - F.lit(lo)).alias("_shift")
-    )
-    b = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(F.lit(0), F.expr(f"_shift div {w}")),
-    )
-    return (
-        shifted.select(b.cast("int").alias("bin"))
-        .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    in bin 0 and drag every quantile read toward ``lo``.
+
+    The global sketch IS the grouped sketch with no keys (review r8:
+    the clamp/binning expression previously existed twice and a fix in
+    one copy could silently miss the other)."""
+    return grouped_binned_histogram(df, [], value_col, lo, hi, n_bins)
 
 
 def merge_histograms(parts: list[DataFrame]) -> DataFrame:
@@ -80,32 +69,31 @@ def merge_histograms(parts: list[DataFrame]) -> DataFrame:
     )
 
 
+#: exact integer rank ceil(q·N): q is quantized to micro-units in
+#: :func:`_q_frame`, so the read never touches the IEEE product
+#: ceil(q_double·N), which rounds up across an integer for ordinary
+#: quantiles (review r8: q=0.9, N=10 → ceil(9.000000000000002) = 10 —
+#: one full rank high). DECIMAL(38,0) keeps qm·N exact past int64.
+_RANK_SQL = "(cast(qm as decimal(38,0)) * n_total + 999999) div 1000000"
+
+
+def _q_frame(spark, qs: list[float]) -> DataFrame:
+    """(q double, qm bigint): the requested quantiles with their exact
+    micro-unit quantization (all practical quantiles are exact at 6
+    decimals; 0.5/0.9/0.99/... round-trip bit-identically)."""
+    rows = [(float(q), int(round(float(q) * 1_000_000))) for q in qs]
+    return spark.createDataFrame(rows, "q double, qm bigint")
+
+
 def histogram_quantiles(
     hist: DataFrame, qs: list[float], lo: int, width: int
 ) -> DataFrame:
     """(q, value, n_total) per requested quantile: value = lo +
     bin*width (bin lower bound) of the first bin whose cumulative count
-    >= ceil(q*N). All window/join work is over <= n_bins rows."""
-    from pyspark.sql import Window
-
-    spark = hist.sparkSession
-    # <= n_bins rows: the single-partition cumulative window is over the
-    # SKETCH, not the data — bounded by construction.
-    cum = hist.withColumn(
-        "cum", F.sum("cnt").over(Window.orderBy("bin"))
-    ).withColumn("n_total", F.sum("cnt").over(Window.partitionBy()))
-    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
-    return (
-        qdf.crossJoin(cum)
-        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n_total")))
-        .groupBy("q")
-        .agg(
-            (F.lit(lo) + F.min("bin").cast("bigint") * F.lit(width)).alias(
-                "value"
-            ),
-            F.min("n_total").alias("n_total"),
-        )
-    )
+    >= ceil(q*N) — the rank in exact integer arithmetic (_RANK_SQL).
+    All window/join work is over <= n_bins rows. Delegates to the
+    grouped read with no keys (review r8 dedup)."""
+    return grouped_histogram_quantiles(hist, [], qs, lo, width)
 
 
 def grouped_binned_histogram(
@@ -154,10 +142,9 @@ def grouped_histogram_quantiles(
     cum = hist.withColumn(
         "cum", F.sum("cnt").over(wk.orderBy("bin"))
     ).withColumn("n_total", F.sum("cnt").over(wk))
-    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
     return (
-        qdf.crossJoin(cum)
-        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n_total")))
+        _q_frame(spark, qs).crossJoin(cum)
+        .where(F.col("cum") >= F.expr(_RANK_SQL))
         .groupBy(*key_cols, "q")
         .agg(
             (F.lit(lo) + F.min("bin").cast("bigint") * F.lit(width)).alias(
@@ -232,10 +219,9 @@ def log2_histogram_quantiles(
         F.sum("cnt").over(Window.partitionBy(*key_cols)),
     )
     spark = hist.sparkSession
-    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
     return (
-        qdf.crossJoin(cum)
-        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n_total")))
+        _q_frame(spark, qs).crossJoin(cum)
+        .where(F.col("cum") >= F.expr(_RANK_SQL))
         .groupBy(*key_cols, "q")
         .agg(
             # bit shift, not pow(): the module contract is libm-free

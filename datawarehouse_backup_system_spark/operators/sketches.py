@@ -286,8 +286,13 @@ def kmv_pair_overlap(sketch: DataFrame, k: int) -> DataFrame:
         .select(F.col("x.g").alias("ta"), F.col("y.g").alias("tb"))
     )
     sk = sketch.select("g", "h")
+    # two hash equi-joins unioned, never the disjunction join: Spark
+    # cannot plan `(g==ta) | (g==tb)` as an equi-join and falls back to
+    # a nested-loop of pairs×sketch (~groups²·k predicate evaluations);
+    # each side matches exactly one alias since ta < tb (review r8)
     mem = (
-        pairs.join(sk, (F.col("g") == F.col("ta")) | (F.col("g") == F.col("tb")))
+        pairs.join(sk, F.col("g") == F.col("ta"))
+        .unionByName(pairs.join(sk, F.col("g") == F.col("tb")))
         .groupBy("ta", "tb", "h")
         .agg(
             F.max(F.when(F.col("g") == F.col("ta"), 1).otherwise(0)).alias("in_a"),

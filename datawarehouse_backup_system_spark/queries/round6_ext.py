@@ -327,20 +327,22 @@ cal AS (
 ),
 thresh AS (
   SELECT event_type, n_cal,
-         least(n_cal, ((n_cal + 1) * 9 + 9) // 10) AS k_rank, score AS q_hat
+         least(n_cal, ((n_cal + 1) * 9 + 9) // 10) AS k_rank,
+         ((n_cal + 1) * 9 + 9) // 10 > n_cal AS saturated,
+         score AS q_hat
   FROM cal
   WHERE rk = least(n_cal, ((n_cal + 1) * 9 + 9) // 10)
 ),
 cov AS (
-  SELECT s.event_type, t.n_cal, t.k_rank, t.q_hat,
+  SELECT s.event_type, t.n_cal, t.k_rank, t.saturated, t.q_hat,
          CAST(count(*) AS BIGINT) AS n_eval,
          CAST(sum(CASE WHEN s.score <= t.q_hat THEN 1 ELSE 0 END) AS BIGINT)
            AS n_covered
   FROM scored s JOIN thresh t ON s.event_type = t.event_type
   WHERE NOT s.is_cal
-  GROUP BY 1, 2, 3, 4
+  GROUP BY 1, 2, 3, 4, 5
 )
-SELECT event_type, n_cal, k_rank, q_hat, n_eval, n_covered,
+SELECT event_type, n_cal, k_rank, saturated, q_hat, n_eval, n_covered,
        (n_covered * 1000000) // n_eval AS coverage_ppm
 FROM cov
 ORDER BY event_type
@@ -392,7 +394,7 @@ qs AS (SELECT unnest([0.5, 0.99]) AS q)
 SELECT event_type, q,
        CAST(pow(2, min(bucket) - 1) AS BIGINT) AS est_lo,
        min(n_total) AS n_total
-FROM qs JOIN cum ON cum.cum >= ceil(q * cum.n_total)
+FROM qs JOIN cum ON cum.cum >= (CAST(round(q * 1000000) AS BIGINT) * CAST(cum.n_total AS HUGEINT) + 999999) // 1000000
 GROUP BY event_type, q
 ORDER BY event_type, q
 """

@@ -128,7 +128,7 @@ SELECT q,
        (SELECT lo FROM p) + min(bin) * (SELECT w FROM p) AS value,
        CAST(min(n_total) AS BIGINT) AS n_total,
        TRUE AS merge_ok
-FROM qs JOIN cum ON cum.cum >= ceil(q * cum.n_total)
+FROM qs JOIN cum ON cum.cum >= (CAST(round(q * 1000000) AS BIGINT) * CAST(cum.n_total AS HUGEINT) + 999999) // 1000000
 GROUP BY q
 """
 
@@ -308,7 +308,7 @@ qs AS (SELECT unnest({_H02_QS}) AS q)
 SELECT event_type, q,
        (SELECT lo FROM p) + min(bin) * (SELECT w FROM p) AS value,
        CAST(min(n_total) AS BIGINT) AS n_total
-FROM qs JOIN cum ON cum.cum >= ceil(q * cum.n_total)
+FROM qs JOIN cum ON cum.cum >= (CAST(round(q * 1000000) AS BIGINT) * CAST(cum.n_total AS HUGEINT) + 999999) // 1000000
 GROUP BY event_type, q
 """
 
@@ -987,7 +987,7 @@ qs AS (SELECT unnest({_A07_QS}) AS q)
 SELECT q,
        (SELECT lo FROM p) + min(bin) * (SELECT w FROM p) AS value,
        CAST(min(n_total) AS BIGINT) AS n_total
-FROM qs JOIN cum ON cum.cum >= ceil(q * cum.n_total)
+FROM qs JOIN cum ON cum.cum >= (CAST(round(q * 1000000) AS BIGINT) * CAST(cum.n_total AS HUGEINT) + 999999) // 1000000
 GROUP BY q
 """
 
@@ -1060,7 +1060,14 @@ def h04_sketch_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk.select("q", "n_total")
         .join(
             ranked,
-            F.col("rk") == F.ceil(F.col("q") * F.col("n_total")),
+            # same micro-unit rational rank as the sketch read (the IEEE
+            # ceil(q·N) is off by one whenever q·N rounds up across an
+            # integer — review r8)
+            F.col("rk")
+            == F.expr(
+                "(cast(round(q * 1000000) as bigint)"
+                " * cast(n_total as decimal(38,0)) + 999999) div 1000000"
+            ),
         )
         .select("q", F.col("c").alias("exact_value"))
     )
@@ -1099,13 +1106,15 @@ sk AS (
   SELECT q, (SELECT lo FROM p) + min(bin) * (SELECT w FROM p)
            AS sketch_value,
          min(n_total) AS n_total
-  FROM qs JOIN cum ON cum.cum >= ceil(q * cum.n_total)
+  FROM qs JOIN cum ON cum.cum >= (CAST(round(q * 1000000) AS BIGINT) * CAST(cum.n_total AS HUGEINT) + 999999) // 1000000
   GROUP BY q
 ),
 ranked AS (SELECT c, row_number() OVER (ORDER BY c) AS rk FROM v),
 exact AS (
   SELECT sk.q, r.c AS exact_value
-  FROM sk JOIN ranked r ON r.rk = ceil(sk.q * sk.n_total)
+  FROM sk JOIN ranked r
+    ON r.rk = (CAST(round(sk.q * 1000000) AS BIGINT)
+               * CAST(sk.n_total AS HUGEINT) + 999999) // 1000000
 )
 SELECT sk.q, sk.sketch_value, e.exact_value,
        abs(sk.sketch_value - e.exact_value) < (SELECT w FROM p)

@@ -264,6 +264,7 @@ def stream_neardup_filter(
     )
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        _guard_epoch_reset(batch_id, audit_dir, out_dir)
         pairs = incremental_neardup_pairs(
             batch, history, id_col, text_col,
             threshold=threshold, max_bucket_size=max_bucket_size,
@@ -340,7 +341,22 @@ def stream_heavy_hitters(
             # a replayed (<=) batch is skipped, making the merge
             # effectively exactly-once.
             last = prior.agg(F.max("_upto_batch")).collect()[0][0]
-            if last is not None and batch_id <= last:
+            if last is not None and batch_id < last:
+                # epochs only move forward within one checkpoint
+                # lineage; a SMALLER id means the checkpoint was reset
+                # while this state dir survived — silently skipping
+                # would discard every batch until the new epoch counter
+                # overtakes the old one (review r8). state_dir and the
+                # checkpoint must be created/destroyed together.
+                raise RuntimeError(
+                    f"stream state {state_dir!r} has _upto_batch={last} "
+                    f"but the stream replayed batch {batch_id}: the "
+                    "checkpoint was reset without resetting state_dir; "
+                    "delete both together and restart"
+                )
+            if last is not None and batch_id == last:
+                # at-least-once replay of the last micro-batch after a
+                # restart: already merged, skip (exactly-once merge)
                 return
             parts.append(prior.select("item", "est_count"))
         merged = merge_summaries(
@@ -503,6 +519,9 @@ def stream_lm_model_partials(
     from datawarehouse_backup_system_spark.operators import lm
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        _guard_epoch_reset(
+            batch_id, f"{state_dir}/pair", f"{state_dir}/ctx"
+        )
         pair_cnt, ctx_cnt = lm.bigram_model(
             batch, id_col, text_col, pair_buckets, ctx_buckets
         )
@@ -523,17 +542,17 @@ def stream_lm_model_partials(
 
 def read_lm_model(spark, state_dir: str):
     """Merge all streamed LM partials into the current model
-    ``(pair_counts, ctx_counts)`` — bucket-wise sums, so the result is
-    EXACTLY the model a batch build over all streamed documents yields."""
-    pair = (
-        spark.read.parquet(f"{state_dir}/pair")
-        .groupBy("bp").agg(F.sum("c_pair").alias("c_pair"))
+    ``(pair_counts, ctx_counts)`` — routed through ``lm.merge_models``
+    (the writer's merge algebra; review r8), so the result is EXACTLY
+    the model a batch build over all streamed documents yields."""
+    from ..operators.lm import merge_models
+
+    model = (
+        spark.read.parquet(f"{state_dir}/pair"),
+        spark.read.parquet(f"{state_dir}/ctx"),
     )
-    ctx = (
-        spark.read.parquet(f"{state_dir}/ctx")
-        .groupBy("bc").agg(F.sum("c_ctx").alias("c_ctx"))
-    )
-    return pair, ctx
+    # self-merge normalizes the partials to one row per bucket
+    return merge_models(model, (model[0].limit(0), model[1].limit(0)))
 
 
 def stream_histogram_partials(
@@ -559,6 +578,7 @@ def stream_histogram_partials(
     from datawarehouse_backup_system_spark.operators import quantiles as qsk
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        _guard_epoch_reset(batch_id, state_dir)
         qsk.binned_histogram(batch, value_col, lo, hi, n_bins).write.mode(
             "overwrite"
         ).parquet(f"{state_dir}/batch_id={batch_id}")
@@ -571,14 +591,43 @@ def stream_histogram_partials(
     )
 
 
+def _guard_epoch_reset(batch_id: int, *roots: str) -> None:
+    """Per-batch-dir overwrite idempotency holds only within ONE
+    checkpoint lineage: if the checkpoint is reset while the partials
+    survive, the fresh epoch counter restarts at 0 and new batch 0
+    overwrites old batch 0 while old 1..N remain — two stream histories
+    silently mixed (review r8). state/output dirs and the checkpoint
+    must be created and destroyed TOGETHER; this raises at the first
+    batch of a fresh lineage when stale higher-numbered partials exist,
+    costing one directory listing on batch 0 only."""
+    if batch_id != 0:
+        return
+    from pathlib import Path
+
+    for root in roots:
+        stale = sorted(
+            p.name
+            for p in Path(root).glob("batch_id=*")
+            if p.name != "batch_id=0"
+        )
+        if stale:
+            raise RuntimeError(
+                f"{root!r} holds partials from a previous checkpoint "
+                f"lineage ({stale[:3]}{'...' if len(stale) > 3 else ''}) "
+                "but the stream restarted at batch 0: delete the "
+                "partials directory and the checkpoint together"
+            )
+
+
 def read_histogram(spark, state_dir: str) -> DataFrame:
     """Merge all streamed histogram partials into the current sketch
-    (bin, cnt) — per-bin sums, identical to the direct batch build."""
-    return (
-        spark.read.parquet(state_dir)
-        .groupBy("bin")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    (bin, cnt) — routed through the writer's own merge algebra
+    (``quantiles.merge_histograms``), never a hand-coded column list
+    that could silently fork from the sketch schema (review r8; the
+    incremental.merge_many discipline)."""
+    from ..operators.quantiles import merge_histograms
+
+    return merge_histograms([spark.read.parquet(state_dir)])
 
 
 def exactly_once_table_sink(
@@ -659,6 +708,7 @@ def stream_agg_view_partials(
     from datawarehouse_backup_system_spark.operators import incremental
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        _guard_epoch_reset(batch_id, state_dir)
         incremental.partial_aggs(batch, keys, value_col).write.mode(
             "overwrite"
         ).parquet(f"{state_dir}/batch_id={batch_id}")
