@@ -173,7 +173,7 @@ def rolling_anomaly_flags(
     tiebreak_col: str,
     lookback: int = 100,
     min_n: int = 30,
-    z_threshold: int = 3,
+    z_threshold: float = 3,
 ) -> DataFrame:
     """Rows whose fixed-point ``value_col`` deviates more than
     ``z_threshold`` sample-free sigmas from the trailing ``lookback``
@@ -212,8 +212,15 @@ def rolling_anomaly_flags(
     n = F.col("_n")
     nd, vd = n.cast(dec), v.cast(dec)
     sd, ssqd = F.col("_s").cast(dec), F.col("_ssq").cast(dec)
-    lhs = (nd * vd - sd) * (nd * vd - sd)
-    rhs = F.lit(int(z_threshold) ** 2).cast(dec) * (nd * ssqd - sd * sd)
+    # z² in exact micro-units so a fractional z (2.5 → 6.25) keeps an
+    # exact rational test instead of int-truncating to z=2 (review r8):
+    # lhs·10⁶ > z²_micro·rhs ⟺ lhs > z²·rhs for any z exact at 6
+    # decimals; integer z is bit-unchanged (both sides scale by 10⁶)
+    z2_micro = int(round(float(z_threshold) ** 2 * 1_000_000))
+    lhs = (
+        (nd * vd - sd) * (nd * vd - sd) * F.lit(1_000_000).cast(dec)
+    )
+    rhs = F.lit(z2_micro).cast(dec) * (nd * ssqd - sd * sd)
     return (
         staged.where((n >= min_n) & (lhs > rhs))
         .select(key_col, ts_col, tiebreak_col, value_col, n.alias("n_window"))

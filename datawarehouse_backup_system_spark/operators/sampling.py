@@ -370,6 +370,15 @@ def weighted_reservoir(
         raise ValueError("k must be positive")
     if weight_cap <= 0 or presplit <= 0:
         raise ValueError("weight_cap and presplit must be positive")
+    reserved = {"weight_clamped", "priority", "rank_in_group", "_wr_rn"}
+    clash = reserved & set(df.columns)
+    if clash:
+        # same loud-failure rule as self_dedup_first/asof_join: silently
+        # replacing a caller's column loses data (review r8)
+        raise ValueError(
+            f"weighted_reservoir reserves column name(s) {sorted(clash)}; "
+            "rename them before sampling"
+        )
     key_s = F.col(key_col).cast("string")
     w = F.least(
         F.greatest(F.col(weight_col).cast("bigint"), F.lit(1)),

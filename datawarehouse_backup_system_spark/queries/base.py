@@ -58,11 +58,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         if _is_nanos is None:
             try:
                 df = spark.read.parquet(path)
-            except Exception:  # noqa: BLE001 — nanos rejection
-                spark.conf.set(
-                    "spark.sql.legacy.parquet.nanosAsLong", "true"
-                )
-                df = spark.read.parquet(path)
+            except Exception:  # noqa: BLE001 — possibly nanos rejection
+                _flag = "spark.sql.legacy.parquet.nanosAsLong"
+                _prior = spark.conf.get(_flag, None)
+                spark.conf.set(_flag, "true")
+                try:
+                    df = spark.read.parquet(path)
+                except Exception:
+                    # the failure was NOT a nanos rejection (missing
+                    # path, corrupt footer): restore the flag so the
+                    # session isn't left poisoned for later genuine
+                    # nanos reads (review r8)
+                    if _prior is None:
+                        spark.conf.unset(_flag)
+                    else:
+                        spark.conf.set(_flag, _prior)
+                    raise
         else:
             df = spark.read.parquet(path)
         from pyspark.sql import functions as F
