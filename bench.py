@@ -130,6 +130,40 @@ def _d02_staged(stage_root: str):
     return run
 
 
+def _cpu_stat() -> list[int] | None:
+    """The aggregate ``cpu`` line of /proc/stat as 10 ints (user nice
+    system idle iowait irq softirq steal guest guest_nice), or None off
+    Linux. Loadavg is blind to HYPERVISOR STEAL — the r8 artifacts
+    recorded ``contended: false`` in a window where every timing
+    drifted +8–12% the same direction (VERDICT r8 #1); steal/iowait
+    deltas see exactly that."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts[:1] != ["cpu"]:
+            return None
+        vals = [int(x) for x in parts[1:11]]
+        return vals + [0] * (10 - len(vals))
+    except (OSError, ValueError):
+        return None
+
+
+def _stat_delta(a: list[int] | None, b: list[int] | None) -> dict | None:
+    """steal/iowait as a % of total jiffies elapsed between two
+    _cpu_stat samples (guest time excluded from the base: the kernel
+    already folds it into user/nice)."""
+    if a is None or b is None:
+        return None
+    d = [y - x for x, y in zip(a, b)]
+    total = sum(d[:8])
+    if total <= 0:
+        return None
+    return {
+        "steal_pct": round(100.0 * d[7] / total, 2),
+        "iowait_pct": round(100.0 * d[4] / total, 2),
+    }
+
+
 def _table_fingerprints(sf_dir: str) -> dict[str, list[int]]:
     """{table: [n_rows, n_bytes]} via parquet footers only (no data scan).
 
@@ -175,7 +209,20 @@ def main() -> int:
     load_thresh = float(
         os.environ.get("SPARK_GRAFT_BENCH_LOAD_THRESH", str(0.25 * n_cpus))
     )
-    contended = load_start[0] > load_thresh
+    # steal/iowait self-defense (review r9): loadavg cannot see
+    # hypervisor steal, which poisoned the r8 artifacts while they
+    # self-reported clean. A 0.5 s /proc/stat delta probes the entry
+    # window; each attempt also records its WHOLE-RUN delta.
+    steal_thresh = float(
+        os.environ.get("SPARK_GRAFT_BENCH_STEAL_PCT", "2.0")
+    )
+    _probe0 = _cpu_stat()
+    if _probe0 is not None:
+        time.sleep(0.5)
+    entry_stat = _stat_delta(_probe0, _cpu_stat())
+    contended = load_start[0] > load_thresh or bool(
+        entry_stat and entry_stat["steal_pct"] > steal_thresh
+    )
     fingerprints = _table_fingerprints(sf_dir)
     data_fp = hashlib.md5(
         json.dumps(fingerprints, sort_keys=True).encode()
@@ -227,9 +274,6 @@ def main() -> int:
     soft_budget = float(os.environ.get("SPARK_GRAFT_BENCH_SOFT_S", "900"))
     hard_budget = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_S", "1500"))
     bench_t0 = time.time()
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    skipped: list[str] = []
 
     def _time_once(name: str) -> float:
         """ONE timed execution — the single definition of the timed
@@ -241,7 +285,18 @@ def main() -> int:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    try:
+    def _run_attempt() -> dict:
+        """One full pass over run_order (best-of-2 + slowest top-up),
+        with its own load + /proc/stat steal/iowait bracket, so each
+        attempt self-identifies as clean or noisy. The soft/hard
+        budgets stay GLOBAL (bench_t0): they bound the whole process
+        for the driver, retry included."""
+        a_load0 = [round(x, 2) for x in os.getloadavg()]
+        a_stat0 = _cpu_stat()
+        a_t0 = time.time()
+        timings: dict[str, float] = {}
+        errors: dict[str, str] = {}
+        skipped: list[str] = []
         for name in run_order:
             elapsed = time.time() - bench_t0
             if elapsed > hard_budget:
@@ -275,14 +330,78 @@ def main() -> int:
                 )
             except Exception:  # noqa: BLE001 — best-of-2 number stands
                 pass
+        a_load1 = [round(x, 2) for x in os.getloadavg()]
+        run_stat = _stat_delta(a_stat0, _cpu_stat())
+        # contended during THIS attempt: load at either bracket, or
+        # steal over the whole run. iowait is recorded, not flagged —
+        # the bench itself does real parquet I/O.
+        a_contended = (
+            a_load0[0] > load_thresh
+            or a_load1[0] > load_thresh
+            or bool(run_stat and run_stat["steal_pct"] > steal_thresh)
+        )
+        return {
+            "timings": timings,
+            "errors": errors,
+            "skipped": skipped,
+            "env": {
+                "load_start": a_load0,
+                "load_end": a_load1,
+                "cpu_stat": run_stat,
+                "contended": a_contended,
+                "wall_s": round(time.time() - a_t0, 1),
+            },
+        }
+
+    try:
+        attempts = [_run_attempt()]
+        # the whole-suite retry (VERDICT r8 stretch): if the attempt
+        # was noisy (entry probe or run bracket), run ONCE more while
+        # budget allows, so "noisy window" never again needs SCALE.md
+        # prose to correct the committed number. Both attempts' env
+        # blocks are recorded; the official timings come from the
+        # clean attempt (or the faster one if both are noisy).
+        max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
+        if (
+            len(attempts) < max_attempts
+            and (contended or attempts[-1]["env"]["contended"])
+            and not attempts[-1]["skipped"]
+            and time.time() - bench_t0
+            + attempts[-1]["env"]["wall_s"] * 1.2
+            < hard_budget
+        ):
+            time.sleep(
+                float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_PAUSE_S", "10"))
+            )
+            attempts.append(_run_attempt())
     finally:
         # a killed/failed run must not strand the staging root (r7
         # stranded /tmp/dwbss-bench-stage-*; SIGKILL is still covered by
         # the pid-gated startup sweep above)
         shutil.rmtree(stage_root, ignore_errors=True)
 
+    # official attempt: most-complete first (a hard-budget-truncated
+    # retry must not win on an artificially small total), then clean
+    # over contended, then fastest.
+    used = min(
+        range(len(attempts)),
+        key=lambda i: (
+            -len(attempts[i]["timings"]),
+            attempts[i]["env"]["contended"],
+            sum(attempts[i]["timings"].values()),
+        ),
+    )
+    official = attempts[used]
+    timings = official["timings"]
+    errors = official["errors"]
+    skipped = official["skipped"]
+    any_clean = any(not a["env"]["contended"] for a in attempts)
+    # the artifact-level flag reflects the OFFICIAL attempt (plus the
+    # entry probe when no attempt was clean)
+    contended = official["env"]["contended"] or (not any_clean and contended)
+
     total = round(sum(timings.values()), 3)
-    load_end = [round(x, 2) for x in os.getloadavg()]
+    load_end = official["env"]["load_end"]
     try:
         jvm_up_s = round(
             time.time() - spark.sparkContext.startTime / 1000.0, 1
@@ -290,9 +409,13 @@ def main() -> int:
     except Exception:  # noqa: BLE001
         jvm_up_s = -1.0
     env_ctx = {
-        "load_start": load_start,
+        "load_start": official["env"]["load_start"],
         "load_end": load_end,
+        "entry_stat": entry_stat,
+        "cpu_stat": official["env"]["cpu_stat"],
         "contended": contended,
+        "attempts": [a["env"] for a in attempts],
+        "attempt_used": used,
         "jvm_uptime_s": jvm_up_s,
         "data_fp": data_fp,
         "tables": fingerprints,
@@ -348,6 +471,9 @@ def main() -> int:
         # do not compare its timings round-over-round.
         "contended": contended,
         "load": [load_start, load_end],
+        "steal_pct": (official["env"]["cpu_stat"] or {}).get("steal_pct"),
+        "n_attempts": len(attempts),
+        "attempt_used": used,
         "jvm_uptime_s": jvm_up_s,
         "data_fp": data_fp,
     }

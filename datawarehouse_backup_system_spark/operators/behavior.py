@@ -181,7 +181,10 @@ def rolling_anomaly_flags(
     (cents); the z² test is cross-multiplied to integers —
     ``(n·x − s)² > z²·(n·ssq − s²)`` with s=Σv, ssq=Σv² over the
     preceding frame — so the flag is EXACT on every engine (a float
-    stddev comparison would not hash-stably reproduce). The products
+    stddev comparison would not hash-stably reproduce). z² is
+    quantized to micro-units first, so exactness requires z² exact at
+    6 decimals (true of every conventional threshold: 2, 2.5, 3, …);
+    see the inline note for the boundary behavior otherwise. The products
     run in DECIMAL(38,0) (review r8: raw bigint wrapped for cent
     values ≳ 1e8 with the default lookback — n·ssq ~ 1e20 exceeds
     int64 — the same overflow class pair_support already guards).
@@ -213,9 +216,13 @@ def rolling_anomaly_flags(
     nd, vd = n.cast(dec), v.cast(dec)
     sd, ssqd = F.col("_s").cast(dec), F.col("_ssq").cast(dec)
     # z² in exact micro-units so a fractional z (2.5 → 6.25) keeps an
-    # exact rational test instead of int-truncating to z=2 (review r8):
-    # lhs·10⁶ > z²_micro·rhs ⟺ lhs > z²·rhs for any z exact at 6
-    # decimals; integer z is bit-unchanged (both sides scale by 10⁶)
+    # exact rational test instead of int-truncating to z=2 (review r8).
+    # Exactness scope (review r9): lhs·10⁶ > z²_micro·rhs ⟺
+    # lhs > z²·rhs exactly when z SQUARED is exact at 6 decimals
+    # (z=2.5, 3, 1.25, …); a z whose square is inexact at that grain
+    # (z=1.234567 → z²=1.524195…) shifts the boundary by up to
+    # 1e-6·rhs and can flip rows sitting exactly on it. Integer z is
+    # bit-unchanged (both sides scale by 10⁶).
     z2_micro = int(round(float(z_threshold) ** 2 * 1_000_000))
     lhs = (
         (nd * vd - sd) * (nd * vd - sd) * F.lit(1_000_000).cast(dec)

@@ -30,8 +30,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: staged token frames from prior dsir_weights(stage=True) calls —
-#: evicted on the next call (same single-slot policy as lm.py)
+#: evicted on the next call or by release_staged() (same single-slot
+#: policy as lm.py). Guarded by _STAGED_LOCK: without it, two
+#: concurrent stage=True calls could unpersist a frame the other
+#: thread's consumers are still reading (review r9). The lock makes
+#: the evict+stage step atomic; it does NOT make concurrent staged
+#: calls share work — concurrent callers should pass stage=False.
 _LIVE_STAGED: list[DataFrame] = []
+
+import threading as _threading  # noqa: E402 — lock for the slot above
+
+_STAGED_LOCK = _threading.Lock()
+
+
+def release_staged() -> None:
+    """Unpersist the staged token frame from the last
+    ``dsir_weights(stage=True)`` call. Call after the returned
+    weights frame's consumers have run: the single-slot policy
+    otherwise retains the last call's corpus-sized persisted frame in
+    executor storage until the NEXT call or process exit (review r9)."""
+    with _STAGED_LOCK:
+        while _LIVE_STAGED:
+            old = _LIVE_STAGED.pop()
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — owning session may be gone
+                pass
 
 
 def hash_bucket(col: Column, n_buckets: int) -> Column:
@@ -122,6 +146,16 @@ def dsir_weights(
     target side is a FILTER over the same frame (``target_pred`` is
     evaluated per document before the explode) rather than a second
     tokenize. ``stage=False`` keeps the plan fully lazy.
+
+    RETENTION (review r9): the staged frame lives in executor storage
+    until the NEXT ``stage=True`` call evicts it, or until
+    :func:`release_staged` — call that once the returned frame's
+    consumers have run, or the LAST call's corpus-sized frame stays
+    pinned for the life of the process. The slot is lock-guarded, but
+    eviction-on-next-call means a concurrent ``stage=True`` call can
+    still unpersist a frame another caller's actions are consuming
+    (recompute, not corruption) — concurrent callers should pass
+    ``stage=False``.
     """
     tok = df.select(
         F.col(id_col),
@@ -129,14 +163,15 @@ def dsir_weights(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
     ).where(F.col("token") != "")
     if stage:
-        while _LIVE_STAGED:
-            old = _LIVE_STAGED.pop()
-            try:
-                old.unpersist()
-            except Exception:  # noqa: BLE001 — owning session may be gone
-                pass
-        tok = tok.persist()
-        _LIVE_STAGED.append(tok)
+        with _STAGED_LOCK:
+            while _LIVE_STAGED:
+                old = _LIVE_STAGED.pop()
+                try:
+                    old.unpersist()
+                except Exception:  # noqa: BLE001 — owning session may be gone
+                    pass
+            tok = tok.persist()
+            _LIVE_STAGED.append(tok)
     ratio = bucket_logratio(tok, tok.where(F.col("_is_tgt")), n_buckets, alpha)
     if quantize_decimals is not None:
         ratio = ratio.select(

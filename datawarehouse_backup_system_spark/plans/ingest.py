@@ -386,8 +386,17 @@ class IngestJob:
         back to per-file ingestion under their own sniffed settings
         (review r8: ledgering them COLUMN_MISMATCH marked perfectly
         valid files processed-forever, permanently losing their rows).
-        Final table state is identical to sequential process_file calls
-        (asserted in tests).
+        Ingestion preserves the ORIGINAL ``paths`` order: the list is
+        split into contiguous runs (conforming runs batched as one
+        plan, divergent files per-file, in place), so id assignment
+        (ids follow ingest order) and first-occurrence dedup
+        attribution are identical to sequential process_file calls even
+        when a divergent file sits mid-batch and shares row content
+        with later files (review r9: ingesting divergent files FIRST
+        reordered both). Asserted in tests against the sequential
+        twin. Returned ``rows_loaded`` sums over all runs; ``status``
+        is UPLOADED only if every non-empty run uploaded (else the
+        first non-uploaded, non-empty status).
 
         CONCURRENCY: like :meth:`process_file`, this is a building block
         — it does not take the :class:`WriterLease` or run recovery.
@@ -414,21 +423,51 @@ class IngestJob:
                 delim = detect_delimiter(p, enc)
                 return (enc, delim, tuple(read_header(p, enc, delim)))
 
-            golden = _profile(paths[0])
-            ok_paths = []
-            divergent = []
-            for p in paths:
-                if _profile(p) == golden:
-                    ok_paths.append(p)
+            profiles = [_profile(p) for p in paths]
+            golden = profiles[0]
+            # contiguous runs in ORIGINAL order: (conforming?, paths)
+            runs: list[tuple[bool, list[Path]]] = []
+            for p, prof in zip(paths, profiles):
+                ok = prof == golden
+                if runs and runs[-1][0] == ok:
+                    runs[-1][1].append(p)
                 else:
-                    divergent.append(p)
-            # divergent profiles are ingested CORRECTLY one at a time
-            # under their own sniffed settings; each ledgers its own
-            # outcome (they are valid files, just un-batchable)
-            for p in divergent:
-                self.process_file(p)
-                handled.add(p)
-            return self._ingest(ok_paths, table_key, label)
+                    runs.append((ok, [p]))
+            results: list[FileResult] = []
+            for ok, run in runs:
+                if ok:
+                    run_label = (
+                        f"batch:{run[0].name}..{run[-1].name}[{len(run)}]"
+                    )
+                    results.append(self._ingest(run, table_key, run_label))
+                    handled.update(run)
+                else:
+                    # divergent profiles are ingested CORRECTLY one at a
+                    # time under their own sniffed settings, in place;
+                    # each ledgers its own outcome (they are valid
+                    # files, just un-batchable)
+                    for p in run:
+                        results.append(self.process_file(p))
+                        handled.add(p)
+            bad = [
+                r for r in results
+                if r.status not in (
+                    ledger_mod.STATUS_UPLOADED, ledger_mod.STATUS_EMPTY
+                )
+            ]
+            if bad:
+                status = bad[0].status
+            elif all(r.status == ledger_mod.STATUS_EMPTY for r in results):
+                status = ledger_mod.STATUS_EMPTY
+            else:
+                status = ledger_mod.STATUS_UPLOADED
+            return FileResult(
+                label,
+                status,
+                rows_in=sum(r.rows_in for r in results),
+                rows_loaded=sum(r.rows_loaded for r in results),
+                error=bad[0].error if bad else None,
+            )
         except Exception as exc:  # noqa: BLE001
             status = f"{ledger_mod.STATUS_UNEXPECTED}: {type(exc).__name__}"
             self.ledger.append_many(

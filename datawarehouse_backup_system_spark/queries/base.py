@@ -45,7 +45,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         try:
             import pyarrow.parquet as _pq
 
-            _is_nanos = "ns" in str(_pq.read_schema(path).field("ts").type)
+            import pyarrow as _pa
+
+            # precise type check, not a substring probe: a micros
+            # timestamp whose TZ NAME contains 'ns' (e.g.
+            # 'Europe/Athens') would otherwise flip the session-wide
+            # nanosAsLong flag and truncate every ts 1000× (review r9)
+            _t = _pq.read_schema(path).field("ts").type
+            _is_nanos = isinstance(_t, _pa.TimestampType) and _t.unit == "ns"
         except Exception:  # noqa: BLE001 — probe with Spark below
             # unknown footer (no pyarrow / unreadable): do NOT assume
             # nanos — that set the session-wide flag for micros files

@@ -110,9 +110,21 @@ def detect_encoding(file_path: str | Path, sample_size: int = DEFAULT_SAMPLE_SIZ
     # backs every TextIOWrapper open downstream) raises "UTF-16 stream
     # does not start with BOM" on such files even with errors="replace",
     # and Java's "UTF-16" charset assumes big-endian — so the bare name
-    # either crashes the read or mojibakes LE files (review r8). Plain
-    # ``bytes.decode("utf-16")`` falls back to NATIVE order; pin that.
-    utf16 = "utf-16-le" if sys.byteorder == "little" else "utf-16-be"
+    # either crashes the read or mojibakes LE files (review r8).
+    # Endianness comes from the DATA, not the host (review r9: pinning
+    # host byte order silently mojibaked wrong-endian files — every
+    # ASCII pair 'decodes' as a CJK code point, no decode error to
+    # catch): in ASCII-heavy UTF-16 the 0x00 half of each code unit
+    # sits at EVEN offsets for BE and ODD offsets for LE. Majority
+    # vote over the sample; only a tie falls back to native order.
+    even_nuls = sample[0::2].count(0)
+    odd_nuls = sample[1::2].count(0)
+    if even_nuls > odd_nuls:
+        utf16 = "utf-16-be"
+    elif odd_nuls > even_nuls:
+        utf16 = "utf-16-le"
+    else:
+        utf16 = "utf-16-le" if sys.byteorder == "little" else "utf-16-be"
     trials = (
         (utf16, "utf-8", "iso-8859-1")
         if b"\x00" in sample

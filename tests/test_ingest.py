@@ -154,6 +154,47 @@ def test_batch_divergent_profile_falls_back_per_file(spark, tmp_path):
     assert empty.status == ledger_mod.STATUS_EMPTY
 
 
+def test_batch_divergent_mid_batch_preserves_sequential_order(spark, tmp_path):
+    """Review r9 (ADVICE): a divergent file MID-batch whose rows also
+    appear in a LATER conforming file must keep sequential semantics —
+    ids follow the original path order and first-occurrence dedup
+    credits the earlier file. The old code ingested all divergent
+    files FIRST, which both shifted every id and flipped the dedup
+    winner. The (row_hash → id) map pins both."""
+    from datawarehouse_backup_system_spark import ledger as ledger_mod
+
+    fx = generate_f1(tmp_path)
+    # comma-delimited variant of file 2's FULL content: divergent
+    # profile, placed BETWEEN files 1 and 2 — its rows duplicate the
+    # later conforming file's rows, so the dedup winner is order-defined
+    src = fx["files"][1].read_text(encoding="utf-8")
+    comma = tmp_path / "last24h__comma_mid.csv"
+    comma.write_text(
+        "\n".join(line.replace(";", ",") for line in src.splitlines())
+        + "\n",
+        encoding="utf-8",
+    )
+    order = [fx["files"][0], comma, fx["files"][1]]
+    seq_job = make_job(spark, tmp_path / "seq9", fx)
+    for f in order:
+        seq_job.process_file(f)
+    batch_job = make_job(spark, tmp_path / "batch9", fx)
+    res = batch_job.process_batch(order, "mini_campaign_events")
+    assert res.status == ledger_mod.STATUS_UPLOADED
+
+    schema = seq_job.registry.get("mini_campaign_events")
+    seq_map = {
+        r["row_hash"]: r["id"]
+        for r in seq_job.read_table(schema).select("row_hash", "id").collect()
+    }
+    bat_map = {
+        r["row_hash"]: r["id"]
+        for r in batch_job.read_table(schema).select("row_hash", "id").collect()
+    }
+    assert bat_map == seq_map
+    assert res.rows_loaded == len(seq_map)
+
+
 def test_ingest_date_partitioning_and_retention(spark, tmp_path):
     """Snapshots are partitioned by ingest_date; retention = partition drop."""
     from datawarehouse_backup_system_spark.operators.retention import (

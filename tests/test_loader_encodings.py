@@ -151,27 +151,46 @@ def test_detect_encoding_truncated_utf16_tails(tmp_path):
     valid UTF-8). Review r8: BOM-less detection must report the
     CONCRETE endianned codec — bare "utf-16" crashes every downstream
     TextIOWrapper open ("stream does not start with BOM")."""
-    import sys as _sys
-
     from datawarehouse_backup_system_spark.sources.csv_source import (
         detect_encoding,
     )
 
-    native16 = "utf-16-le" if _sys.byteorder == "little" else "utf-16-be"
+    # review r9: endianness is now read from the DATA (NUL-offset
+    # parity), so LE content detects utf-16-le on any host
     p = tmp_path / "odd16.csv"
     p.write_bytes("id,name\n1,abc\n".encode("utf-16-le"))
-    assert detect_encoding(p, sample_size=15) == native16  # odd cut
+    assert detect_encoding(p, sample_size=15) == "utf-16-le"  # odd cut
 
     q = tmp_path / "surr16.csv"
     q.write_bytes(
         "ab".encode("utf-16-le") + "\U0001F600".encode("utf-16-le")[:2]
     )
-    assert detect_encoding(q, sample_size=6) == native16  # lone high
+    assert detect_encoding(q, sample_size=6) == "utf-16-le"  # lone high
 
     # truncated latin-1 must still fall through cleanly
     r = tmp_path / "lat.csv"
     r.write_bytes(("café " * 50).encode("iso-8859-1"))
     assert detect_encoding(r, sample_size=100) == "iso-8859-1"
+
+
+def test_bomless_utf16_big_endian_detected_from_data(tmp_path):
+    """ADVICE r9 (low): BOM-less UTF-16 endianness must come from the
+    data, not the host byte order — a BE file on a little-endian
+    machine previously 'decoded' as utf-16-le without error (every
+    ASCII pair becomes a CJK code point) and silently mojibaked. The
+    NUL-offset-parity heuristic picks BE, and the full read round-trips."""
+    from datawarehouse_backup_system_spark.sources.csv_source import (
+        detect_delimiter,
+        detect_encoding,
+        read_header,
+    )
+
+    p = tmp_path / "bomless_be.csv"
+    p.write_bytes("id;name\n1;René\n".encode("utf-16-be"))
+    enc = detect_encoding(p)
+    assert enc == "utf-16-be"
+    assert detect_delimiter(p, enc) == ";"
+    assert read_header(p, enc, ";") == ["id", "name"]
 
 
 def test_bomless_utf16_detected_encoding_opens_and_reads(tmp_path):
