@@ -155,6 +155,16 @@ def _small_star(e: DataFrame) -> DataFrame:
     return _canon(out)
 
 
+import threading as _threading
+
+#: default-scratch root per call site (review r9): repeat calls from
+#: the same site reuse one root, clearing the prior run's rounds, so a
+#: WCC-in-a-loop driver holds O(1) round files instead of one final
+#: round per call for the life of the process.
+_WCC_SITE_ROOTS: dict[str, str] = {}
+_WCC_ROOT_LOCK = _threading.Lock()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -197,11 +207,26 @@ def connected_components(
     root must outlive the caller's reads — the default root lives
     until process exit, the u05 scratch pattern.
 
+    SCRATCH LIFECYCLE (review r9: a long-lived session calling WCC in
+    a loop — exactly what an incremental-dedup driver does — stranded
+    one edge-set-sized final-round file PER CALL until process exit):
+    the default root is keyed by CALL SITE (caller file:line), and a
+    repeat call from the same site clears the previous run's rounds on
+    entry, so N sequential loop calls hold O(1) round files. An
+    explicit ``stage_path`` is cleared of this function's ``r<N>``
+    round dirs on entry likewise. Consequence, in both modes: starting
+    a new call INVALIDATES the lazy DataFrame returned by the previous
+    call from the same site / on the same path — materialize (write or
+    collect) a result you need before recomputing, or pass a fresh
+    ``stage_path`` per call to keep several results alive at once.
+
     ``nodes``: optional one-column frame of ALL node ids — isolated
     nodes (no incident edge) appear in the output as their own
     singleton components. Node ids must be orderable and non-null
     (component_id = the min id, the dedup_groups convention)."""
     import shutil
+    import sys as _sys
+    from pathlib import Path as _Path
 
     from pyspark.sql import Observation
 
@@ -211,10 +236,25 @@ def connected_components(
     if stage_path is None:
         # the FINAL round's parquet backs the returned lazy DataFrame,
         # so the root must outlive the caller's reads — scratch roots
-        # live until process exit (shared lifecycle in ..scratch)
-        root = str(new_scratch_root("dwbss-wcc-"))
+        # live until process exit (shared lifecycle in ..scratch).
+        # One root PER CALL SITE: a loop re-entering from the same
+        # line reuses (and clears) its root instead of accumulating.
+        caller = _sys._getframe(1)
+        site = f"{caller.f_code.co_filename}:{caller.f_lineno}"
+        with _WCC_ROOT_LOCK:
+            root = _WCC_SITE_ROOTS.get(site)
+            if root is None:
+                root = str(new_scratch_root("dwbss-wcc-"))
+                _WCC_SITE_ROOTS[site] = root
     else:
         root = stage_path
+    # clear THIS function's prior round files (r<N> dirs only — an
+    # explicit stage_path may hold unrelated data we must not touch)
+    _rp = _Path(root)
+    if _rp.exists():
+        for d in _rp.glob("r[0-9]*"):
+            if d.is_dir():
+                shutil.rmtree(d, ignore_errors=True)
     # round 0's input stays UNstaged: its plan is one flat pass over
     # the caller's edges and round 1 reads round 0's staged output, so
     # no lineage can compound — saves a full write+read of the largest

@@ -211,3 +211,41 @@ def test_triangle_counts_hub_star_is_triangle_free(spark):
         r["node"]: r["n_triangles"] for r in triangle_counts(df2).collect()
     }
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_wcc_loop_scratch_is_bounded(spark, tmp_path):
+    """Review r9 (VERDICT r8 #2): N sequential connected_components
+    calls must hold O(1) round files — the default root is keyed per
+    call site and cleared on re-entry, and an explicit stage_path is
+    cleared of prior r<N> dirs — not one stranded final round per call
+    for the life of the process."""
+    from datawarehouse_backup_system_spark.operators import graph as g
+
+    # explicit stage_path, reused across calls (the incremental-driver
+    # loop shape): after each call only that run's FINAL round remains
+    sp = str(tmp_path / "wcc_stage")
+    for trial in range(3):
+        e = spark.createDataFrame(
+            [(i + trial, i + trial + 1) for i in range(8)],
+            "src bigint, dst bigint",
+        )
+        labels = connected_components(e, stage_path=sp)
+        assert labels.count() == 9
+        rounds = [d for d in (tmp_path / "wcc_stage").glob("r[0-9]*")]
+        assert len(rounds) == 1, rounds
+
+    # default root: same call site -> ONE reused root, cleared per call
+    before = dict(g._WCC_SITE_ROOTS)
+    results = []
+    for trial in range(3):
+        e = spark.createDataFrame(
+            [(10 * trial, 10 * trial + 1)], "src bigint, dst bigint"
+        )
+        results.append(connected_components(e).count())
+    assert results == [2, 2, 2]
+    new_roots = set(g._WCC_SITE_ROOTS.values()) - set(before.values())
+    assert len(new_roots) == 1  # one root for the loop's call site
+    from pathlib import Path
+
+    root = Path(new_roots.pop())
+    assert len(list(root.glob("r[0-9]*"))) == 1
