@@ -32,6 +32,9 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     round_digits: int = 6,
+    stage_rounds_above: int = 8,
+    stage_path: str | None = None,
+    tol_digits: int | None = None,
 ) -> DataFrame:
     """Weighted PageRank with a fixed iteration count.
 
@@ -45,20 +48,39 @@ def pagerank(
     rounded to ``round_digits`` at the END only (intermediate ranks stay
     full-precision; per-node sums are small, so cross-engine FP drift is
     far below the rounding grain).
+
+    TWO EXECUTION TIERS (review r9 / VERDICT r8 item 5):
+
+    - ``iterations ≤ stage_rounds_above`` and no ``stage_path``: one
+      fully-lazy unrolled lineage — deterministic, oracle-replayable
+      (the p01 spec's 3-iteration path, unchanged). ``norm_e`` is
+      recomputed per round by design: the plan must not leak pinned
+      executor memory to callers who never get an unpersist handle,
+      and at a bounded unroll depth the recompute is cheap.
+    - above the threshold (or with an explicit ``stage_path``): the
+      g03 parquet-staged round pattern — ``norm_e``/``nodes`` written
+      once, each round's rank vector staged and the previous round
+      deleted, so plan size is CONSTANT in ``iterations`` (the
+      unrolled lineage grows linearly and Catalyst re-optimizes the
+      whole history every round; measured in SCALE.md r9). Scratch
+      lifecycle = `_staged_round_root` (per-call-site root, cleared
+      on re-entry; a new call invalidates the previous call's lazy
+      result).
+
+    ``tol_digits`` (staged tier only): stop early when the
+    (count, bit_xor(xxhash64(node, round(rank, tol_digits))))
+    signature repeats between consecutive rounds — the g03
+    Observation trick, riding the stage write job, no read-back pass.
+    None (default) always runs exactly ``iterations`` rounds, keeping
+    the result oracle-replayable.
     """
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst"), w.alias("_w")
     )
     out_w = e.groupBy("_src").agg(F.sum("_w").alias("_out_w"))
-    # normalized edge transition probabilities, computed once and reused
-    # every iteration (at scale: repartition by _src once, persist)
-    # NOT persisted: the returned plan must not leak pinned executor
-    # memory to callers who never get a handle to unpersist (the result
-    # is lazy). With a fixed small iteration count the recompute cost is
-    # bounded; a convergence-driven production loop would persist norm_e
-    # and the per-round rank vector and unpersist round-over-round, the
-    # pattern dedup_approx.dedup_groups implements.
+    # normalized edge transition probabilities, computed once and
+    # reused every iteration (staged tier: written to parquet once)
     norm_e = e.join(out_w, "_src").select(
         "_src", "_dst", (F.col("_w") / F.col("_out_w")).alias("_p")
     )
@@ -67,10 +89,20 @@ def pagerank(
         .union(e.select(F.col("_dst").alias("node")))
         .distinct()
     )
+    staged = stage_path is not None or iterations > stage_rounds_above
+    if staged:
+        spark = edges.sparkSession
+        root = _staged_round_root(stage_path, "dwbss-pr-")
+        norm_e.write.mode("overwrite").parquet(f"{root}/norm_e")
+        nodes.write.mode("overwrite").parquet(f"{root}/nodes")
+        norm_e = spark.read.parquet(f"{root}/norm_e")
+        nodes = spark.read.parquet(f"{root}/nodes")
     n = nodes.count()
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iterations):
+    cur = None
+    prev_sig = None
+    for i in range(iterations):
         contrib = (
             norm_e.join(
                 ranks.select(F.col("node").alias("_src"), "rank"), "_src"
@@ -85,6 +117,32 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
             ).alias("rank"),
         )
+        if staged:
+            import shutil
+
+            from pyspark.sql import Observation
+
+            nxt = f"{root}/r{i + 1}"
+            obs = Observation()
+            sig_digits = tol_digits if tol_digits is not None else 15
+            ranks.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.expr(
+                        f"bit_xor(xxhash64(node, round(rank, {sig_digits})))"
+                    ),
+                    F.lit(0),
+                ).alias("h"),
+            ).write.mode("overwrite").parquet(nxt)
+            sig = (obs.get["n"], obs.get["h"])
+            if cur is not None:
+                shutil.rmtree(cur, ignore_errors=True)  # superseded round
+            cur = nxt
+            ranks = spark.read.parquet(nxt)
+            if tol_digits is not None and sig == prev_sig:
+                break
+            prev_sig = sig
     return ranks.select(
         "node", F.round(F.col("rank"), round_digits).alias("rank")
     )
@@ -155,14 +213,46 @@ def _small_star(e: DataFrame) -> DataFrame:
     return _canon(out)
 
 
+import shutil as _shutil
+import sys as _gsys
 import threading as _threading
+from pathlib import Path as _GPath
 
 #: default-scratch root per call site (review r9): repeat calls from
 #: the same site reuse one root, clearing the prior run's rounds, so a
-#: WCC-in-a-loop driver holds O(1) round files instead of one final
-#: round per call for the life of the process.
-_WCC_SITE_ROOTS: dict[str, str] = {}
-_WCC_ROOT_LOCK = _threading.Lock()
+#: graph-operator-in-a-loop driver holds O(1) round files instead of
+#: one final round per call for the life of the process. Shared by
+#: connected_components and staged pagerank (keys carry the prefix).
+_SITE_ROOTS: dict[str, str] = {}
+_ROOT_LOCK = _threading.Lock()
+
+
+def _staged_round_root(stage_path: str | None, prefix: str) -> str:
+    """Resolve (and clean) the round-staging root for an iterative
+    graph operator. ``stage_path=None`` → one scratch root PER CALL
+    SITE of the public operator (caller of our caller), reused and
+    cleared across loop iterations; an explicit path is cleared of
+    this machinery's ``r<N>`` round dirs only (it may hold unrelated
+    data). Either way, entering a new run INVALIDATES the lazy result
+    of the previous run from the same site / path."""
+    from ..scratch import new_scratch_root
+
+    if stage_path is None:
+        caller = _gsys._getframe(2)
+        site = f"{prefix}{caller.f_code.co_filename}:{caller.f_lineno}"
+        with _ROOT_LOCK:
+            root = _SITE_ROOTS.get(site)
+            if root is None:
+                root = str(new_scratch_root(prefix))
+                _SITE_ROOTS[site] = root
+    else:
+        root = stage_path
+    rp = _GPath(root)
+    if rp.exists():
+        for d in rp.glob("r[0-9]*"):
+            if d.is_dir():
+                _shutil.rmtree(d, ignore_errors=True)
+    return root
 
 
 def connected_components(
@@ -225,36 +315,15 @@ def connected_components(
     singleton components. Node ids must be orderable and non-null
     (component_id = the min id, the dedup_groups convention)."""
     import shutil
-    import sys as _sys
-    from pathlib import Path as _Path
 
     from pyspark.sql import Observation
 
-    from ..scratch import new_scratch_root
-
     spark = edges.sparkSession
-    if stage_path is None:
-        # the FINAL round's parquet backs the returned lazy DataFrame,
-        # so the root must outlive the caller's reads — scratch roots
-        # live until process exit (shared lifecycle in ..scratch).
-        # One root PER CALL SITE: a loop re-entering from the same
-        # line reuses (and clears) its root instead of accumulating.
-        caller = _sys._getframe(1)
-        site = f"{caller.f_code.co_filename}:{caller.f_lineno}"
-        with _WCC_ROOT_LOCK:
-            root = _WCC_SITE_ROOTS.get(site)
-            if root is None:
-                root = str(new_scratch_root("dwbss-wcc-"))
-                _WCC_SITE_ROOTS[site] = root
-    else:
-        root = stage_path
-    # clear THIS function's prior round files (r<N> dirs only — an
-    # explicit stage_path may hold unrelated data we must not touch)
-    _rp = _Path(root)
-    if _rp.exists():
-        for d in _rp.glob("r[0-9]*"):
-            if d.is_dir():
-                shutil.rmtree(d, ignore_errors=True)
+    # the FINAL round's parquet backs the returned lazy DataFrame, so
+    # the root must outlive the caller's reads — default scratch roots
+    # live until process exit (shared lifecycle in ..scratch), one per
+    # CALL SITE, cleared on re-entry (review r9)
+    root = _staged_round_root(stage_path, "dwbss-wcc-")
     # round 0's input stays UNstaged: its plan is one flat pass over
     # the caller's edges and round 1 reads round 0's staged output, so
     # no lineage can compound — saves a full write+read of the largest

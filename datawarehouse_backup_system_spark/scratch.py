@@ -33,6 +33,7 @@ SCRATCH_PREFIXES: tuple[str, ...] = (
     "dwbss-u05-",
     "dwbss-bench-stage-",
     "dwbss-wcc-",
+    "dwbss-pr-",
 )
 
 _LIVE_ROOTS: list[Path] = []

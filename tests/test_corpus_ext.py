@@ -340,3 +340,60 @@ def test_url_host_hostile_urls(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(url_host(F.col("url"))).collect()]
     assert got == [h for _, h in cases]
+
+
+def test_pagerank_staged_equals_unrolled(spark, tmp_path):
+    """Review r9 (VERDICT r8 item 5): above the stage threshold the
+    parquet-staged round loop must produce the same ranks as the
+    unrolled lineage (parquet round-trips preserve double bits; the
+    6-digit output rounding damps any shuffle-order sum drift on this
+    tiny graph), with O(1) round files left behind."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 2), ("b", "c", 1), ("c", "a", 3),
+            ("a", "c", 1), ("c", "d", 2), ("d", "a", 1),
+        ],
+        "src string, dst string, w long",
+    )
+    unrolled = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(
+            edges, "src", "dst", "w", iterations=10,
+            stage_rounds_above=100,
+        ).collect()
+    }
+    sp = str(tmp_path / "pr_stage")
+    staged = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(
+            edges, "src", "dst", "w", iterations=10, stage_path=sp
+        ).collect()
+    }
+    assert staged == unrolled
+    # only the FINAL round file remains (superseded rounds deleted)
+    from pathlib import Path
+
+    assert len(list(Path(sp).glob("r[0-9]*"))) == 1
+
+
+def test_pagerank_tol_digits_stops_early(spark, tmp_path):
+    """Convergence stop: on a symmetric cycle the uniform fixpoint is
+    reached immediately, so with tol_digits the staged loop must stop
+    long before the requested 40 rounds (observable via the final
+    round file's number) and still return the fixpoint ranks."""
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    sp = str(tmp_path / "pr_tol")
+    out = graph.pagerank(
+        edges, "src", "dst", "w", iterations=40, stage_path=sp,
+        tol_digits=9,
+    ).collect()
+    for r in out:
+        assert r["rank"] == pytest.approx(1 / 3, abs=1e-6)
+    from pathlib import Path
+
+    rounds = list(Path(sp).glob("r[0-9]*"))
+    assert len(rounds) == 1
+    assert int(rounds[0].name[1:]) < 40

@@ -235,7 +235,7 @@ def test_wcc_loop_scratch_is_bounded(spark, tmp_path):
         assert len(rounds) == 1, rounds
 
     # default root: same call site -> ONE reused root, cleared per call
-    before = dict(g._WCC_SITE_ROOTS)
+    before = dict(g._SITE_ROOTS)
     results = []
     for trial in range(3):
         e = spark.createDataFrame(
@@ -243,7 +243,7 @@ def test_wcc_loop_scratch_is_bounded(spark, tmp_path):
         )
         results.append(connected_components(e).count())
     assert results == [2, 2, 2]
-    new_roots = set(g._WCC_SITE_ROOTS.values()) - set(before.values())
+    new_roots = set(g._SITE_ROOTS.values()) - set(before.values())
     assert len(new_roots) == 1  # one root for the loop's call site
     from pathlib import Path
 
