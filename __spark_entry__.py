@@ -97,6 +97,13 @@ try:  # round-8 extensions (large-star/small-star connected components)
 except ImportError:
     pass
 
+try:  # round-9 extensions (k-core decomposition)
+    from datawarehouse_backup_system_spark.queries import round9_ext
+
+    _ALL_SPECS += list(round9_ext.SPECS)
+except ImportError:
+    pass
+
 
 def _staleness_key(name: str) -> int:
     """Rotation priority from the CORRECTNESS_r{N}.json history.

@@ -33,6 +33,7 @@ from datawarehouse_backup_system_spark.queries import (  # noqa: E402
     round6_ext,
     round7_ext,
     round8_ext,
+    round9_ext,
     scale_ext,
 )
 from datawarehouse_backup_system_spark.session import get_spark  # noqa: E402
@@ -238,6 +239,7 @@ def main() -> int:
         + round6_ext.SPECS
         + round7_ext.SPECS
         + round8_ext.SPECS
+        + round9_ext.SPECS
     }
     # crashed-run strays first (pid-liveness-gated, shared lifecycle)
     from datawarehouse_backup_system_spark.scratch import sweep_stale_scratch

@@ -450,3 +450,98 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def core_numbers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 32,
+    stage_path: str | None = None,
+) -> DataFrame:
+    """k-core decomposition → ``(node, core)`` over the undirected
+    simple graph: core = the largest k such that the node survives in
+    the k-core (every member has ≥ k neighbors inside).
+
+    Algorithm: iterated neighborhood H-index refinement (Lü et al.,
+    "The H-index of a network node and its relation to degree and
+    coreness", public literature): c₀(v) = deg(v);
+    cₜ₊₁(v) = H({cₜ(u) : u ∈ N(v)}), where H of a multiset is the
+    largest h with ≥ h members ≥ h. The sequence is pointwise
+    monotone non-increasing and its fixpoint is exactly the coreness
+    (pytest-pinned against a pure-Python peel on random graphs).
+
+    Scale shape: per round, ONE equi-join of the staged directed edge
+    list against the current labels plus a per-node window top-h —
+    the H-index is computed as max(rn) over rows with value ≥ rank
+    under a per-node descending row_number, NOT collect_list, so a
+    hub node costs O(deg) rows through the window's partial top-k,
+    never a driver- or executor-side array. Rounds are parquet-staged
+    with the g03 Observation signature (values are INTEGERS, so
+    signature equality is a genuine fixpoint test modulo a 2⁻⁶⁴ hash
+    collision), previous rounds deleted; scratch lifecycle =
+    `_staged_round_root` (per-call-site default root; a new call
+    invalidates the previous call's lazy result).
+
+    CONVERGENCE BUDGET: real (web/link/co-occurrence) graphs converge
+    in ~10–30 rounds (the paper's measurement; the repo's sf0.1
+    session graph takes 10), but the worst case is O(peel depth) —
+    a bare n-node path needs ~n/2 rounds because the boundary
+    correction walks inward one node per round. ``iterations`` caps
+    the budget; on exhaustion the result is the (well-defined,
+    deterministic, still monotone-upper-bound) iterations-round
+    refinement, NOT an error — callers that require exact coreness on
+    adversarial topologies should raise the cap. A fixed small cap is
+    also what makes the g05 spec oracle-replayable (DuckDB unrolls
+    the identical rounds; an early fixpoint stop is output-equivalent
+    because further rounds are no-ops).
+
+    Reference analog: none (the daemon has no graph analytics);
+    composes with g03/g04 as a link-quality prior for corpus curation
+    (core number ranks pages by embeddedness; low-core = periphery).
+    """
+    import shutil
+
+    from pyspark.sql import Observation, Window
+
+    spark = edges.sparkSession
+    root = _staged_round_root(stage_path, "dwbss-kc-")
+    e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    # directed (both orientations) edge list, staged ONCE — every
+    # round joins against it
+    _directed(e).write.mode("overwrite").parquet(f"{root}/edges")
+    d = spark.read.parquet(f"{root}/edges")
+    labels = d.groupBy("a").agg(F.count(F.lit(1)).alias("val"))
+    w = Window.partitionBy("a").orderBy(F.desc("val"))
+    cur = None
+    prev_sig = None
+    for i in range(iterations):
+        nb = d.join(
+            labels.select(F.col("a").alias("b"), "val"), "b"
+        ).select("a", "val")
+        nxt_lab = (
+            nb.withColumn("rn", F.row_number().over(w))
+            .where(F.col("val") >= F.col("rn"))
+            .groupBy("a")
+            .agg(F.max("rn").cast("bigint").alias("val"))
+        )
+        nxt = f"{root}/r{i + 1}"
+        obs = Observation()
+        nxt_lab.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(a, val))"), F.lit(0)
+            ).alias("h"),
+        ).write.mode("overwrite").parquet(nxt)
+        sig = (obs.get["n"], obs.get["h"])
+        if cur is not None:
+            shutil.rmtree(cur, ignore_errors=True)  # superseded round
+        cur = nxt
+        labels = spark.read.parquet(nxt)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return labels.select(
+        F.col("a").alias("node"), F.col("val").alias("core")
+    )

@@ -1,0 +1,148 @@
+"""Round-9 extension specs: k-core decomposition.
+
+Fourth graph primitive (after PageRank p01, WCC g03, triangles g04),
+reusing the parquet-staged round machinery: coreness per node via
+iterated neighborhood H-index refinement (Lü et al., "The H-index of
+a network node and its relation to degree and coreness" — public
+literature), `operators/graph.py:core_numbers`. Core number is a
+standard link-quality / embeddedness prior for corpus curation:
+low-core nodes are periphery (drive-by events, link-farm leaves),
+high-core nodes sit in densely connected activity.
+
+The spec graph is the 3rd-order session succession graph (each event
+linked to its next, next-next and next-next-next within the 12 h
+session gap — the g04 build plus one more lag), whose cores are
+nontrivial ({1,2,3}: chain power graphs have degeneracy 3, broken
+chains less). The DuckDB oracle UNROLLS the identical 12 refinement
+rounds in SQL (window row_number H-index per round), so an EXACT
+match machine-checks every round's join+window algebra; Spark's early
+fixpoint stop is output-equivalent because post-fixpoint rounds are
+no-ops. 12 rounds is convergence + margin on this data (pure-Python
+simulator: sf0.01 converges in 8 rounds, sf0.1 in 10; pinned in
+tests/test_graph_cc.py against a true peel).
+
+Reference analog: none (the daemon has no graph analytics); extends
+§2.6 the way g03/g04 do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import core_numbers
+from .base import QuerySpec, load
+
+#: session gap, exact integer microseconds on both engines (g03's)
+_G05_GAP_US = 43_200 * 1_000_000
+#: fixed refinement rounds replayed by the oracle; ≥ convergence on
+#: the spec data (8 at sf0.01, 10 at sf0.1) with margin
+_G05_ROUNDS = 12
+
+
+def _session_edges_pow3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) raw succession edges with lags 1..3 inside the
+    session gap — one user-window pass, three lag columns."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    cols = [F.col("event_id").alias("_id"), us.alias("_us")]
+    for j in (1, 2, 3):
+        cols += [
+            F.lag("event_id", j).over(w).alias(f"_p{j}"),
+            F.lag(us, j).over(w).alias(f"_p{j}us"),
+        ]
+    succ = ev.select(*cols)
+    parts = [
+        succ.where(
+            F.col(f"_p{j}").isNotNull()
+            & ((F.col("_us") - F.col(f"_p{j}us")) <= F.lit(_G05_GAP_US))
+        ).select(F.col(f"_p{j}").alias("src"), F.col("_id").alias("dst"))
+        for j in (1, 2, 3)
+    ]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    return e
+
+
+def g05_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core number per event over the 3rd-order session succession
+    graph. Scale shape: the edge build is one user-window pass; each
+    refinement round is one equi-join of the staged directed edge
+    list against the current (node, val) labels plus a per-node
+    descending-row_number window (max(rn) with val ≥ rn — the
+    H-index without collect_list, hub-safe), parquet-staged rounds
+    with an integer Observation signature for the fixpoint stop."""
+    edges = _session_edges_pow3(spark, sf_dir)
+    return core_numbers(edges, iterations=_G05_ROUNDS).select(
+        F.col("node").alias("event_id"), "core"
+    )
+
+
+def _g05_sql() -> str:
+    head = f"""
+WITH s AS (
+  SELECT event_id AS id, epoch_us(ts) AS us,
+         lag(event_id, 1) OVER w AS p1, lag(epoch_us(ts), 1) OVER w AS p1us,
+         lag(event_id, 2) OVER w AS p2, lag(epoch_us(ts), 2) OVER w AS p2us,
+         lag(event_id, 3) OVER w AS p3, lag(epoch_us(ts), 3) OVER w AS p3us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+raw_e AS (
+  SELECT p1 AS a, id AS b FROM s
+  WHERE p1 IS NOT NULL AND us - p1us <= {_G05_GAP_US}
+  UNION ALL
+  SELECT p2, id FROM s
+  WHERE p2 IS NOT NULL AND us - p2us <= {_G05_GAP_US}
+  UNION ALL
+  SELECT p3, id FROM s
+  WHERE p3 IS NOT NULL AND us - p3us <= {_G05_GAP_US}
+),
+edges AS (
+  SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+  FROM raw_e WHERE a <> b
+),
+d AS (
+  SELECT lo AS a, hi AS b FROM edges
+  UNION ALL
+  SELECT hi, lo FROM edges
+),
+c0 AS (
+  SELECT a AS node, CAST(count(*) AS BIGINT) AS val FROM d GROUP BY a
+)"""
+    rounds = []
+    for i in range(1, _G05_ROUNDS + 1):
+        rounds.append(f""",
+c{i} AS (
+  SELECT a AS node,
+         CAST(max(CASE WHEN val >= rn THEN rn END) AS BIGINT) AS val
+  FROM (
+    SELECT d.a, c.val,
+           row_number() OVER (PARTITION BY d.a ORDER BY c.val DESC) AS rn
+    FROM d JOIN c{i - 1} c ON d.b = c.node
+  )
+  GROUP BY a
+)""")
+    return (
+        head
+        + "".join(rounds)
+        + f"\nSELECT node AS event_id, val AS core FROM c{_G05_ROUNDS}"
+    )
+
+
+G05_SQL = _g05_sql()
+
+
+SPECS = [
+    QuerySpec(
+        "g05_kcore", g05_kcore, G05_SQL,
+        "k-core decomposition (iterated neighborhood H-index "
+        "refinement, parquet-staged rounds, hub-safe window H-index) "
+        "over the 3rd-order session succession graph; oracle unrolls "
+        "the identical 12 refinement rounds in SQL",
+    ),
+]

@@ -34,6 +34,7 @@ SCRATCH_PREFIXES: tuple[str, ...] = (
     "dwbss-bench-stage-",
     "dwbss-wcc-",
     "dwbss-pr-",
+    "dwbss-kc-",
 )
 
 _LIVE_ROOTS: list[Path] = []

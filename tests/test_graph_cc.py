@@ -249,3 +249,92 @@ def test_wcc_loop_scratch_is_bounded(spark, tmp_path):
 
     root = Path(new_roots.pop())
     assert len(list(root.glob("r[0-9]*"))) == 1
+
+
+def _peel_coreness(edge_list):
+    """Pure-Python reference: exact coreness via min-degree peel."""
+    import heapq
+
+    adj: dict = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    heap = [(d, v) for v, d in deg.items()]
+    heapq.heapify(heap)
+    seen: set = set()
+    core: dict = {}
+    k = 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v in seen or d != deg[v]:
+            continue
+        seen.add(v)
+        k = max(k, d)
+        core[v] = k
+        for u in adj[v]:
+            if u not in seen:
+                deg[u] -= 1
+                heapq.heappush(heap, (deg[u], u))
+    return core
+
+
+def test_core_numbers_matches_peel_on_random_graphs(spark):
+    """The H-index iteration's fixpoint is exactly the coreness (Lü et
+    al.); checked against a pure-Python min-degree peel on random
+    graphs with self-loops and duplicate edges in the input."""
+    from datawarehouse_backup_system_spark.operators.graph import (
+        core_numbers,
+    )
+
+    rng = random.Random(17)
+    for trial in range(2):
+        n = 40
+        raw = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(120 + 60 * trial)
+        ]
+        exp = _peel_coreness(raw)
+        df = spark.createDataFrame(raw, "src bigint, dst bigint")
+        got = {
+            r["node"]: r["core"] for r in core_numbers(df).collect()
+        }
+        assert got == exp
+
+
+def test_core_numbers_budget_is_monotone_upper_bound(spark):
+    """On the worst-case topology (a bare path: the correction front
+    walks inward one node per round) an exhausted budget returns the
+    deterministic round-R refinement — a pointwise UPPER bound on the
+    true coreness, never an under-estimate, and monotone in R."""
+    from datawarehouse_backup_system_spark.operators.graph import (
+        core_numbers,
+    )
+
+    path = [(i, i + 1) for i in range(12)]
+    true = _peel_coreness(path)  # all 1
+    df = spark.createDataFrame(path, "src bigint, dst bigint")
+    r2 = {r["node"]: r["core"] for r in core_numbers(df, iterations=2).collect()}
+    r4 = {r["node"]: r["core"] for r in core_numbers(df, iterations=4).collect()}
+    full = {r["node"]: r["core"] for r in core_numbers(df, iterations=32).collect()}
+    assert full == true
+    for v in true:
+        assert r2[v] >= r4[v] >= full[v] == 1
+    # the budgeted run really is unconverged on this topology
+    assert any(r2[v] > 1 for v in true)
+
+
+def test_core_numbers_hub_star(spark):
+    """A star is 1-degenerate: every node (hub included, despite its
+    huge degree) has core 1 — the H-index collapses the hub in one
+    round, no hub blowup (window top-h, not collect_list)."""
+    from datawarehouse_backup_system_spark.operators.graph import (
+        core_numbers,
+    )
+
+    star = [(0, i) for i in range(1, 200)]
+    df = spark.createDataFrame(star, "src bigint, dst bigint")
+    got = {r["node"]: r["core"] for r in core_numbers(df).collect()}
+    assert got == {v: 1 for v in range(200)}
