@@ -334,13 +334,16 @@ def main() -> int:
                 pass
         a_load1 = [round(x, 2) for x in os.getloadavg()]
         run_stat = _stat_delta(a_stat0, _cpu_stat())
-        # contended during THIS attempt: load at either bracket, or
-        # steal over the whole run. iowait is recorded, not flagged —
-        # the bench itself does real parquet I/O.
-        a_contended = (
-            a_load0[0] > load_thresh
-            or a_load1[0] > load_thresh
-            or bool(run_stat and run_stat["steal_pct"] > steal_thresh)
+        # contended during THIS attempt: load at ENTRY, or steal over
+        # the whole run. load_end is recorded but NOT flagged — the
+        # suite's own local[32] work drives loadavg to ~cpus by the
+        # end of every healthy run (review r9: flagging on load_end
+        # marked every attempt contended and forced a pointless
+        # retry); steal is the only mid-run signal that sees a
+        # co-tenant through our own load. iowait is recorded, not
+        # flagged — the bench itself does real parquet I/O.
+        a_contended = a_load0[0] > load_thresh or bool(
+            run_stat and run_stat["steal_pct"] > steal_thresh
         )
         return {
             "timings": timings,

@@ -35,11 +35,23 @@ def pagerank(
     stage_rounds_above: int = 8,
     stage_path: str | None = None,
     tol_digits: int | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank with a fixed iteration count.
 
     rank₀(v) = 1/N;
     rankₜ₊₁(v) = (1−d)/N + d·Σ_{(u,v)∈E} rankₜ(u)·w(u,v)/W(u)
+
+    ``seeds`` (optional, one-column frame of node ids) switches to
+    PERSONALIZED PageRank: the teleport mass lands uniformly on the
+    seed set instead of all nodes — rank₀(v) = 1_S(v)/|S|,
+    rankₜ₊₁(v) = (1−d)·1_S(v)/|S| + d·Σ … — the standard seeded
+    relevance propagation used in corpus curation to score pages by
+    proximity to a trusted set (and in product analytics to rank
+    states reachable from a chosen entry point). Seeds not present in
+    the graph are ignored; an empty intersection raises ValueError.
+    The seed set is assumed BROADCAST-SIZED (a trusted whitelist, not
+    a data-sized frame) — it joins the node vector once.
 
     where W(u) is u's total out-weight. Dangling mass (nodes with no
     out-edges) is dropped, the common simplification — documented, and
@@ -89,6 +101,15 @@ def pagerank(
         .union(e.select(F.col("_dst").alias("node")))
         .distinct()
     )
+    if seeds is not None:
+        sd = (
+            seeds.select(F.col(seeds.columns[0]).alias("node"))
+            .distinct()
+            .withColumn("_seed", F.lit(True))
+        )
+        nodes = nodes.join(F.broadcast(sd), "node", "left").select(
+            "node", F.coalesce(F.col("_seed"), F.lit(False)).alias("_seed")
+        )
     staged = stage_path is not None or iterations > stage_rounds_above
     if staged:
         spark = edges.sparkSession
@@ -97,9 +118,24 @@ def pagerank(
         nodes.write.mode("overwrite").parquet(f"{root}/nodes")
         norm_e = spark.read.parquet(f"{root}/norm_e")
         nodes = spark.read.parquet(f"{root}/nodes")
-    n = nodes.count()
-    base = (1.0 - damping) / n
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if seeds is not None:
+        n = nodes.where(F.col("_seed")).count()
+        if n == 0:
+            raise ValueError(
+                "personalized pagerank: no seed id occurs in the graph"
+            )
+        # teleport/init mass only on seeds (exact 0.0 elsewhere)
+        base_col = F.when(
+            F.col("_seed"), F.lit((1.0 - damping) / n)
+        ).otherwise(F.lit(0.0))
+        init_col = F.when(F.col("_seed"), F.lit(1.0 / n)).otherwise(
+            F.lit(0.0)
+        )
+    else:
+        n = nodes.count()
+        base_col = F.lit((1.0 - damping) / n)
+        init_col = F.lit(1.0 / n)
+    ranks = nodes.select("node", init_col.alias("rank"))
     cur = None
     prev_sig = None
     for i in range(iterations):
@@ -113,7 +149,7 @@ def pagerank(
         ranks = nodes.join(contrib, "node", "left").select(
             "node",
             (
-                F.lit(base)
+                base_col
                 + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
             ).alias("rank"),
         )

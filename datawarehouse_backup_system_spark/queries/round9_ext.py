@@ -137,6 +137,93 @@ c{i} AS (
 G05_SQL = _g05_sql()
 
 
+# --------------------------------------------------------------------------
+# p02 — personalized (seeded) PageRank over event-type transitions
+# --------------------------------------------------------------------------
+_P02_ITERS = 3
+_P02_DAMPING = 0.85
+#: trusted entry points: teleport mass lands uniformly on these
+_P02_SEEDS = ("signup", "purchase")
+
+
+def p02_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded relevance propagation: same count-weighted transition
+    graph as p01, but the teleport vector is uniform over the seed
+    set — ranks measure proximity to the trusted entry points rather
+    than global centrality. Same Pregel join shape per round; the
+    seed flag is one broadcast join on the node vector."""
+    ev = load(spark, sf_dir, "events")
+    from ..operators import behavior
+    from ..operators.graph import pagerank
+
+    edges = behavior.path_transitions(
+        ev, "user_id", "ts", "event_type", "event_id"
+    )
+    seeds = spark.createDataFrame(
+        [(s,) for s in _P02_SEEDS], "node string"
+    )
+    return pagerank(
+        edges, "src_type", "dst_type", "n",
+        iterations=_P02_ITERS, damping=_P02_DAMPING, seeds=seeds,
+    )
+
+
+def _p02_sql() -> str:
+    d = _P02_DAMPING
+    seed_list = ", ".join(f"'{s}'" for s in _P02_SEEDS)
+    head = f"""
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+),
+e AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+  FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+),
+ne AS (
+  SELECT e.src, e.dst, e.w / o.ow AS p
+  FROM e JOIN (SELECT src, sum(w) AS ow FROM e GROUP BY src) o
+    ON o.src = e.src
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+  )
+),
+sn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS c
+  FROM nodes WHERE node IN ({seed_list})
+),
+r0 AS (
+  SELECT node,
+         CASE WHEN node IN ({seed_list}) THEN 1.0 / sn.c ELSE 0.0 END
+           AS rank
+  FROM nodes CROSS JOIN sn
+)"""
+    iters = []
+    for i in range(_P02_ITERS):
+        iters.append(f""",
+r{i + 1} AS (
+  SELECT n.node,
+         CASE WHEN n.node IN ({seed_list})
+              THEN (1.0 - {d}) / sn.c ELSE 0.0 END
+         + {d} * COALESCE(s.contrib, 0) AS rank
+  FROM nodes n CROSS JOIN sn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank * e.p) AS contrib
+    FROM ne e JOIN r{i} r ON r.node = e.src GROUP BY e.dst
+  ) s ON s.node = n.node
+)""")
+    tail = f"""
+SELECT node, ROUND(rank, 6) AS rank FROM r{_P02_ITERS}"""
+    return head + "".join(iters) + tail
+
+
+P02_SQL = _p02_sql()
+
+
 SPECS = [
     QuerySpec(
         "g05_kcore", g05_kcore, G05_SQL,
@@ -144,5 +231,11 @@ SPECS = [
         "refinement, parquet-staged rounds, hub-safe window H-index) "
         "over the 3rd-order session succession graph; oracle unrolls "
         "the identical 12 refinement rounds in SQL",
+    ),
+    QuerySpec(
+        "p02_personalized_pagerank", p02_personalized_pagerank, P02_SQL,
+        "personalized (seeded-teleport) PageRank over the event-type "
+        "transition graph; oracle unrolls the identical 3 seeded "
+        "iterations in SQL",
     ),
 ]

@@ -397,3 +397,51 @@ def test_pagerank_tol_digits_stops_early(spark, tmp_path):
     rounds = list(Path(sp).glob("r[0-9]*"))
     assert len(rounds) == 1
     assert int(rounds[0].name[1:]) < 40
+
+
+def test_personalized_pagerank_seed_mass_and_unreachable_zero(spark):
+    """Seeded teleport: mass is conserved on a strongly-connected
+    seed component (no dangling nodes), concentrates at the seed, and
+    a component UNREACHABLE from the seeds gets exactly 0.0 (teleport
+    never lands there — the defining difference vs global PageRank)."""
+    edges = spark.createDataFrame(
+        # two disjoint 3-cycles; seeds only in the first
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1),
+         ("x", "y", 1), ("y", "z", 1), ("z", "x", 1)],
+        "src string, dst string, w long",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(
+            edges, "src", "dst", "w", iterations=6, seeds=seeds
+        ).collect()
+    }
+    assert out["x"] == out["y"] == out["z"] == 0.0
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-5)
+    assert out["a"] > out["b"] and out["a"] > out["c"]
+
+
+def test_personalized_pagerank_seeds_outside_graph(spark):
+    """Seeds not present in the graph are ignored; an empty
+    intersection raises instead of dividing by zero."""
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)], "src string, dst string, w long"
+    )
+    seeds = spark.createDataFrame(
+        [("a",), ("ghost",)], "node string"
+    )
+    out = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(
+            edges, "src", "dst", "w", iterations=4, seeds=seeds
+        ).collect()
+    }
+    # 'ghost' ignored: all teleport mass on 'a', no ghost row
+    assert set(out) == {"a", "b"}
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-5)
+    only_ghost = spark.createDataFrame([("ghost",)], "node string")
+    with pytest.raises(ValueError, match="no seed id"):
+        graph.pagerank(
+            edges, "src", "dst", "w", iterations=2, seeds=only_ghost
+        )
