@@ -42,7 +42,10 @@ _G05_ROUNDS = 12
 
 def _session_edges_pow3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(src, dst) raw succession edges with lags 1..3 inside the
-    session gap — one user-window pass, three lag columns."""
+    session gap — ONE user-window pass and ONE explode over it (a
+    three-branch self-union would re-evaluate the window subtree
+    three times on top of the shared exchange — the SCALE.md
+    measured lesson, applied here as in graph._directed)."""
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
@@ -55,17 +58,22 @@ def _session_edges_pow3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag(us, j).over(w).alias(f"_p{j}us"),
         ]
     succ = ev.select(*cols)
-    parts = [
-        succ.where(
-            F.col(f"_p{j}").isNotNull()
-            & ((F.col("_us") - F.col(f"_p{j}us")) <= F.lit(_G05_GAP_US))
-        ).select(F.col(f"_p{j}").alias("src"), F.col("_id").alias("dst"))
+    cand = F.array(*[
+        F.struct(
+            F.col(f"_p{j}").alias("src"),
+            F.col("_id").alias("dst"),
+            (
+                F.col(f"_p{j}").isNotNull()
+                & ((F.col("_us") - F.col(f"_p{j}us")) <= F.lit(_G05_GAP_US))
+            ).alias("ok"),
+        )
         for j in (1, 2, 3)
-    ]
-    e = parts[0]
-    for p in parts[1:]:
-        e = e.unionByName(p)
-    return e
+    ])
+    return (
+        succ.select(F.explode(cand).alias("c"))
+        .where(F.col("c.ok"))
+        .select("c.src", "c.dst")
+    )
 
 
 def g05_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
