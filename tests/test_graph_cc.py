@@ -338,3 +338,18 @@ def test_core_numbers_hub_star(spark):
     df = spark.createDataFrame(star, "src bigint, dst bigint")
     got = {r["node"]: r["core"] for r in core_numbers(df).collect()}
     assert got == {v: 1 for v in range(200)}
+
+
+def test_already_converged_star_forest_minimal_budget(spark):
+    """Review r9: a graph already at fixpoint (a star forest) must
+    converge within max_iter=2 — the signature repeat is accepted on
+    its first occurrence (the collision defense is the 128-bit double
+    hash, not a round-count guard that would spuriously raise here)."""
+    forest = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (10, 11)], "src bigint, dst bigint"
+    )
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(forest, max_iter=2).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
