@@ -30,6 +30,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _ordered_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, ordered: array<struct<tok_df,token>>, n) — each document's
+    element SET sorted by the global canonical order (ascending
+    document frequency, then token: rarest first minimizes prefix-join
+    fanout; struct ordering sorts exactly so). Shared by the Jaccard
+    and containment joins."""
+    if shingle_n > 1:
+        from .dedup_approx import word_shingles
+
+        tok = word_shingles(df, id_col, text_col, shingle_n).select(
+            F.col(id_col).alias("id"), F.col("shingle").alias("token")
+        )
+    else:
+        tok = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.explode(
+                    F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+                ).alias("token"),
+            )
+            .where(F.col("token") != "")
+        )
+    docfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tok_df"))
+    return (
+        tok.join(docfreq, "token")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("tok_df"), F.col("token")))
+            ).alias("ordered"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def prefix_jaccard_join(
     df: DataFrame,
     id_col: str,
@@ -58,35 +95,7 @@ def prefix_jaccard_join(
         raise ValueError("threshold must be a fraction in (0, 1]")
     num, den = int(threshold_num), int(threshold_den)
 
-    if shingle_n > 1:
-        from .dedup_approx import word_shingles
-
-        tok = word_shingles(df, id_col, text_col, shingle_n).select(
-            F.col(id_col).alias("id"), F.col("shingle").alias("token")
-        )
-    else:
-        tok = (
-            df.select(
-                F.col(id_col).alias("id"),
-                F.explode(
-                    F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-                ).alias("token"),
-            )
-            .where(F.col("token") != "")
-        )
-    docfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tok_df"))
-    # canonical order = ascending (document frequency, token): rarest
-    # first minimizes prefix-join fanout; struct ordering sorts exactly so
-    per_doc = (
-        tok.join(docfreq, "token")
-        .groupBy("id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("tok_df"), F.col("token")))
-            ).alias("ordered"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
+    per_doc = _ordered_sets(df, id_col, text_col, shingle_n)
     # prefix length n - ceil(t*n) + 1, integer-exact for rational t
     per_doc = per_doc.withColumn(
         "plen",
@@ -176,5 +185,119 @@ def prefix_jaccard_join(
                 / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
                 6,
             ).alias("jaccard"),
+        )
+    )
+
+
+def prefix_containment_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """All DIRECTIONAL pairs (id_sub ≠ id_super) whose element sets
+    satisfy containment |sub ∩ super| / |sub| >= threshold — exactly.
+
+    Containment is the near-SUBSET relation Jaccard misses: a document
+    wrapped in boilerplate (header + body + footer around a verbatim
+    copy) has low Jaccard against its source when the wrapper is large,
+    but containment(source → wrapped) stays ~1. Crawl-dedup pipelines
+    use it to collapse template-wrapped republications that resemblance
+    thresholds keep. Asymmetric by definition: mutual containment
+    yields two rows.
+
+    Prefix filter for containment (SSJoin family, same canonical
+    rarest-first order as :func:`prefix_jaccard_join`): if
+    |A∩B| >= ceil(t·|A|) then A's first |A| − ceil(t·|A|) + 1 ordered
+    tokens provably intersect B — so the candidate join is A's prefix
+    tokens against B's FULL token list (the contained side prunes, the
+    container side cannot), plus the size filter den·|B| >= num·|A|
+    (the intersection can't exceed |B|). All threshold tests are
+    integer cross-multiplications; the reported ``containment`` float
+    is rounded display only.
+
+    Scale shape: identical to the Jaccard join — one docfreq shuffle,
+    one per-doc array build, one token equi-join (prefix side carries
+    only each contained doc's RAREST tokens, so common-token inverted
+    lists never explode on the probe side), then a per-pair
+    array_intersect verify. No cartesian anywhere.
+
+    Reference analog: none (row-hash dedup only); public lineage:
+    Chaudhuri/Ganti/Kaushik SSJoin containment variant.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be a fraction in (0, 1]")
+    num, den = int(threshold_num), int(threshold_den)
+    per_doc = _ordered_sets(df, id_col, text_col, shingle_n)
+    # contained-side prefix: n − ceil(t·n) + 1 (integer-exact)
+    sub = per_doc.withColumn(
+        "plen",
+        (
+            F.col("n")
+            - F.floor((F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den))
+            + 1
+        ).cast("int"),
+    )
+    pref = sub.select(
+        F.col("id").alias("id_sub"),
+        F.col("n").alias("n_sub"),
+        F.explode(F.expr("slice(ordered, 1, plen)")).alias("p"),
+    ).select("id_sub", "n_sub", F.col("p.token").alias("token"))
+    full = per_doc.select(
+        F.col("id").alias("id_super"),
+        F.col("n").alias("n_super"),
+        F.explode(F.expr("transform(ordered, x -> x.token)")).alias("token"),
+    )
+    cand = (
+        pref.join(
+            full,
+            (pref.token == full.token)
+            & (F.col("id_sub") != F.col("id_super"))
+            # |A∩B| <= |B|, so containment needs den·|B| >= num·|A|
+            & (F.lit(den) * F.col("n_super") >= F.lit(num) * F.col("n_sub")),
+        )
+        .select("id_sub", "id_super")
+        .distinct()
+    )
+    sets = per_doc.select(
+        "id", F.expr("transform(ordered, x -> x.token)").alias("toks")
+    )
+    joined = (
+        cand.join(
+            sets.select(
+                F.col("id").alias("id_sub"), F.col("toks").alias("toks_sub")
+            ),
+            "id_sub",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_super"),
+                F.col("toks").alias("toks_super"),
+            ),
+            "id_super",
+        )
+        .select(
+            "id_sub",
+            "id_super",
+            F.size(F.array_intersect("toks_sub", "toks_super"))
+            .cast("bigint")
+            .alias("n_inter"),
+            F.size("toks_sub").cast("bigint").alias("n_sub"),
+            F.size("toks_super").cast("bigint").alias("n_super"),
+        )
+    )
+    return (
+        joined
+        # exact threshold: inter/|sub| >= num/den ⟺ den·inter >= num·|sub|
+        .where(F.lit(den) * F.col("n_inter") >= F.lit(num) * F.col("n_sub"))
+        .select(
+            "id_sub",
+            "id_super",
+            "n_inter",
+            "n_sub",
+            "n_super",
+            F.round(F.col("n_inter") / F.col("n_sub"), 6).alias("containment"),
         )
     )

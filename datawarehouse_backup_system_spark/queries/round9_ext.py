@@ -232,6 +232,81 @@ SELECT node, ROUND(rank, 6) AS rank FROM r{_P02_ITERS}"""
 P02_SQL = _p02_sql()
 
 
+
+
+# --------------------------------------------------------------------------
+# d14 — EXACT containment join (near-SUBSET dedup) via prefix filtering.
+# The corpus plants template-wrapped twins (header + verbatim body +
+# footer) for every 10th document: low Jaccard against their source
+# when the body is short relative to the wrapper — the pair class
+# resemblance thresholds keep — but containment(source → wrapped) = 1
+# by construction. The oracle replays the FULL quadratic directional
+# join, machine-checking the containment prefix-filter theorem.
+# --------------------------------------------------------------------------
+_D14_NUM, _D14_DEN = 8, 10
+_D14_HDR = "begin template header block common across mirror sites"
+_D14_FTR = "end template footer block shared across mirror sites"
+_D14_OFFSET = 1_000_000
+
+
+def _wrapped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    wrapped = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(_D14_OFFSET)).alias("doc_id"),
+        F.concat(
+            F.lit(_D14_HDR + " "), F.col("text"), F.lit(" " + _D14_FTR)
+        ).alias("text"),
+    )
+    return docs.unionByName(wrapped)
+
+
+def d14_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional near-subset pairs over 3-gram shingles at
+    containment >= 0.8. Scale shape: one shingle-docfreq shuffle, one
+    per-doc ordered-array build, one equi-join of each contained
+    doc's RAREST (prefix) shingles against the full inverted list,
+    per-pair array_intersect verify — no cartesian, no probabilistic
+    misses (operators/setjoin.py:prefix_containment_join)."""
+    from ..operators.setjoin import prefix_containment_join
+
+    return prefix_containment_join(
+        _wrapped_corpus(spark, sf_dir), "doc_id", "text",
+        threshold_num=_D14_NUM, threshold_den=_D14_DEN, shingle_n=3,
+    )
+
+
+D14_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_D14_OFFSET},
+         '{_D14_HDR} ' || text || ' {_D14_FTR}'
+  FROM documents WHERE doc_id % 10 = 0
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus
+),
+tok AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS token
+  FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
+  WHERE len(t) >= 3
+),
+n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_sub, b.doc_id AS id_super,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_sub, id_super, n_inter, ns.n AS n_sub, np.n AS n_super,
+       round(CAST(n_inter AS DOUBLE) / ns.n, 6) AS containment
+FROM inter
+JOIN n ns ON ns.doc_id = id_sub
+JOIN n np ON np.doc_id = id_super
+WHERE {_D14_DEN} * n_inter >= {_D14_NUM} * ns.n
+"""
+
+
 SPECS = [
     QuerySpec(
         "g05_kcore", g05_kcore, G05_SQL,
@@ -245,5 +320,12 @@ SPECS = [
         "personalized (seeded-teleport) PageRank over the event-type "
         "transition graph; oracle unrolls the identical 3 seeded "
         "iterations in SQL",
+    ),
+    QuerySpec(
+        "d14_containment_join", d14_containment_join, D14_SQL,
+        "EXACT directional containment join (near-subset dedup, "
+        "SSJoin prefix filter) over 3-gram shingles with planted "
+        "template-wrapped twins; oracle replays the full quadratic "
+        "directional join",
     ),
 ]

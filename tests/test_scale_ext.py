@@ -623,3 +623,59 @@ def test_u05_scratch_sweep_age_gated(tmp_path, monkeypatch):
     assert mine.exists()           # owner (this pid) alive: never touched
     assert bench_mine.exists()     # live bench owner: never touched
     assert other.exists()          # never touches foreign prefixes
+
+
+# --------------------------------------------------------------------------
+# prefix_containment_join (r9)
+# --------------------------------------------------------------------------
+def _brute_containment(docs: dict[int, str], num: int, den: int):
+    """Reference answer: full quadratic DIRECTIONAL containment join."""
+    sets = {i: set(t.split()) for i, t in docs.items() if t.split()}
+    out = set()
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if den * inter >= num * len(sets[a]):
+                out.add((a, b))
+    return out
+
+
+def test_prefix_containment_matches_bruteforce(spark):
+    from datawarehouse_backup_system_spark.operators.setjoin import (
+        prefix_containment_join,
+    )
+
+    docs = dict(DOCS)
+    docs[8] = DOCS[1] + " plus a large boilerplate wrapper section here"
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    for num, den in ((8, 10), (1, 2), (1, 1)):
+        rows = prefix_containment_join(df, "doc_id", "text", num, den).collect()
+        got = {(r.id_sub, r.id_super) for r in rows}
+        assert got == _brute_containment(docs, num, den), (num, den)
+    # the wrapped twin: doc 1 fully contained in doc 8, not vice versa
+    rows = prefix_containment_join(df, "doc_id", "text", 1, 1).collect()
+    by_pair = {(r.id_sub, r.id_super): r for r in rows}
+    assert by_pair[(1, 8)].containment == 1.0
+    assert (8, 1) not in by_pair
+    # directionality: mutual containment (identical sets 4/5) = two rows
+    assert (4, 5) in by_pair and (5, 4) in by_pair
+
+
+def test_prefix_containment_threshold_boundary(spark):
+    # |A|=4 sharing exactly 3 with B: containment(A→B) = 3/4 — included
+    # at 3/4, excluded at 8/10; the reverse direction has |B|=5 → 3/5
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e f")], "doc_id long, text string"
+    )
+    from datawarehouse_backup_system_spark.operators.setjoin import (
+        prefix_containment_join,
+    )
+
+    at = prefix_containment_join(df, "doc_id", "text", 3, 4).collect()
+    assert {(r.id_sub, r.id_super) for r in at} == {(1, 2)}
+    above = prefix_containment_join(df, "doc_id", "text", 8, 10).collect()
+    assert above == []
