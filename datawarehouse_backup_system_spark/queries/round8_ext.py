@@ -125,15 +125,27 @@ def g04_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_id", 2).over(w).alias("_p2"),
         F.lag(us, 2).over(w).alias("_p2us"),
     )
-    e1 = succ.where(
-        F.col("_p1").isNotNull()
-        & ((F.col("_us") - F.col("_p1us")) <= F.lit(_G03_GAP_US))
-    ).select(F.col("_p1").alias("src"), F.col("_id").alias("dst"))
-    e2 = succ.where(
-        F.col("_p2").isNotNull()
-        & ((F.col("_us") - F.col("_p2us")) <= F.lit(_G03_GAP_US))
-    ).select(F.col("_p2").alias("src"), F.col("_id").alias("dst"))
-    return triangle_counts(e1.unionByName(e2)).select(
+    # ONE explode over the single window pass instead of a two-branch
+    # self-union that re-evaluates the window subtree twice on top of
+    # the shared exchange (SCALE.md measured lesson; applied r9, same
+    # shape as round9_ext._session_edges_pow3)
+    cand = F.array(*[
+        F.struct(
+            F.col(f"_p{j}").alias("src"),
+            F.col("_id").alias("dst"),
+            (
+                F.col(f"_p{j}").isNotNull()
+                & ((F.col("_us") - F.col(f"_p{j}us")) <= F.lit(_G03_GAP_US))
+            ).alias("ok"),
+        )
+        for j in (1, 2)
+    ])
+    edges = (
+        succ.select(F.explode(cand).alias("c"))
+        .where(F.col("c.ok"))
+        .select("c.src", "c.dst")
+    )
+    return triangle_counts(edges).select(
         F.col("node").alias("event_id"), "n_triangles"
     )
 

@@ -1,6 +1,7 @@
-"""Round-9 extension specs: k-core decomposition.
+"""Round-9 extension specs: k-core decomposition (g05), personalized
+PageRank (p02), and the exact containment join (d14).
 
-Fourth graph primitive (after PageRank p01, WCC g03, triangles g04),
+g05 is the fourth graph primitive (after PageRank p01, WCC g03, triangles g04),
 reusing the parquet-staged round machinery: coreness per node via
 iterated neighborhood H-index refinement (Lü et al., "The H-index of
 a network node and its relation to degree and coreness" — public
