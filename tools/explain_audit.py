@@ -31,6 +31,8 @@ from datawarehouse_backup_system_spark.queries import (  # noqa: E402
     relational_ext,
     round6_ext,
     round7_ext,
+    round8_ext,
+    round9_ext,
     scale_ext,
 )
 from datawarehouse_backup_system_spark.session import get_spark  # noqa: E402
@@ -82,7 +84,8 @@ def main() -> int:
              + corpus_ext.SPECS
              + pipeline_ext.SPECS + pipeline_ext.FOLDED_SPECS
              + scale_ext.SPECS + scale_ext.FOLDED_SPECS
-             + round6_ext.SPECS + round7_ext.SPECS}
+             + round6_ext.SPECS + round7_ext.SPECS
+             + round8_ext.SPECS + round9_ext.SPECS}
     spark = get_spark(app_name="explain-audit")
     verbose = len(sys.argv) > 2
     for name in names:
