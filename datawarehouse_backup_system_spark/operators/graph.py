@@ -552,6 +552,15 @@ def core_numbers(
     `_staged_round_root` (per-call-site default root; a new call
     invalidates the previous call's lazy result).
 
+    CLUSTER DEPLOY NOTE: each round re-shuffles the staged directed
+    edge list on the join key. On a real cluster at 100 TB, stage it
+    as a BUCKETED table on ``b`` instead (operators/bucketed.py —
+    saveAsTable + bucketBy; same SMB zero-Exchange property the z03
+    spec proves) so only the small (node, val) label frame shuffles
+    per round; the plain-parquet staging here keeps the operator
+    warehouse-free for library use. Same note applies to staged
+    pagerank's norm_e.
+
     CONVERGENCE BUDGET: real (web/link/co-occurrence) graphs converge
     in ~10–30 rounds (the paper's measurement; the repo's sf0.1
     session graph takes 10), but the worst case is O(peel depth) —
