@@ -444,3 +444,37 @@ def test_prefix_jaccard_exactness_property(spark, texts, t):
         if union and den * inter >= num * union:
             want[(a, b)] = inter
     assert got == want
+
+
+@given(texts=_pj_docs, t=_pj_threshold)
+@SETTINGS
+def test_prefix_containment_exactness_property(spark, texts, t):
+    """For ANY corpus and rational threshold, the containment prefix
+    filter returns EXACTLY the brute-force directional pairs — the
+    asymmetric-filter theorem as a property (the contained side prunes
+    on its rarest tokens; the container side is unrestricted),
+    including empty docs, identical sets, and subset chains."""
+    from datawarehouse_backup_system_spark.operators.setjoin import (
+        prefix_containment_join,
+    )
+
+    num, den = t
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.id_sub, r.id_super): r.n_inter
+        for r in prefix_containment_join(
+            df, "doc_id", "text", num, den
+        ).collect()
+    }
+    sets = {i: set(x.split()) for i, x in enumerate(texts) if x.split()}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if den * inter >= num * len(sets[a]):
+                want[(a, b)] = inter
+    assert got == want
