@@ -627,3 +627,156 @@ def core_numbers(
     return labels.select(
         F.col("a").alias("node"), F.col("val").alias("core")
     )
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_radius: int = 8,
+    lg_config_k: int = 12,
+    stage_path: str | None = None,
+) -> DataFrame:
+    """HyperBall (Boldi–Vigna, "In-Core Computation of Geometric
+    Centralities with HyperBall", public literature): the per-node
+    neighborhood function over the undirected simple graph →
+    ``(node, radius, n_reachable_est)`` for radius 0..R, where
+    n_reachable_est ≈ |{u : dist(u, node) ≤ radius}|.
+
+    Each node carries a mergeable HLL sketch of its reachable set
+    (DataSketches via ``hll_sketch_agg``/``hll_union_agg`` — the same
+    JVM-side sketches as q44's rollup); round t unions every node's
+    sketch with its neighbors' round-(t−1) sketches. That is the whole
+    trick: exact all-sources BFS needs O(n) frontier state per source
+    (n² total — impossible at web scale), while a sketch is O(2^lg_k)
+    bytes per node regardless of reach, and sketch union is
+    associative so the round is ONE equi-join + ONE groupBy. At small
+    cardinalities the DataSketches HLL is in exact (sparse) mode, so
+    small-graph tests compare near-exactly against BFS.
+
+    Rounds are parquet-staged (the g03 machinery: per-call-site
+    scratch, superseded sketch rounds deleted; the per-round
+    ESTIMATE frames — one small (node, radius, est) file per radius —
+    are kept, they ARE the output). Early stop when the sketch-set
+    signature repeats (double xor-hash over the sketch binaries —
+    every ball saturated ⟹ fixpoint, same two-hash rationale as
+    connected_components).
+
+    Scale shape per round: join of the staged directed edge list with
+    the (node, sketch) frame (the deploy note on
+    :func:`core_numbers` about bucketed staging applies), then one
+    groupBy(node) hll_union_agg — partial aggregation applies
+    map-side because sketch union is commutative-associative. No
+    driver-side data; no per-node frontier sets.
+
+    Reference analog: none; standard corpus/web-graph use: ball sizes
+    and the centralities derived from them (harmonic — see
+    :func:`harmonic_centrality_approx`) rank pages by reachability as
+    a crawl/quality prior.
+    """
+    import shutil
+
+    spark = edges.sparkSession
+    root = _staged_round_root(stage_path, "dwbss-nf-")
+    e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    _directed(e).write.mode("overwrite").parquet(f"{root}/edges")
+    d = spark.read.parquet(f"{root}/edges")
+    k = F.lit(int(lg_config_k))
+    # radius 0: each node's ball is {itself}
+    sk = d.groupBy(F.col("a").alias("node")).agg(
+        F.hll_sketch_agg(F.col("a"), k).alias("sketch")
+    )
+    est_dirs: list[str] = []
+
+    def _write_round(frame: DataFrame, radius: int, path: str) -> tuple:
+        """Stage one (node, sketch) round + its estimate frame; returns
+        the (count, h1, h2) signature of the per-node INTEGER estimates
+        (the sketch BINARY is not a stable set fingerprint — its
+        serialization varies with union order/mode transitions, so
+        hashing it never detects saturation; the rounded estimates are
+        deterministic functions of the represented set). Stable
+        estimates for one round ⟹ every ball saturated (exact in the
+        sketch's small-range sparse mode; in dense mode a flat-estimate
+        round could stop one radius early — acceptable for an
+        approximate operator, documented)."""
+        from pyspark.sql import Observation
+
+        frame.write.mode("overwrite").parquet(path)
+        staged = spark.read.parquet(path)
+        ep = f"{root}/est_r{radius}"
+        obs = Observation()
+        staged.select(
+            "node",
+            F.lit(radius).alias("radius"),
+            F.round(F.hll_sketch_estimate("sketch"))
+            .cast("bigint")
+            .alias("n_reachable_est"),
+        ).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(node, n_reachable_est))"),
+                F.lit(0),
+            ).alias("h1"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(n_reachable_est, node))"),
+                F.lit(0),
+            ).alias("h2"),
+        ).write.mode("overwrite").parquet(ep)
+        est_dirs.append(ep)
+        return (obs.get["n"], obs.get["h1"], obs.get["h2"])
+
+    cur = f"{root}/r0"
+    prev_sig = _write_round(sk, 0, cur)
+    sk = spark.read.parquet(cur)
+    for t in range(1, max_radius + 1):
+        contrib = d.join(
+            sk.select(F.col("node").alias("b"), "sketch"), "b"
+        ).select(F.col("a").alias("node"), "sketch")
+        nxt_sk = (
+            contrib.unionByName(sk)
+            .groupBy("node")
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
+        )
+        nxt = f"{root}/r{t}"
+        sig = _write_round(nxt_sk, t, nxt)
+        shutil.rmtree(cur, ignore_errors=True)  # superseded sketches
+        cur = nxt
+        sk = spark.read.parquet(nxt)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    out = spark.read.parquet(est_dirs[0])
+    for p in est_dirs[1:]:
+        out = out.unionByName(spark.read.parquet(p))
+    return out
+
+
+def harmonic_centrality_approx(
+    nf: DataFrame,
+) -> DataFrame:
+    """Approximate harmonic centrality from a neighborhood function:
+    H(v) = Σ_{u ≠ v} 1/dist(u, v) = Σ_{t ≥ 1} (|N_t(v)| − |N_{t−1}(v)|)/t
+    → ``(node, harmonic)`` (radius-truncated at the nf's max radius,
+    the standard HyperBall estimator). One window-lag over the
+    (node, radius) frame — tiny relative to building ``nf``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy("radius")
+    return (
+        nf.select(
+            "node",
+            "radius",
+            (
+                F.col("n_reachable_est")
+                - F.lag("n_reachable_est", 1, 0).over(w)
+            ).alias("_delta"),
+        )
+        .where(F.col("radius") >= 1)
+        .groupBy("node")
+        .agg(
+            F.round(
+                F.sum(F.col("_delta") / F.col("radius")), 6
+            ).alias("harmonic")
+        )
+    )

@@ -35,6 +35,7 @@ SCRATCH_PREFIXES: tuple[str, ...] = (
     "dwbss-wcc-",
     "dwbss-pr-",
     "dwbss-kc-",
+    "dwbss-nf-",
 )
 
 _LIVE_ROOTS: list[Path] = []

@@ -353,3 +353,73 @@ def test_already_converged_star_forest_minimal_budget(spark):
         for r in connected_components(forest, max_iter=2).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def _bfs_neighborhood(edge_list, max_radius):
+    """Exact neighborhood function: {(node, radius): n_reachable}."""
+    adj: dict = {}
+    for a, b in edge_list:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for v in adj:
+        seen = {v}
+        frontier = {v}
+        out[(v, 0)] = 1
+        for r in range(1, max_radius + 1):
+            frontier = {
+                u for f in frontier for u in adj[f] if u not in seen
+            }
+            seen |= frontier
+            out[(v, r)] = len(seen)
+    return out
+
+
+def test_neighborhood_function_matches_bfs(spark):
+    """HyperBall ball sizes vs exact BFS on a random graph: at these
+    cardinalities the DataSketches HLL runs in exact (sparse) mode, so
+    the estimates should round-trip the true counts (allow ±2% for
+    the estimator's documented small-range bias)."""
+    from datawarehouse_backup_system_spark.operators.graph import (
+        neighborhood_function,
+    )
+
+    rng = random.Random(23)
+    n = 40
+    raw = [(rng.randrange(n), rng.randrange(n)) for _ in range(70)]
+    exp = _bfs_neighborhood(raw, 4)
+    df = spark.createDataFrame(raw, "src bigint, dst bigint")
+    got = {
+        (r["node"], r["radius"]): r["n_reachable_est"]
+        for r in neighborhood_function(df, max_radius=4).collect()
+    }
+    assert set(got) == set(exp)
+    for key, true in exp.items():
+        assert abs(got[key] - true) <= max(1, 0.02 * true), (key, true, got[key])
+
+
+def test_neighborhood_function_early_stop_and_harmonic(spark):
+    """A diameter-2 star saturates every ball by radius 2: the staged
+    loop must stop well before max_radius (output's max radius small),
+    and the harmonic estimator must reproduce the closed form —
+    center H = n−1 (all at distance 1), leaf H = 1 + (n−2)/2."""
+    from datawarehouse_backup_system_spark.operators.graph import (
+        harmonic_centrality_approx,
+        neighborhood_function,
+    )
+
+    n = 12
+    star = [(0, i) for i in range(1, n)]
+    df = spark.createDataFrame(star, "src bigint, dst bigint")
+    nf = neighborhood_function(df, max_radius=10)
+    radii = [r["radius"] for r in nf.select("radius").distinct().collect()]
+    assert max(radii) <= 4  # saturated at 2 + one confirming round
+    h = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality_approx(nf).collect()
+    }
+    assert h[0] == pytest.approx(n - 1, rel=0.02)
+    for v in range(1, n):
+        assert h[v] == pytest.approx(1 + (n - 2) / 2, rel=0.02)
