@@ -55,11 +55,19 @@ def curation_report(
             "dedup_keep"
         ),
     )
-    out = (
-        lang.join(qual, id_col)
-        .join(rep, id_col)
-        .join(dedup, id_col)
-        .withColumn("lang_keep", F.col("predicted_lang").isin(*keep_langs))
+    # null-safe joins (review r9): a NULL doc id broke the plain
+    # equality joins and silently dropped the row from the report,
+    # contradicting the 'never dropped here' contract. (The analysis
+    # operators group by id, so multiple NULL-id docs collapse into
+    # one NULL report row — documented limit of a NULL key.)
+    def _nsj(a: DataFrame, b: DataFrame) -> DataFrame:
+        bb = b.withColumnRenamed(id_col, "_rhs_id")
+        return a.join(
+            bb, F.col(id_col).eqNullSafe(F.col("_rhs_id"))
+        ).drop("_rhs_id")
+
+    out = _nsj(_nsj(_nsj(lang, qual), rep), dedup).withColumn(
+        "lang_keep", F.col("predicted_lang").isin(*keep_langs)
     )
     keep = (
         F.col("lang_keep")
@@ -124,15 +132,31 @@ def domain_blocklist(
     BROADCAST pattern set, then a distinct-id semi flag — still no
     corpus shuffle beyond the flag join).
     """
+    # loud failure on reserved output/internal names (the
+    # weighted_reservoir rule — review r9: a caller's existing
+    # 'blocked' column was silently overwritten)
+    clash = {"host", "blocked", "_bid", "_suffix"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"domain_blocklist writes columns {sorted(clash)} — rename "
+            "them on the input first"
+        )
     host = url_host(F.col(url_col))
     suf = host_suffixes(host)
     if isinstance(patterns, DataFrame):
+        # patterns lowercased to match the lowercased host (review r9:
+        # a mixed-case blocklist entry silently never matched — the
+        # same dodge the host-side lowering exists to prevent)
         ids_blocked = (
             df.select(
                 F.col(id_col), F.explode(host_suffixes(url_host(F.col(url_col)))).alias("_suffix")
             )
             .join(
-                F.broadcast(patterns.select(F.col("pattern").alias("_suffix"))),
+                F.broadcast(
+                    patterns.select(
+                        F.lower(F.col("pattern")).alias("_suffix")
+                    )
+                ),
                 "_suffix",
             )
             .select(F.col(id_col).alias("_bid"))
@@ -144,7 +168,7 @@ def domain_blocklist(
             .withColumn("blocked", F.col("_bid").isNotNull())
             .drop("_bid")
         )
-    lit_patterns = F.array(*[F.lit(p) for p in patterns])
+    lit_patterns = F.array(*[F.lit(str(p).lower()) for p in patterns])
     return df.withColumn("host", host).withColumn(
         "blocked", F.arrays_overlap(suf, lit_patterns)
     )

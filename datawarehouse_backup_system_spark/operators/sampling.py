@@ -129,6 +129,20 @@ def domain_mixture(
     few — partial agg collapses it), broadcast of the per-domain plan
     back onto the corpus, then a stateless filter. The corpus is read
     once per pass and never shuffled.
+
+    CONTRACT NOTES (review r9):
+
+    - A corpus domain ABSENT from ``targets`` is dropped entirely (the
+      plan join is inner) — that is the mixing semantic ("domains not
+      in the recipe contribute nothing"), but it is silent, so audit
+      the domain list before a production pass (compare
+      ``df.select(domain).distinct()`` against ``targets``).
+    - A domain whose total tokens is 0 (every doc has 0/NULL tokens)
+      keeps NOTHING: ``try_divide`` yields NULL on /0 and the
+      threshold coalesces to 0. The previous raw division made
+      ``least`` skip the NULL and SATURATE the keep fraction to 1.0
+      (keeping every unrankable doc), and crashed outright under ANSI
+      mode.
     """
     totals = df.groupBy(domain_col).agg(
         F.sum(F.col(tokens_col)).alias("_total_tokens")
@@ -138,7 +152,16 @@ def domain_mixture(
         F.floor(
             F.least(
                 F.lit(1.0),
-                F.col("target_tokens") * 1.0 / F.col("_total_tokens"),
+                # coalesce INSIDE least: least() skips NULL operands,
+                # so a bare try_divide NULL would saturate to 1.0 —
+                # the exact bug being fixed (review r9)
+                F.coalesce(
+                    F.try_divide(
+                        F.col("target_tokens") * 1.0,
+                        F.col("_total_tokens"),
+                    ),
+                    F.lit(0.0),
+                ),
             )
             * _BUCKETS
         ).cast("bigint"),
@@ -171,17 +194,25 @@ def quantile_filter(
     approx_percentile threshold computed in a first pass (sketch
     partial-aggregates map-side) and filter on score >= threshold —
     same semantics up to sketch error, no windowed sort.
+
+    Rows with a NULL score are DROPPED (they cannot be ranked), the
+    same rule as :func:`quantile_filter_approx` — review r9: the exact
+    variant previously let NULLs rank FIRST and count toward n, so the
+    two variants diverged by whole rows (not sketch error) on any
+    stratum with NULL scores, and unrankable rows could survive the
+    cut while scored rows were dropped.
     """
     from pyspark.sql import Window
 
     if not 0 <= drop_frac < 1:
         raise ValueError("drop_frac must be in [0, 1)")
+    scored = df.where(F.col(score_col).isNotNull())
     w = Window.partitionBy(stratum_col).orderBy(
         F.col(score_col).asc(), F.col(key_col).asc()
     )
     wn = Window.partitionBy(stratum_col)
     return (
-        df.withColumn("_rk", F.row_number().over(w))
+        scored.withColumn("_rk", F.row_number().over(w))
         .withColumn("_n", F.count(F.lit(1)).over(wn))
         .where(F.col("_rk") > F.floor(F.col("_n") * drop_frac))
         .drop("_rk", "_n")

@@ -550,6 +550,7 @@ SELECT doc_id, source, n_chars FROM (
                             ORDER BY n_chars, doc_id) AS rk,
          count(*) OVER (PARTITION BY source) AS n
   FROM documents
+  WHERE n_chars IS NOT NULL  -- NULL scores are unrankable (r9 parity)
 ) WHERE rk > floor(n * 0.25)
 """
 

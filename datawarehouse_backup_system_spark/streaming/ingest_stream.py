@@ -463,6 +463,7 @@ def stream_quality_gate(
     from datawarehouse_backup_system_spark.operators import lm
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        _guard_epoch_reset(batch_id, out_dir, reject_dir)  # review r9
         scored = lm.score_with_model(
             batch, id_col, text_col, model,
             pair_buckets=pair_buckets, ctx_buckets=ctx_buckets, k=k,
@@ -652,18 +653,35 @@ def exactly_once_table_sink(
     """
     import hashlib
 
+    # EVER-committed snapshot loaded ONCE at sink construction, then
+    # maintained in memory (review r9: scanning + collecting the full
+    # marker history EVERY micro-batch is O(batches²) over the
+    # stream's life — seconds of per-trigger driver time after enough
+    # commits). Correctness is unchanged: this process is the only
+    # writer of this stream_id's write-ids (the format is
+    # single-writer under the lease), so the only ids that can appear
+    # after construction are the ones this sink appends — which it
+    # records below. A RESTART constructs a fresh sink and re-derives
+    # the set, so replays across restarts still skip.
+    committed: set | None = None
+
     def sink(batch: DataFrame, epoch_id: int) -> None:
+        nonlocal committed
         wid = hashlib.md5(f"{stream_id}:{epoch_id}".encode()).hexdigest()[:16]
-        # EVER-committed, not currently-committed: a rewrite
-        # (OPTIMIZE/MERGE/DELETE) tombstones the id while carrying its
-        # rows into the new version — a replay racing the maintenance
-        # job must still be a no-op, or the batch would re-append
-        if wid in fmt.ledger.ever_committed_writes(table_name):
+        if committed is None:
+            # EVER-committed, not currently-committed: a rewrite
+            # (OPTIMIZE/MERGE/DELETE) tombstones the id while carrying
+            # its rows into the new version — a replay racing the
+            # maintenance job must still be a no-op, or the batch
+            # would re-append
+            committed = set(fmt.ledger.ever_committed_writes(table_name))
+        if wid in committed:
             return  # replayed batch — already durably in the lineage
         out = batch
         if "ingest_date" not in out.columns:  # the format partitions on it
             out = out.withColumn("ingest_date", F.current_date())
         fmt.append(out, table_path, table_name, write_id=wid)
+        committed.add(wid)
 
     return sink
 
@@ -758,6 +776,7 @@ def stream_bottomk_partials(
     )
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        _guard_epoch_reset(batch_id, state_dir)  # review r9
         bottomk_sample(batch, group_cols, key_col, k, salt).drop(
             "rank_in_group"
         ).write.mode("overwrite").parquet(f"{state_dir}/batch_id={batch_id}")
@@ -814,6 +833,7 @@ def stream_join_view(
     |Δ|-proportional."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        _guard_epoch_reset(batch_id, state_dir)  # review r9
         batch.join(dim_df, on).write.mode("overwrite").parquet(
             f"{state_dir}/batch_id={batch_id}"
         )

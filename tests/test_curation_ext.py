@@ -491,3 +491,93 @@ def test_domain_mixture_preserves_input_schema(spark):
     out = domain_mixture(df, "doc_id", "source", "n_tokens", targets)
     assert out.columns == df.columns
     assert 0 < out.count() < 50
+
+
+def test_quantile_filter_null_scores_match_approx(spark):
+    """Review r9: NULL scores are unrankable and must be DROPPED by
+    BOTH variants — the exact form previously ranked them first and
+    counted them in n, so the variants diverged by whole rows."""
+    from datawarehouse_backup_system_spark.operators.sampling import (
+        quantile_filter,
+        quantile_filter_approx,
+    )
+
+    rows = [(i, "a", float(i)) for i in range(1, 9)] + [
+        (100 + j, "a", None) for j in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, score double")
+    exact = quantile_filter(df, "doc_id", "dom", "score", drop_frac=0.25)
+    # 8 scored rows, drop floor(8*0.25)=2 lowest; NULLs gone
+    assert sorted(r["doc_id"] for r in exact.collect()) == list(range(3, 9))
+    approx = quantile_filter_approx(df, "dom", "score", drop_frac=0.25)
+    # approx keeps score >= the 25th-percentile cut — ties kept, and
+    # crucially the same NULL-drop rule
+    assert {r["doc_id"] for r in approx.collect()} <= set(range(1, 9))
+    assert set(range(3, 9)) <= {r["doc_id"] for r in approx.collect()}
+
+
+def test_domain_mixture_zero_token_domain_keeps_nothing(spark):
+    """Review r9: a domain whose total tokens is 0 previously
+    SATURATED to keep-everything (least() skips the NULL from /0);
+    now it keeps nothing (and no longer crashes under ANSI)."""
+    from datawarehouse_backup_system_spark.operators.sampling import (
+        domain_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "web", 100), (2, "web", 100), (3, "empty", 0), (4, "empty", 0)],
+        "doc_id long, dom string, tokens long",
+    )
+    targets = spark.createDataFrame(
+        [("web", 200), ("empty", 50)], "dom string, target_tokens long"
+    )
+    out = domain_mixture(df, "doc_id", "dom", "tokens", targets)
+    doms = {r["dom"] for r in out.collect()}
+    assert "empty" not in doms
+    assert "web" in doms  # full budget → everything kept
+
+
+def test_domain_blocklist_mixed_case_pattern_and_reserved_names(spark):
+    """Review r9: a mixed-case blocklist entry must still match the
+    lowercased host (both the literal-array and DataFrame branches),
+    and reserved output names fail loudly instead of silently
+    overwriting caller columns."""
+    import pytest as _pytest
+
+    from datawarehouse_backup_system_spark.operators.curation import (
+        domain_blocklist,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "https://tracker.example.com/x"), (2, "https://ok.org/y")],
+        "doc_id long, url string",
+    )
+    for pats in (
+        ["Tracker.Example.COM"],
+        spark.createDataFrame([("Tracker.Example.COM",)], "pattern string"),
+    ):
+        out = {r["doc_id"]: r["blocked"] for r in
+               domain_blocklist(df, "doc_id", "url", pats).collect()}
+        assert out == {1: True, 2: False}
+
+    clash = df.withColumn("blocked", df.doc_id > 0)
+    with _pytest.raises(ValueError, match="blocked"):
+        domain_blocklist(clash, "doc_id", "url", ["x.com"])
+
+
+def test_curation_report_null_id_not_dropped(spark):
+    """Review r9: a NULL doc id must still appear in the report (the
+    'never dropped here' contract) — the plain equality joins
+    previously lost it."""
+    from datawarehouse_backup_system_spark.operators.curation import (
+        curation_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (None, "another plain english document with enough words to pass")],
+        "doc_id long, text string",
+    )
+    rep = curation_report(df, "doc_id", "text")
+    ids = [r["doc_id"] for r in rep.collect()]
+    assert len(ids) == 2 and None in ids
