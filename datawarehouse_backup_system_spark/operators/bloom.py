@@ -41,8 +41,21 @@ def _shiftleft(base: Column, bits: Column) -> Column:
 
 
 def _positions(key: Column, n_bits: int, n_hashes: int) -> list[Column]:
+    # canonicalize to STRING before hashing (review r9): xxhash64 is
+    # PHYSICAL-type-sensitive — an INT fact key and a BIGINT dim key
+    # holding the same value hash to different bit positions, so the
+    # probe missed rows the closing semi-join (which type-coerces)
+    # would have matched, silently dropping them from the 'exact'
+    # result. String canonicalization makes every integer-family pair
+    # agree (the table_format manifest blooms use the same rule,
+    # table_format.py:1086). Caveat: a fractional-vs-integer pair
+    # ('42.0' vs '42') still disagrees — keep fact/dim key types in
+    # the same family, as any sane schema does.
     return [
-        F.pmod(F.xxhash64(F.lit(f"bloom{i}"), key), F.lit(n_bits))
+        F.pmod(
+            F.xxhash64(F.lit(f"bloom{i}"), key.cast("string")),
+            F.lit(n_bits),
+        )
         for i in range(n_hashes)
     ]
 

@@ -189,15 +189,28 @@ def decode_features(df: DataFrame, decode_stub: str = "headers") -> DataFrame:
                         "format": parsed.get("format"),
                         "n_bytes": len(data),
                         "content_md5": digest.hex(),
-                        "width": parsed.get("width"),
-                        "height": parsed.get("height"),
-                        "duration_ms": parsed.get("duration_ms"),
-                        "sample_rate": parsed.get("sample_rate"),
+                        "width": _i32(parsed.get("width")),
+                        "height": _i32(parsed.get("height")),
+                        "duration_ms": _i32(parsed.get("duration_ms")),
+                        "sample_rate": _i32(parsed.get("sample_rate")),
                     }
                 )
             yield pd.DataFrame(out)
 
     return df.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def _i32(v):
+    """Header-claimed values bound for an int32 schema column: None
+    when absent OR outside int32 range (review r9 — a hostile header
+    claiming width=0x90000000 silently wrapped negative under the
+    default unsafe Arrow cast, and killed the whole mapInPandas task
+    under safe casting; an absurd claim is treated as absent
+    metadata, costing that one row its field, never the task)."""
+    if v is None:
+        return None
+    v = int(v)
+    return v if -(2**31) <= v < 2**31 else None
 
 
 def png_dims(data_col: F.Column) -> F.Column:
@@ -272,7 +285,20 @@ def pcm_features(df: DataFrame, window: int = 32) -> DataFrame:
             out = []
             for row in pdf.itertuples(index=False):
                 b = bytes(row.data) if row.data is not None else b""
-                pos = b.find(b"data")
+                # top-level RIFF chunk WALK, not a byte search (review
+                # r9: b.find(b'data') matched the ASCII word 'data'
+                # inside a LIST/INFO comment — or inside any non-WAV
+                # blob — and decoded metadata bytes as samples)
+                pos = -1
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    i = 12
+                    while i + 8 <= len(b):
+                        cid = b[i:i + 4]
+                        (sz,) = struct.unpack("<I", b[i + 4:i + 8])
+                        if cid == b"data":
+                            pos = i
+                            break
+                        i += 8 + sz + (sz & 1)
                 if pos < 0 or pos + 8 > len(b):
                     raise ValueError(
                         f"asset {row.asset_id}: no RIFF 'data' chunk — "
@@ -364,6 +390,12 @@ def decode_png_pixels(data: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("missing IHDR/IDAT")
+    if width <= 0 or height <= 0:
+        # zero/negative dims are never a real image — and expected=0
+        # would turn the bounded inflate below UNBOUNDED (zlib treats
+        # max_length=0 as 'no limit'), re-opening the bomb window the
+        # bound exists to close (review r9)
+        raise ValueError("non-positive dimensions")
     stride = width * channels
     expected = (stride + 1) * height
     # bounded inflate: never emit more than the header-implied size, so
@@ -1216,6 +1248,14 @@ def mjpeg_frame_stats(df: DataFrame, every_k: int = 1) -> DataFrame:
                                  "err": f"{type(exc).__name__}: {exc}"[:120]})
                     continue
                 n = len(payloads)
+                if n == 0:
+                    # a valid container with NO video chunks must still
+                    # yield its one err-tagged row — zero rows would
+                    # silently lose the asset from downstream joins,
+                    # violating the per-asset audit contract (review r9)
+                    rows.append({**base, "n_frames": 0,
+                                 "err": "no video frames in movi list"})
+                    continue
                 for idx in range(0, n, every_k):
                     rec = {**base, "frame_idx": idx, "n_frames": n}
                     try:

@@ -228,13 +228,47 @@ class WriterLease:
             os.close(fd)
 
     def release(self) -> None:
-        if self._held:
+        """Release by the SAME atomic primitive acquire's steal uses —
+        rename to a unique tombstone, then verify (review r9: the old
+        path-based read-then-unlink could delete a THIEF's fresh lease
+        when a steal landed between the two calls, re-opening the
+        two-concurrent-writers window the lease exists to close).
+        Rename atomically takes whatever is at the path: if the
+        tombstone carries OUR token, nobody else can be holding it —
+        delete it; if it carries someone else's (we were stolen),
+        restore it with link (atomic, no-clobber) or preserve it under
+        a unique diagnostic name, exactly the acquire discipline."""
+        if not self._held:
+            return
+        self._held = False
+        tomb = self.path.with_name(f"_writer.lease.release.{self.owner}")
+        try:
+            os.rename(self.path, tomb)
+        except OSError:
+            return  # lease already gone (stolen + released, or crash-swept)
+        try:
+            content = tomb.read_text()
+        except OSError:
+            content = ""
+        if content == self.owner:
+            tomb.unlink(missing_ok=True)
+            return
+        # not ours: a thief owns the lease we just renamed away — put
+        # it back without clobbering anything newer
+        try:
+            os.link(tomb, self.path)
+        except OSError:
             try:
-                if self.path.read_text() == self.owner:
-                    self.path.unlink(missing_ok=True)
+                os.rename(
+                    tomb,
+                    tomb.with_name(
+                        f"{tomb.name}.displaced.{uuid.uuid4().hex[:8]}"
+                    ),
+                )
             except OSError:
                 pass
-            self._held = False
+            return
+        tomb.unlink(missing_ok=True)
 
     def __enter__(self) -> "WriterLease":
         return self.acquire()
@@ -306,7 +340,21 @@ class WriteIdParquetFormat(SnapshotFormat):
     def read(
         self, spark: SparkSession, path: Path, fallback: T.StructType
     ) -> DataFrame:
-        if not path.exists() or not any(path.rglob("*.parquet")):
+        # the emptiness probe must skip '_'-prefixed dirs exactly like
+        # Spark's file index does (review r9: a fresh table holding
+        # only a _stats manifest counted as non-empty here, then
+        # spark.read.parquet found zero data files and raised 'Unable
+        # to infer schema' instead of returning the empty fallback)
+        def _has_data() -> bool:
+            for p in path.rglob("*.parquet"):
+                rel = p.relative_to(path)
+                if not any(
+                    part.startswith(("_", ".")) for part in rel.parts
+                ):
+                    return True
+            return False
+
+        if not path.exists() or not _has_data():
             return spark.createDataFrame([], fallback)
         return self._reader(spark).parquet(str(path))
 
@@ -551,6 +599,44 @@ def diff_versions(
     return inserts.unionByName(deletes, allowMissingColumns=True)
 
 
+def _stats_aggs(columns: list[str]) -> list:
+    """The per-file statistics every manifest row carries — ONE
+    definition shared by write_stats_manifest and update_stats_manifest
+    (review r9: the copy-pasted blocks could silently fork, making
+    incremental rows schema-incompatible with full-rebuild rows at the
+    unionByName)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+        ]
+    return aggs
+
+
+def _live_decoded_files(uris: list[str]) -> list[str]:
+    """Advisory-cache post-filter shared by pruned_files and
+    bloom_candidate_files (review r9: the loop lived as two verbatim
+    copies): manifests are not rewritten by restore/vacuum/retention,
+    so entries whose file is gone are skipped (they carry no live rows
+    by definition), and local file URIs are returned DECODED —
+    input_file_name() percent-escapes, and feeding the escaped form
+    back to spark.read treats '%20' literally."""
+    from urllib.parse import unquote, urlparse
+
+    out = []
+    for uri in uris:
+        p = urlparse(uri)
+        if p.scheme in ("file", ""):
+            local = Path(unquote(p.path))
+            if local.exists():
+                out.append(str(local))
+        else:
+            out.append(uri)
+    return out
+
+
 def _uri_to_resolved_path(uri: str) -> str:
     """Normalize a file URI (``input_file_name()`` / ``Path.as_uri()``)
     to a resolved local path string, so manifest membership checks never
@@ -629,13 +715,7 @@ def write_stats_manifest(
         df = spark.read.parquet(str(path)).withColumn(
             "_file", F.input_file_name()
         )
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in columns:
-        aggs += [
-            F.min(c).alias(f"min_{c}"),
-            F.max(c).alias(f"max_{c}"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
-        ]
+    aggs = _stats_aggs(columns)
     stats = df.groupBy("_file").agg(*aggs)
     # a manifest is small (one row per file): single output file
     stats.coalesce(1).write.mode("overwrite").parquet(str(manifest_dir))
@@ -662,26 +742,8 @@ def pruned_files(
         | ((F.col(f"min_{column}") <= hi) & (F.col(f"max_{column}") >= lo))
     )
     files = [r["_file"] for r in keep.select("_file").collect()]
-    # the manifest is an advisory cache: restore_to_version / vacuum /
-    # retention delete data files WITHOUT rewriting it, so stale entries
-    # are expected — skip files that no longer exist rather than failing
-    # the read (they carry no live rows by definition). One existence
-    # probe per candidate file; at object-store scale this folds into
-    # the listing the read performs anyway. Local file URIs are returned
-    # as DECODED paths: input_file_name() percent-escapes, and feeding
-    # the escaped form back to spark.read treats '%20' literally.
-    from urllib.parse import unquote, urlparse
-
-    out = []
-    for uri in files:
-        p = urlparse(uri)
-        if p.scheme in ("file", ""):
-            local = Path(unquote(p.path))
-            if local.exists():
-                out.append(str(local))
-        else:
-            out.append(uri)
-    return out
+    # advisory-cache post-filter (shared helper — see _live_decoded_files)
+    return _live_decoded_files(files)
 
 
 def read_pruned(
@@ -817,13 +879,7 @@ def update_stats_manifest(
         .parquet(*[str(f) for f in new_files])
         .withColumn("_file", F.input_file_name())
     )
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in columns:
-        aggs += [
-            F.min(c).alias(f"min_{c}"),
-            F.max(c).alias(f"max_{c}"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
-        ]
+    aggs = _stats_aggs(columns)
     add = df.groupBy("_file").agg(*aggs)
     merged = old.unionByName(add)
     tmp = manifest_dir.parent / f"{manifest_dir.name}_tmp"
@@ -873,7 +929,11 @@ def rewrite_table(
     re-read, re-plan, re-call.
     """
     if not Path(path).exists():
-        return {"rewritten": 0, "files_retired": 0}
+        # same key set as the committed path (review r9: callers
+        # reading files_before/files_after got a KeyError only on
+        # the rare empty-table branch)
+        return {"rewritten": 0, "files_retired": 0,
+                "files_before": 0, "files_after": 0}
     unprefixed = [
         f for f in Path(path).rglob("*.parquet")
         if not (f.name.startswith("w") and "-" in f.name)
@@ -892,7 +952,11 @@ def rewrite_table(
             f"was planned against {expected_version} — re-read and retry"
         )
     if not old_ids:
-        return {"rewritten": 0, "files_retired": 0}
+        # same key set as the committed path (review r9: callers
+        # reading files_before/files_after got a KeyError only on
+        # the rare empty-table branch)
+        return {"rewritten": 0, "files_retired": 0,
+                "files_before": 0, "files_after": 0}
     current = fmt.read_as_of(spark, path, fallback, table_name)
     files_before = len(list(Path(path).rglob("w*-*.parquet")))
     rewritten = transform(current)
@@ -1129,8 +1193,6 @@ def bloom_candidate_files(
     (no false negatives; false positives at the filter's rate). Same
     advisory-cache semantics as :func:`pruned_files`: entries whose file
     has since been deleted are skipped, URIs are returned decoded."""
-    from urllib.parse import unquote, urlparse
-
     from datawarehouse_backup_system_spark.operators.bloom import (
         _positions,
         _shiftleft,
@@ -1149,16 +1211,8 @@ def bloom_candidate_files(
         bit = word.isNotNull() & (word.bitwiseAND(mask) != 0)
         cond = bit if cond is None else cond & bit
     files = [r["_file"] for r in m.where(cond).select("_file").collect()]
-    out = []
-    for uri in files:
-        p = urlparse(uri)
-        if p.scheme in ("file", ""):
-            local = Path(unquote(p.path))
-            if local.exists():
-                out.append(str(local))
-        else:
-            out.append(uri)
-    return out
+    # advisory-cache post-filter (shared helper — see _live_decoded_files)
+    return _live_decoded_files(files)
 
 
 def rewrite_with_retry(
