@@ -142,11 +142,17 @@ def pq_seed_codebook(
     from .sampling import _bucket
 
     seeds = (
-        df.select(F.col(id_col).alias("_sid"), _unit(vec_col).alias("_sv"))
+        # NULL vectors filtered BEFORE seeding (review r9: a NULL
+        # landing in the k hash-ordered seeds killed the driver with a
+        # bare TypeError; train_centroids has the same filter)
+        df.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("_sid"), _unit(vec_col).alias("_sv"))
         .orderBy(_bucket(F.col("_sid"), salt), F.col("_sid"))
         .limit(k)
         .collect()
     )
+    if not seeds:
+        raise ValueError("no non-null vectors to seed the codebook")
     dim = len(seeds[0]["_sv"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -185,6 +191,36 @@ def _collect_codebook(
     return cents, sub_dim
 
 
+def _assert_encodable(
+    df: DataFrame, vec_col: str, m: int, sub_dim: int
+) -> None:
+    """Corpus-side dimension guard shared by BOTH encoders (review r9:
+    pq_encode had no analogue of pq_adc_topk's query guard, so one
+    truncated ingest row produced confidently-wrong codes — empty
+    slices fold to 0.0 and argmin picks the smallest self-dot centroid
+    — silently polluting every later ADC search over the index; and
+    the pandas encoder crashed on a NULL row while the expression path
+    emitted one, forking the bit-identical contract). One bounded agg;
+    fails loudly with the offending row count."""
+    want_dim = m * sub_dim
+    bad = df.agg(
+        F.sum(
+            F.when(
+                F.col(vec_col).isNull()
+                | (F.size(F.col(vec_col)) != want_dim),
+                1,
+            ).otherwise(0)
+        ).alias("n_bad")
+    ).first()["n_bad"]
+    if bad:
+        raise ValueError(
+            f"{bad} corpus vector(s) are NULL or not {want_dim}-"
+            f"dimensional (codebook: m={m} × sub_dim={sub_dim}) — "
+            "filter or repair them before encoding; garbage codes "
+            "would silently poison every ADC search over the index"
+        )
+
+
 def pq_encode(
     df: DataFrame,
     id_col: str,
@@ -196,6 +232,7 @@ def pq_encode(
 
     Output (id, subspace, code, dist_micros) — one row per (vector,
     subspace); ties on the integer distance break to the smaller code.
+    NULL or wrong-dimension vectors fail loudly (`_assert_encodable`).
     """
     from .similarity import dot
 
@@ -205,6 +242,7 @@ def pq_encode(
     # staged once per subspace; c·c is a driver-computed constant).
     # d = a·a + c·c − 2·a·c keeps the exact term order of the oracle.
     cents, sub_dim = _collect_codebook(codebook, m)
+    _assert_encodable(df, vec_col, m, sub_dim)
 
     v = _unit(vec_col)
     staged = df.select(
@@ -277,21 +315,34 @@ def pq_adc_topk(
     # (codebook is m·k rows; ONE distinct-remainder agg over the queries
     # — ADVICE r7: checking only `.first()` let a later query row with a
     # bad dimension through to exactly that silent failure).
-    cb_m = codebook.agg(
-        F.count_distinct(F.col("subspace")).alias("n")
-    ).first()["n"]
+    probe = codebook.agg(
+        F.count_distinct(F.col("subspace")).alias("n"),
+        F.min(F.size("centroid")).alias("sub_dim"),
+    ).first()
+    cb_m = probe["n"]
     if cb_m != m:
         raise ValueError(
             f"m={m} does not match the codebook's {cb_m} subspaces"
         )
+    # the exact expected dimension, and NULL-safe (review r9: under
+    # ANSI, size(NULL) is NULL so the old `% m != 0` probe passed NULL
+    # vectors — and a 32-dim query against a 64-dim/m=8 codebook passed
+    # too since 32 % 8 == 0 — both reproducing the silent arbitrary
+    # top-k this guard was added to prevent)
+    want_dim = int(probe["sub_dim"]) * m
     bad = queries.agg(
         F.sum(
-            F.when(F.size(_unit(query_vec)) % m != 0, 1).otherwise(0)
+            F.when(
+                F.col(query_vec).isNull()
+                | (F.size(_unit(query_vec)) != want_dim),
+                1,
+            ).otherwise(0)
         ).alias("n_bad")
     ).first()["n_bad"]
     if bad:
         raise ValueError(
-            f"{bad} query vector(s) have a dimension not divisible by m={m}"
+            f"{bad} query vector(s) are NULL or not {want_dim}-dimensional"
+            f" (codebook: m={m} × sub_dim={want_dim // m})"
         )
 
     qv = _unit(query_vec)
@@ -400,6 +451,7 @@ def pq_encode_pandas(
     import pandas as pd
 
     cents, sub_dim = _collect_codebook(codebook, m)
+    _assert_encodable(df, vec_col, m, sub_dim)
     # per subspace: (k, sub_dim) centroid matrix + (k,) self-dot vector,
     # rows in code order so argmin's first-hit tiebreak = smallest code
     cmats = {

@@ -105,6 +105,15 @@ def phrase_search(
     q_rows = []
     n_terms: dict[str, int] = {}
     for qid, phrase in phrases:
+        if qid in n_terms:
+            # loud failure (review r9): a duplicate query id silently
+            # MERGED both phrases' offset slots — n_terms kept only the
+            # last phrase's length, so a doc interleaving terms from
+            # the two phrases reported a hit neither phrase has
+            raise ValueError(
+                f"duplicate query_id {qid!r} in phrases — give each "
+                "phrase its own id"
+            )
         terms = [t for t in phrase.strip().split(" ") if t]
         n_terms[qid] = len(terms)
         for off, term in enumerate(terms):
@@ -167,7 +176,12 @@ def bm25_topk(
         (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
     )
 
-    qdf = spark.createDataFrame(queries, ["query_id", "query_text"]).select(
+    # explicit DDL schema so an EMPTY query list returns an empty
+    # result instead of 'can not infer schema' (review r9; the
+    # phrase_search path already did this)
+    qdf = spark.createDataFrame(
+        queries, "query_id string, query_text string"
+    ).select(
         "query_id",
         F.explode(F.split(F.trim(F.col("query_text")), " ")).alias("term"),
     ).where(F.col("term") != "").distinct()

@@ -281,14 +281,19 @@ def topk_pandas_udf(
     import pandas as pd
     from pyspark.sql import Window
 
-    id_t = dict(queries.dtypes)[id_col]
+    # query_id types from the QUERIES frame, neighbor_id from the
+    # CORPUS (review r9: both were typed from queries, so a corpus id
+    # of a different/wider type failed or truncated at Arrow
+    # conversion even though brute_force_topk handles the same inputs)
+    q_id_t = dict(queries.dtypes)[id_col]
+    c_id_t = dict(corpus.dtypes)[id_col]
     q_rows = (
         queries.where(F.col(vec_col).isNotNull())
         .select(id_col, vec_col)
         .collect()
     )
     out_schema = (
-        f"query_id {id_t}, neighbor_id {id_t}, score double, rank int"
+        f"query_id {q_id_t}, neighbor_id {c_id_t}, score double, rank int"
     )
     if not q_rows:
         return corpus.sparkSession.createDataFrame([], out_schema)
@@ -329,7 +334,8 @@ def topk_pandas_udf(
             yield out[out.query_id != out.neighbor_id]
 
     scored = corpus.select(id_col, vec_col).mapInPandas(
-        score, schema=f"query_id {id_t}, neighbor_id {id_t}, score double"
+        score,
+        schema=f"query_id {q_id_t}, neighbor_id {c_id_t}, score double",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -744,12 +750,16 @@ def neardup_pairs_broadcast(
     import numpy as np
     import pandas as pd
 
+    # propagate the INPUT id type (review r9: a hard-coded `long`
+    # schema broke Arrow conversion for string/int32 ids, which the
+    # sibling pair generators accept)
+    id_t = emb.schema[id_col].dataType.simpleString()
     rows = emb.select(F.col(id_col), _as_double(vec_col).alias("v")).where(
         F.col(vec_col).isNotNull()
     ).collect()
     if not rows:
         return emb.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, score double"
+            [], f"id_a {id_t}, id_b {id_t}, score double"
         )
     ids = np.array([r[id_col] for r in rows])
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
@@ -778,7 +788,7 @@ def neardup_pairs_broadcast(
     cands = emb.select(
         F.col(id_col), _as_double(vec_col).alias("_v")
     ).where(F.col(vec_col).isNotNull()).mapInPandas(
-        gen, schema="id_a long, id_b long"
+        gen, schema=f"id_a {id_t}, id_b {id_t}"
     )
     a = emb.select(
         F.col(id_col).alias("id_a"),

@@ -170,3 +170,106 @@ def test_decode_features_clamps_header_claims_to_int32(spark):
     row = decode_features(df).collect()[0]
     assert row["width"] is None  # absurd claim -> absent, never negative
     assert row["height"] == 10
+
+
+def test_pq_guards_null_and_divisible_wrong_dims(spark):
+    """Review r9: the ADC query guard passed NULL vectors (ANSI
+    size(NULL) is NULL) and wrong-length vectors divisible by m; the
+    encode side had no guard at all — both now fail loudly."""
+    from datawarehouse_backup_system_spark.operators.quantize import (
+        pq_adc_topk,
+        pq_encode,
+        pq_seed_codebook,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = pq_seed_codebook(corpus, "vec_id", "embedding", m=4, k=4)
+    codes = pq_encode(corpus, "vec_id", "embedding", cb, m=4)
+    assert codes.count() == 20 * 4
+
+    null_q = spark.createDataFrame(
+        [(100, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="NULL or not 8-dimensional"):
+        pq_adc_topk(codes, "vec_id", null_q, "vec_id", "embedding", cb, m=4)
+    # 4 dims: divisible by m=4 but not the codebook's 8 — the old
+    # `% m` probe passed it straight to the silent-arbitrary-top-k
+    short_q = spark.createDataFrame(
+        [(100, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not 8-dimensional"):
+        pq_adc_topk(codes, "vec_id", short_q, "vec_id", "embedding", cb, m=4)
+
+    bad_corpus = corpus.union(
+        spark.createDataFrame(
+            [(999, [1.0, 2.0, 3.0, 4.0])],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    with pytest.raises(ValueError, match="corpus vector"):
+        pq_encode(bad_corpus, "vec_id", "embedding", cb, m=4).count()
+
+
+def test_pq_seed_codebook_null_rows_and_empty(spark):
+    """Review r9: a NULL embedding among the k hash-ordered seeds
+    killed the build with a bare TypeError; an empty corpus with an
+    IndexError. Both are now a filter + a loud ValueError."""
+    from datawarehouse_backup_system_spark.operators.quantize import (
+        pq_seed_codebook,
+    )
+
+    mixed = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0, 3.0, 4.0]), (3, [2.0, 1.0, 0.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cb = pq_seed_codebook(mixed, "vec_id", "embedding", m=2, k=2)
+    assert cb.count() == 2 * 2
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-null"):
+        pq_seed_codebook(empty, "vec_id", "embedding", m=2, k=2)
+
+
+def test_pandas_paths_propagate_id_types(spark):
+    """Review r9: neardup_pairs_broadcast hard-coded `long` ids and
+    topk_pandas_udf typed neighbor ids from the QUERIES frame — string
+    ids (and cross-typed corpus ids) broke at Arrow conversion."""
+    from datawarehouse_backup_system_spark.operators.similarity import (
+        neardup_pairs_broadcast,
+        topk_pandas_udf,
+    )
+
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.001]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    pairs = neardup_pairs_broadcast(emb, "vec_id", "embedding", 0.99)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {("a", "b")}
+
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    c = spark.createDataFrame(
+        [(2**40 + i, [1.0, float(i) / 10]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    top = topk_pandas_udf(c, q, "vec_id", "embedding", k=2).collect()
+    assert len(top) == 2 and all(r.neighbor_id > 2**39 for r in top)
+
+
+def test_search_edge_inputs(spark):
+    """Review r9: bm25_topk crashed on an empty query list; duplicate
+    phrase query ids silently merged two phrases' offset slots."""
+    from datawarehouse_backup_system_spark.operators.search import (
+        bm25_topk,
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "c d e")], "doc_id long, text string"
+    )
+    assert bm25_topk(docs, "doc_id", "text", []).count() == 0
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        phrase_search(docs, "doc_id", "text", [("q1", "a b"), ("q1", "c d")])
