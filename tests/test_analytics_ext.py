@@ -235,7 +235,9 @@ def test_pq_adc_dim_guard_all_rows(spark, sf_dir):
         F.slice("embedding", 1, 13).alias("embedding"),
     )
     mixed = good.unionByName(bad_tail)
-    with pytest.raises(ValueError, match="not divisible"):
+    # r9: the guard now names the exact expected dimension (it also
+    # catches NULLs and divisible-but-wrong lengths — test_review_r9)
+    with pytest.raises(ValueError, match="not 64-dimensional"):
         pq_adc_topk(codes, "vec_id", mixed, "vec_id", "embedding", cb, m=8, k=3)
 
 
