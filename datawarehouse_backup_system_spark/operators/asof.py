@@ -105,6 +105,15 @@ def asof_join(
         # carried struct) — both reference engines return no match
         .withColumn("_m", F.when(F.col("_t").isNotNull(), F.col("_m")))
     )
+    # NULL join keys never match (review r9): Window.partitionBy groups
+    # all NULL keys into ONE partition, so a NULL-keyed left row carried
+    # a NULL-keyed right row's payload — but both reference engines
+    # (DuckDB ASOF JOIN, pandas merge_asof) treat NULL = NULL as no
+    # match. The left row still comes through, unmatched.
+    key_ok = F.lit(True)
+    for k in on:
+        key_ok = key_ok & F.col(k).isNotNull()
+    matched = matched.withColumn("_m", F.when(key_ok, F.col("_m")))
     if tolerance_seconds is not None:
         us = int(tolerance_seconds * 1_000_000)
         gap = F.unix_micros(F.col("_t")) - F.unix_micros(
@@ -155,6 +164,12 @@ def range_join(
         raise ValueError("column name '_b' is reserved by range_join")
     us = F.lit(int(bucket_seconds) * 1_000_000)
     p = points.withColumn("_b", F.floor(F.unix_micros(F.col(point_ts)) / us))
+    # inverted intervals (end < start) match nothing under the
+    # containment filter, but F.sequence with start > stop silently
+    # generates a DESCENDING sequence (default step -1) — one malformed
+    # interval row could explode into millions of bucket rows before
+    # the filter discards them all (review r9). Drop them at the scan.
+    intervals = intervals.where(F.col(end_ts) >= F.col(start_ts))
     i = intervals.withColumn(
         "_b",
         F.explode(

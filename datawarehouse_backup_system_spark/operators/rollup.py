@@ -48,6 +48,15 @@ def rollup_cascade(
     per tier). In the usual deployment each tier is WRITTEN before the
     next reads it, which materializes the cascade for free."""
     keys = list(key_cols or [])
+    # loud failure on reserved output/internal names (the asof_join /
+    # weighted_reservoir rule — review r9: key_cols=['n'] produced two
+    # 'n' columns and an AMBIGUOUS_REFERENCE deep in the cascade)
+    clash = {"bucket_s", "n", "sum_v", "min_v", "max_v", "_v"} & set(keys)
+    if clash:
+        raise ValueError(
+            f"key_cols {sorted(clash)} are reserved by rollup_cascade — "
+            "rename them on the input first"
+        )
     res = list(resolutions or RESOLUTIONS)
     steps = [RESOLUTIONS[r] for r in res]
     if steps != sorted(steps) or any(

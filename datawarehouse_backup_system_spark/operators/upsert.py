@@ -51,12 +51,23 @@ def merge_upsert(
 
     keys = [key] if isinstance(key, str) else list(key)
     if order_col is not None:
+        # last-write-wins dedup applies only to NON-NULL-keyed rows:
+        # Window.partitionBy groups all NULL keys into ONE partition,
+        # so the row_number would silently collapse every NULL-keyed
+        # insert into one — contradicting the MERGE semantics above
+        # (NULL never equals NULL; each inserts) and flipping data
+        # loss on an unrelated parameter (review r9)
+        null_key = F.lit(False)
+        for k in keys:
+            null_key = null_key | F.col(k).isNull()
         w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
-        updates = (
-            updates.withColumn("_rn", F.row_number().over(w))
+        keyed = (
+            updates.where(~null_key)
+            .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
+        updates = keyed.unionByName(updates.where(null_key))
     kept = target.join(updates.select(*keys).distinct(), keys, "left_anti")
     return kept.unionByName(updates)
 
@@ -102,6 +113,14 @@ def scd2_apply(
     new_versions = (
         changes.withColumn("_next_ts", F.lead(change_ts_col).over(w))
         .withColumnRenamed(change_ts_col, effective_col)
+        # cast valid_from like valid_to (review r9: an uncast string
+        # change feed widened the dimension's valid_from column to
+        # string for EVERY row through unionByName coercion — the
+        # exact failure the end_col comment above warns about)
+        .withColumn(
+            effective_col,
+            F.col(effective_col).cast(dim.schema[effective_col].dataType),
+        )
         .withColumn(end_col, F.col("_next_ts").cast(dim.schema[end_col].dataType))
         .drop("_next_ts")
     )
@@ -140,6 +159,12 @@ def compact_partition(
             shutil.rmtree(backup)       # stale: crash after a completed swap
         else:
             backup.rename(part_dir)     # crash between the two renames
+    # orphaned staging from a crash between the staging write and the
+    # first rename (review r9: unlike delete_where, these whole-
+    # partition-sized copies were never reclaimed and accumulated
+    # across crash/retry cycles)
+    for stray in table_path.glob("_compact_tmp_*"):
+        shutil.rmtree(stray, ignore_errors=True)
     if not part_dir.exists():
         raise FileNotFoundError(f"no such partition: {part_dir}")
     files_before = len(list(part_dir.glob("*.parquet")))
@@ -190,41 +215,70 @@ def delete_where(
         shutil.rmtree(stray, ignore_errors=True)
 
     df = spark.read.parquet(str(table_path))
-    affected = [
-        r[0]
+    # affected partition DIRECTORIES from the matched files themselves
+    # (input_file_name), never reconstructed from values (review r9:
+    # f"{col}={str(v)}" broke on NULL partitions — Spark writes
+    # __HIVE_DEFAULT_PARTITION__, str(None) gives 'None' — and on any
+    # value Spark's Hive escaping percent-encodes, aborting the purge
+    # half-done with FileNotFoundError on every retry)
+    from urllib.parse import unquote, urlparse
+
+    matched = [
+        r["f"]
         for r in df.where(condition)
-        .select(partition_col)
+        .select(F.input_file_name().alias("f"))
         .distinct()
         .collect()
     ]
+    part_dirs = sorted({
+        Path(unquote(urlparse(f).path)).parent for f in matched
+    })
+    root = table_path.resolve()
     deleted = 0
-    for part_val in sorted(str(v) for v in affected):
-        partition = f"{partition_col}={part_val}"
-        part_dir = table_path / partition
+    for part_dir in part_dirs:
+        if part_dir.resolve() == root:
+            raise ValueError(
+                f"{table_path} is not partitioned — delete_where's "
+                "copy-on-write swap needs partition directories"
+            )
+        partition = part_dir.name
         backup = table_path / f"_delete_backup_{partition}"
-        if not part_dir.exists():
-            raise FileNotFoundError(f"no such partition: {part_dir}")
         # basePath keeps the partition column resolvable in the
         # predicate; drop it before the rewrite so the new files keep
-        # the partition-in-directory physical layout
+        # the partition-in-directory physical layout. Persisted: the
+        # two counts and the rewrite otherwise scan the partition
+        # three times (review r9).
         pdf = spark.read.option("basePath", str(table_path)).parquet(
             str(part_dir)
-        )
-        # coalesce(cond, False): rows where the predicate is NULL are
-        # KEPT — bare ~condition is NULL for them, silently deleting
-        # every NULL-keyed row in a touched partition (3VL; review r7)
-        keep = pdf.where(~F.coalesce(condition, F.lit(False))).drop(
-            partition_col
-        )
-        n_del = pdf.count() - keep.count()
-        if n_del == 0:
-            continue
-        staging = Path(
-            tempfile.mkdtemp(prefix="_delete_tmp_", dir=table_path)
-        )
-        keep.write.mode("overwrite").parquet(str(staging))
-        part_dir.rename(backup)
-        staging.rename(part_dir)
-        shutil.rmtree(backup)
-        deleted += n_del
+        ).persist()
+        try:
+            # coalesce(cond, False): rows where the predicate is NULL
+            # are KEPT — bare ~condition is NULL for them, silently
+            # deleting every NULL-keyed row in a touched partition
+            # (3VL; review r7)
+            keep = pdf.where(~F.coalesce(condition, F.lit(False))).drop(
+                partition_col
+            )
+            n_keep = keep.count()
+            n_del = pdf.count() - n_keep
+            if n_del == 0:
+                continue
+            if n_keep == 0:
+                # whole partition deleted: REMOVE the dir — an empty
+                # rewrite would leave a parquet dir with no data files,
+                # which direct per-partition reads reject ('Unable to
+                # infer schema'; review r9)
+                part_dir.rename(backup)
+                shutil.rmtree(backup)
+            else:
+                staging = Path(
+                    tempfile.mkdtemp(prefix="_delete_tmp_", dir=table_path)
+                )
+                keep.write.mode("overwrite").parquet(str(staging))
+                part_dir.rename(backup)
+                staging.rename(part_dir)
+                shutil.rmtree(backup)
+            deleted += n_del
+        finally:
+            pdf.unpersist()
     return deleted

@@ -273,3 +273,160 @@ def test_search_edge_inputs(spark):
     assert bm25_topk(docs, "doc_id", "text", []).count() == 0
     with pytest.raises(ValueError, match="duplicate query_id"):
         phrase_search(docs, "doc_id", "text", [("q1", "a b"), ("q1", "c d")])
+
+
+def test_scd2_string_change_feed_keeps_timestamp_schema(spark):
+    """Review r9: a string _change_ts widened valid_from to string for
+    EVERY dimension row through unionByName coercion (valid_to was
+    already cast); both stamps now cast to the dim's column types."""
+    from datawarehouse_backup_system_spark.operators.upsert import (
+        scd2_apply,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00", None)],
+        "k long, attr string, valid_from string, valid_to string",
+    ).select(
+        "k", "attr",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    changes = spark.createDataFrame(
+        [(1, "b", "2024-02-01 00:00:00")],
+        "k long, attr string, _change_ts string",
+    )
+    out = scd2_apply(dim, changes, "k")
+    types = dict((f.name, f.dataType.simpleString()) for f in out.schema)
+    assert types["valid_from"] == "timestamp"
+    assert types["valid_to"] == "timestamp"
+    assert out.count() == 2
+
+
+def test_merge_upsert_null_keys_insert_even_with_order_col(spark):
+    """Review r9: order_col's dedup window collapsed ALL NULL-keyed
+    updates into one (window partitioning groups NULLs) — data loss
+    that flipped on an unrelated parameter. NULL keys always insert."""
+    from datawarehouse_backup_system_spark.operators.upsert import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "old", 0), (None, "keepme", 0)], "k long, v string, ord int"
+    )
+    updates = spark.createDataFrame(
+        [(1, "new", 1), (None, "n1", 1), (None, "n2", 1), (None, "n3", 1)],
+        "k long, v string, ord int",
+    )
+    out = merge_upsert(target, updates, "k")
+    out_ord = merge_upsert(
+        target, updates, "k", order_col="ord"
+    ).select("k", "v")
+    # both forms: 1 replaced, target NULL row kept, all 3 NULL inserts
+    for frame in (out, out_ord):
+        vals = sorted(r["v"] for r in frame.collect())
+        assert vals == ["keepme", "n1", "n2", "n3", "new"]
+
+
+def test_delete_where_null_partition_and_full_partition(spark, tmp_path):
+    """Review r9: partition dirs are now taken from the matched files
+    (input_file_name), so NULL partition values
+    (__HIVE_DEFAULT_PARTITION__) delete cleanly instead of crashing
+    half-done, and a fully-deleted partition's dir is REMOVED instead
+    of being swapped for an empty one."""
+    from datawarehouse_backup_system_spark.operators.upsert import (
+        delete_where,
+    )
+
+    t = tmp_path / "tbl"
+    spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-01"), (3, None), (4, "2024-01-02")],
+        "id long, d string",
+    ).write.partitionBy("d").parquet(str(t))
+    # delete the NULL-partition row (old code looked for 'd=None')
+    n = delete_where(spark, t, F.col("id") == 3, partition_col="d")
+    assert n == 1
+    assert not (t / "d=__HIVE_DEFAULT_PARTITION__").exists()  # fully deleted
+    # full-partition delete removes the dir entirely
+    n = delete_where(spark, t, F.col("d") == "2024-01-02", partition_col="d")
+    assert n == 1
+    assert not (t / "d=2024-01-02").exists()
+    left = spark.read.parquet(str(t))
+    assert sorted(r["id"] for r in left.collect()) == [1, 2]
+
+
+def test_compact_partition_sweeps_stray_staging(spark, tmp_path):
+    """Review r9: orphaned _compact_tmp_* staging dirs (crash between
+    staging write and swap) were never reclaimed."""
+    from datawarehouse_backup_system_spark.operators.upsert import (
+        compact_partition,
+    )
+
+    t = tmp_path / "tbl"
+    part = "d=2024-01-01"
+    for i in range(3):
+        spark.createDataFrame([(i,)], "id long").write.mode(
+            "append"
+        ).parquet(str(t / part))
+    stray = t / "_compact_tmp_leftover"
+    stray.mkdir()
+    (stray / "junk.parquet").write_bytes(b"x")
+    compact_partition(spark, t, part, target_files=1)
+    assert not stray.exists()
+    assert len(list((t / part).glob("*.parquet"))) == 1
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """Review r9: NULL-keyed left rows carried NULL-keyed right
+    payloads (window partitioning groups NULLs), deviating from the
+    DuckDB/pandas reference semantics — now unmatched, row preserved."""
+    from datawarehouse_backup_system_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, "2024-01-01 10:00:00"), (1, "2024-01-01 10:00:00")],
+        "k long, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(None, "2024-01-01 09:00:00", "nullpay"),
+         (1, "2024-01-01 09:00:00", "pay1")],
+        "k long, ts string, payload string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "payload")
+    out = {r["k"]: r["payload_right"] for r in
+           asof_join(left, right, ["k"], "ts", "ts").collect()}
+    assert out[1] == "pay1"
+    assert None in out and out[None] is None  # row kept, no match
+
+
+def test_range_join_inverted_interval_matches_nothing(spark):
+    """Review r9: an inverted interval (end < start) previously fed
+    F.sequence a descending range (step -1) that could explode into
+    millions of bucket rows before the containment filter dropped them
+    all; inverted intervals are now filtered at the scan."""
+    from datawarehouse_backup_system_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k long, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [(1, "2024-06-01 00:00:00", "1970-01-01 00:00:00", "bad"),
+         (1, "2024-01-01 09:00:00", "2024-01-01 11:00:00", "good")],
+        "k long, s string, e string, tag string",
+    ).select(
+        "k", F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"), "tag",
+    )
+    out = range_join(pts, iv, ["k"], "ts", "s", "e")
+    assert [r["tag"] for r in out.collect()] == ["good"]
+
+
+def test_rollup_cascade_reserved_key_names_raise(spark):
+    """Review r9: key_cols named like the output aggregates silently
+    produced ambiguous columns deep in the cascade."""
+    from datawarehouse_backup_system_spark.operators.rollup import (
+        rollup_cascade,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 5, 1)], "ts string, n int, v int"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "n", "v")
+    with pytest.raises(ValueError, match="reserved by rollup_cascade"):
+        rollup_cascade(df, "ts", F.col("v"), key_cols=["n"])
