@@ -79,7 +79,8 @@ def pagerank(
       on re-entry; a new call invalidates the previous call's lazy
       result).
 
-    ``tol_digits`` (staged tier only): stop early when the
+    ``tol_digits`` (forces the staged tier, even below the unroll
+    threshold — the stop only exists there): stop early when the
     (count, bit_xor(xxhash64(node, round(rank, tol_digits))))
     signature repeats between consecutive rounds — the g03
     Observation trick, riding the stage write job, no read-back pass.
@@ -110,7 +111,16 @@ def pagerank(
         nodes = nodes.join(F.broadcast(sd), "node", "left").select(
             "node", F.coalesce(F.col("_seed"), F.lit(False)).alias("_seed")
         )
-    staged = stage_path is not None or iterations > stage_rounds_above
+    # tol_digits forces the staged tier (ADVICE r9): the convergence
+    # stop only exists there, and silently running a fixed-round unroll
+    # while the caller asked for a tolerance stop is a quiet wrong-tier
+    # trap. A tol_digits call below the unroll threshold therefore
+    # stages too — the caller asked for early-stopping semantics.
+    staged = (
+        stage_path is not None
+        or iterations > stage_rounds_above
+        or tol_digits is not None
+    )
     if staged:
         import shutil
 
@@ -309,9 +319,14 @@ def _staged_round_root(stage_path: str | None, prefix: str) -> str:
         root = stage_path
     rp = _GPath(root)
     if rp.exists():
-        for d in rp.glob("r[0-9]*"):
-            if d.is_dir():
-                _shutil.rmtree(d, ignore_errors=True)
+        # est_r* too (ADVICE r9): neighborhood_function stages one
+        # estimate dir PER RADIUS; a re-entrant shallower call would
+        # otherwise overwrite only the radii it reaches and a held
+        # previous lazy result could read a mix of two runs.
+        for pat in ("r[0-9]*", "est_r[0-9]*"):
+            for d in rp.glob(pat):
+                if d.is_dir():
+                    _shutil.rmtree(d, ignore_errors=True)
     return root
 
 

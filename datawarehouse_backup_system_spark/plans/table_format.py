@@ -51,6 +51,7 @@ duration of each cycle.
 
 from __future__ import annotations
 
+import errno
 import os
 import shutil
 import time
@@ -257,7 +258,20 @@ class WriterLease:
         # it back without clobbering anything newer
         try:
             os.link(tomb, self.path)
-        except OSError:
+        except OSError as exc:
+            if exc.errno != errno.EEXIST:
+                # link unsupported (FAT/some network mounts) or other
+                # non-collision failure (ADVICE r9): rename restores
+                # the thief's lease atomically — the canonical path is
+                # empty (we just renamed it away), so nothing newer can
+                # be clobbered by the restore itself. Only EEXIST means
+                # a NEWER lease already landed; there the displace-to-
+                # diagnostic path below is the correct non-clobber move.
+                try:
+                    os.rename(tomb, self.path)
+                    return
+                except OSError:
+                    pass  # fall through to the diagnostic displace
             try:
                 os.rename(
                     tomb,
