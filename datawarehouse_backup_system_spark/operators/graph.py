@@ -24,6 +24,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pagerank_round(
+    norm_e: DataFrame,
+    nodes: DataFrame,
+    ranks: DataFrame,
+    base_col,
+    damping: float,
+) -> DataFrame:
+    """One PageRank round: contribution join on _src (zero Exchange on
+    the edge side when norm_e is bucket-staged — `_stage_static_side`),
+    map-side-combined groupBy(_dst) message sum, teleport re-base.
+    Module-level so the bucketed-staging plan contract is directly
+    plan-assertable in tests."""
+    contrib = (
+        norm_e.join(
+            ranks.select(F.col("node").alias("_src"), "rank"), "_src"
+        )
+        .groupBy(F.col("_dst").alias("node"))
+        .agg(F.sum(F.col("rank") * F.col("_p")).alias("_in"))
+    )
+    return nodes.join(contrib, "node", "left").select(
+        "node",
+        (
+            base_col
+            + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+        ).alias("rank"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -36,6 +64,7 @@ def pagerank(
     stage_path: str | None = None,
     tol_digits: int | None = None,
     seeds: DataFrame | None = None,
+    stage_bucketed: bool | None = None,
 ) -> DataFrame:
     """Weighted PageRank with a fixed iteration count.
 
@@ -77,7 +106,17 @@ def pagerank(
       whole history every round; measured in SCALE.md r9). Scratch
       lifecycle = `_staged_round_root` (per-call-site root, cleared
       on re-entry; a new call invalidates the previous call's lazy
-      result).
+      result). ``norm_e`` is round-invariant, so above the
+      `_stage_static_side` auto size threshold (``stage_bucketed=None``
+      default; ``True`` forces — VERDICT r9 item 2) it is staged as a
+      bucketed+sorted table on ``_src``: every round's contribution
+      join reads co-located buckets with ZERO Exchange on the edge
+      side — only the node-sized rank vector shuffles, and the
+      groupBy(_dst) message shuffle is map-side combined down to
+      ~node-sized. Below the threshold the rank vector broadcasts and
+      the edge side never shuffles anyway (measured r10 — see
+      `_BUCKET_MIN_BYTES`). Plan contract pinned in
+      tests/test_graph_cc.py.
 
     ``tol_digits`` (forces the staged tier, even below the unroll
     threshold — the stop only exists there): stop early when the
@@ -121,6 +160,7 @@ def pagerank(
         or iterations > stage_rounds_above
         or tol_digits is not None
     )
+    drop_stage = lambda: None  # noqa: E731
     if staged:
         import shutil
 
@@ -128,9 +168,12 @@ def pagerank(
 
         spark = edges.sparkSession
         root = _staged_round_root(stage_path, "dwbss-pr-")
-        norm_e.write.mode("overwrite").parquet(f"{root}/norm_e")
+        # norm_e is round-invariant: bucketed on the per-round join key
+        # so no round ever re-shuffles it (module helper docstring)
+        norm_e, drop_stage = _stage_static_side(
+            norm_e, root, "norm_e", "_src", bucketed=stage_bucketed
+        )
         nodes.write.mode("overwrite").parquet(f"{root}/nodes")
-        norm_e = spark.read.parquet(f"{root}/norm_e")
         nodes = spark.read.parquet(f"{root}/nodes")
     if seeds is not None:
         n = nodes.where(F.col("_seed")).count()
@@ -152,58 +195,52 @@ def pagerank(
     ranks = nodes.select("node", init_col.alias("rank"))
     cur = None
     prev_sig = None
-    for i in range(iterations):
-        contrib = (
-            norm_e.join(
-                ranks.select(F.col("node").alias("_src"), "rank"), "_src"
-            )
-            .groupBy(F.col("_dst").alias("node"))
-            .agg(F.sum(F.col("rank") * F.col("_p")).alias("_in"))
-        )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                base_col
-                + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
-            ).alias("rank"),
-        )
-        if staged:
-            nxt = f"{root}/r{i + 1}"
-            if tol_digits is None:
-                # no convergence stop requested: plain stage write, no
-                # per-row signature hashing (review r9 — the hash was
-                # computed every round and never consulted)
-                ranks.write.mode("overwrite").parquet(nxt)
-            else:
-                # double xor-hash signature — see connected_components
-                obs = Observation()
-                ranks.observe(
-                    obs,
-                    F.count(F.lit(1)).alias("n"),
-                    F.coalesce(
-                        F.expr(
-                            "bit_xor(xxhash64(node, "
-                            f"round(rank, {int(tol_digits)})))"
-                        ),
-                        F.lit(0),
-                    ).alias("h1"),
-                    F.coalesce(
-                        F.expr(
-                            f"bit_xor(xxhash64(round(rank, "
-                            f"{int(tol_digits)}), node))"
-                        ),
-                        F.lit(0),
-                    ).alias("h2"),
-                ).write.mode("overwrite").parquet(nxt)
-                sig = (obs.get["n"], obs.get["h1"], obs.get["h2"])
-            if cur is not None:
-                shutil.rmtree(cur, ignore_errors=True)  # superseded round
-            cur = nxt
-            ranks = spark.read.parquet(nxt)
-            if tol_digits is not None:
-                if sig == prev_sig:
-                    break
-                prev_sig = sig
+    try:
+        for i in range(iterations):
+            ranks = _pagerank_round(norm_e, nodes, ranks, base_col, damping)
+            if staged:
+                nxt = f"{root}/r{i + 1}"
+                if tol_digits is None:
+                    # no convergence stop requested: plain stage write,
+                    # no per-row signature hashing (review r9 — the hash
+                    # was computed every round and never consulted)
+                    ranks.write.mode("overwrite").parquet(nxt)
+                else:
+                    # double xor-hash signature — see connected_components
+                    obs = Observation()
+                    ranks.observe(
+                        obs,
+                        F.count(F.lit(1)).alias("n"),
+                        F.coalesce(
+                            F.expr(
+                                "bit_xor(xxhash64(node, "
+                                f"round(rank, {int(tol_digits)})))"
+                            ),
+                            F.lit(0),
+                        ).alias("h1"),
+                        F.coalesce(
+                            F.expr(
+                                f"bit_xor(xxhash64(round(rank, "
+                                f"{int(tol_digits)}), node))"
+                            ),
+                            F.lit(0),
+                        ).alias("h2"),
+                    ).write.mode("overwrite").parquet(nxt)
+                    sig = (obs.get["n"], obs.get["h1"], obs.get["h2"])
+                if cur is not None:
+                    shutil.rmtree(cur, ignore_errors=True)  # superseded
+                cur = nxt
+                ranks = spark.read.parquet(nxt)
+                if tol_digits is not None:
+                    if sig == prev_sig:
+                        break
+                    prev_sig = sig
+    finally:
+        # staged tier: the final rank vector is backed by round parquet
+        # (or the nodes parquet at iterations=0), never by the staged
+        # edge table — its catalog entry can go now. Unrolled tier:
+        # no-op (the lazy result owns the norm_e lineage).
+        drop_stage()
     return ranks.select(
         "node", F.round(F.col("rank"), round_digits).alias("rank")
     )
@@ -330,6 +367,105 @@ def _staged_round_root(stage_path: str | None, prefix: str) -> str:
     return root
 
 
+#: auto-mode cutover: bucket the staged big side only when its parquet
+#: footprint reaches this size. Below it the per-round label/rank frame
+#: is broadcastable, so the equi-join NEVER shuffles the edge side in
+#: the first place and bucketing only costs the one-time write-side
+#: sort (measured r10, g05 at sf0.1: bucketed 9.0–13.0 s vs parquet
+#: 6.8–7.5 s; still true at sf1 and with SMB forced — the fixed
+#: overhead dominates at local scale). Above it the label frame stops
+#: being broadcastable, every round would re-shuffle the edge list
+#: across the network, and the one bucketed write amortizes over the
+#: ~10–30 rounds real graphs take.
+_BUCKET_MIN_BYTES = 4 << 30
+
+
+def _stage_static_side(
+    df: DataFrame,
+    root: str,
+    name: str,
+    key: str,
+    bucketed: bool | None = None,
+    n_buckets: int | None = None,
+):
+    """Stage a ROUND-INVARIANT big frame for an iterative operator;
+    returns ``(frame, cleanup)``.
+
+    ``bucketed=True`` (the cluster shape, VERDICT r9 item 2): write it
+    once as a bucketed+sorted table on the per-round join ``key``
+    (`operators/bucketed.py` — the z03-proven SMB property), so every
+    round's equi-join reads co-located buckets with ZERO Exchange (and
+    zero Sort) on this side and only the small per-round label/rank
+    frame shuffles. The one-time bucketed write performs the
+    shuffle+sort the first round's join would have — every later round
+    rides it for free. Falls back to plain parquet when the session
+    can't saveAsTable.
+
+    ``bucketed=None`` (default — auto, the e02/h04 exact-vs-scale
+    switch pattern): stage plain parquet first (shuffle-free write),
+    stat the staged footprint, and REBUCKET from the staged file only
+    when it reaches ``SPARK_GRAFT_GRAPH_BUCKET_MIN_BYTES`` (default
+    `_BUCKET_MIN_BYTES`) — the regime where the per-round label frame
+    stops being broadcastable and the join would otherwise re-shuffle
+    the edge list every round. Below the threshold broadcast already
+    elides the edge-side Exchange, so bucketing is pure overhead
+    (measured numbers at `_BUCKET_MIN_BYTES`).
+
+    Data files live under ``root`` (external table) so the scratch
+    sweep owns them; the catalog entry is dropped by the returned
+    cleanup callable. ONLY for frames that are NOT referenced by the
+    operator's final result (the result must be backed by round
+    parquet alone, so dropping the table after the loop is safe).
+
+    Deliberately NOT used by connected_components: its star rounds
+    REWRITE the edge set every round, so there is no round-invariant
+    big side — a per-round bucketed write would pay the exact shuffle
+    it elides (plus the in-bucket sort) and win nothing.
+    """
+    import os as _os
+
+    spark = df.sparkSession
+    path = f"{root}/{name}"
+    fallback = None  # already-staged parquet frame, if any
+    if bucketed is None:
+        df.write.mode("overwrite").parquet(path)
+        fallback = spark.read.parquet(path)
+        min_bytes = int(
+            _os.environ.get(
+                "SPARK_GRAFT_GRAPH_BUCKET_MIN_BYTES", _BUCKET_MIN_BYTES
+            )
+        )
+        size = sum(
+            f.stat().st_size
+            for f in _GPath(path).rglob("*")
+            if f.is_file()
+        )
+        if size < min_bytes:
+            return fallback, (lambda: None)
+        df, path = fallback, f"{path}_bucketed"  # rebucket from the stage
+    elif not bucketed:
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path), (lambda: None)
+    import uuid as _uuid
+
+    from .bucketed import write_bucketed
+
+    tbl = f"dwbss_stage_{name}_{_uuid.uuid4().hex[:12]}"
+    nb = n_buckets or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    try:
+        write_bucketed(df, tbl, [key], nb, sort_cols=[key], path=path)
+        return spark.table(tbl), (
+            lambda: spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        )
+    except Exception:  # noqa: BLE001 — catalog-less session
+        if fallback is not None:
+            return fallback, (lambda: None)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path), (lambda: None)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -388,7 +524,16 @@ def connected_components(
     ``nodes``: optional one-column frame of ALL node ids — isolated
     nodes (no incident edge) appear in the output as their own
     singleton components. Node ids must be orderable and non-null
-    (component_id = the min id, the dedup_groups convention)."""
+    (component_id = the min id, the dedup_groups convention).
+
+    WHY NO BUCKETED STAGING here (unlike core_numbers / staged
+    pagerank, `_stage_static_side`): the star rounds REWRITE the edge
+    set every round — there is no round-invariant big side. Writing
+    each round's output bucketed would pay exactly the shuffle+sort it
+    elides from the next round's single use (and the round's two
+    group keys, ``a`` after the explode and ``h``, don't even share a
+    bucketable key with the staged (lo, hi) layout). Bucketing only
+    wins when one write amortizes over many reads."""
     import shutil
 
     from pyspark.sql import Observation
@@ -536,12 +681,34 @@ def triangle_counts(
     )
 
 
+def _kcore_round(d: DataFrame, labels: DataFrame) -> DataFrame:
+    """One H-index refinement round: deliver each neighbor's current
+    value over the directed edge list, then per-node H-index via a
+    descending row_number window (max rank with value ≥ rank — hub-safe
+    partial top-k, never collect_list). Module-level so the bucketed-
+    staging plan contract (zero Exchange on the edge side) is directly
+    plan-assertable in tests."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a").orderBy(F.desc("val"))
+    nb = d.join(
+        labels.select(F.col("a").alias("b"), "val"), "b"
+    ).select("a", "val")
+    return (
+        nb.withColumn("rn", F.row_number().over(w))
+        .where(F.col("val") >= F.col("rn"))
+        .groupBy("a")
+        .agg(F.max("rn").cast("bigint").alias("val"))
+    )
+
+
 def core_numbers(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     iterations: int = 32,
     stage_path: str | None = None,
+    stage_bucketed: bool | None = None,
 ) -> DataFrame:
     """k-core decomposition → ``(node, core)`` over the undirected
     simple graph: core = the largest k such that the node survives in
@@ -567,14 +734,23 @@ def core_numbers(
     `_staged_round_root` (per-call-site default root; a new call
     invalidates the previous call's lazy result).
 
-    CLUSTER DEPLOY NOTE: each round re-shuffles the staged directed
-    edge list on the join key. On a real cluster at 100 TB, stage it
-    as a BUCKETED table on ``b`` instead (operators/bucketed.py —
-    saveAsTable + bucketBy; same SMB zero-Exchange property the z03
-    spec proves) so only the small (node, val) label frame shuffles
-    per round; the plain-parquet staging here keeps the operator
-    warehouse-free for library use. Same note applies to staged
-    pagerank's norm_e.
+    BUCKETED STAGING (VERDICT r9 item 2): the directed edge list is
+    round-invariant, so above the `_stage_static_side` auto size
+    threshold (``stage_bucketed=None`` default; ``True`` forces,
+    ``False`` disables) it is staged ONCE as a bucketed+sorted table
+    on the join key ``b`` (operators/bucketed.py; the z03-proven SMB
+    zero-Exchange property). Every round's neighbor join then reads
+    co-located buckets with ZERO Exchange (and zero Sort) on the edge
+    side — only the small (node, val) label frame shuffles into the
+    bucketing, plus the unavoidable Pregel "message" shuffle of the
+    joined (a, val) rows into the per-node window. The one-time
+    bucketed write pays the shuffle+sort a single round's join would
+    have; with ~10–30 rounds on real graphs that is a ~10–30×
+    reduction in edge-list shuffle volume. Below the threshold the
+    label frame broadcasts, the edge side never shuffles anyway, and
+    bucketing is pure write-side overhead (measured r10 — see
+    `_BUCKET_MIN_BYTES`). Sessions that cannot ``saveAsTable`` fall
+    back automatically. Plan contract pinned in tests/test_graph_cc.py.
 
     CONVERGENCE BUDGET: real (web/link/co-occurrence) graphs converge
     in ~10–30 rounds (the paper's measurement; the repo's sf0.1
@@ -595,50 +771,50 @@ def core_numbers(
     """
     import shutil
 
-    from pyspark.sql import Observation, Window
+    from pyspark.sql import Observation
 
+    if iterations < 1:
+        raise ValueError("core_numbers: iterations must be >= 1")
     spark = edges.sparkSession
     root = _staged_round_root(stage_path, "dwbss-kc-")
     e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     # directed (both orientations) edge list, staged ONCE — every
-    # round joins against it
-    _directed(e).write.mode("overwrite").parquet(f"{root}/edges")
-    d = spark.read.parquet(f"{root}/edges")
-    labels = d.groupBy("a").agg(F.count(F.lit(1)).alias("val"))
-    w = Window.partitionBy("a").orderBy(F.desc("val"))
-    cur = None
-    prev_sig = None
-    for i in range(iterations):
-        nb = d.join(
-            labels.select(F.col("a").alias("b"), "val"), "b"
-        ).select("a", "val")
-        nxt_lab = (
-            nb.withColumn("rn", F.row_number().over(w))
-            .where(F.col("val") >= F.col("rn"))
-            .groupBy("a")
-            .agg(F.max("rn").cast("bigint").alias("val"))
-        )
-        nxt = f"{root}/r{i + 1}"
-        obs = Observation()
-        # double xor-hash signature — see connected_components
-        nxt_lab.observe(
-            obs,
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.expr("bit_xor(xxhash64(a, val))"), F.lit(0)
-            ).alias("h1"),
-            F.coalesce(
-                F.expr("bit_xor(xxhash64(val, a))"), F.lit(0)
-            ).alias("h2"),
-        ).write.mode("overwrite").parquet(nxt)
-        sig = (obs.get["n"], obs.get["h1"], obs.get["h2"])
-        if cur is not None:
-            shutil.rmtree(cur, ignore_errors=True)  # superseded round
-        cur = nxt
-        labels = spark.read.parquet(nxt)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+    # round joins against it; bucketed on the join key by default so
+    # the per-round join never re-shuffles it (module helper docstring)
+    d, drop_stage = _stage_static_side(
+        _directed(e), root, "edges", "b", bucketed=stage_bucketed
+    )
+    try:
+        labels = d.groupBy("a").agg(F.count(F.lit(1)).alias("val"))
+        cur = None
+        prev_sig = None
+        for i in range(iterations):
+            nxt_lab = _kcore_round(d, labels)
+            nxt = f"{root}/r{i + 1}"
+            obs = Observation()
+            # double xor-hash signature — see connected_components
+            nxt_lab.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.expr("bit_xor(xxhash64(a, val))"), F.lit(0)
+                ).alias("h1"),
+                F.coalesce(
+                    F.expr("bit_xor(xxhash64(val, a))"), F.lit(0)
+                ).alias("h2"),
+            ).write.mode("overwrite").parquet(nxt)
+            sig = (obs.get["n"], obs.get["h1"], obs.get["h2"])
+            if cur is not None:
+                shutil.rmtree(cur, ignore_errors=True)  # superseded round
+            cur = nxt
+            labels = spark.read.parquet(nxt)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+    finally:
+        # the returned frame is backed by round parquet alone, so the
+        # staged edge table's catalog entry can go now
+        drop_stage()
     return labels.select(
         F.col("a").alias("node"), F.col("val").alias("core")
     )
