@@ -732,27 +732,30 @@ HAVING count(*) >= {_T17_MIN_COUNT}
 # e02 — embedding outlier filter: trim the norm-band tails
 # --------------------------------------------------------------------------
 _E02_TAIL = 0.05
+#: above this on-disk footprint of the embeddings table, e02 swaps its
+#: global exact-rank window (single-partition sort — the one
+#: scale-killer the r9 verdict flagged) for the two-sided
+#: percentile_approx band filter below. The sf0.01/sf0.1/sf1 fixtures
+#: are far under it, so the driver spec stays EXACT vs the oracle; the
+#: approx-vs-exact tracking is pinned in tests/test_curation_ext.py.
+_E02_APPROX_MIN_BYTES = 2 << 30
 
 
-def e02_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curation signal for embedding corpora: near-zero norms are dead
-    encodes, extreme norms are exploded ones — drop both 5% tails by
-    exact rank over the (rounded) L2 norm. Rounding BEFORE ranking
-    makes the order — and therefore the cut — identical cross-engine;
-    ties break on vec_id.
-
-    One window over (norm, vec_id): the same exact-rank shape as t16,
-    with the approx-percentile swap (`quantile_filter_approx`)
-    available when a 100 TB corpus makes the windowed sort the
-    bottleneck."""
-    from pyspark.sql import Window
-
+def _e02_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import _as_double, norm
 
     emb = load(spark, sf_dir, "embeddings")
-    staged = emb.select(
+    return emb.select(
         "vec_id", F.round(norm(_as_double("embedding")), 6).alias("l2_norm")
     )
+
+
+def _e02_trim_exact(staged: DataFrame) -> DataFrame:
+    """Drop exactly floor(n*tail) rows off each end by global rank
+    (ties broken on vec_id) — deterministic, oracle-replayable, and a
+    single-partition sort: the sf<=1 reference path."""
+    from pyspark.sql import Window
+
     w = Window.orderBy(F.asc("l2_norm"), F.asc("vec_id"))
     wc = Window.partitionBy()
     ranked = staged.withColumn("_rk", F.row_number().over(w)).withColumn(
@@ -763,6 +766,68 @@ def e02_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.where((F.col("_rk") > cut) & (F.col("_rk") <= F.col("_n") - cut))
         .select("vec_id", "l2_norm")
     )
+
+
+def _e02_trim_approx(staged: DataFrame, accuracy: int = 10_000) -> DataFrame:
+    """The 100 TB form (`quantile_filter_approx`'s two-sided sibling):
+    ONE map-side-combined percentile_approx pass yields both tail cut
+    values, then a broadcast join + stateless band filter — no global
+    sort anywhere. Semantics match the exact form up to sketch error
+    at the cut values, and ties AT a cut are kept (the exact form cuts
+    a precise count); that boundary sliver is the accepted trade."""
+    cuts = staged.agg(
+        F.percentile_approx(
+            "l2_norm", F.array(F.lit(_E02_TAIL), F.lit(1.0 - _E02_TAIL)),
+            F.lit(accuracy),
+        ).alias("_c")
+    ).select(F.col("_c")[0].alias("_lo"), F.col("_c")[1].alias("_hi"))
+    return (
+        staged.join(F.broadcast(cuts))
+        .where(
+            (F.col("l2_norm") >= F.col("_lo"))
+            & (F.col("l2_norm") <= F.col("_hi"))
+        )
+        .select("vec_id", "l2_norm")
+    )
+
+
+def e02_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation signal for embedding corpora: near-zero norms are dead
+    encodes, extreme norms are exploded ones — drop both 5% tails of
+    the (rounded) L2 norm. Rounding BEFORE ranking makes the order —
+    and therefore the cut — identical cross-engine.
+
+    TWO TIERS, switched on the table's on-disk footprint (a metadata
+    stat, no extra job — VERDICT r9 item 4, the h04 sketch-vs-exact
+    pattern): under `_E02_APPROX_MIN_BYTES` (every driver fixture) the
+    exact global-rank window runs and the spec is EXACT vs the oracle;
+    above it (or with SPARK_GRAFT_E02_APPROX_MIN_BYTES lowered) the
+    two-sided percentile_approx band filter runs instead, because a
+    global row_number window single-partitions the corpus. The
+    approx-vs-exact divergence is pinned tie-only in pytest."""
+    import os as _os
+    from pathlib import Path as _Path
+
+    staged = _e02_staged(spark, sf_dir)
+    min_bytes = int(
+        _os.environ.get(
+            "SPARK_GRAFT_E02_APPROX_MIN_BYTES", _E02_APPROX_MIN_BYTES
+        )
+    )
+    try:
+        p = _Path(sf_dir, "embeddings.parquet")
+        size = (
+            p.stat().st_size
+            if p.is_file()
+            else sum(
+                f.stat().st_size for f in p.rglob("*") if f.is_file()
+            )
+        )
+    except OSError:
+        size = 0  # non-local storage: stay exact (the conservative tier)
+    if size >= min_bytes:
+        return _e02_trim_approx(staged)
+    return _e02_trim_exact(staged)
 
 
 E02_SQL = f"""
