@@ -104,6 +104,13 @@ try:  # round-9 extensions (k-core decomposition)
 except ImportError:
     pass
 
+try:  # round-10 extensions (HyperBall tolerance spec, dup-span removal)
+    from datawarehouse_backup_system_spark.queries import round10_ext
+
+    _ALL_SPECS += list(round10_ext.SPECS)
+except ImportError:
+    pass
+
 
 def _staleness_key(name: str) -> int:
     """Rotation priority from the CORRECTNESS_r{N}.json history.

@@ -34,6 +34,7 @@ from datawarehouse_backup_system_spark.queries import (  # noqa: E402
     round7_ext,
     round8_ext,
     round9_ext,
+    round10_ext,
     scale_ext,
 )
 from datawarehouse_backup_system_spark.session import get_spark  # noqa: E402
@@ -240,6 +241,7 @@ def main() -> int:
         + round7_ext.SPECS
         + round8_ext.SPECS
         + round9_ext.SPECS
+        + round10_ext.SPECS
     }
     # crashed-run strays first (pid-liveness-gated, shared lifecycle)
     from datawarehouse_backup_system_spark.scratch import sweep_stale_scratch

@@ -710,3 +710,96 @@ def dup_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated n-token span REMOVAL (the fix to the
+    problem :func:`dup_spans` measures — VERDICT r9 item 5).
+
+    Public method lineage: "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al., 2022) CUTS duplicated substrings from
+    the corpus, keeping one occurrence. The distributed approximation
+    here works on rolling n-token spans (stride 1, the dup_spans
+    shape): a span held by ≥2 DISTINCT documents keeps the copy in its
+    CANONICAL holder (MIN id — the repo's dedup convention) and is cut
+    from every other holder; a document's kept tokens are re-joined in
+    original order. Canonicality is doc-level per span: the canonical
+    doc keeps all its occurrences of that span, non-canonical docs drop
+    all of theirs. Overlapping cut spans union naturally at the token
+    level. In-doc-only repeats (one holder) are NOT cut — cross-doc
+    semantics, matching dup_spans' "≥2 distinct docs".
+
+    Output per input row: ``(id, n_tokens, n_removed, text_clean)``
+    where text_clean is whitespace-NORMALIZED (tokens re-joined with
+    single spaces — the same canonicalization every span op applies).
+
+    Shuffle inventory (100 TB): explode to one row per span hash
+    (linear, never pairs), ONE groupBy(span hash) computing (distinct
+    docs, min doc) map-side-combined, ONE join back on the hash, ONE
+    per-doc collect_set of cut START OFFSETS (bounded by the doc's own
+    span count, never corpus-sized), then a single expression-level
+    array filter rebuilds the text — no per-token shuffle, no window.
+    The per-token coverage test is O(tokens × cut-starts) inside the
+    row; for document-scale rows that is the cheap trade against
+    shuffling one row per token. Only 56-bit md5 span hashes shuffle
+    (`hashing.md5_prefix_long` — the cross-engine recipe), never span
+    text; a cross-text collision is the accepted 2^-56-scale error.
+    """
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    # span-hash array built INSIDE the expression; guard inside
+    # when/otherwise, not .where() — see dup_spans (predicate-reorder
+    # safety), same construction
+    span_arr = toks.select(
+        F.col(id_col),
+        "_t",
+        F.when(
+            F.size("_t") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - n),
+                lambda i: md5_prefix_long(
+                    F.concat_ws(" ", F.slice(F.col("_t"), i + 1, n))
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("_hs"),
+    )
+    spans = span_arr.select(
+        F.col(id_col), F.posexplode("_hs").alias("_start", "span_h")
+    )
+    per_span = spans.groupBy("span_h").agg(
+        F.countDistinct(F.col(id_col)).alias("_docs"),
+        F.min(F.col(id_col)).alias("_canon"),
+    )
+    cut_starts = (
+        spans.join(per_span, "span_h")
+        .where((F.col("_docs") >= 2) & (F.col(id_col) != F.col("_canon")))
+        .groupBy(id_col)
+        .agg(F.collect_set("_start").alias("_cuts"))
+    )
+    with_cuts = span_arr.join(cut_starts, id_col, "left").select(
+        F.col(id_col),
+        "_t",
+        F.coalesce(F.col("_cuts"), F.array().cast("array<int>")).alias(
+            "_cuts"
+        ),
+    )
+    # token at 0-based position p survives iff NO cut span [s, s+n)
+    # covers it — array filter with index, order-preserving
+    kept = F.filter(
+        F.col("_t"),
+        lambda tok, p: ~F.exists(
+            F.col("_cuts"), lambda s: (s <= p) & (p < s + F.lit(n))
+        ),
+    )
+    return with_cuts.select(
+        F.col(id_col),
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("text_clean"),
+    )

@@ -1,0 +1,246 @@
+"""Round-10 extension specs: HyperBall neighborhood function under an
+exact-BFS tolerance oracle (g06) and ExactSubstr duplicated-span
+REMOVAL (t33).
+
+g06 promotes the r9 HyperBall implementation
+(`operators/graph.py:neighborhood_function`) from pytest-only evidence
+to a driver spec (VERDICT r9 item 1) using the q30/q44 pattern for
+engine-specific estimators: the Spark side computes BOTH the HLL-sketch
+estimate AND the exact radius-capped BFS neighborhood count in one
+query, emitting the exact counts plus an ``est_ok`` tolerance boolean;
+the DuckDB oracle replays the exact BFS (unrolled distinct-pair
+expansion — radius 3 on a lag-1 session-succession graph stays linear,
+ball ≤ 2r+1 on chains) and asserts the same flags TRUE. On ball sizes
+this small the DataSketches HLL is in sparse (exact) mode, so the flags
+are deterministically true; the tolerance (max(1, 5%)) is the
+documented estimator contract, not the observed error.
+
+t33 closes the measure→fix gap in the text-dedup family (VERDICT r9
+item 5): t21/`dup_spans` COUNTS cross-document duplicated 8-token
+spans; `operators/text.py:remove_dup_spans` CUTS them from every
+non-canonical holder (Lee et al. 2022 semantics, distributed
+rolling-span approximation). The oracle replays span hashing, canonical
+selection, token-level coverage and ordered reconstruction with
+unnest + string_agg(... ORDER BY).
+
+Reference analog: none (the daemon has no graph analytics and no text
+dedup); extends §2.6 the way g03/g04/g05 and t21 do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import text
+from ..operators.graph import _canon, _directed, neighborhood_function
+from .base import QuerySpec, load
+
+# --------------------------------------------------------------------------
+# g06 — HyperBall neighborhood function vs exact BFS (tolerance oracle)
+# --------------------------------------------------------------------------
+#: session gap (12 h), exact integer microseconds on both engines (g03/g05)
+_G06_GAP_US = 43_200 * 1_000_000
+_G06_RADIUS = 3
+#: quarter of the users: bounds the oracle's unrolled pair expansion as
+#: sf grows while keeping thousands of real chain edges
+_G06_USER_MOD = 4
+
+
+def _g06_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) lag-1 session-succession edges over a quarter of the
+    users — ONE user-window pass (the g04/g05 build, single lag)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") % _G06_USER_MOD == 0)
+        .select("event_id", "user_id", "ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    succ = ev.select(
+        F.col("event_id").alias("dst"),
+        F.lag("event_id").over(w).alias("src"),
+        (us - F.lag(us).over(w)).alias("_gap_us"),
+    )
+    return succ.where(
+        F.col("src").isNotNull() & (F.col("_gap_us") <= _G06_GAP_US)
+    ).select("src", "dst")
+
+
+def g06_hyperball_neighborhood(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-node neighborhood function to radius 3: exact BFS counts
+    (hash-compared against the oracle's unrolled expansion) plus the
+    HyperBall estimate's tolerance flag. The BFS pair set stays linear
+    on this chain-like graph (ball ≤ 2r+1); the HyperBall side is the
+    real staged-sketch machinery — per-node state one 2^12-register
+    HLL regardless of reach, the 100 TB shape exact BFS cannot take
+    (n² frontier state). Early sketch saturation (possible on short
+    chains) is filled forward from the node's last emitted radius —
+    a saturated ball is constant by definition."""
+    e = _canon(
+        _g06_edges(spark, sf_dir).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        )
+    )
+    d = _directed(e)
+    nodes = d.select(F.col("a").alias("v")).distinct()
+    # exact BFS: distinct reachable-pair expansion, radius 0..R.
+    # Disjoint join-side names (_ja/_jb): `pairs` accumulates d's
+    # lineage after round 1, so d["b"] would be an ambiguous self-join
+    dj = d.select(F.col("a").alias("_ja"), F.col("b").alias("_jb"))
+    pairs = nodes.select("v", F.col("v").alias("u"))
+    per_radius = [
+        pairs.groupBy("v").agg(F.count(F.lit(1)).alias("n_reachable"))
+        .select("v", F.lit(0).alias("radius"), "n_reachable")
+    ]
+    for r in range(1, _G06_RADIUS + 1):
+        pairs = pairs.unionByName(
+            pairs.join(dj, F.col("u") == F.col("_ja")).select(
+                "v", F.col("_jb").alias("u")
+            )
+        ).distinct()
+        per_radius.append(
+            pairs.groupBy("v").agg(F.count(F.lit(1)).alias("n_reachable"))
+            .select("v", F.lit(r).alias("radius"), "n_reachable")
+        )
+    exact = per_radius[0]
+    for frame in per_radius[1:]:
+        exact = exact.unionByName(frame)
+    # HyperBall estimates; saturation fill-forward per node
+    nf = neighborhood_function(
+        _g06_edges(spark, sf_dir), max_radius=_G06_RADIUS
+    )
+    wlast = Window.partitionBy("node").orderBy(F.desc("radius"))
+    last = (
+        nf.withColumn("_rn", F.row_number().over(wlast))
+        .where(F.col("_rn") == 1)
+        .select("node", F.col("n_reachable_est").alias("_last_est"))
+    )
+    est = exact.join(
+        nf.withColumnRenamed("node", "v"), ["v", "radius"], "left"
+    ).join(last.withColumnRenamed("node", "v"), "v")
+    filled = F.coalesce(F.col("n_reachable_est"), F.col("_last_est"))
+    tol = F.greatest(F.lit(1.0), F.lit(0.05) * F.col("n_reachable"))
+    return est.select(
+        F.col("v").alias("event_id"),
+        "radius",
+        F.col("n_reachable").cast("bigint").alias("n_reachable"),
+        (F.abs(filled - F.col("n_reachable")) <= tol).alias("est_ok"),
+    )
+
+
+G06_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE user_id % {_G06_USER_MOD} = 0
+),
+succ AS (
+  SELECT lag(event_id) OVER w AS src, event_id AS dst,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+canon AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM succ
+  WHERE src IS NOT NULL AND gap_us <= {_G06_GAP_US} AND src <> dst
+),
+d AS (SELECT lo AS a, hi AS b FROM canon
+      UNION ALL SELECT hi, lo FROM canon),
+nodes AS (SELECT DISTINCT a AS v FROM d),
+p0 AS (SELECT v, v AS u FROM nodes),
+p1 AS (SELECT DISTINCT v, u FROM (
+  SELECT v, u FROM p0
+  UNION ALL SELECT p0.v, d.b AS u FROM p0 JOIN d ON p0.u = d.a)),
+p2 AS (SELECT DISTINCT v, u FROM (
+  SELECT v, u FROM p1
+  UNION ALL SELECT p1.v, d.b AS u FROM p1 JOIN d ON p1.u = d.a)),
+p3 AS (SELECT DISTINCT v, u FROM (
+  SELECT v, u FROM p2
+  UNION ALL SELECT p2.v, d.b AS u FROM p2 JOIN d ON p2.u = d.a))
+SELECT v AS event_id, CAST(r AS INT) AS radius,
+       CAST(n AS BIGINT) AS n_reachable, TRUE AS est_ok
+FROM (
+  SELECT v, 0 AS r, count(*) AS n FROM p0 GROUP BY v
+  UNION ALL SELECT v, 1, count(*) FROM p1 GROUP BY v
+  UNION ALL SELECT v, 2, count(*) FROM p2 GROUP BY v
+  UNION ALL SELECT v, 3, count(*) FROM p3 GROUP BY v
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# t33 — duplicated-span removal (the fix to what t21 measures)
+# --------------------------------------------------------------------------
+_T33_N = 8
+
+
+def t33_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.text.remove_dup_spans over the t21 fixture slice:
+    every 8-token span held by ≥2 distinct docs is cut from all
+    non-canonical (non-MIN-id) holders; kept tokens re-join in
+    original order. doc_id < 500 bounds oracle cost as sf grows
+    (the t21 convention)."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return text.remove_dup_spans(docs, "doc_id", "text", n=_T33_N)
+
+
+T33_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE doc_id < 500
+),
+spans AS (
+  SELECT doc_id, i AS start,
+         ('0x' || substr(md5(array_to_string(t[i+1:i+{_T33_N}], ' ')),
+                         1, 14))::BIGINT AS span_h
+  FROM d, UNNEST(range(len(t) - {_T33_N - 1})) AS u(i)
+  WHERE len(t) >= {_T33_N}
+),
+per_span AS (
+  SELECT span_h, COUNT(DISTINCT doc_id) AS docs, MIN(doc_id) AS canon
+  FROM spans GROUP BY span_h
+),
+cov AS (
+  SELECT DISTINCT s.doc_id, s.start + q.j AS p
+  FROM spans s
+  JOIN per_span ps USING (span_h), UNNEST(range({_T33_N})) AS q(j)
+  WHERE ps.docs >= 2 AND s.doc_id <> ps.canon
+),
+pos AS (
+  SELECT doc_id, u.p, t[u.p + 1] AS tok
+  FROM d, UNNEST(range(len(t))) AS u(p)
+),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.tok
+  FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+  WHERE cov.p IS NULL
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d2.doc_id,
+       CAST(len(d2.t) AS BIGINT) AS n_tokens,
+       CAST(len(d2.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(a.text_clean, '') AS text_clean
+FROM d AS d2 LEFT JOIN agg a USING (doc_id)
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "g06_hyperball_neighborhood", g06_hyperball_neighborhood, G06_SQL,
+        "HyperBall per-node neighborhood function to radius 3 vs the "
+        "exact BFS counts (tolerance-boolean oracle, q30 pattern) over "
+        "the lag-1 session succession graph",
+    ),
+    QuerySpec(
+        "t33_remove_dup_spans", t33_remove_dup_spans, T33_SQL,
+        "cross-document duplicated 8-token span REMOVAL (canonical "
+        "holder keeps, others cut; order-preserving reconstruction); "
+        "oracle replays hashing, coverage and ordered re-join",
+    ),
+]
