@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datawarehouse_backup_system_spark.operators.hashing import row_hash_col
+from datawarehouse_backup_system_spark.operators.text import tokens as _tokens
 
 
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
@@ -84,11 +85,24 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     # Stage the token array once: higher-order functions are interpreted
     # (no codegen / no common-subexpression elimination), so referencing
     # the raw split() inside the transform lambda would re-split the text
-    # per element. Also repartition so the explode uses all cores even
-    # when the source is a single small file.
+    # per element. Repartition ONLY when the source has fewer partitions
+    # than cores (a single small file — the local/test shape), so the
+    # explode parallelizes; a corpus-sized input already carries
+    # thousands of scan partitions, and the old unconditional
+    # repartition was a full corpus shuffle (all columns, text
+    # included) that also COLLAPSED partition count at 100 TB —
+    # contradicting contamination's "one linear pass, no corpus-side
+    # shuffle" contract (review r10). getNumPartitions is plan
+    # metadata, no job.
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    staged = df.repartition(n_parts).select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    try:
+        cur_parts = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — exotic plans: keep the safe path
+        cur_parts = n_parts
+    if cur_parts < n_parts:
+        df = df.repartition(n_parts)
+    staged = df.select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
     )
     toks = F.col("_toks")
     # n parallel slices zipped, then a trivial concat lambda: ~3× faster
@@ -210,7 +224,7 @@ def lsh_candidate_pairs(
 
 def jaccard_pairs(
     pairs: DataFrame, shingles: DataFrame, id_col: str,
-    broadcast_pairs: bool = True,
+    broadcast_pairs: bool = False,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs: |A∩B| via shingle equi-join,
     |A∪B| = |A|+|B|-|A∩B|. Only candidate pairs are scored — the
@@ -218,8 +232,12 @@ def jaccard_pairs(
 
     ``broadcast_pairs`` must be True ONLY when something bounds the
     candidate set (a hot-bucket cap): forcing a broadcast of an
-    uncapped O(B²) pair set through the driver is the OOM path —
-    uncapped callers pass False and let AQE choose the strategy."""
+    uncapped O(B²) pair set through the driver is the OOM path. The
+    DEFAULT is therefore False — AQE chooses the strategy — because a
+    default must be safe for the caller who read nothing (review r10:
+    the uncapped llm_ops pair build rode the old True default straight
+    into the documented OOM path). minhash_lsh_dedup passes True
+    exactly when its hot-bucket cap bounds the set."""
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sh_a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
@@ -444,7 +462,7 @@ def simhash(
     tok = (
         df.select(
             F.col(id_col),
-            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+            F.explode(_tokens(F.col(text_col))).alias("token"),
         )
         .withColumn("h", F.md5(F.col("token")))
     )
@@ -486,7 +504,7 @@ def simhash_expr(text_col: Column, bits: int = 16) -> Column:
     """
     assert bits % 4 == 0 and 4 <= bits <= 60
     hashes = F.transform(
-        F.split(F.trim(text_col), r"\s+"), lambda t: F.md5(t)
+        _tokens(text_col), lambda t: F.md5(t)
     )
 
     def _bits(h: Column) -> Column:

@@ -111,10 +111,22 @@ def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     nonzero languages resolves to the alphabetically-FIRST of them —
     deterministic, and exactly what the DuckDB oracle's CASE cascade
     replays (the driver hash pins this tie rule)."""
-    t = F.col(text_col)
-    hits = {lang: stopword_hits(t, lang) for lang in STOPWORDS}
-    out = df.select(
-        F.col(id_col), *[h.alias(f"hits_{lang}") for lang, h in hits.items()]
+    # tokenize ONCE and filter the staged array per language (review
+    # r10: stopword_hits re-split the full text per language — 4x the
+    # tokenization CPU; HOFs are interpreted, no CSE)
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    out = staged.select(
+        F.col(id_col),
+        *[
+            F.size(
+                F.filter(
+                    F.col("_toks"), lambda tk: tk.isin(*STOPWORDS[lang])
+                )
+            ).alias(f"hits_{lang}")
+            for lang in STOPWORDS
+        ],
     )
     langs = sorted(STOPWORDS)
     best = None
@@ -148,22 +160,27 @@ def pii_scrub(
     (regexp_replace / regexp_extract_all), linear, codegen'd.
     """
     t = F.col(text_col)
-    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), LONG_NUMBER_RE, "<NUM>"
+    # stage the email-masked text ONCE (review r10: it fed both the
+    # final scrub and the number count as two separate regexp_replace
+    # subtrees — a second full regex pass over every document)
+    masked = df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>").alias("_masked"),
     )
     # count numbers AFTER email masking: an email's digit run must not
     # double-count (the replacement order fixes the semantics)
-    n_numbers = F.size(
-        F.regexp_extract_all(
-            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), F.lit(LONG_NUMBER_RE), 0
-        )
-    )
-    return df.select(
+    return masked.select(
         F.col(id_col),
-        scrubbed.alias("scrubbed_text"),
-        n_emails.alias("n_emails"),
-        n_numbers.alias("n_numbers"),
+        F.regexp_replace(F.col("_masked"), LONG_NUMBER_RE, "<NUM>").alias(
+            "scrubbed_text"
+        ),
+        "n_emails",
+        F.size(
+            F.regexp_extract_all(F.col("_masked"), F.lit(LONG_NUMBER_RE), 0)
+        ).alias("n_numbers"),
     )
 
 
@@ -352,8 +369,14 @@ def line_dedup(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), dq)).alias("pos", "line"),
     ).withColumn("lh", F.md5(F.col("line")))
+    # empty/whitespace-only lines are EXEMPT from the document-frequency
+    # rule (review r10): blank lines are paragraph separators, and the
+    # md5('') of consecutive/trailing delimiters appears in nearly every
+    # document — the old rule silently merged paragraphs corpus-wide.
+    # CCNet-style passes exempt trivial lines for exactly this reason.
     boiler = (
-        lines.groupBy("lh")
+        lines.where(F.trim(F.col("line")) != "")
+        .groupBy("lh")
         .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
         .where(F.col("line_df") >= min_df)
         .select("lh")
@@ -397,8 +420,6 @@ def vocab_topk(
     selects would re-scan and re-tokenize the whole corpus per branch
     (the measured union-double-eval lesson).
     """
-    from pyspark.sql import Window
-
     arr = df.select(tokens(F.col(text_col)).alias("t"))
     toks = F.col("t")
     structs = F.transform(
@@ -452,8 +473,6 @@ def tfidf_top_terms(
     the join key is the term itself so skew follows Zipf (AQE
     skew-split handles the head terms).
     """
-    from pyspark.sql import Window
-
     tf = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
         .groupBy(id_col, "term")
@@ -734,6 +753,19 @@ def remove_dup_spans(
     level. In-doc-only repeats (one holder) are NOT cut — cross-doc
     semantics, matching dup_spans' "≥2 distinct docs".
 
+    CANONICAL PROTECTION (review r10): a token covered by any
+    duplicated span for which THIS doc is the canonical holder is
+    IMMUNE to cuts from overlapping non-canonical spans. Without it,
+    overlapping duplicated spans with different canonical docs could
+    destroy every intact copy of a substring corpus-wide (doc A canon
+    for S, doc B canon for overlapping S′: cutting S from B can bite
+    into B's only protected copy of S′). With protection, the
+    canonical occurrence's tokens are contiguous and all kept, so at
+    least one intact copy of every duplicated span survives — the Lee
+    et al. guarantee. The cost of protection is that a protected
+    non-canonical overlap survives partially; removal is a superset
+    of zero and a subset of the unprotected cut, never content-lossy.
+
     Output per input row: ``(id, n_tokens, n_removed, text_clean)``
     where text_clean is whitespace-NORMALIZED (tokens re-joined with
     single spaces — the same canonicalization every span op applies).
@@ -776,26 +808,37 @@ def remove_dup_spans(
         F.countDistinct(F.col(id_col)).alias("_docs"),
         F.min(F.col(id_col)).alias("_canon"),
     )
-    cut_starts = (
-        spans.join(per_span, "span_h")
-        .where((F.col("_docs") >= 2) & (F.col(id_col) != F.col("_canon")))
-        .groupBy(id_col)
-        .agg(F.collect_set("_start").alias("_cuts"))
+    marks = spans.join(per_span, "span_h").where(F.col("_docs") >= 2)
+    # per doc: cut-span starts (non-canonical holds) and protect-span
+    # starts (canonical holds) — both bounded by the doc's own span
+    # count, one groupBy over the same marked frame
+    start_sets = marks.groupBy(id_col).agg(
+        F.collect_set(
+            F.when(F.col(id_col) != F.col("_canon"), F.col("_start"))
+        ).alias("_cuts"),
+        F.collect_set(
+            F.when(F.col(id_col) == F.col("_canon"), F.col("_start"))
+        ).alias("_keeps"),
     )
-    with_cuts = span_arr.join(cut_starts, id_col, "left").select(
+    empty = F.array().cast("array<int>")
+    with_cuts = span_arr.join(start_sets, id_col, "left").select(
         F.col(id_col),
         "_t",
-        F.coalesce(F.col("_cuts"), F.array().cast("array<int>")).alias(
-            "_cuts"
-        ),
+        F.coalesce(F.col("_cuts"), empty).alias("_cuts"),
+        F.coalesce(F.col("_keeps"), empty).alias("_keeps"),
     )
-    # token at 0-based position p survives iff NO cut span [s, s+n)
-    # covers it — array filter with index, order-preserving
+
+    def _covers(arr: str):
+        return lambda p: F.exists(
+            F.col(arr), lambda s: (s <= p) & (p < s + F.lit(n))
+        )
+
+    # token at 0-based position p survives iff protected by a canonical
+    # span, or covered by no cut span — array filter with index,
+    # order-preserving
     kept = F.filter(
         F.col("_t"),
-        lambda tok, p: ~F.exists(
-            F.col("_cuts"), lambda s: (s <= p) & (p < s + F.lit(n))
-        ),
+        lambda tok, p: _covers("_keeps")(p) | ~_covers("_cuts")(p),
     )
     return with_cuts.select(
         F.col(id_col),

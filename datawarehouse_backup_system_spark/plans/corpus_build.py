@@ -181,7 +181,7 @@ def build_training_corpus(
     # (md5, seq_id) order) — otherwise (shard, local_bin, offset) are
     # coordinates into a layout no file has (review r8).
     with_tokens = exported.withColumn(
-        "n_tokens", F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        "n_tokens", F.size(text.tokens(F.col(text_col)))
     )
     from ..operators.shards import shard_id_expr
 

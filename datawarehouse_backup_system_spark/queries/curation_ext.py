@@ -106,7 +106,7 @@ lines AS (
                              i -> {{'pos': i, 'line': ls[i+1]}})) u(s)
 ),
 boiler AS (
-  SELECT lh FROM lines GROUP BY lh
+  SELECT lh FROM lines WHERE trim(line) <> '' GROUP BY lh
   HAVING count(DISTINCT doc_id) >= {_T11_MIN_DF}
 ),
 kept AS (

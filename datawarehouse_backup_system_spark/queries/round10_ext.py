@@ -202,11 +202,22 @@ per_span AS (
   SELECT span_h, COUNT(DISTINCT doc_id) AS docs, MIN(doc_id) AS canon
   FROM spans GROUP BY span_h
 ),
-cov AS (
+cutpos AS (
   SELECT DISTINCT s.doc_id, s.start + q.j AS p
   FROM spans s
   JOIN per_span ps USING (span_h), UNNEST(range({_T33_N})) AS q(j)
   WHERE ps.docs >= 2 AND s.doc_id <> ps.canon
+),
+protpos AS (
+  SELECT DISTINCT s.doc_id, s.start + q.j AS p
+  FROM spans s
+  JOIN per_span ps USING (span_h), UNNEST(range({_T33_N})) AS q(j)
+  WHERE ps.docs >= 2 AND s.doc_id = ps.canon
+),
+cov AS (
+  SELECT doc_id, p FROM cutpos
+  EXCEPT
+  SELECT doc_id, p FROM protpos
 ),
 pos AS (
   SELECT doc_id, u.p, t[u.p + 1] AS tok

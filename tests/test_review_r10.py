@@ -117,3 +117,94 @@ def test_lease_release_eexist_still_displaces(tmp_path, monkeypatch):
     assert lease_path.read_text() == "newer"  # newer holder untouched
     displaced = list(tmp_path.glob("*.displaced.*"))
     assert len(displaced) == 1 and displaced[0].read_text() == "thief"
+
+
+# ---- round-10 review pass 1: text.py / dedup_approx.py ---------------------
+
+
+def test_jaccard_pairs_default_is_aqe_safe():
+    """Review r10: the True default broadcast a potentially uncapped
+    O(B²) candidate set through the driver — the documented OOM path —
+    and the uncapped llm_ops caller relied on the default."""
+    import inspect
+
+    from datawarehouse_backup_system_spark.operators.dedup_approx import (
+        jaccard_pairs,
+    )
+
+    sig = inspect.signature(jaccard_pairs)
+    assert sig.parameters["broadcast_pairs"].default is False
+
+
+def test_word_shingles_no_corpus_shuffle_when_partitioned(spark):
+    """Review r10: word_shingles unconditionally repartitioned the full
+    input (a corpus shuffle of all columns that also collapsed partition
+    count at scale). It must repartition ONLY when the source has fewer
+    partitions than cores."""
+    from datawarehouse_backup_system_spark.operators.dedup_approx import (
+        word_shingles,
+    )
+
+    n_par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 2000, 1, n_par * 2).selectExpr(
+        "id as doc_id", "concat('tok', id % 7, ' a b c d') as text"
+    )
+    plan = word_shingles(wide, "doc_id", "text", 3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "RoundRobinPartitioning" not in plan, plan
+    narrow = spark.range(0, 100, 1, 1).selectExpr(
+        "id as doc_id", "concat('tok', id % 7, ' a b c d') as text"
+    )
+    plan2 = word_shingles(narrow, "doc_id", "text", 3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan2, plan2
+
+
+def test_line_dedup_blank_lines_are_exempt(spark):
+    """Review r10: the md5('') of blank paragraph separators appears in
+    nearly every document, so the old document-frequency rule stripped
+    them corpus-wide, silently merging paragraphs."""
+    from datawarehouse_backup_system_spark.operators.text import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "intro\n\nbody one"), (2, "other\n\nbody two")],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: (r["n_kept"], r["clean_text"])
+        for r in line_dedup(df, "id", "text", min_df=2).collect()
+    }
+    assert got[1] == (3, "intro\n\nbody one")
+    assert got[2] == (3, "other\n\nbody two")
+
+
+def test_pii_scrub_masks_email_once_in_plan(spark):
+    """Review r10: the email mask was evaluated twice per row (once for
+    the scrub, once for the number count). The staged plan carries
+    exactly two regexp_replace calls: one email mask + one number mask."""
+    from datawarehouse_backup_system_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co and 123456789012 end")], "id int, text string"
+    )
+    out = pii_scrub(df, "id", "text")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("regexp_replace") == 2, plan
+    r = out.collect()[0]
+    assert r["scrubbed_text"] == "mail <EMAIL> and <NUM> end"
+    assert (r["n_emails"], r["n_numbers"]) == (1, 1)
+
+
+def test_langid_tokenizes_once_in_plan(spark):
+    """Review r10: langid re-split the text once per language (4x the
+    tokenization CPU, HOFs are interpreted). The staged plan splits
+    exactly once."""
+    from datawarehouse_backup_system_spark.operators.text import langid
+
+    df = spark.createDataFrame(
+        [(1, "the a of and le la el der")], "id int, text string"
+    )
+    out = langid(df, "id", "text")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(trim(") == 1, plan
+    assert out.collect()[0]["predicted_lang"] == "en"

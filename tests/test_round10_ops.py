@@ -10,7 +10,8 @@ from pyspark.sql import functions as F
 
 def _simulate_remove(docs: dict[int, str], n: int) -> dict[int, tuple]:
     """Brute-force reference: span→holders map on TEXTS (no hashing),
-    canonical = min id, token-level coverage, ordered reconstruction."""
+    canonical = min id, token-level coverage with canonical protection,
+    ordered reconstruction."""
     toks = {d: t.strip().split() if t.strip() else [""] for d, t in docs.items()}
     holders: dict[str, set[int]] = {}
     for d, ts in toks.items():
@@ -18,13 +19,14 @@ def _simulate_remove(docs: dict[int, str], n: int) -> dict[int, tuple]:
             holders.setdefault(" ".join(ts[i : i + n]), set()).add(d)
     out = {}
     for d, ts in toks.items():
-        cut = set()
+        cut: set[int] = set()
+        protect: set[int] = set()
         for i in range(len(ts) - n + 1):
             span = " ".join(ts[i : i + n])
             hs = holders[span]
-            if len(hs) >= 2 and d != min(hs):
-                cut.update(range(i, i + n))
-        kept = [t for p, t in enumerate(ts) if p not in cut]
+            if len(hs) >= 2:
+                (protect if d == min(hs) else cut).update(range(i, i + n))
+        kept = [t for p, t in enumerate(ts) if p not in cut - protect]
         out[d] = (len(ts), len(ts) - len(kept), " ".join(kept))
     return out
 
@@ -79,6 +81,34 @@ def test_remove_dup_spans_canonical_and_edges(spark):
     assert got[20] == (8, "head")
     assert got[30] == (0, "too short")
     assert got[40] == (0, "")
+
+
+def test_remove_dup_spans_canonical_protection(spark):
+    """Review r10: overlapping duplicated spans with DIFFERENT canonical
+    docs must not destroy every intact copy — the canonical holder's
+    occurrence is immune to cuts from overlapping non-canonical spans.
+    doc2 is canonical for 'y1 z1..z7' but non-canonical for
+    'x1..x7 y1'; its y1 must survive so the corpus keeps one intact
+    copy of the z-span."""
+    from datawarehouse_backup_system_spark.operators.text import (
+        remove_dup_spans,
+    )
+
+    doc1 = "x1 x2 x3 x4 x5 x6 x7 y1"
+    doc2 = "x1 x2 x3 x4 x5 x6 x7 y1 z1 z2 z3 z4 z5 z6 z7"
+    doc3 = "y1 z1 z2 z3 z4 z5 z6 z7"
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_removed"], r["text_clean"])
+        for r in remove_dup_spans(df, "doc_id", "text", n=8).collect()
+    }
+    assert got[1] == (0, doc1)  # canonical for the x-span
+    assert got[2] == (7, "y1 z1 z2 z3 z4 z5 z6 z7")  # x cut, z protected
+    assert got[3] == (8, "")  # non-canonical everywhere
+    # the intact z-span survives in exactly its canonical holder
+    assert "y1 z1 z2 z3 z4 z5 z6 z7" in got[2][1]
 
 
 def test_g06_saturation_fill_forward(spark):
