@@ -162,19 +162,18 @@ def pagerank(
     )
     drop_stage = lambda: None  # noqa: E731
     if staged:
-        import shutil
-
         from pyspark.sql import Observation
 
         spark = edges.sparkSession
-        root = _staged_round_root(stage_path, "dwbss-pr-")
-        # norm_e is round-invariant: bucketed on the per-round join key
-        # so no round ever re-shuffles it (module helper docstring)
-        norm_e, drop_stage = _stage_static_side(
-            norm_e, root, "norm_e", "_src", bucketed=stage_bucketed
-        )
+        root = _staged_round_root(stage_path, "dwbss-pr-", spark)
+        # cheap side first: the node frame stages before the expensive
+        # norm_e, so the validations below fail BEFORE the edge-list
+        # stage spends its write (review r10)
         nodes.write.mode("overwrite").parquet(f"{root}/nodes")
         nodes = spark.read.parquet(f"{root}/nodes")
+    # validate + count BEFORE staging the edge list (review r10: a
+    # seed-set ValueError after the bucketed stage leaked the catalog
+    # entry and wasted the full edge-list write)
     if seeds is not None:
         n = nodes.where(F.col("_seed")).count()
         if n == 0:
@@ -190,12 +189,23 @@ def pagerank(
         )
     else:
         n = nodes.count()
+        if n == 0:
+            # empty graph → empty (node, rank) frame, not a
+            # ZeroDivisionError at the driver (review r10)
+            return nodes.select("node", F.lit(0.0).alias("rank"))
         base_col = F.lit((1.0 - damping) / n)
         init_col = F.lit(1.0 / n)
     ranks = nodes.select("node", init_col.alias("rank"))
     cur = None
     prev_sig = None
     try:
+        if staged:
+            # norm_e is round-invariant: bucketed on the per-round join
+            # key so no round ever re-shuffles it (helper docstring);
+            # inside the try so a failure never leaks the catalog entry
+            norm_e, drop_stage = _stage_static_side(
+                norm_e, root, "norm_e", "_src", bucketed=stage_bucketed
+            )
         for i in range(iterations):
             ranks = _pagerank_round(norm_e, nodes, ranks, base_col, damping)
             if staged:
@@ -228,7 +238,7 @@ def pagerank(
                     ).write.mode("overwrite").parquet(nxt)
                     sig = (obs.get["n"], obs.get["h1"], obs.get["h2"])
                 if cur is not None:
-                    shutil.rmtree(cur, ignore_errors=True)  # superseded
+                    _stage_rm(cur, spark)  # superseded round
                 cur = nxt
                 ranks = spark.read.parquet(nxt)
                 if tol_digits is not None:
@@ -299,18 +309,24 @@ def _small_star(e: DataFrame) -> DataFrame:
     """Small-star step: every node connects its smaller-or-equal
     neighborhood (plus itself) to that neighborhood's minimum."""
     # orient each edge toward its larger endpoint: group key h > l.
-    # One pass: collect each h's smaller neighborhood min m, then emit
-    # (l, m) per member plus (h, m) — the member edges via the join,
-    # the center edge via the (bounded, one-row-per-group) m frame.
+    # Member edges (m, l) via the join; the center edge (m, h) via the
+    # ONE-ROW-PER-GROUP m frame — NOT exploded per member (review r10:
+    # explode(array(l, h)) emitted the center edge deg(h) times, so a
+    # 10⁶-degree hub pushed 10⁶ identical rows into _canon's distinct
+    # exchange per round). The m subtree appears in both branches, but
+    # its aggregate exchange is identical and Spark reuses it
+    # (ReusedExchange) — the join-side scan is the only real second
+    # read, against halving the distinct's input volume on hubs.
     d = e.select(F.col("hi").alias("h"), F.col("lo").alias("l"))
     m = d.groupBy("h").agg(F.min("l").alias("m"))
-    out = d.join(m, "h").select(
-        F.col("m").alias("u"),
-        F.explode(F.array("l", "h")).alias("v"),
+    member = d.join(m, "h").select(
+        F.col("m").alias("u"), F.col("l").alias("v")
     )
-    return _canon(out)
+    center = m.select(F.col("m").alias("u"), F.col("h").alias("v"))
+    return _canon(member.unionByName(center))
 
 
+import re as _re
 import shutil as _shutil
 import sys as _gsys
 import threading as _threading
@@ -325,14 +341,19 @@ _SITE_ROOTS: dict[str, str] = {}
 _ROOT_LOCK = _threading.Lock()
 
 
-def _staged_round_root(stage_path: str | None, prefix: str) -> str:
+def _staged_round_root(
+    stage_path: str | None, prefix: str, spark=None
+) -> str:
     """Resolve (and clean) the round-staging root for an iterative
     graph operator. ``stage_path=None`` → one scratch root PER CALL
     SITE of the public operator (caller of our caller), reused and
     cleared across loop iterations; an explicit path is cleared of
     this machinery's ``r<N>`` round dirs only (it may hold unrelated
     data). Either way, entering a new run INVALIDATES the lazy result
-    of the previous run from the same site / path."""
+    of the previous run from the same site / path. Cluster-storage
+    stage paths (hdfs://…, s3://…) are cleared through the Hadoop
+    FileSystem (review r10: Path.glob silently no-oped there,
+    resurrecting the stale-round mixing this clearing prevents)."""
     from ..scratch import new_scratch_root
 
     if stage_path is None:
@@ -354,17 +375,75 @@ def _staged_round_root(stage_path: str | None, prefix: str) -> str:
                 _SITE_ROOTS[site] = root
     else:
         root = stage_path
-    rp = _GPath(root)
-    if rp.exists():
-        # est_r* too (ADVICE r9): neighborhood_function stages one
-        # estimate dir PER RADIUS; a re-entrant shallower call would
-        # otherwise overwrite only the radii it reaches and a held
-        # previous lazy result could read a mix of two runs.
-        for pat in ("r[0-9]*", "est_r[0-9]*"):
-            for d in rp.glob(pat):
-                if d.is_dir():
+    # est_r* too (ADVICE r9): neighborhood_function stages one
+    # estimate dir PER RADIUS; a re-entrant shallower call would
+    # otherwise overwrite only the radii it reaches and a held
+    # previous lazy result could read a mix of two runs.
+    _round_dir = _re.compile(r"^(est_)?r[0-9]+")
+    if "://" not in root:
+        rp = _GPath(root)
+        if rp.exists():
+            for d in rp.iterdir():
+                if d.is_dir() and _round_dir.match(d.name):
                     _shutil.rmtree(d, ignore_errors=True)
+    else:
+        try:
+            spark = spark or _active_spark()
+            jp = spark._jvm.org.apache.hadoop.fs.Path(root)
+            fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(jp):
+                for st in fs.listStatus(jp):
+                    if st.isDirectory() and _round_dir.match(
+                        st.getPath().getName()
+                    ):
+                        fs.delete(st.getPath(), True)
+        except Exception:  # noqa: BLE001 — best-effort, like the glob
+            pass
     return root
+
+
+def _active_spark():
+    from pyspark.sql import SparkSession
+
+    return SparkSession.getActiveSession()
+
+
+def _stage_rm(path: str, spark=None) -> None:
+    """Recursive best-effort delete that also works on cluster storage
+    (review r10: shutil silently no-ops on an hdfs://…/s3://… stage
+    path — the docstrings explicitly support pointing ``stage_path`` at
+    cluster storage — so superseded edge-set-sized rounds accumulated
+    forever). Plain local paths keep the cheap os-level path."""
+    if "://" not in path:
+        _shutil.rmtree(path, ignore_errors=True)
+        return
+    try:
+        spark = spark or _active_spark()
+        jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+        jp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jp, True)
+    except Exception:  # noqa: BLE001 — best-effort, like rmtree
+        pass
+
+
+def _stage_du(path: str, spark=None) -> int:
+    """Recursive byte size of a staged path, cluster-storage-aware
+    (review r10: Path.rglob returned nothing on hdfs://… so auto mode
+    computed size 0 and never bucketed — exactly the regime the
+    threshold exists for). Unreadable → 0 (the conservative tier)."""
+    try:
+        if "://" not in path:
+            p = _GPath(path)
+            if p.is_file():
+                return p.stat().st_size
+            return sum(
+                f.stat().st_size for f in p.rglob("*") if f.is_file()
+            )
+        spark = spark or _active_spark()
+        jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(jp).getLength())
+    except Exception:  # noqa: BLE001
+        return 0
 
 
 #: auto-mode cutover: bucket the staged big side only when its parquet
@@ -398,8 +477,10 @@ def _stage_static_side(
     zero Sort) on this side and only the small per-round label/rank
     frame shuffles. The one-time bucketed write performs the
     shuffle+sort the first round's join would have — every later round
-    rides it for free. Falls back to plain parquet when the session
-    can't saveAsTable.
+    rides it for free. A forced True RAISES on write failure (review
+    r10: the old blanket fallback silently dropped the exact plan
+    contract the caller demanded); auto mode falls back to the plain
+    staged copy with a warning.
 
     ``bucketed=None`` (default — auto, the e02/h04 exact-vs-scale
     switch pattern): stage plain parquet first (shuffle-free write),
@@ -423,10 +504,12 @@ def _stage_static_side(
     it elides (plus the in-bucket sort) and win nothing.
     """
     import os as _os
+    import warnings as _warnings
 
     spark = df.sparkSession
     path = f"{root}/{name}"
     fallback = None  # already-staged parquet frame, if any
+    plain_path = None
     if bucketed is None:
         df.write.mode("overwrite").parquet(path)
         fallback = spark.read.parquet(path)
@@ -435,14 +518,12 @@ def _stage_static_side(
                 "SPARK_GRAFT_GRAPH_BUCKET_MIN_BYTES", _BUCKET_MIN_BYTES
             )
         )
-        size = sum(
-            f.stat().st_size
-            for f in _GPath(path).rglob("*")
-            if f.is_file()
-        )
-        if size < min_bytes:
+        if _stage_du(path, spark) < min_bytes:
             return fallback, (lambda: None)
-        df, path = fallback, f"{path}_bucketed"  # rebucket from the stage
+        # rebucket from the staged file; the plain copy is deleted once
+        # the bucketed write lands (review r10: it doubled the staged
+        # edge-list footprint for the life of the scratch root)
+        df, plain_path, path = fallback, path, f"{path}_bucketed"
     elif not bucketed:
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path), (lambda: None)
@@ -456,14 +537,31 @@ def _stage_static_side(
     )
     try:
         write_bucketed(df, tbl, [key], nb, sort_cols=[key], path=path)
-        return spark.table(tbl), (
-            lambda: spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        )
-    except Exception:  # noqa: BLE001 — catalog-less session
+    except Exception:  # noqa: BLE001 — classified below, never swallowed
+        # never leave a half-registered table or partial bucket files
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        except Exception:  # noqa: BLE001
+            pass
+        _stage_rm(path, spark)
         if fallback is not None:
+            # auto mode: the plain staged copy is intact — degrade
+            # LOUDLY (review r10: a silent fallback would hide that the
+            # zero-Exchange plan contract disappeared)
+            _warnings.warn(
+                f"bucketed staging of {name!r} failed; falling back to "
+                "the plain-parquet stage (per-round edge shuffle "
+                "returns)",
+                RuntimeWarning,
+                stacklevel=3,
+            )
             return fallback, (lambda: None)
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path), (lambda: None)
+        raise  # forced True: the caller demanded the plan contract
+    if plain_path is not None:
+        _stage_rm(plain_path, spark)  # rebucket source no longer needed
+    return spark.table(tbl), (
+        lambda: spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    )
 
 
 def connected_components(
@@ -534,8 +632,6 @@ def connected_components(
     group keys, ``a`` after the explode and ``h``, don't even share a
     bucketable key with the staged (lo, hi) layout). Bucketing only
     wins when one write amortizes over many reads."""
-    import shutil
-
     from pyspark.sql import Observation
 
     spark = edges.sparkSession
@@ -543,7 +639,7 @@ def connected_components(
     # the root must outlive the caller's reads — default scratch roots
     # live until process exit (shared lifecycle in ..scratch), one per
     # CALL SITE, cleared on re-entry (review r9)
-    root = _staged_round_root(stage_path, "dwbss-wcc-")
+    root = _staged_round_root(stage_path, "dwbss-wcc-", spark)
     # round 0's input stays UNstaged: its plan is one flat pass over
     # the caller's edges and round 1 reads round 0's staged output, so
     # no lineage can compound — saves a full write+read of the largest
@@ -573,7 +669,7 @@ def connected_components(
         ).write.mode("overwrite").parquet(nxt)
         sig = (obs.get["n"], obs.get["h1"], obs.get["h2"])
         if cur is not None:
-            shutil.rmtree(cur, ignore_errors=True)  # superseded round
+            _stage_rm(cur, spark)  # superseded round
         cur = nxt
         e = spark.read.parquet(nxt)
         if sig == prev_sig:
@@ -769,14 +865,12 @@ def core_numbers(
     composes with g03/g04 as a link-quality prior for corpus curation
     (core number ranks pages by embeddedness; low-core = periphery).
     """
-    import shutil
-
     from pyspark.sql import Observation
 
     if iterations < 1:
         raise ValueError("core_numbers: iterations must be >= 1")
     spark = edges.sparkSession
-    root = _staged_round_root(stage_path, "dwbss-kc-")
+    root = _staged_round_root(stage_path, "dwbss-kc-", spark)
     e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     # directed (both orientations) edge list, staged ONCE — every
     # round joins against it; bucketed on the join key by default so
@@ -805,7 +899,7 @@ def core_numbers(
             ).write.mode("overwrite").parquet(nxt)
             sig = (obs.get["n"], obs.get["h1"], obs.get["h2"])
             if cur is not None:
-                shutil.rmtree(cur, ignore_errors=True)  # superseded round
+                _stage_rm(cur, spark)  # superseded round
             cur = nxt
             labels = spark.read.parquet(nxt)
             if sig == prev_sig:
@@ -827,6 +921,7 @@ def neighborhood_function(
     max_radius: int = 8,
     lg_config_k: int = 12,
     stage_path: str | None = None,
+    stage_bucketed: bool | None = None,
 ) -> DataFrame:
     """HyperBall (Boldi–Vigna, "In-Core Computation of Geometric
     Centralities with HyperBall", public literature): the per-node
@@ -854,24 +949,26 @@ def neighborhood_function(
     connected_components).
 
     Scale shape per round: join of the staged directed edge list with
-    the (node, sketch) frame (the deploy note on
-    :func:`core_numbers` about bucketed staging applies), then one
-    groupBy(node) hll_union_agg — partial aggregation applies
-    map-side because sketch union is commutative-associative. No
-    driver-side data; no per-node frontier sets.
+    the (node, sketch) frame — the edge list is round-invariant, so it
+    stages through `_stage_static_side` exactly like core_numbers
+    (review r10: the old inline plain-parquet stage meant the bucketed
+    auto switch never applied here despite the docstring's
+    cross-reference) — then one groupBy(node) hll_union_agg — partial
+    aggregation applies map-side because sketch union is
+    commutative-associative. No driver-side data; no per-node frontier
+    sets.
 
     Reference analog: none; standard corpus/web-graph use: ball sizes
     and the centralities derived from them (harmonic — see
     :func:`harmonic_centrality_approx`) rank pages by reachability as
     a crawl/quality prior.
     """
-    import shutil
-
     spark = edges.sparkSession
-    root = _staged_round_root(stage_path, "dwbss-nf-")
+    root = _staged_round_root(stage_path, "dwbss-nf-", spark)
     e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
-    _directed(e).write.mode("overwrite").parquet(f"{root}/edges")
-    d = spark.read.parquet(f"{root}/edges")
+    d, drop_stage = _stage_static_side(
+        _directed(e), root, "edges", "b", bucketed=stage_bucketed
+    )
     k = F.lit(int(lg_config_k))
     # radius 0: each node's ball is {itself}
     sk = d.groupBy(F.col("a").alias("node")).agg(
@@ -918,25 +1015,30 @@ def neighborhood_function(
         return (obs.get["n"], obs.get["h1"], obs.get["h2"])
 
     cur = f"{root}/r0"
-    prev_sig = _write_round(sk, 0, cur)
-    sk = spark.read.parquet(cur)
-    for t in range(1, max_radius + 1):
-        contrib = d.join(
-            sk.select(F.col("node").alias("b"), "sketch"), "b"
-        ).select(F.col("a").alias("node"), "sketch")
-        nxt_sk = (
-            contrib.unionByName(sk)
-            .groupBy("node")
-            .agg(F.hll_union_agg("sketch").alias("sketch"))
-        )
-        nxt = f"{root}/r{t}"
-        sig = _write_round(nxt_sk, t, nxt)
-        shutil.rmtree(cur, ignore_errors=True)  # superseded sketches
-        cur = nxt
-        sk = spark.read.parquet(nxt)
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+    try:
+        prev_sig = _write_round(sk, 0, cur)
+        sk = spark.read.parquet(cur)
+        for t in range(1, max_radius + 1):
+            contrib = d.join(
+                sk.select(F.col("node").alias("b"), "sketch"), "b"
+            ).select(F.col("a").alias("node"), "sketch")
+            nxt_sk = (
+                contrib.unionByName(sk)
+                .groupBy("node")
+                .agg(F.hll_union_agg("sketch").alias("sketch"))
+            )
+            nxt = f"{root}/r{t}"
+            sig = _write_round(nxt_sk, t, nxt)
+            _stage_rm(cur, spark)  # superseded sketches
+            cur = nxt
+            sk = spark.read.parquet(nxt)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+    finally:
+        # the output is backed by the est_r* parquet alone — the staged
+        # edge table's catalog entry can go now
+        drop_stage()
     out = spark.read.parquet(est_dirs[0])
     for p in est_dirs[1:]:
         out = out.unionByName(spark.read.parquet(p))

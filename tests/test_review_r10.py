@@ -208,3 +208,175 @@ def test_langid_tokenizes_once_in_plan(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(trim(") == 1, plan
     assert out.collect()[0]["predicted_lang"] == "en"
+
+
+# ---- round-10 review pass 2: graph.py staging machinery --------------------
+
+
+def test_stage_helpers_work_on_scheme_paths(spark, tmp_path):
+    """Review r10: shutil/Path silently no-op on scheme'd (cluster
+    storage) stage paths — sizes read 0 (auto never buckets) and
+    superseded rounds accumulate forever. file:// exercises the Hadoop
+    FileSystem route on this host."""
+    from datawarehouse_backup_system_spark.operators.graph import (
+        _stage_du,
+        _stage_rm,
+        _staged_round_root,
+    )
+
+    d = tmp_path / "r3"
+    d.mkdir()
+    (d / "part-0").write_bytes(b"x" * 1000)
+    (tmp_path / "keep_me").mkdir()
+    uri = f"file://{tmp_path}"
+    assert _stage_du(f"{uri}/r3", spark) == 1000
+    got = _staged_round_root(uri, "pin-", spark)
+    assert got == uri
+    assert not d.exists() and (tmp_path / "keep_me").exists()
+    (d).mkdir()
+    (d / "part-0").write_bytes(b"y")
+    _stage_rm(f"{uri}/r3", spark)
+    assert not d.exists()
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    """Review r10: an empty edge frame hit ZeroDivisionError at the
+    driver (1/n with n=0) instead of returning an empty result."""
+    from datawarehouse_backup_system_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src int, dst int")
+    out = pagerank(empty, iterations=3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
+
+
+def test_pagerank_seed_failure_leaks_no_catalog_entry(spark, tmp_path):
+    """Review r10: the no-seeds-in-graph ValueError fired AFTER the
+    bucketed edge stage, leaking the dwbss_stage_* catalog entry and
+    wasting the full edge-list write. Validation now precedes the
+    norm_e stage."""
+    import pytest as _pytest
+
+    from datawarehouse_backup_system_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+    seeds = spark.createDataFrame([(99,)], "node int")
+    with _pytest.raises(ValueError, match="no seed id"):
+        pagerank(
+            edges, seeds=seeds, stage_path=str(tmp_path),
+            stage_bucketed=True,
+        )
+    assert not [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("dwbss_stage_")
+    ]
+    # the expensive norm_e stage never ran either
+    assert not (tmp_path / "norm_e").exists()
+    assert not (tmp_path / "norm_e_bucketed").exists()
+
+
+def test_neighborhood_function_uses_bucketed_auto_switch(
+    spark, monkeypatch
+):
+    """Review r10: neighborhood_function staged its round-invariant
+    edge list inline as plain parquet, so the bucketed auto switch its
+    docstring advertised never applied. Forcing the threshold to 0 must
+    route through the bucketed table and still match the default run,
+    with the catalog clean afterwards."""
+    from datawarehouse_backup_system_spark.operators.graph import (
+        neighborhood_function,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src bigint, dst bigint"
+    )
+    base = {
+        (r["node"], r["radius"]): r["n_reachable_est"]
+        for r in neighborhood_function(edges, max_radius=2).collect()
+    }
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_BUCKET_MIN_BYTES", "0")
+    bucketed = {
+        (r["node"], r["radius"]): r["n_reachable_est"]
+        for r in neighborhood_function(edges, max_radius=2).collect()
+    }
+    assert base == bucketed
+    assert not [
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("dwbss_stage_")
+    ]
+
+
+def test_stage_static_side_auto_rebucket_drops_plain_copy(
+    spark, tmp_path, monkeypatch
+):
+    """Review r10: after a successful rebucket the plain staged copy
+    stayed on disk, doubling the staged footprint for the life of the
+    scratch root."""
+    from datawarehouse_backup_system_spark.operators.graph import (
+        _stage_static_side,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_BUCKET_MIN_BYTES", "0")
+    df = spark.range(0, 300).selectExpr("id as b", "id % 5 as a")
+    frame, drop = _stage_static_side(
+        df, str(tmp_path), "edges", "b", bucketed=None
+    )
+    assert frame.count() == 300
+    assert not (tmp_path / "edges").exists()  # rebucket source deleted
+    assert (tmp_path / "edges_bucketed").exists()
+    drop()
+
+
+def test_stage_static_side_forced_bucketed_raises_on_failure(
+    spark, tmp_path, monkeypatch
+):
+    """Review r10: the blanket except silently degraded a FORCED
+    bucketed stage to plain parquet, dropping the plan contract the
+    caller demanded; auto mode degrades loudly instead."""
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    from datawarehouse_backup_system_spark.operators import graph as g
+
+    def boom(*a, **kw):
+        raise RuntimeError("metastore hiccup")
+
+    monkeypatch.setattr(
+        "datawarehouse_backup_system_spark.operators.bucketed."
+        "write_bucketed", boom,
+    )
+    df = spark.range(0, 10).selectExpr("id as b", "id % 3 as a")
+    with _pytest.raises(RuntimeError, match="metastore"):
+        g._stage_static_side(
+            df, str(tmp_path / "f"), "edges", "b", bucketed=True
+        )
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_BUCKET_MIN_BYTES", "0")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        frame, _ = g._stage_static_side(
+            df, str(tmp_path / "a"), "edges", "b", bucketed=None
+        )
+        assert frame.count() == 10  # plain staged copy still serves
+    assert any("falling back" in str(w.message) for w in caught)
+
+
+def test_small_star_emits_center_edge_once():
+    """Review r10: explode(array(l, h)) emitted the (m, h) center edge
+    once PER MEMBER (deg(h) duplicate rows into the distinct exchange
+    on hubs). Pin the exact reference semantics on a hub star."""
+    from datawarehouse_backup_system_spark.operators.graph import (
+        _small_star,
+    )
+    from datawarehouse_backup_system_spark.session import get_spark
+
+    spark = get_spark()
+    hub = 50
+    e = spark.createDataFrame(
+        [(i, hub) for i in range(10)], "lo bigint, hi bigint"
+    )
+    # reference: per h, m = min neighborhood ∪ {h}; edges (m, x) for
+    # every member x plus (m, h), canonicalized
+    got = {(r["lo"], r["hi"]) for r in _small_star(e).collect()}
+    want = {(0, i) for i in range(1, 10)} | {(0, hub)}
+    assert got == want
