@@ -67,18 +67,11 @@ def _g06_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("src", "dst")
 
 
-def g06_hyperball_neighborhood(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Per-node neighborhood function to radius 3: exact BFS counts
-    (hash-compared against the oracle's unrolled expansion) plus the
-    HyperBall estimate's tolerance flag. The BFS pair set stays linear
-    on this chain-like graph (ball ≤ 2r+1); the HyperBall side is the
-    real staged-sketch machinery — per-node state one 2^12-register
-    HLL regardless of reach, the 100 TB shape exact BFS cannot take
-    (n² frontier state). Early sketch saturation (possible on short
-    chains) is filled forward from the node's last emitted radius —
-    a saturated ball is constant by definition."""
+def _g06_exact_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact radius-capped BFS neighborhood counts (v, radius,
+    n_reachable), radius 0..R, by distinct reachable-pair expansion —
+    linear on this chain-like graph (ball <= 2r+1). Shared by g06
+    (per-radius counts) and h06 (harmonic from the counts)."""
     e = _canon(
         _g06_edges(spark, sf_dir).select(
             F.col("src").alias("u"), F.col("dst").alias("v")
@@ -86,7 +79,6 @@ def g06_hyperball_neighborhood(
     )
     d = _directed(e)
     nodes = d.select(F.col("a").alias("v")).distinct()
-    # exact BFS: distinct reachable-pair expansion, radius 0..R.
     # Disjoint join-side names (_ja/_jb): `pairs` accumulates d's
     # lineage after round 1, so d["b"] would be an ambiguous self-join
     dj = d.select(F.col("a").alias("_ja"), F.col("b").alias("_jb"))
@@ -108,6 +100,22 @@ def g06_hyperball_neighborhood(
     exact = per_radius[0]
     for frame in per_radius[1:]:
         exact = exact.unionByName(frame)
+    return exact
+
+
+def g06_hyperball_neighborhood(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-node neighborhood function to radius 3: exact BFS counts
+    (hash-compared against the oracle's unrolled expansion) plus the
+    HyperBall estimate's tolerance flag. The BFS pair set stays linear
+    on this chain-like graph (ball ≤ 2r+1); the HyperBall side is the
+    real staged-sketch machinery — per-node state one 2^12-register
+    HLL regardless of reach, the 100 TB shape exact BFS cannot take
+    (n² frontier state). Early sketch saturation (possible on short
+    chains) is filled forward from the node's last emitted radius —
+    a saturated ball is constant by definition."""
+    exact = _g06_exact_bfs(spark, sf_dir)
     # HyperBall estimates; saturation fill-forward per node
     nf = neighborhood_function(
         _g06_edges(spark, sf_dir), max_radius=_G06_RADIUS
@@ -131,7 +139,7 @@ def g06_hyperball_neighborhood(
     )
 
 
-G06_SQL = f"""
+_G06_CTE = f"""
 WITH ev AS (
   SELECT event_id, user_id, ts FROM events
   WHERE user_id % {_G06_USER_MOD} = 0
@@ -159,6 +167,9 @@ p2 AS (SELECT DISTINCT v, u FROM (
 p3 AS (SELECT DISTINCT v, u FROM (
   SELECT v, u FROM p2
   UNION ALL SELECT p2.v, d.b AS u FROM p2 JOIN d ON p2.u = d.a))
+"""
+
+G06_SQL = _G06_CTE + """
 SELECT v AS event_id, CAST(r AS INT) AS radius,
        CAST(n AS BIGINT) AS n_reachable, TRUE AS est_ok
 FROM (
@@ -168,6 +179,67 @@ FROM (
   UNION ALL SELECT v, 3, count(*) FROM p3 GROUP BY v
 )
 """
+
+H06_SQL = _G06_CTE + """,
+c0 AS (SELECT v, count(*) AS n0 FROM p0 GROUP BY v),
+c1 AS (SELECT v, count(*) AS n1 FROM p1 GROUP BY v),
+c2 AS (SELECT v, count(*) AS n2 FROM p2 GROUP BY v),
+c3 AS (SELECT v, count(*) AS n3 FROM p3 GROUP BY v)
+SELECT v AS event_id,
+       round((n1 - n0) / 1.0 + (n2 - n1) / 2.0 + (n3 - n2) / 3.0, 6)
+         AS harmonic,
+       TRUE AS h_ok
+FROM c0 JOIN c1 USING (v) JOIN c2 USING (v) JOIN c3 USING (v)
+"""
+
+
+# --------------------------------------------------------------------------
+# h06 — approximate harmonic centrality vs exact BFS harmonic
+# --------------------------------------------------------------------------
+
+
+def h06_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-truncated harmonic centrality
+    H_R(v) = Σ_{t=1..R} (|N_t(v)| − |N_{t−1}(v)|)/t over the g06 graph:
+    the exact value from BFS counts (hash-compared; computed as ONE
+    fixed left-associated expression over the pivoted counts so the FP
+    result is bit-identical to the oracle's) plus the HyperBall
+    estimator's tolerance flag. `harmonic_centrality_approx` truncates
+    at the sketch run's last emitted radius; a saturated ball
+    contributes zero to later terms, so early stop is sum-equivalent."""
+    from ..operators.graph import harmonic_centrality_approx
+
+    exact = _g06_exact_bfs(spark, sf_dir)
+    wide = exact.groupBy("v").agg(
+        *[
+            F.max(
+                F.when(F.col("radius") == r, F.col("n_reachable"))
+            ).alias(f"_n{r}")
+            for r in range(_G06_RADIUS + 1)
+        ]
+    )
+    h_exact = (
+        (F.col("_n1") - F.col("_n0")) / F.lit(1.0)
+        + (F.col("_n2") - F.col("_n1")) / F.lit(2.0)
+        + (F.col("_n3") - F.col("_n2")) / F.lit(3.0)
+    )
+    approx = harmonic_centrality_approx(
+        neighborhood_function(
+            _g06_edges(spark, sf_dir), max_radius=_G06_RADIUS
+        )
+    ).select(F.col("node").alias("v"), F.col("harmonic").alias("_h_app"))
+    joined = wide.select("v", h_exact.alias("_h_ex")).join(
+        approx, "v", "left"
+    )
+    tol = F.greatest(F.lit(0.05) * F.col("_h_ex"), F.lit(0.05))
+    return joined.select(
+        F.col("v").alias("event_id"),
+        F.round(F.col("_h_ex"), 6).alias("harmonic"),
+        (
+            F.abs(F.coalesce(F.col("_h_app"), F.lit(0.0)) - F.col("_h_ex"))
+            <= tol
+        ).alias("h_ok"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -247,6 +319,12 @@ SPECS = [
         "HyperBall per-node neighborhood function to radius 3 vs the "
         "exact BFS counts (tolerance-boolean oracle, q30 pattern) over "
         "the lag-1 session succession graph",
+    ),
+    QuerySpec(
+        "h06_harmonic_centrality", h06_harmonic_centrality, H06_SQL,
+        "radius-truncated approximate harmonic centrality (HyperBall "
+        "estimator) vs the exact BFS harmonic (tolerance-boolean "
+        "oracle) over the lag-1 session succession graph",
     ),
     QuerySpec(
         "t33_remove_dup_spans", t33_remove_dup_spans, T33_SQL,
