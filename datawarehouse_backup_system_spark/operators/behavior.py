@@ -60,7 +60,14 @@ def funnel_steps(
     if not steps:
         raise ValueError("funnel_steps: need at least one step")
     w = Window.partitionBy(entity_col)
-    out = df.select(entity_col, ts_col, type_col)
+    # NULL entities are dropped (review r10): partitionBy/groupBy merge
+    # every NULL-entity row into ONE phantom entity whose steps can be
+    # completed by unrelated anonymous events — one anon 'view' plus a
+    # different anon 'purchase' counted as a completion. Matches
+    # cohort_retention, which drops NULL entities via its equi-join.
+    out = df.where(F.col(entity_col).isNotNull()).select(
+        entity_col, ts_col, type_col
+    )
     prev: str | None = None
     for i, step in enumerate(steps, 1):
         cond = F.col(type_col) == step
@@ -131,8 +138,12 @@ def cohort_retention(
     wk = F.expr(f"CAST(unix_micros(`{ts_col}`) div {_WEEK_US} AS BIGINT)")
     active = df.select(F.col(entity_col).alias("_e"), wk.alias("_wk"))
     first = active.groupBy("_e").agg(F.min("_wk").alias("_cohort"))
+    # no broadcast HINT (review r10): `first` is one row per entity —
+    # small for most corpora, but billions of entities would blow the
+    # 8 GB broadcast limit, and a hint removes the planner's fallback.
+    # AQE broadcasts it at runtime exactly when it is actually small.
     return (
-        active.join(F.broadcast(first), "_e")
+        active.join(first, "_e")
         .groupBy(
             F.col("_cohort").alias("cohort_week"),
             (F.col("_wk") - F.col("_cohort")).alias("week_offset"),
@@ -274,9 +285,13 @@ def ewma_dyadic(
 
     Returns the input keys + ``m_terms, ewma_num, ewma_den,
     ewma_milli`` for the LATEST row per key.
-    """
-    from pyspark.sql import Window
 
+    EXACTNESS BOUND (review r10): ``ewma_num`` is the exposed-schema
+    bigint Σ x·2^j ≤ x·2^k_window, so values must satisfy
+    |x| < 2^63 / 2^k_window (k=16 → |x| < 1.4e14 — $1.4e12 in cents);
+    the *1000 milli step is decimal-promoted so it can never wrap on
+    values ewma_num itself holds.
+    """
     df = df.where(F.col(value_col).isNotNull())
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     x = F.col(value_col).cast("bigint")
@@ -303,10 +318,25 @@ def ewma_dyadic(
         .where(F.col("rn_desc") == 1)
         .withColumn(
             "ewma_den",
+            # bit shift, not pow() — the quantiles.py module contract
+            # (libm-free integer arithmetic; pow is double-exact only
+            # below 2^53, so k_window > 53 silently loses exactness)
             F.lit(1 << k_window)
-            - F.expr(f"cast(pow(2, {k_window} - m_terms) as bigint)"),
+            - F.expr(f"shiftleft(cast(1 as bigint), {k_window} - m_terms)"),
         )
-        .withColumn("ewma_milli", F.expr("(ewma_num * 1000) div ewma_den"))
+        .withColumn(
+            "ewma_milli",
+            # the *1000 step promotes to DECIMAL(38,0) (review r10, the
+            # rolling_anomaly/pair_support overflow pattern): num ~
+            # x·2^k, so num*1000 wraps int64 already at x ≈ 1.4e14/2^k;
+            # the quotient fits bigint whenever num does. ewma_num
+            # itself stays bigint — exposed-schema contract; its bound
+            # (x < 2^63 / 2^k_window) is documented above.
+            F.expr(
+                "cast((cast(ewma_num as decimal(38,0)) * 1000)"
+                " div ewma_den as bigint)"
+            ),
+        )
     )
     return out.select(
         key_col, "m_terms", "ewma_num", "ewma_den", "ewma_milli"
@@ -415,8 +445,6 @@ def _cap_hot_baskets(
     md5(item), ties by item: deterministic across partitionings."""
     if max_basket_size is None:
         return baskets
-    from pyspark.sql import Window
-
     w = Window.partitionBy(*basket_cols).orderBy(
         F.md5(F.col(item_col).cast("string")), F.col(item_col)
     )

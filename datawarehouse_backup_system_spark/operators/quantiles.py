@@ -124,6 +124,43 @@ def grouped_binned_histogram(
     )
 
 
+def _cdf_read(
+    hist: DataFrame,
+    key_cols: list[str],
+    qs: list[float],
+    bin_col: str,
+    value_alias: str,
+    value_expr,
+) -> DataFrame:
+    """THE CDF-read algebra, shared by every histogram sketch (review
+    r10: the cum/n_total windows, q-frame crossJoin, exact-integer rank
+    filter and first-crossing groupBy existed twice — the r8
+    binned_histogram build-side dedup lesson, applied to the read
+    side). ``value_expr`` maps the group's first-crossing bin
+    (an aggregate Column over ``bin_col``) to the reported value.
+    Bins are unique per group post-build, so the ROWS cumulative frame
+    equals the old RANGE default bit-for-bit."""
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    wk = Window.partitionBy(*key_cols)
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            wk.orderBy(bin_col).rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("n_total", F.sum("cnt").over(wk))
+    return (
+        _q_frame(spark, qs).crossJoin(cum)
+        .where(F.col("cum") >= F.expr(_RANK_SQL))
+        .groupBy(*key_cols, "q")
+        .agg(
+            value_expr.alias(value_alias),
+            F.min("n_total").alias("n_total"),
+        )
+    )
+
+
 def grouped_histogram_quantiles(
     hist: DataFrame,
     key_cols: list[str],
@@ -135,23 +172,9 @@ def grouped_histogram_quantiles(
     cumulative window is PARTITIONED on the group keys (<= n_bins rows
     per partition), so unlike the global sketch there is no
     single-partition stage at any group count."""
-    from pyspark.sql import Window
-
-    spark = hist.sparkSession
-    wk = Window.partitionBy(*key_cols)
-    cum = hist.withColumn(
-        "cum", F.sum("cnt").over(wk.orderBy("bin"))
-    ).withColumn("n_total", F.sum("cnt").over(wk))
-    return (
-        _q_frame(spark, qs).crossJoin(cum)
-        .where(F.col("cum") >= F.expr(_RANK_SQL))
-        .groupBy(*key_cols, "q")
-        .agg(
-            (F.lit(lo) + F.min("bin").cast("bigint") * F.lit(width)).alias(
-                "value"
-            ),
-            F.min("n_total").alias("n_total"),
-        )
+    return _cdf_read(
+        hist, key_cols, qs, "bin", "value",
+        F.lit(lo) + F.min("bin").cast("bigint") * F.lit(width),
     )
 
 
@@ -206,31 +229,12 @@ def log2_histogram_quantiles(
     lands in the first bucket whose cumulative count crosses ⌈q·n⌉; the
     reported estimate is that bucket's lower bound 2^(b-1) — within a
     factor of 2 of the true order statistic by construction (the sketch
-    guarantee the h04-style audit pins). All integer arithmetic."""
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
-        "n_total",
-        F.sum("cnt").over(Window.partitionBy(*key_cols)),
-    )
-    spark = hist.sparkSession
-    return (
-        _q_frame(spark, qs).crossJoin(cum)
-        .where(F.col("cum") >= F.expr(_RANK_SQL))
-        .groupBy(*key_cols, "q")
-        .agg(
-            # bit shift, not pow(): the module contract is libm-free
-            # integer arithmetic end to end (pow is double-exact only
-            # below 2^53 — fine today, a trap at wider domains)
-            F.expr(
-                "shiftleft(cast(1 as bigint),"
-                " cast(min(bucket) as int) - 1)"
-            ).alias("est_lo"),
-            F.min("n_total").alias("n_total"),
-        )
+    guarantee the h04-style audit pins). All integer arithmetic
+    (`_cdf_read`; the value map is a bit shift, not pow() — the module
+    contract is libm-free integer arithmetic end to end)."""
+    return _cdf_read(
+        hist, key_cols, qs, "bucket", "est_lo",
+        F.expr(
+            "shiftleft(cast(1 as bigint), cast(min(bucket) as int) - 1)"
+        ),
     )

@@ -119,7 +119,13 @@ def cms_build(
     (depth, width) merges streams exactly (the estimate of the union).
     NULL items carry no frequency semantics and are dropped.
     """
-    assert 1 <= depth <= 127, "depth*2^56 must fit signed 64-bit"
+    # ValueError, not assert (review r10: asserts vanish under -O;
+    # depth=200 then wraps d*h2 past int64 and width=0 sends every row
+    # to a NULL pmod bucket that estimation joins never match)
+    if not 1 <= depth <= 127:
+        raise ValueError("cms depth must be in [1, 127] (d*2^56 in int64)")
+    if width < 1:
+        raise ValueError("cms width must be >= 1")
     h1, h2 = _km_halves(col)
     staged = df.where(F.col(col).isNotNull()).select(
         h1.alias("_h1"), h2.alias("_h2")
@@ -179,8 +185,6 @@ def merge_summaries(
     sketch usable INCREMENTALLY: yesterday's summary + today's batch
     summary merge in O(capacity) rows, no corpus re-read.
     """
-    from pyspark.sql import Window
-
     summed = summaries.groupBy(item_col).agg(
         F.sum(count_col).alias(count_col)
     )
@@ -259,9 +263,14 @@ def kmv_sketch(df: DataFrame, group_col: str, key_col: str,
     group; mergeable across shards/batches by union + re-take-k."""
     from .hashing import md5_prefix_long
 
+    # NULL keys are dropped (review r10): md5(NULL) -> h=NULL, which
+    # sorts NULLS FIRST on Spark and permanently occupies a bottom-k
+    # slot (and NULLS LAST in the DuckDB replay — a cross-engine trap),
+    # corrupting tau/n_common/est_union. Matches heavy_hitters/cms.
     hashed = (
-        df.select(F.col(group_col).alias("g"),
-                  md5_prefix_long(F.col(key_col).cast("string")).alias("h"))
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(group_col).alias("g"),
+                md5_prefix_long(F.col(key_col).cast("string")).alias("h"))
         .distinct()
     )
     w = Window.partitionBy("g").orderBy("h")
@@ -279,6 +288,10 @@ def kmv_pair_overlap(sketch: DataFrame, k: int) -> DataFrame:
     est_union = (k-1)·2^56 div tau and est_inter = n_common·est_union
     div k, else the kept set IS the exact union. The pair table is
     O(groups²·k) — sketch-sized, never data-sized."""
+    if not 1 <= k <= 128:
+        raise ValueError(
+            "kmv k must be in [1, 128] ((k-1)*2^56 must fit int64)"
+        )
     groups = sketch.select("g").distinct()
     pairs = (
         groups.alias("x")
@@ -326,6 +339,13 @@ def kmv_pair_overlap(sketch: DataFrame, k: int) -> DataFrame:
         F.col("ta").alias("type_a"), F.col("tb").alias("type_b"),
         "tau", "n_common", "est_union",
         F.when(F.col("n_union") >= k,
-               F.expr(f"(n_common * est_union) div {k}"))
+               # decimal-promoted (review r10): est_union can reach
+               # (k-1)*2^56 when tau is tiny, so n_common*est_union
+               # wraps int64 already at n_common=2; the quotient /k
+               # always fits bigint
+               F.expr(
+                   f"cast((cast(n_common as decimal(38,0)) * est_union)"
+                   f" div {k} as bigint)"
+               ))
         .otherwise(F.col("n_common")).cast("bigint").alias("est_inter"),
     )

@@ -34,7 +34,7 @@ WITH s1 AS (
   SELECT user_id, ts, event_type,
          min(CASE WHEN event_type = 'view' THEN ts END)
            OVER (PARTITION BY user_id) AS step1_ts
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ), s2 AS (
   SELECT *, min(CASE WHEN event_type = 'click' AND ts > step1_ts THEN ts END)
               OVER (PARTITION BY user_id) AS step2_ts

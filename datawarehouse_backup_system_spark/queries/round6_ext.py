@@ -271,9 +271,9 @@ lagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id, m_terms, ewma_num,
-       CAST(65536 - CAST(pow(2, 16 - m_terms) AS BIGINT) AS BIGINT)
-         AS ewma_den,
-       (ewma_num * 1000) // (65536 - CAST(pow(2, 16 - m_terms) AS BIGINT))
+       CAST(65536 - (1::BIGINT << (16 - m_terms)) AS BIGINT) AS ewma_den,
+       CAST((ewma_num::HUGEINT * 1000)
+            // (65536 - (1::BIGINT << (16 - m_terms))) AS BIGINT)
          AS ewma_milli
 FROM lagged WHERE rn = 1
 ORDER BY user_id
@@ -672,7 +672,7 @@ W04_SQL = f"""
 WITH eu AS (
   SELECT DISTINCT event_type AS g,
          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT AS h
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 sk AS (
   SELECT g, h FROM (
@@ -720,7 +720,7 @@ ex AS (
 )
 SELECT e.ta AS type_a, e.tb AS type_b, e.tau, e.n_common, e.est_union,
        CAST(CASE WHEN e.n_union >= {_W04_K}
-            THEN (e.n_common * e.est_union) // {_W04_K}
+            THEN (e.n_common::HUGEINT * e.est_union) // {_W04_K}
             ELSE e.n_common END AS BIGINT) AS est_inter,
        coalesce(x.exact_inter, 0) AS exact_inter
 FROM est e LEFT JOIN ex x ON x.ta = e.ta AND x.tb = e.tb

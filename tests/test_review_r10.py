@@ -380,3 +380,117 @@ def test_small_star_emits_center_edge_once():
     got = {(r["lo"], r["hi"]) for r in _small_star(e).collect()}
     want = {(0, i) for i in range(1, 10)} | {(0, hub)}
     assert got == want
+
+
+# ---- round-10 review pass 3: sketches / quantiles / behavior ---------------
+
+
+def test_kmv_sketch_drops_null_keys(spark):
+    """Review r10: md5(NULL) → h=NULL sorted NULLS FIRST and permanently
+    occupied a bottom-k slot (and DuckDB sorts NULLS LAST — a silent
+    cross-engine divergence)."""
+    from datawarehouse_backup_system_spark.operators.sketches import (
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", None), ("b", None)],
+        "g string, k int",
+    )
+    rows = kmv_sketch(df, "g", "k", k=8).collect()
+    assert all(r["h"] is not None for r in rows)
+    assert {r["g"] for r in rows} == {"a"}  # b had only NULL keys
+
+
+def test_funnel_drops_null_entities(spark):
+    """Review r10: all NULL-entity rows merged into one phantom entity
+    whose funnel could be completed by unrelated anonymous events."""
+    from datetime import datetime
+
+    from datawarehouse_backup_system_spark.operators.behavior import (
+        funnel_counts,
+    )
+
+    t = datetime(2024, 1, 1)
+    t2 = datetime(2024, 1, 2)
+    df = spark.createDataFrame(
+        [
+            (1, t, "view"), (1, t2, "purchase"),
+            (None, t, "view"), (None, t2, "purchase"),
+        ],
+        "user_id int, ts timestamp, event_type string",
+    )
+    got = {
+        r["step"]: r["n_entities"]
+        for r in funnel_counts(
+            df, "user_id", "ts", "event_type", ["view", "purchase"]
+        ).collect()
+    }
+    assert got == {"view": 1, "purchase": 1}  # no phantom anon entity
+
+
+def test_ewma_dyadic_milli_survives_large_cents(spark):
+    """Review r10: (ewma_num * 1000) wrapped int64 at x ≈ 1.4e14/2^k.
+    The decimal-promoted milli step must stay exact (and positive)."""
+    from datetime import datetime
+
+    from datawarehouse_backup_system_spark.operators.behavior import (
+        ewma_dyadic,
+    )
+
+    x = 140_000_000_000_000  # 1.4e14: old num*1000 wrapped negative
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1, x)],
+        "k int, ts timestamp, eid int, c long",
+    )
+    r = ewma_dyadic(df, "k", ["ts", "eid"], "c", k_window=16).collect()[0]
+    assert r["ewma_num"] == x * (1 << 15)
+    expected = (x * (1 << 15) * 1000) // (65536 - (1 << 15))
+    assert r["ewma_milli"] == expected > 0
+
+
+def test_cohort_retention_has_no_forced_broadcast(spark):
+    """Review r10: the F.broadcast hint on the one-row-per-entity frame
+    bypassed the 8 GB broadcast limit at billions of entities; AQE
+    broadcasts it at runtime when actually small."""
+    import inspect
+
+    from datawarehouse_backup_system_spark.operators import behavior
+
+    src = inspect.getsource(behavior.cohort_retention)
+    assert "F.broadcast" not in src
+
+
+def test_cms_and_kmv_validate_parameters(spark):
+    """Review r10: cms depth was a bare assert (stripped under -O) and
+    width unvalidated; kmv k's int64 precondition was a comment."""
+    import pytest as _pytest
+
+    from datawarehouse_backup_system_spark.operators.sketches import (
+        cms_build,
+        kmv_pair_overlap,
+    )
+
+    df = spark.createDataFrame([("x",)], "v string")
+    with _pytest.raises(ValueError, match="depth"):
+        cms_build(df, "v", depth=200)
+    with _pytest.raises(ValueError, match="width"):
+        cms_build(df, "v", width=0)
+    sk = spark.createDataFrame([("a", 1, 1)], "g string, h long, rn int")
+    with _pytest.raises(ValueError, match="kmv k"):
+        kmv_pair_overlap(sk, k=200)
+
+
+def test_histogram_cdf_reads_share_one_algebra():
+    """Review r10: the CDF read (cum windows + rank filter + first
+    crossing) existed twice; both public reads now delegate to
+    _cdf_read, so a rank-arithmetic fix can't miss one copy."""
+    import inspect
+
+    from datawarehouse_backup_system_spark.operators import quantiles
+
+    for fn in (
+        quantiles.grouped_histogram_quantiles,
+        quantiles.log2_histogram_quantiles,
+    ):
+        assert "_cdf_read(" in inspect.getsource(fn)
