@@ -124,6 +124,19 @@ class IngestJob:
                 f"basename): {sorted(p.name for p in paths)} — split the batch"
             )
         raw = read_raw_csv(self.spark, [str(p) for p in paths])
+        # loud reserved-name guard (review r10, the r7/r8 basename/_rn
+        # pattern): a raw column named like a seq/rank column would be
+        # silently OVERWRITTEN by withColumn below — and, because
+        # SEQ_COLS are appended to normalize's expected set, such a
+        # header would also fool width validation instead of being
+        # rejected as an unknown column.
+        reserved = set(SEQ_COLS) | {"_fname", "_blk"}
+        clash = sorted(reserved & set(raw.columns))
+        if clash:
+            raise ValueError(
+                f"raw CSV header uses reserved ingest column name(s) "
+                f"{clash}: rename the source columns"
+            )
         keys = []
         for i, p in enumerate(paths):
             keys.append((p.name, i))
@@ -208,6 +221,8 @@ class IngestJob:
         ORIGINAL landing names (e.g. the .zip, not its extracted member),
         since run()'s skip check compares against the listing.
         """
+        from pyspark.sql import Observation
+
         names = ledger_names or [p.name for p in paths]
         schema = self.registry.get(table_key)
         rename_map = self.registry.rename_map(table_key)
@@ -221,6 +236,13 @@ class IngestJob:
             return FileResult(label, ledger_mod.STATUS_EMPTY)
         target = self.read_table(schema)
         last_id = next_id_watermark(target)
+        # rows_in rides the write job as an Observation on the pre-dedup
+        # scan (review r10: the field was never populated — process_batch
+        # summed a dressed-up constant 0). Attached AFTER the isEmpty
+        # probe above: isEmpty short-circuits with a limit and would
+        # otherwise satisfy the Observation with a partial count.
+        obs_in = Observation()
+        raw = raw.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
         plan, error = self.build_plan(raw, schema, rename_map, last_id)
         if error is not None:
             self.ledger.append_many(
@@ -241,7 +263,14 @@ class IngestJob:
         self.ledger.append_many(
             [(n, ledger_mod.STATUS_UPLOADED) for n in names]
         )
-        return FileResult(label, ledger_mod.STATUS_UPLOADED, rows_loaded=loaded)
+        try:
+            rows_in = int(obs_in.get["rows_in"])
+        except Exception:  # noqa: BLE001 — metric must never sink an upload
+            rows_in = 0
+        return FileResult(
+            label, ledger_mod.STATUS_UPLOADED,
+            rows_in=rows_in, rows_loaded=loaded,
+        )
 
     # -- exports (S10/S11 parity + watermark write-back) -------------------
     def export_table_csv(
@@ -346,11 +375,12 @@ class IngestJob:
 
         path = Path(path)
         name = path.name
+        extracted: Path | None = None
         try:
             if path.suffix.lower() == ".zip":
                 staging = Path(self.staging_dir or self.warehouse_dir / "_staging")
                 try:
-                    path = extract_zip_first_member(path, staging)
+                    path = extracted = extract_zip_first_member(path, staging)
                 except (zipfile.BadZipFile, ValueError):
                     # corrupt or empty archive (reference main.py:97)
                     self.ledger.append(name, ledger_mod.STATUS_EXTRACTION_FAILED)
@@ -378,6 +408,15 @@ class IngestJob:
             status = f"{ledger_mod.STATUS_UNEXPECTED}: {type(exc).__name__}"
             self.ledger.append(name, status)
             return FileResult(name, status, error=str(exc))
+        finally:
+            # the extracted member is fully consumed by the time
+            # _ingest returns (the append is materialized) and its
+            # ledger entry is the ZIP's name — leaving it leaked one
+            # plaintext copy per zip per cycle into _staging forever,
+            # and a later zip with the same member name silently
+            # overwrote it (review r10)
+            if extracted is not None:
+                extracted.unlink(missing_ok=True)
 
     def process_batch(self, paths: list[str | Path], table_key: str) -> FileResult:
         """Scale path: ingest MANY same-table files as ONE distributed plan.
@@ -483,11 +522,42 @@ class IngestJob:
                 error=bad[0].error if bad else None,
             )
         except Exception as exc:  # noqa: BLE001
-            status = f"{ledger_mod.STATUS_UNEXPECTED}: {type(exc).__name__}"
-            self.ledger.append_many(
-                [(p.name, status) for p in paths if p not in handled]
+            # batch-SCOPED failure (a profile read crashing, a
+            # duplicate-basename/reserved-header ValueError from one
+            # run): fall back to PER-FILE processing of everything not
+            # yet handled — process_file is a total function that
+            # ledgers each file's true outcome. The old mass-ledger of
+            # STATUS_UNEXPECTED marked perfectly valid files
+            # processed-forever (review r10: one bad sibling
+            # permanently dropped the whole batch's rows). Re-ingesting
+            # a file a partially-failed run already wrote is safe: the
+            # cross-file history anti-join drops its rows as seen.
+            results = [
+                self.process_file(p, table_key=table_key)
+                for p in paths
+                if p not in handled
+            ]
+            bad = [
+                r for r in results
+                if r.status not in (
+                    ledger_mod.STATUS_UPLOADED, ledger_mod.STATUS_EMPTY
+                )
+            ]
+            status = (
+                bad[0].status if bad
+                else f"{ledger_mod.STATUS_UNEXPECTED}: {type(exc).__name__}"
+                if not results
+                else ledger_mod.STATUS_UPLOADED
             )
-            return FileResult(label, status, error=str(exc))
+            return FileResult(
+                label,
+                status,
+                rows_in=sum(r.rows_in for r in results),
+                rows_loaded=sum(r.rows_loaded for r in results),
+                error=str(exc) if not results else (
+                    bad[0].error if bad else str(exc)
+                ),
+            )
 
     def run(self, input_dir: str | Path) -> list[FileResult]:
         """One cycle (reference main(), minus the daemon sleep — cadence is

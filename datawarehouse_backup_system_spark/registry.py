@@ -70,6 +70,24 @@ class TableSchema:
                 f"{self.key}: {len(self.column_names)} column names vs "
                 f"{len(self.column_types)} types"
             )
+        # every type-class list must reference DECLARED columns (review
+        # r10): a typo like int_columns=('amonut',) previously skipped
+        # the cast silently, writing a string column where the schema
+        # declares Long — lexicographic comparisons downstream and
+        # dtype drift vs the empty-table fallback, with no error
+        # anywhere. Fail fast at registry load instead.
+        declared = set(self.column_names)
+        for cls_name in (
+            "date_columns", "int_columns", "float_columns",
+            "string_columns", "dob_columns",
+        ):
+            unknown = sorted(set(getattr(self, cls_name)) - declared)
+            if unknown:
+                raise ValueError(
+                    f"{self.key}: {cls_name} references undeclared "
+                    f"column(s) {unknown} (declared: "
+                    f"{sorted(declared)})"
+                )
 
     @property
     def data_columns(self) -> tuple[str, ...]:

@@ -36,6 +36,7 @@ SCRATCH_PREFIXES: tuple[str, ...] = (
     "dwbss-pr-",
     "dwbss-kc-",
     "dwbss-nf-",
+    "dwbss-transcode-",
 )
 
 _LIVE_ROOTS: list[Path] = []

@@ -198,6 +198,55 @@ def read_header(
     return next(_csv.reader(io.StringIO(line), delimiter=delimiter), [])
 
 
+def _spark_native_encoding(enc: str) -> bool:
+    """True when Spark's CSV scan handles the codec correctly as-is.
+
+    Multi-byte-unit codecs (UTF-16/UTF-32) are NOT native (review r10,
+    both confirmed live against Spark 4.1): Hadoop's line reader splits
+    records on RAW ``\\n`` BYTES, which misaligns 2/4-byte code units —
+    a BOM'd utf-16 file parsed as mojibake plus a phantom row, silently
+    COMMITTED — and Spark's CSVOptions rejects Python's dashed
+    endianned names ('utf-16-le'), crashing the read so the file was
+    ledgered unexpected and skipped forever. Single-byte charsets and
+    UTF-8 split correctly."""
+    e = enc.lower().replace("-", "").replace("_", "")
+    return not (e.startswith("utf16") or e.startswith("utf32"))
+
+
+def _transcode_to_utf8(paths: list[str], encoding: str) -> list[str]:
+    """Driver-side chunked transcode of non-Spark-native files into
+    UTF-8 staged copies (process-exit-swept scratch; basenames are
+    PRESERVED under per-index subdirs — the ingest file-rank join keys
+    on basename). Mirrors the reference's single-node decode; at
+    cluster scale, landing-zone normalization is where this belongs —
+    UTF-16 CSVs are a legacy-export format, not a data-lake one. A
+    ``.csv.gz`` copy is re-gzipped so the name's codec stays truthful.
+    The leading BOM (kept by explicit-endian decodes) is stripped."""
+    from ..scratch import new_scratch_root
+
+    root = Path(new_scratch_root("dwbss-transcode-"))
+    out: list[str] = []
+    for i, sp in enumerate(paths):
+        p = Path(sp)
+        tgt_dir = root / str(i)
+        tgt_dir.mkdir(parents=True, exist_ok=True)
+        tgt = tgt_dir / p.name
+        opener = (
+            (lambda q: gzip.open(q, "wt", encoding="utf-8", newline=""))
+            if _is_gzip(p)
+            else (lambda q: open(q, "w", encoding="utf-8", newline=""))
+        )
+        with _open_text(p, encoding) as src, opener(tgt) as dst:
+            first = True
+            while chunk := src.read(1 << 20):
+                if first:
+                    chunk = chunk.lstrip("\ufeff")
+                    first = False
+                dst.write(chunk)
+        out.append(str(tgt))
+    return out
+
+
 def read_raw_csv(
     spark: SparkSession,
     paths: str | list[str],
@@ -220,6 +269,14 @@ def read_raw_csv(
         encoding = detect_encoding(first) or "utf-8"
     if delimiter is None:
         delimiter = detect_delimiter(first, encoding)
+    if not _spark_native_encoding(encoding):
+        # UTF-16/32: transcode to UTF-8 staged copies first (see
+        # _spark_native_encoding — Spark both misparses and rejects
+        # these; review r10, confirmed live)
+        paths = _transcode_to_utf8(
+            [paths] if isinstance(paths, str) else list(paths), encoding
+        )
+        encoding = "utf-8"
     reader = (
         spark.read.option("header", True)
         .option("sep", delimiter)

@@ -494,3 +494,134 @@ def test_histogram_cdf_reads_share_one_algebra():
         quantiles.log2_histogram_quantiles,
     ):
         assert "_cdf_read(" in inspect.getsource(fn)
+
+
+# ---- round-10 review pass 4: ingest / csv_source / ledger / registry -------
+
+
+def test_utf16_and_utf32_csvs_parse_correctly(spark, tmp_path):
+    """Review r10 (confirmed live pre-fix): Spark's byte-level line
+    splitting misaligned 2/4-byte code units (BOM'd utf-16 parsed
+    mojibake plus a phantom row — silently COMMITTED), and Python's
+    dashed endianned names crashed CSVOptions (the file was then
+    ledgered unexpected and skipped forever). Non-native codecs now
+    transcode to UTF-8 staged copies."""
+    from datawarehouse_backup_system_spark.sources.csv_source import (
+        detect_encoding,
+        read_raw_csv,
+    )
+
+    body = "id,name\n1,rene\n2,anna\n"
+    for label, data in {
+        "bom16.csv": body.encode("utf-16"),
+        "le16.csv": body.encode("utf-16-le"),
+        "be16.csv": body.encode("utf-16-be"),
+        "bom32.csv": body.encode("utf-32"),
+    }.items():
+        p = tmp_path / label
+        p.write_bytes(data)
+        enc = detect_encoding(p)
+        rows = sorted(map(tuple, read_raw_csv(spark, str(p)).collect()))
+        assert rows == [("1", "rene"), ("2", "anna")], (label, enc, rows)
+
+
+def test_process_batch_batch_error_falls_back_per_file(spark, tmp_path):
+    """Review r10: a batch-SCOPED error (duplicate basenames share one
+    scan) mass-ledgered every remaining file as unexpected, permanently
+    blacklisting valid files. The fallback now processes them
+    per-file — both files upload."""
+    from fixtures import generate_f1
+
+    from datawarehouse_backup_system_spark import ledger as ledger_mod
+
+    fx = generate_f1(tmp_path)
+    import test_ingest as ti
+
+    job = ti.make_job(spark, tmp_path, fx)
+    # same BASENAME in two dirs — the _scan_with_seq rank join key
+    a_dir, b_dir = tmp_path / "a", tmp_path / "b"
+    a_dir.mkdir(); b_dir.mkdir()
+    (a_dir / "x.csv").write_bytes(fx["files"][0].read_bytes())
+    (b_dir / "x.csv").write_bytes(fx["files"][1].read_bytes())
+    res = job.process_batch(
+        [a_dir / "x.csv", b_dir / "x.csv"], "mini_campaign_events"
+    )
+    assert res.status == ledger_mod.STATUS_UPLOADED
+    assert res.rows_loaded > 0
+    statuses = {
+        r["file_name"]: r["status"] for r in job.ledger.read().collect()
+    }
+    assert statuses.get("x.csv") == ledger_mod.STATUS_UPLOADED
+
+
+def test_reserved_seq_header_rejected_loudly(spark, tmp_path):
+    """Review r10: a raw column named '_row' (etc.) was silently
+    overwritten by the ingest-order machinery AND passed width
+    validation (SEQ_COLS are appended to the expected set)."""
+    import pytest as _pytest
+
+    p = tmp_path / "weird.csv"
+    p.write_text("a,_row\n1,2\n")
+    from fixtures import generate_f1
+
+    (tmp_path / "fx").mkdir()
+    fx = generate_f1(tmp_path / "fx")
+    import test_ingest as ti
+
+    job = ti.make_job(spark, tmp_path, fx)
+    with _pytest.raises(ValueError, match="reserved ingest column"):
+        job._scan_with_seq([p]).collect()
+
+
+def test_registry_type_class_typo_fails_fast():
+    """Review r10: int_columns=('amonut',) silently skipped the cast and
+    wrote a string column where the schema declares Long."""
+    import pytest as _pytest
+
+    from datawarehouse_backup_system_spark.registry import TableSchema
+
+    with _pytest.raises(ValueError, match="undeclared"):
+        TableSchema(
+            key="t", table_name="t",
+            column_names=("id", "amount"),
+            column_types=("Int64", "Int64"),
+            int_columns=("amonut",),
+        )
+
+
+def test_zip_member_unlinked_after_ingest(spark, tmp_path):
+    """Review r10: extracted zip members leaked into _staging forever
+    (one plaintext copy per zip per cycle) and same-name members from
+    later zips silently overwrote earlier extractions."""
+    import zipfile
+
+    from fixtures import generate_f1
+
+    fx = generate_f1(tmp_path)
+    import test_ingest as ti
+
+    from datawarehouse_backup_system_spark import ledger as ledger_mod
+
+    job = ti.make_job(spark, tmp_path, fx)
+    zp = tmp_path / "last24h__zipped.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.write(fx["files"][0], arcname="last24h__20240301.csv")
+    res = job.process_file(zp)
+    assert res.status == ledger_mod.STATUS_UPLOADED
+    staging = job.warehouse_dir / "_staging"
+    assert not list(staging.glob("*.csv"))  # member consumed and removed
+
+
+def test_rows_in_is_populated(spark, tmp_path):
+    """Review r10: FileResult.rows_in was never assigned, so the batch
+    summary summed a constant 0 dressed up as a metric. It now rides
+    the write job as an Observation on the pre-dedup scan."""
+    from fixtures import generate_f1
+
+    fx = generate_f1(tmp_path)
+    import test_ingest as ti
+
+    job = ti.make_job(spark, tmp_path, fx)
+    res = job.process_file(fx["files"][0])
+    assert res.rows_in == fx["n_file1"]
+    assert 0 < res.rows_loaded <= res.rows_in
