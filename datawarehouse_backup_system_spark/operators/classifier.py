@@ -80,6 +80,8 @@ def train_lr(
         stats = data.agg(
             F.count(F.lit(1)).alias("n"),
             F.count("_y").alias("n_labeled"),
+            F.min("_y").alias("y_min"),
+            F.max("_y").alias("y_max"),
         ).collect()[0]
         n = stats["n"]  # also materializes the persist
         if n == 0:
@@ -91,6 +93,18 @@ def train_lr(
                 f"train_lr: {n - stats['n_labeled']} of {n} labels are "
                 f"NULL or not castable to double ('{label_col}') — clean "
                 "or filter the label column first"
+            )
+        if stats["y_min"] < 0.0 or stats["y_max"] > 1.0:
+            # {-1,+1} (SVM coding) or {1,2} (1-based classes) would
+            # train a garbage model SILENTLY: for y=-1 the residual
+            # sigmoid(z)-y never vanishes and weights march for all
+            # iterations (review r10). Same refuse-loudly philosophy as
+            # the NULL-label check; soft labels in [0, 1] stay legal.
+            raise ValueError(
+                f"train_lr: labels must lie in [0, 1] (got range "
+                f"[{stats['y_min']}, {stats['y_max']}] in "
+                f"'{label_col}') — recode {{-1,+1}}/{{1,2}} labels to "
+                "{0,1} first"
             )
         w = [0.0] * len(feature_cols)
         b = 0.0

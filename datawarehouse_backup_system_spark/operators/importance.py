@@ -78,18 +78,33 @@ def bucket_logratio(
     smoothing over the full bucket range, so unseen-token documents score
     finite weights. Columns: ``bucket``, ``logratio`` (double).
     """
-    spark = source_tokens.sparkSession
+    src_b = source_tokens.select(
+        hash_bucket(F.col("token"), n_buckets).alias("bucket")
+    )
+    tgt_b = target_tokens.select(
+        hash_bucket(F.col("token"), n_buckets).alias("bucket")
+    )
+    return _bucket_logratio_from_buckets(src_b, tgt_b, n_buckets, alpha)
+
+
+def _bucket_logratio_from_buckets(
+    src_b: DataFrame,
+    tgt_b: DataFrame,
+    n_buckets: int,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """bucket_logratio over PRE-BUCKETED (bucket) frames — the
+    hash-once path dsir_weights stages (review r10: staging raw token
+    strings recomputed md5+conv+pmod three times per action and cached
+    strings instead of one BIGINT per token)."""
+    spark = src_b.sparkSession
     base = spark.range(n_buckets).select(F.col("id").alias("bucket"))
 
-    def counts(tok: DataFrame, out: str) -> DataFrame:
-        return (
-            tok.select(hash_bucket(F.col("token"), n_buckets).alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias(out))
-        )
+    def counts(b: DataFrame, out: str) -> DataFrame:
+        return b.groupBy("bucket").agg(F.count(F.lit(1)).alias(out))
 
-    src = counts(source_tokens, "src_cnt")
-    tgt = counts(target_tokens, "tgt_cnt")
+    src = counts(src_b, "src_cnt")
+    tgt = counts(tgt_b, "tgt_cnt")
     joined = (
         base.join(src, "bucket", "left")
         .join(tgt, "bucket", "left")
@@ -157,11 +172,24 @@ def dsir_weights(
     (recompute, not corruption) — concurrent callers should pass
     ``stage=False``.
     """
+    if quantize_decimals is not None and not 0 <= quantize_decimals <= 15:
+        raise ValueError(
+            "dsir quantize_decimals must be in [0, 15]: decimal(18, q) "
+            "needs 18-q integer digits and q>15 leaves fewer than the "
+            "logratio's possible magnitude (q>18 is not even a valid "
+            "decimal type)"
+        )
     tok = df.select(
         F.col(id_col),
         target_pred.alias("_is_tgt"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
-    ).where(F.col("token") != "")
+    ).where(F.col("token") != "").select(
+        # hash ONCE before any persist/reuse (review r10): the staged
+        # frame carries one BIGINT bucket per token, not the string
+        F.col(id_col),
+        "_is_tgt",
+        hash_bucket(F.col("token"), n_buckets).alias("bucket"),
+    )
     if stage:
         with _STAGED_LOCK:
             while _LIVE_STAGED:
@@ -172,7 +200,12 @@ def dsir_weights(
                     pass
             tok = tok.persist()
             _LIVE_STAGED.append(tok)
-    ratio = bucket_logratio(tok, tok.where(F.col("_is_tgt")), n_buckets, alpha)
+    ratio = _bucket_logratio_from_buckets(
+        tok.select("bucket"),
+        tok.where(F.col("_is_tgt")).select("bucket"),
+        n_buckets,
+        alpha,
+    )
     if quantize_decimals is not None:
         ratio = ratio.select(
             "bucket",
@@ -181,8 +214,7 @@ def dsir_weights(
             .alias("logratio"),
         )
     scored = (
-        tok.withColumn("bucket", hash_bucket(F.col("token"), n_buckets))
-        .join(F.broadcast(ratio), "bucket")
+        tok.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

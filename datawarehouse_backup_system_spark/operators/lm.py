@@ -56,7 +56,15 @@ def bigram_rows(df: DataFrame, id_col: str, text_col: str,
     # measured ~10× slower at sf0.1 — interpreted per-element lambdas
     # dominated the whole t26 query. Same bucket values either way; the
     # oracle SQL is untouched.
-    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    # REGEX end-trim, not F.trim (review r10): trim strips ASCII
+    # spaces only, so a trailing newline/tab left an empty edge token
+    # and a spurious ('word','') bigram polluting the '' buckets and
+    # every colliding doc's avg_logp. \s-trim yields no edge empties
+    # (split on \s+ never produces interior empties), and the oracle
+    # replays the identical regex.
+    t = F.split(
+        F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
+    )
     pairs = F.when(
         F.size(t) >= 2,
         F.arrays_zip(
@@ -85,6 +93,13 @@ def bigram_model(
     and B, so the model updates incrementally as corpus shards arrive
     (a streaming foreachBatch can fold each micro-batch in) — the same
     mergeability contract as the CMS/HLL sketches in this repo.
+
+    COST (review r10): the two aggregations each scan the corpus (two
+    passes + two rounds of hashing) — on a large trusted corpus, either
+    persist the input's bigram rows yourself or build once and reuse
+    via :func:`merge_models`; the in-corpus path with staging is
+    :func:`bigram_lm_scores`. Micro-batch folds (the streaming caller)
+    are small enough that the double pass is noise.
     """
     rows = bigram_rows(df, id_col, text_col, pair_buckets, ctx_buckets)
     pair_cnt = rows.groupBy("bp").agg(F.count(F.lit(1)).alias("c_pair"))
@@ -167,7 +182,9 @@ def score_with_model(
     Bigrams absent from the model still score via the smoothing floor
     (left joins + zero-coalesce), so a model trained on corpus A can
     gate a disjoint corpus B — the usual deploy shape (train the LM on
-    trusted text, score the crawl). The corpus is scanned once.
+    trusted text, score the crawl). The corpus is scanned twice —
+    bigram rows + the distinct-id universe (review r10: the prior
+    'once' undersold the I/O budget by half).
     """
     rows = bigram_rows(df, id_col, text_col, pair_buckets, ctx_buckets)
     base = df.select(F.col(id_col)).distinct()
@@ -175,9 +192,35 @@ def score_with_model(
 
 
 #: staged bigram rows of the PRIOR bigram_lm_scores invocation — evicted
-#: on the next call (q42 tier-cache pattern: new DataFrame objects each
-#: call would otherwise pin executor memory until session end)
+#: on the next call or by release_staged() (q42 tier-cache pattern: new
+#: DataFrame objects each call would otherwise pin executor memory until
+#: session end). Guarded by _STAGED_LOCK (review r10: importance.py got
+#: the lock + release fix in r9 and cites lm.py as the pattern source,
+#: but lm.py itself was never hardened — two concurrent stage=True
+#: calls could double-pop the slot or unpersist each other's live
+#: frame). The lock makes evict+stage atomic; concurrent staged callers
+#: should still pass stage=False.
 _LIVE_STAGED: list[DataFrame] = []
+
+import threading as _threading  # noqa: E402 — lock for the slot above
+
+_STAGED_LOCK = _threading.Lock()
+
+
+def release_staged() -> None:
+    """Unpersist the staged bigram frame from the last
+    ``bigram_lm_scores(stage=True)`` call. Call after the returned
+    scores' consumers have run: the single-slot policy otherwise
+    retains a corpus-sized persisted (id, bp, bc) frame in executor
+    storage until the NEXT call or process exit (review r10 — the
+    exact retention bug importance.release_staged fixed in r9)."""
+    with _STAGED_LOCK:
+        while _LIVE_STAGED:
+            old = _LIVE_STAGED.pop()
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — owning session may be gone
+                pass
 
 
 def bigram_lm_scores(
@@ -203,23 +246,26 @@ def bigram_lm_scores(
     model aggs AND the scoring join; with ``stage=True`` (default) the
     rows are persisted so the corpus is tokenized/hashed ONCE per action
     (2× wall on a 5 k-doc corpus, more at scale) — the prior call's
-    stage is evicted on the next call. ``stage=False`` keeps the plan
-    fully lazy (no executor-memory pinning) at the cost of three scans.
+    stage is evicted on the next call (or by :func:`release_staged`).
+    ``stage=False`` keeps the plan fully lazy (no executor-memory
+    pinning) at the cost of four scans (three bigram passes + the
+    id universe).
     For train-on-A/score-B or incremental-merge setups use
     :func:`bigram_model` + :func:`score_with_model` directly.
     """
     rows = bigram_rows(df, id_col, text_col, pair_buckets, ctx_buckets)
     if stage:
-        while _LIVE_STAGED:
-            old = _LIVE_STAGED.pop()
-            try:
-                old.unpersist()
-            except Exception:
-                # the owning session may be stopped (bench rounds) —
-                # the cache died with it; drop the stale handle
-                pass
-        rows = rows.persist()
-        _LIVE_STAGED.append(rows)
+        with _STAGED_LOCK:
+            while _LIVE_STAGED:
+                old = _LIVE_STAGED.pop()
+                try:
+                    old.unpersist()
+                except Exception:  # noqa: BLE001
+                    # the owning session may be stopped (bench rounds)
+                    # — the cache died with it; drop the stale handle
+                    pass
+            rows = rows.persist()
+            _LIVE_STAGED.append(rows)
     pair_cnt = rows.groupBy("bp").agg(F.count(F.lit(1)).alias("c_pair"))
     ctx_cnt = rows.groupBy("bc").agg(F.count(F.lit(1)).alias("c_ctx"))
     base = df.select(F.col(id_col)).distinct()

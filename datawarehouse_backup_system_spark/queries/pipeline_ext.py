@@ -303,7 +303,10 @@ def t26_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T26_SQL = rf"""
 WITH d AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id,
+         string_split_regex(regexp_replace(text, '^\s+|\s+$', ''),
+                            '\s+') AS t
+  FROM documents
 ),
 bg AS (
   SELECT doc_id,

@@ -625,3 +625,96 @@ def test_rows_in_is_populated(spark, tmp_path):
     res = job.process_file(fx["files"][0])
     assert res.rows_in == fx["n_file1"]
     assert 0 < res.rows_loaded <= res.rows_in
+
+
+# ---- round-10 review pass 5: importance / lm / classifier ------------------
+
+
+def test_bigram_rows_no_empty_edge_tokens(spark):
+    """Review r10: F.trim strips ASCII spaces only, so a trailing
+    newline left an empty edge token and a spurious ('word','') bigram
+    polluting the '' hash buckets."""
+    from datawarehouse_backup_system_spark.operators.lm import bigram_rows
+
+    df = spark.createDataFrame(
+        [(1, "hello world\n"), (2, "\ta b"), (3, "one two")],
+        "id int, text string",
+    )
+    counts = {
+        r["id"]: r["n"]
+        for r in bigram_rows(df, "id", "text", 64, 32)
+        .groupBy("id").agg(__import__("pyspark").sql.functions.count(
+            __import__("pyspark").sql.functions.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == {1: 1, 2: 1, 3: 1}  # was 2 for ids 1 and 2
+
+
+def test_lm_release_staged_and_lock_exist(spark):
+    """Review r10: lm.py never got the r9 lock+release hardening its
+    own pattern-copy in importance.py received."""
+    from datawarehouse_backup_system_spark.operators import lm
+
+    df = spark.createDataFrame([(1, "a b c")], "id int, text string")
+    out = lm.bigram_lm_scores(df, "id", "text", stage=True)
+    assert out.count() == 1
+    assert len(lm._LIVE_STAGED) == 1
+    lm.release_staged()
+    assert lm._LIVE_STAGED == []
+    assert lm._STAGED_LOCK is not None
+
+
+def test_train_lr_rejects_out_of_range_labels(spark):
+    """Review r10: {-1,+1}/{1,2} label codings trained a garbage model
+    silently (the y=-1 residual never vanishes)."""
+    import pytest as _pytest
+
+    from datawarehouse_backup_system_spark.operators.classifier import (
+        train_lr,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, -1.0), (2.0, 1.0)], "x double, y double"
+    )
+    with _pytest.raises(ValueError, match=r"labels must lie in \[0, 1\]"):
+        train_lr(df, ["x"], "y", iters=1)
+
+
+def test_dsir_validates_quantize_decimals(spark):
+    """Review r10: decimal(18,20) is an immediate AnalysisException with
+    no hint; decimal(18,17) overflows on |logratio|>=10 mid-action."""
+    import pytest as _pytest
+
+    from datawarehouse_backup_system_spark.operators.importance import (
+        dsir_weights,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a b", "en")], "id int, t string, lang string")
+    with _pytest.raises(ValueError, match="quantize_decimals"):
+        dsir_weights(
+            df, "id", "t", target_pred=F.col("lang") == "en",
+            quantize_decimals=17,
+        )
+
+
+def test_dsir_stages_buckets_not_tokens(spark):
+    """Review r10: the staged frame carried raw token strings and
+    recomputed md5 three times per action; it now carries one BIGINT
+    bucket per token (schema-asserted), and weights are unchanged."""
+    from datawarehouse_backup_system_spark.operators import importance
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc", True), (2, "aa dd", False)],
+        "id int, t string, is_tgt boolean",
+    )
+    from pyspark.sql import functions as F
+
+    out = importance.dsir_weights(
+        df, "id", "t", target_pred=F.col("is_tgt"), stage=True
+    )
+    rows = {r["id"]: r["n_tokens"] for r in out.collect()}
+    assert rows == {1: 3, 2: 2}
+    staged = importance._LIVE_STAGED[-1]
+    assert "bucket" in staged.columns and "token" not in staged.columns
+    importance.release_staged()
