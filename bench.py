@@ -191,6 +191,88 @@ def _table_fingerprints(sf_dir: str) -> dict[str, list[int]]:
     return fps
 
 
+def _ref_regression(
+    timings: dict[str, float],
+    art_dir: str | Path | None = None,
+    n_recent: int = 3,
+    sf: float | None = None,
+) -> dict | None:
+    """Round-over-round contention detector (VERDICT r10 What's-wrong
+    #1): steal sampling can miss a contended window (r10 measured 1.89%
+    yet ran ~45% inflated), but the INFLATION SIGNATURE is unambiguous —
+    the common-query total regresses a lot and the regression is
+    UNIFORM across query families, which code changes never are.
+
+    Reference = the minimum-total artifact among the ``n_recent`` newest
+    committed ``BENCH_r*.json`` (contention only ever inflates, so the
+    fastest recent round is the cleanest; this also keeps one
+    contaminated committed artifact — r10 — from masking the check).
+    Override with ``SPARK_GRAFT_BENCH_REF=<path>``.
+
+    Returns None when no usable reference exists (<20 common queries),
+    else ``{"trigger": bool, "ratio": x, "ref": name, "n_common": n,
+    "families_regressed": k, "families_total": m}``; ``trigger`` is True
+    when the common total regressed >20% AND ≥70% of the non-trivial
+    families (ref subtotal ≥ 0.5 s) each regressed >10%.
+    """
+    art_dir = Path(art_dir) if art_dir else Path(__file__).resolve().parent
+    ref_env = os.environ.get("SPARK_GRAFT_BENCH_REF", "").strip()
+    candidates: list[tuple[str, dict[str, float]]] = []
+    paths = (
+        [Path(ref_env)]
+        if ref_env
+        else sorted(
+            art_dir.glob("BENCH_r*.json"),
+            key=lambda p: p.name,
+            reverse=True,
+        )[:n_recent]
+    )
+    for p in paths:
+        try:
+            art = json.loads(p.read_text())
+            # timings are only comparable at the SAME scale factor —
+            # an sf1 allowlist run vs an sf0.1 reference would read as
+            # a huge spurious "regression" and burn a retry
+            if sf is not None and art.get("sf") not in (None, sf):
+                continue
+            q = art.get("queries") or {}
+            common = {k: v for k, v in q.items() if k in timings}
+            if len(common) >= 20:
+                candidates.append((p.name, common))
+        except Exception:  # noqa: BLE001 — a bad artifact never sinks the bench
+            continue
+    if not candidates:
+        return None
+    name, ref = min(candidates, key=lambda kv: sum(kv[1].values()))
+    ref_total = sum(ref.values())
+    cur_total = sum(timings[k] for k in ref)
+    ratio = cur_total / ref_total if ref_total > 0 else 1.0
+    fams_ref: dict[str, float] = {}
+    fams_cur: dict[str, float] = {}
+    for k, v in ref.items():
+        m = re.match(r"[a-z]+", k)
+        fam = m.group(0) if m else "other"
+        fams_ref[fam] = fams_ref.get(fam, 0.0) + v
+        fams_cur[fam] = fams_cur.get(fam, 0.0) + timings[k]
+    sized = [f for f, v in fams_ref.items() if v >= 0.5]
+    regressed = [
+        f for f in sized if fams_cur[f] > fams_ref[f] * 1.10
+    ]
+    trigger = (
+        ratio > 1.20
+        and len(sized) > 0
+        and len(regressed) >= 0.70 * len(sized)
+    )
+    return {
+        "trigger": trigger,
+        "ratio": round(ratio, 3),
+        "ref": name,
+        "n_common": len(ref),
+        "families_regressed": len(regressed),
+        "families_total": len(sized),
+    }
+
+
 def main() -> int:
     import hashlib
     import shutil
@@ -215,8 +297,12 @@ def main() -> int:
     # hypervisor steal, which poisoned the r8 artifacts while they
     # self-reported clean. A 0.5 s /proc/stat delta probes the entry
     # window; each attempt also records its WHOLE-RUN delta.
+    # Default tightened 2.0 → 0.75 (VERDICT r10 What's-wrong #1: the
+    # r10 suite ran at 1.89% steal — under the old gate — and shipped
+    # ~45% uniformly inflated; the r9 measurement showed even ~1% steal
+    # swings the slow graph queries by 45%).
     steal_thresh = float(
-        os.environ.get("SPARK_GRAFT_BENCH_STEAL_PCT", "2.0")
+        os.environ.get("SPARK_GRAFT_BENCH_STEAL_PCT", "0.75")
     )
     _probe0 = _cpu_stat()
     if _probe0 is not None:
@@ -377,9 +463,17 @@ def main() -> int:
         retry_pause = float(
             os.environ.get("SPARK_GRAFT_BENCH_RETRY_PAUSE_S", "10")
         )
+        # round-over-round admission (VERDICT r10): a >20% common-query
+        # regression spread uniformly across families is contention the
+        # steal probe missed, not code — admit the retry on it too.
+        ref_reg = _ref_regression(attempts[-1]["timings"], sf=sf)
         if (
             len(attempts) < max_attempts
-            and (contended or attempts[-1]["env"]["contended"])
+            and (
+                contended
+                or attempts[-1]["env"]["contended"]
+                or bool(ref_reg and ref_reg["trigger"])
+            )
             and not attempts[-1]["skipped"]
             # pause is part of the headroom: admitting a retry the
             # hard budget then truncates burns a full attempt's wall
@@ -425,12 +519,16 @@ def main() -> int:
         )
     except Exception:  # noqa: BLE001
         jvm_up_s = -1.0
+    # re-evaluate against the OFFICIAL attempt's timings (the retry may
+    # be the one used) so the artifact self-identifies residual drift
+    official_reg = _ref_regression(timings, sf=sf)
     env_ctx = {
         "load_start": official["env"]["load_start"],
         "load_end": load_end,
         "entry_stat": entry_stat,
         "cpu_stat": official["env"]["cpu_stat"],
         "contended": contended,
+        "ref_regression": official_reg,
         "attempts": [a["env"] for a in attempts],
         "attempt_used": used,
         "jvm_uptime_s": jvm_up_s,
@@ -492,6 +590,11 @@ def main() -> int:
         # made an incoherent bracket for drift-attribution tooling)
         "load": [official["env"]["load_start"], load_end],
         "steal_pct": (official["env"]["cpu_stat"] or {}).get("steal_pct"),
+        # non-null ⇒ vs-recent-rounds drift check ran; trigger=true on
+        # the OFFICIAL attempt means the artifact still carries the
+        # uniform-inflation signature after the retry — do not trust
+        # its round-over-round comparison.
+        "ref_regression": official_reg,
         "n_attempts": len(attempts),
         "attempt_used": used,
         "jvm_uptime_s": jvm_up_s,

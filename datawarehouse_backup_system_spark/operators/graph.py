@@ -155,10 +155,16 @@ def pagerank(
     # while the caller asked for a tolerance stop is a quiet wrong-tier
     # trap. A tol_digits call below the unroll threshold therefore
     # stages too — the caller asked for early-stopping semantics.
+    # stage_bucketed=True likewise forces staging: the bucketed
+    # zero-Exchange plan contract only exists in the staged tier, and
+    # _stage_static_side's own rule is raise-on-forced-failure, never
+    # silent degradation — dropping the demand in the unrolled tier
+    # contradicted that (ADVICE r10→r11).
     staged = (
         stage_path is not None
         or iterations > stage_rounds_above
         or tol_digits is not None
+        or stage_bucketed is True
     )
     drop_stage = lambda: None  # noqa: E731
     if staged:
@@ -397,8 +403,20 @@ def _staged_round_root(
                         st.getPath().getName()
                     ):
                         fs.delete(st.getPath(), True)
-        except Exception:  # noqa: BLE001 — best-effort, like the glob
-            pass
+        except Exception as exc:  # noqa: BLE001 — best-effort, like the glob
+            # ...but DIAGNOSABLE (ADVICE r10→r11): a failed FS
+            # list/delete on re-entry silently resurrects the exact
+            # stale-round mixing this clear exists to prevent, so warn
+            # like the bucketed-staging fallback does.
+            import warnings
+
+            warnings.warn(
+                f"stale-round clear of {root!r} failed "
+                f"({type(exc).__name__}: {exc}); a held lazy result "
+                "may read r*/est_r* dirs from two different runs",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return root
 
 

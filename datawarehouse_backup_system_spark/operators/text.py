@@ -29,6 +29,19 @@ SUBWORD_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
 def tokens(text: Column) -> Column:
+    """Whitespace tokenization, SPACE-only trim.
+
+    Known divergence (ADVICE r10→r11, documented like
+    :func:`token_count_strict`'s quirk): ``F.trim`` strips only ASCII
+    spaces, so text with a leading/trailing ``\\n``/``\\t`` yields an
+    empty '' edge token here, while ``lm.bigram_rows`` regex-trims ALL
+    whitespace and does not. Every consumer of this function
+    (remove_dup_spans, shingles, simhash, quality features) and its
+    paired oracle SQL agrees on THIS behavior, so the two engines
+    match; a coordinated tokens()+oracle regex-trim migration is
+    planned as one future change rather than per-operator drift —
+    fixing it piecemeal would silently invalidate the pinned spec
+    hashes one operator at a time."""
     return F.split(F.trim(text), r"\s+")
 
 

@@ -466,6 +466,29 @@ class IngestJob:
                               error="empty batch")
         label = f"batch:{paths[0].name}..{paths[-1].name}[{len(paths)}]"
         handled: set = set()
+
+        def _fold(results: list) -> tuple:
+            """Shared status fold: bad → first bad, all EMPTY → EMPTY,
+            else UPLOADED. One definition so the exception fallback
+            cannot drift from the success path (ADVICE r10→r11: the
+            fallback mapped all-EMPTY to UPLOADED)."""
+            bad = [
+                r for r in results
+                if r.status not in (
+                    ledger_mod.STATUS_UPLOADED, ledger_mod.STATUS_EMPTY
+                )
+            ]
+            if bad:
+                status = bad[0].status
+            elif results and all(
+                r.status == ledger_mod.STATUS_EMPTY for r in results
+            ):
+                status = ledger_mod.STATUS_EMPTY
+            else:
+                status = ledger_mod.STATUS_UPLOADED
+            return status, bad
+
+        results: list[FileResult] = []
         try:
             def _profile(p: Path) -> tuple:
                 enc = detect_encoding(p) or "utf-8"
@@ -482,7 +505,6 @@ class IngestJob:
                     runs[-1][1].append(p)
                 else:
                     runs.append((ok, [p]))
-            results: list[FileResult] = []
             for ok, run in runs:
                 if ok:
                     run_label = (
@@ -502,18 +524,7 @@ class IngestJob:
                             self.process_file(p, table_key=table_key)
                         )
                         handled.add(p)
-            bad = [
-                r for r in results
-                if r.status not in (
-                    ledger_mod.STATUS_UPLOADED, ledger_mod.STATUS_EMPTY
-                )
-            ]
-            if bad:
-                status = bad[0].status
-            elif all(r.status == ledger_mod.STATUS_EMPTY for r in results):
-                status = ledger_mod.STATUS_EMPTY
-            else:
-                status = ledger_mod.STATUS_UPLOADED
+            status, bad = _fold(results)
             return FileResult(
                 label,
                 status,
@@ -532,31 +543,27 @@ class IngestJob:
             # permanently dropped the whole batch's rows). Re-ingesting
             # a file a partially-failed run already wrote is safe: the
             # cross-file history anti-join drops its rows as seen.
-            results = [
+            # `results` still holds the pre-exception FileResults, so
+            # their rows_in/rows_loaded are NOT dropped from the batch
+            # accounting (ADVICE r10→r11).
+            results = results + [
                 self.process_file(p, table_key=table_key)
                 for p in paths
                 if p not in handled
             ]
-            bad = [
-                r for r in results
-                if r.status not in (
-                    ledger_mod.STATUS_UPLOADED, ledger_mod.STATUS_EMPTY
+            if not results:
+                return FileResult(
+                    label,
+                    f"{ledger_mod.STATUS_UNEXPECTED}: {type(exc).__name__}",
+                    error=str(exc),
                 )
-            ]
-            status = (
-                bad[0].status if bad
-                else f"{ledger_mod.STATUS_UNEXPECTED}: {type(exc).__name__}"
-                if not results
-                else ledger_mod.STATUS_UPLOADED
-            )
+            status, bad = _fold(results)
             return FileResult(
                 label,
                 status,
                 rows_in=sum(r.rows_in for r in results),
                 rows_loaded=sum(r.rows_loaded for r in results),
-                error=str(exc) if not results else (
-                    bad[0].error if bad else str(exc)
-                ),
+                error=bad[0].error if bad else str(exc),
             )
 
     def run(self, input_dir: str | Path) -> list[FileResult]:

@@ -806,7 +806,8 @@ def e02_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     global row_number window single-partitions the corpus. The
     approx-vs-exact divergence is pinned tie-only in pytest."""
     import os as _os
-    from pathlib import Path as _Path
+
+    from ..operators.graph import _stage_du
 
     staged = _e02_staged(spark, sf_dir)
     min_bytes = int(
@@ -814,17 +815,12 @@ def e02_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "SPARK_GRAFT_E02_APPROX_MIN_BYTES", _E02_APPROX_MIN_BYTES
         )
     )
-    try:
-        p = _Path(sf_dir, "embeddings.parquet")
-        size = (
-            p.stat().st_size
-            if p.is_file()
-            else sum(
-                f.stat().st_size for f in p.rglob("*") if f.is_file()
-            )
-        )
-    except OSError:
-        size = 0  # non-local storage: stay exact (the conservative tier)
+    # _stage_du is cluster-storage-aware (Hadoop getContentSummary on
+    # scheme'd paths) — a plain pathlib stat here silently read 0 on
+    # hdfs://… and pinned the exact single-partition tier at any scale
+    # (ADVICE r10→r11, the same defect class _stage_du fixed in graph).
+    sep = "" if sf_dir.endswith("/") else "/"
+    size = _stage_du(f"{sf_dir}{sep}embeddings.parquet", spark)
     if size >= min_bytes:
         return _e02_trim_approx(staged)
     return _e02_trim_exact(staged)

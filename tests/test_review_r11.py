@@ -1,0 +1,256 @@
+"""Regression pins for the five round-10 ADVICE items fixed in round 11
+(each named in the fix commit), plus pins from the round-11 review
+passes (added below as the passes run)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+
+# --------------------------------------------------------------------------
+# ADVICE r10 item 1 — e02's tier probe must be cluster-storage-aware
+# --------------------------------------------------------------------------
+def test_e02_tier_probe_uses_stage_du(spark, monkeypatch):
+    """ADVICE r10 (curation_ext.py:818): the probe stat'd the embeddings
+    footprint with local pathlib only, so a scheme'd sf_dir (hdfs://…)
+    read size 0 and pinned the exact single-partition global-rank sort
+    at any scale. The probe now routes through graph._stage_du (Hadoop
+    getContentSummary on scheme paths); pin that the probe path reaches
+    _stage_du and that its return value switches the tier."""
+    from datawarehouse_backup_system_spark.operators import graph
+    from datawarehouse_backup_system_spark.queries import curation_ext
+
+    seen: list[str] = []
+
+    def fake_du(path, spark=None):
+        seen.append(path)
+        return fake_du.size
+
+    monkeypatch.setattr(graph, "_stage_du", fake_du)
+    monkeypatch.setattr(
+        curation_ext, "_e02_trim_exact", lambda staged: "EXACT-TIER"
+    )
+    monkeypatch.setattr(
+        curation_ext, "_e02_trim_approx", lambda staged: "APPROX-TIER"
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    fake_du.size = 10**13  # huge footprint → approx tier
+    assert curation_ext.e02_embedding_outliers(spark, sf_dir) == "APPROX-TIER"
+    fake_du.size = 0  # unreadable/small → the conservative exact tier
+    assert curation_ext.e02_embedding_outliers(spark, sf_dir) == "EXACT-TIER"
+    assert seen == [f"{sf_dir}/embeddings.parquet"] * 2
+
+
+# --------------------------------------------------------------------------
+# ADVICE r10 item 2 — process_batch fallback accounting
+# --------------------------------------------------------------------------
+def test_process_batch_fallback_keeps_pre_exception_rows(spark, tmp_path):
+    """ADVICE r10 (ingest.py:555): the exception fallback summed
+    rows_in/rows_loaded only over the per-file retries of UNHANDLED
+    paths, dropping counts from runs that uploaded before the
+    exception. The pre-exception results now carry into the fold."""
+    from fixtures import generate_f1
+
+    import test_ingest as ti
+    from datawarehouse_backup_system_spark import ledger as ledger_mod
+
+    fx = generate_f1(tmp_path)
+    job = ti.make_job(spark, tmp_path, fx)
+
+    # file B is a UTF-16 transcode of fixture file 2: same table, but a
+    # divergent (encoding) profile, so the batch splits into a
+    # conforming run [A] (handled by _ingest) and a divergent run [B]
+    # (handled per-file inside the try block).
+    a = fx["files"][0]
+    b = tmp_path / "divergent" / "last24h__b.csv"
+    b.parent.mkdir()
+    b.write_bytes(
+        fx["files"][1].read_text(encoding="utf-8").encode("utf-16")
+    )
+
+    real_pf = job.process_file
+    calls = {"n": 0}
+
+    def raise_once(path, table_key=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("mid-batch crash after run A uploaded")
+        return real_pf(path, table_key=table_key)
+
+    job.process_file = raise_once
+    res = job.process_batch([a, b], "mini_campaign_events")
+    job.process_file = real_pf
+
+    assert res.status == ledger_mod.STATUS_UPLOADED
+    # rows from the PRE-exception run A must be in the batch accounting
+    a_alone_rows = len(ti.fx_rows(fx, 0))
+    assert res.rows_in > a_alone_rows  # A's rows + B's rows, not B only
+    table = job.read_table(job.registry.get("mini_campaign_events"))
+    assert res.rows_loaded == table.count()
+
+
+def test_process_batch_fallback_all_empty_maps_to_empty(spark, tmp_path):
+    """ADVICE r10 (ingest.py:555): the fallback mapped an all-EMPTY
+    retry outcome to STATUS_UPLOADED where the success path reports
+    STATUS_EMPTY; both paths now share one status fold."""
+    from fixtures import generate_f1
+
+    import test_ingest as ti
+    from datawarehouse_backup_system_spark import ledger as ledger_mod
+    from datawarehouse_backup_system_spark.plans.ingest import FileResult
+
+    fx = generate_f1(tmp_path)
+    job = ti.make_job(spark, tmp_path, fx)
+    # nonexistent paths make _profile raise inside the try block, so
+    # the whole batch lands in the fallback's per-file retry
+    job.process_file = lambda p, table_key=None: FileResult(
+        p.name, ledger_mod.STATUS_EMPTY
+    )
+    res = job.process_batch(
+        [tmp_path / "ghost1.csv", tmp_path / "ghost2.csv"],
+        "mini_campaign_events",
+    )
+    assert res.status == ledger_mod.STATUS_EMPTY
+
+
+# --------------------------------------------------------------------------
+# ADVICE r10 item 3 — pagerank(stage_bucketed=True) must stage
+# --------------------------------------------------------------------------
+def test_pagerank_stage_bucketed_forces_staged_tier(spark, monkeypatch):
+    """ADVICE r10 (graph.py:161): stage_bucketed=True in the unrolled
+    tier (iterations <= stage_rounds_above, no stage_path/tol_digits)
+    silently dropped the demanded bucketed zero-Exchange contract.
+    It now forces the staged tier, so _stage_static_side runs with
+    bucketed=True (whose forced mode raises rather than degrades)."""
+    from datawarehouse_backup_system_spark.operators import graph
+
+    staged_calls: list[bool | None] = []
+    real_stage = graph._stage_static_side
+
+    def spy(df, root, name, key, bucketed=None, n_buckets=None):
+        staged_calls.append(bucketed)
+        return real_stage(df, root, name, key, bucketed=bucketed,
+                          n_buckets=n_buckets)
+
+    monkeypatch.setattr(graph, "_stage_static_side", spy)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src int, dst int"
+    )
+    plain = {
+        r["node"]: round(r["rank"], 9)
+        for r in graph.pagerank(edges, iterations=2).collect()
+    }
+    assert staged_calls == []  # default small run stays unrolled
+    forced = {
+        r["node"]: round(r["rank"], 9)
+        for r in graph.pagerank(
+            edges, iterations=2, stage_bucketed=True
+        ).collect()
+    }
+    assert staged_calls == [True]  # the contract actually reached staging
+    assert forced == plain  # tier switch changes the plan, not the result
+
+
+# --------------------------------------------------------------------------
+# ADVICE r10 item 4 — stale-round clear failure must be diagnosable
+# --------------------------------------------------------------------------
+def test_staged_round_root_warns_on_scheme_clear_failure(spark):
+    """ADVICE r10 (graph.py:400): a failed cluster-FS list/delete on
+    re-entry was swallowed with bare `pass`, silently resurrecting the
+    stale-round mixing the clear exists to prevent. It now warns."""
+    from datawarehouse_backup_system_spark.operators.graph import (
+        _staged_round_root,
+    )
+
+    with pytest.warns(RuntimeWarning, match="stale-round clear"):
+        _staged_round_root(
+            "no-such-scheme://bucket/stage", "pin-", spark
+        )
+
+
+# --------------------------------------------------------------------------
+# ADVICE r10 item 5 — tokens()/bigram_rows divergence is documented
+# --------------------------------------------------------------------------
+def test_tokens_divergence_documented():
+    """ADVICE r10 (lm.py:59): the repo carries two tokenizations
+    (tokens() space-only-trims; bigram_rows regex-trims). The chosen
+    resolution is a documented divergence + one coordinated future
+    migration; pin the documentation so it cannot silently drop."""
+    from datawarehouse_backup_system_spark.operators.text import tokens
+
+    assert "bigram_rows" in (tokens.__doc__ or "")
+    assert "divergence" in (tokens.__doc__ or "").lower()
+
+
+# --------------------------------------------------------------------------
+# VERDICT r10 item 1 — bench steal gate tightened + drift admission
+# --------------------------------------------------------------------------
+def test_bench_steal_gate_default_tightened():
+    """VERDICT r10 What's-wrong #1: the r10 suite ran at 1.89% steal —
+    under the old 2.0% default — and shipped ~45% uniformly inflated.
+    Pin the tightened default (the judge asked for ~0.75–1.0%)."""
+    src = Path(__file__).resolve().parents[1] / "bench.py"
+    text = src.read_text()
+    assert '"SPARK_GRAFT_BENCH_STEAL_PCT", "0.75"' in text
+
+
+def test_bench_ref_regression_trigger(tmp_path, monkeypatch):
+    """VERDICT r10 item 1: round-over-round admission — a >20%
+    common-query regression spread uniformly across families is
+    contention the steal probe missed, and must admit a retry; a
+    single-family blowup (a real plan change) must NOT."""
+    import json
+
+    import bench
+
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_REF", raising=False)
+    ref = {f"q{i:02d}_x": 1.0 for i in range(1, 11)}
+    ref.update({f"d{i:02d}_y": 1.0 for i in range(1, 11)})
+    ref.update({"g03_z": 5.0, "t01_w": 2.0})
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"queries": ref, "sf": 0.1})
+    )
+    # uniform +50% → the contention signature → trigger
+    cur = {k: v * 1.5 for k, v in ref.items()}
+    got = bench._ref_regression(cur, art_dir=tmp_path, sf=0.1)
+    assert got["trigger"] is True
+    assert got["ratio"] == 1.5
+    assert got["ref"] == "BENCH_r09.json"
+    # one family 10× but the rest flat → a code/plan story, no trigger
+    cur2 = dict(ref)
+    cur2["g03_z"] = 50.0
+    got2 = bench._ref_regression(cur2, art_dir=tmp_path, sf=0.1)
+    assert got2["trigger"] is False
+    # scale-factor mismatch → the reference is not comparable at all
+    assert bench._ref_regression(cur, art_dir=tmp_path, sf=1.0) is None
+    # flat run → no trigger
+    assert bench._ref_regression(ref, art_dir=tmp_path, sf=0.1)[
+        "trigger"
+    ] is False
+
+
+def test_bench_ref_regression_picks_min_total_reference(tmp_path, monkeypatch):
+    """The reference must be the MIN-total recent artifact: contention
+    only inflates, so the fastest recent round is the cleanest — and a
+    contaminated committed artifact (r10) must not mask the check by
+    being the newest."""
+    import json
+
+    import bench
+
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_REF", raising=False)
+    ref = {f"q{i:02d}_x": 1.0 for i in range(1, 21)}
+    dirty = {k: v * 1.45 for k, v in ref.items()}  # inflated newer round
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"queries": ref, "sf": 0.1})
+    )
+    (tmp_path / "BENCH_r10.json").write_text(
+        json.dumps({"queries": dirty, "sf": 0.1})
+    )
+    cur = {k: v * 1.5 for k, v in ref.items()}
+    got = bench._ref_regression(cur, art_dir=tmp_path, sf=0.1)
+    assert got["ref"] == "BENCH_r09.json"  # min-total, not newest
+    assert got["trigger"] is True  # vs r10 alone the ratio would pass
