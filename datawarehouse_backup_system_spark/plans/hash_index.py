@@ -1,0 +1,239 @@
+"""Persisted bucketed row-hash index: shuffle-free J2 at warehouse scale.
+
+The reference's cross-file dedup (J2, util/data_processing.py:209-393)
+re-reads its whole processed history per new file. The Spark-first plain
+path (`operators/dedup.anti_join_history`) already prunes the scan to the
+one hash column, but every ingested file still SHUFFLES that column: at a
+100 TB warehouse the hash projection alone is terabytes, re-partitioned
+across the network once per file, every cycle, forever.
+
+This module moves that shuffle to write time, once per row ever: a side
+table holding exactly ``(row_hash, write_id, ingest_date)`` per committed
+warehouse row, stored BUCKETED on ``row_hash``
+(``DataFrameWriter.bucketBy`` — the same public mechanism
+`operators/bucketed.py` pins). Each J2 then plans a sort-merge anti-join
+with ONE Exchange — the batch side aligning to the index bucketing; the
+history side reads co-located buckets with zero Exchange, every file,
+every cycle (plan contract pinned in tests/test_hash_index.py).
+
+Correctness contract — the index must agree EXACTLY with what the plain
+path would read, through every mutation the warehouse supports (aborted
+writes, crash rollback, retention partition drops, OPTIMIZE/RESTORE
+rewrites, vacuum). Rather than trying to hook every mutator, the design
+makes the LIVE FILE LISTING the single source of truth:
+
+- Every data file the write-id format publishes is named
+  ``w<write_id>-*`` under its ``ingest_date=<d>`` partition dir, so the
+  listing yields the live ``(write_id, ingest_date)`` pair set — the
+  same universe ``fmt.read`` scans (plain parquet read of whatever is
+  on disk), so parity holds even for uncommitted-but-published files.
+- The index is append-only; a tiny manifest records which pairs it
+  holds. At read time the index is filtered to the LIVE pairs with a
+  broadcast semi-join (which preserves the bucketed partitioning), so
+  rows from aborted, rolled-back, dropped, vacuumed, or rewritten-away
+  writes are ignored without ever rewriting the index.
+- Live pairs MISSING from the manifest are caught up on the spot by
+  reading just those files (batch-sized — the newly appended data),
+  hashing column only. A table written before the index existed
+  bootstraps itself the same way: the first over-threshold J2 pays one
+  full hash-column scan (exactly what the plain path pays every file),
+  then never again.
+- Anything the listing cannot account for (a live data file without the
+  write-id name shape) disables the index for that call — the caller
+  falls back to the plain path. Fallback is always correct, only slower.
+
+Single-writer discipline: index appends and manifest writes happen only
+under the warehouse :class:`~.table_format.WriterLease` held by the
+calling ingest cycle, same as every other warehouse mutation. The
+manifest is rewritten whole via tmp+atomic-rename. Crash windows: dying
+between the index append and the manifest write means the next call
+re-appends those pairs — duplicate ``(row_hash, write_id, ingest_date)``
+rows, which an anti-join is insensitive to (a bounded, self-limiting
+redundancy, not a correctness hazard); dying before the append means the
+pairs are simply still missing and catch up next call.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import warnings
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: auto-mode cutover, same rationale as operators/graph._BUCKET_MIN_BYTES:
+#: below this on-disk table footprint the hash projection is small enough
+#: that the plain path's per-file shuffle (often a broadcast under AQE) is
+#: cheaper than maintaining the index; above it the per-file history
+#: re-shuffle dominates every cycle.
+_INDEX_MIN_BYTES = 4 << 30
+
+_FILE_RE = re.compile(r"^w([0-9a-f]{8,32})-.*\.parquet$")
+_PART_RE = re.compile(r"^ingest_date=(.+)$")
+
+
+def index_min_bytes() -> int:
+    return int(
+        os.environ.get("SPARK_GRAFT_J2_INDEX_MIN_BYTES", _INDEX_MIN_BYTES)
+    )
+
+
+def _index_root(warehouse_dir: Path, table_name: str) -> Path:
+    return Path(warehouse_dir) / "_hashidx" / table_name
+
+
+def _catalog_name(warehouse_dir: Path, table_name: str) -> str:
+    """Session-catalog identifier, unique per warehouse path (tests run
+    many warehouses in one session; two warehouses must never share an
+    index registration)."""
+    digest = hashlib.md5(
+        str(Path(warehouse_dir).resolve()).encode()
+    ).hexdigest()[:10]
+    safe = re.sub(r"[^a-zA-Z0-9_]", "_", table_name)
+    return f"hashidx_{safe}_{digest}"
+
+
+def _read_manifest(root: Path) -> dict | None:
+    try:
+        return json.loads((root / "manifest.json").read_text())
+    except (OSError, ValueError):
+        return None
+
+
+def _write_manifest(root: Path, man: dict) -> None:
+    root.mkdir(parents=True, exist_ok=True)
+    tmp = root / f".manifest.{os.getpid()}.tmp"
+    tmp.write_text(json.dumps(man, sort_keys=True))
+    os.replace(tmp, root / "manifest.json")
+
+
+def live_write_pairs(
+    table_path: Path,
+) -> tuple[set[tuple[str, str]], dict[tuple[str, str], list[str]]] | None:
+    """The live ``(write_id, ingest_date)`` pair set plus the data files
+    carrying each pair, from the table's file listing — the ground truth
+    the plain-path read scans. Returns None when any live data file does
+    not fit the write-id format's naming (the index then cannot claim to
+    cover the table and the caller must fall back)."""
+    pairs: set[tuple[str, str]] = set()
+    files: dict[tuple[str, str], list[str]] = {}
+    base = Path(table_path)
+    if not base.exists():
+        return set(), {}
+    for f in base.rglob("*.parquet"):
+        rel = f.relative_to(base)
+        if any(part.startswith(("_", ".")) for part in rel.parts):
+            continue  # manifests/inflight — invisible to the read, skip
+        m = _FILE_RE.match(f.name)
+        pm = _PART_RE.match(f.parent.name)
+        if not m or not pm:
+            return None  # a live file the index cannot account for
+        key = (m.group(1), pm.group(1))
+        pairs.add(key)
+        files.setdefault(key, []).append(str(f))
+    return pairs, files
+
+
+def _ensure_table(
+    spark: SparkSession, name: str, root: Path, n_buckets: int
+) -> None:
+    """Re-attach the external bucketed table after a session restart:
+    the parquet data + manifest persist under the warehouse, but the
+    session catalog entry does not."""
+    if spark.catalog.tableExists(name):
+        return
+    spark.sql(
+        f"CREATE TABLE {name} "
+        "(row_hash STRING, write_id STRING, ingest_date STRING) "
+        "USING PARQUET "
+        "CLUSTERED BY (row_hash) SORTED BY (row_hash) "
+        f"INTO {n_buckets} BUCKETS "
+        f"LOCATION '{root / 'data'}'"
+    )
+
+
+def history_hash_frame(
+    spark: SparkSession,
+    warehouse_dir: Path,
+    table_path: Path,
+    table_name: str,
+    n_buckets: int | None = None,
+) -> DataFrame | None:
+    """The committed-history ``row_hash`` frame for J2, bucketed on
+    ``row_hash`` so the anti-join never shuffles it. None ⇒ the index
+    cannot serve this table right now; use the plain path.
+
+    Must be called under the warehouse WriterLease (catch-up appends).
+    """
+    listed = live_write_pairs(table_path)
+    if listed is None:
+        return None
+    pairs, pair_files = listed
+    if not pairs:
+        return None  # empty history: the plain anti-join is free
+    root = _index_root(Path(warehouse_dir), table_name)
+    man = _read_manifest(root) or {
+        "n_buckets": int(
+            n_buckets
+            or os.environ.get("SPARK_GRAFT_J2_INDEX_BUCKETS", "64")
+        ),
+        "entries": {},
+    }
+    have = {
+        (w, d) for w, dates in man["entries"].items() for d in dates
+    }
+    missing = sorted(pairs - have)
+    name = _catalog_name(Path(warehouse_dir), table_name)
+    try:
+        if missing:
+            to_read = [p for key in missing for p in pair_files[key]]
+            src = spark.read.option("basePath", str(table_path)).parquet(
+                *to_read
+            )
+            rows = src.select(
+                F.col("row_hash").cast("string").alias("row_hash"),
+                F.regexp_extract(
+                    F.input_file_name(), r"/w([0-9a-f]+)-[^/]*$", 1
+                ).alias("write_id"),
+                F.col("ingest_date").cast("string").alias("ingest_date"),
+            )
+            _ensure_table_dir = root / "data"
+            _ensure_table_dir.mkdir(parents=True, exist_ok=True)
+            (
+                rows.write.mode("append")
+                .format("parquet")
+                .bucketBy(man["n_buckets"], "row_hash")
+                .sortBy("row_hash")
+                .option("path", str(_ensure_table_dir))
+                .saveAsTable(name)
+            )
+            for w, d in missing:
+                dates = man["entries"].setdefault(w, [])
+                if d not in dates:
+                    dates.append(d)
+            _write_manifest(root, man)
+        _ensure_table(spark, name, root, man["n_buckets"])
+        idx = spark.table(name)
+    except Exception as exc:  # noqa: BLE001 — fallback is always correct
+        warnings.warn(
+            f"hash index for {table_name!r} unavailable "
+            f"({type(exc).__name__}: {exc}); J2 falling back to the "
+            "plain history scan",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return None
+    live = spark.createDataFrame(
+        sorted(pairs), "write_id string, ingest_date string"
+    )
+    # broadcast semi-join preserves the bucketed (hashpartitioning on
+    # row_hash) output of the index scan, so the downstream anti-join
+    # still plans zero Exchange on this side
+    return (
+        idx.join(F.broadcast(live), ["write_id", "ingest_date"], "left_semi")
+        .select("row_hash")
+    )

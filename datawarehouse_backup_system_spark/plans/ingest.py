@@ -189,8 +189,7 @@ class IngestJob:
             return None, report.error
         hashed = with_row_hash(normalized, list(schema.data_columns))
         deduped = self_dedup_first(hashed, order_col=list(SEQ_COLS))
-        history = self.read_table(schema)
-        novel = anti_join_history(deduped, history)
+        novel = self._dedup_against_history(deduped, schema)
         casted = apply_typed_casts(
             novel, schema, passthrough=("row_hash", *SEQ_COLS)
         )
@@ -308,6 +307,35 @@ class IngestJob:
         return export_registry_watermarks(schema_path, out_path, last_ids)
 
     # -- atomic snapshot append -------------------------------------------
+    def _dedup_against_history(
+        self, deduped: DataFrame, schema: TableSchema
+    ) -> DataFrame:
+        """J2 with the scale auto-switch (VERDICT r10 item 6, the same
+        footprint-threshold pattern as graph._stage_static_side): below
+        ``SPARK_GRAFT_J2_INDEX_MIN_BYTES`` (default 4 GiB) of on-disk
+        table footprint, the plain column-pruned history anti-join runs —
+        at local scale its per-file shuffle is a broadcast under AQE and
+        the index would only add write overhead. Above it, the batch
+        anti-joins the persisted row_hash index bucketed on the join key
+        (:mod:`~.hash_index`), so a 100 TB history is never re-shuffled
+        per file: ONE Exchange, batch side only (plan contract pinned in
+        tests/test_hash_index.py). The index validates itself against
+        the live file listing and falls back to the plain path whenever
+        it cannot account for the table — fallback is always correct."""
+        from datawarehouse_backup_system_spark.operators.graph import (
+            _stage_du,
+        )
+        from datawarehouse_backup_system_spark.plans import hash_index
+
+        tp = self.table_path(schema)
+        if _stage_du(str(tp), self.spark) >= hash_index.index_min_bytes():
+            idx = hash_index.history_hash_frame(
+                self.spark, Path(self.warehouse_dir), tp, schema.table_name
+            )
+            if idx is not None:
+                return deduped.join(idx, "row_hash", "left_anti")
+        return anti_join_history(deduped, self.read_table(schema))
+
     def _atomic_append(self, plan: DataFrame, schema: TableSchema) -> int:
         """Append ``plan`` to the snapshot through the table format
         (:mod:`~.table_format`): the shipped
