@@ -111,6 +111,13 @@ try:  # round-10 extensions (HyperBall tolerance spec, dup-span removal)
 except ImportError:
     pass
 
+try:  # round-11 extensions (Cavnar-Trenkle character-n-gram langid)
+    from datawarehouse_backup_system_spark.queries import round11_ext
+
+    _ALL_SPECS += list(round11_ext.SPECS)
+except ImportError:
+    pass
+
 
 def _staleness_key(name: str) -> int:
     """Rotation priority from the CORRECTNESS_r{N}.json history.

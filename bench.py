@@ -35,6 +35,7 @@ from datawarehouse_backup_system_spark.queries import (  # noqa: E402
     round8_ext,
     round9_ext,
     round10_ext,
+    round11_ext,
     scale_ext,
 )
 from datawarehouse_backup_system_spark.session import get_spark  # noqa: E402
@@ -328,6 +329,7 @@ def main() -> int:
         + round8_ext.SPECS
         + round9_ext.SPECS
         + round10_ext.SPECS
+        + round11_ext.SPECS
     }
     # crashed-run strays first (pid-liveness-gated, shared lifecycle)
     from datawarehouse_backup_system_spark.scratch import sweep_stale_scratch

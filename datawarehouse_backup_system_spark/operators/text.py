@@ -158,6 +158,186 @@ def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out.withColumn("predicted_lang", best.otherwise(F.lit("und")))
 
 
+#: Cavnar–Trenkle (1994, "N-Gram-Based Text Categorization") seed
+#: corpora: a few plain sentences per language, composed for this repo
+#: (public-knowledge everyday prose, no external source). The model is
+#: TRAINED at import time by :func:`train_char_ngram_model` — fully
+#: deterministic, so the Spark query and the DuckDB oracle replay share
+#: the identical profile table.
+CT_SAMPLES = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and then it runs "
+        "back to the old house where the children are playing with "
+        "their friends this is what we wanted to see and the weather "
+        "was good enough for everything that they had planned for the "
+        "day because the sun was shining and there was no rain at all"
+    ),
+    "fr": (
+        "le renard brun saute par dessus le chien paresseux et puis il "
+        "retourne vers la vieille maison ou les enfants jouent avec "
+        "leurs amis c est ce que nous voulions voir et le temps etait "
+        "assez bon pour tout ce qu ils avaient prevu pour la journee "
+        "parce que le soleil brillait et il n y avait pas de pluie"
+    ),
+    "es": (
+        "el zorro marron salta sobre el perro perezoso y luego vuelve "
+        "a la vieja casa donde los ninos juegan con sus amigos esto es "
+        "lo que queriamos ver y el tiempo era bastante bueno para todo "
+        "lo que habian planeado para el dia porque el sol brillaba y "
+        "no habia lluvia en absoluto durante toda la tarde"
+    ),
+    "de": (
+        "der braune fuchs springt uber den faulen hund und dann lauft "
+        "er zuruck zu dem alten haus wo die kinder mit ihren freunden "
+        "spielen das ist was wir sehen wollten und das wetter war gut "
+        "genug fur alles was sie fur den tag geplant hatten weil die "
+        "sonne schien und es gab uberhaupt keinen regen am nachmittag"
+    ),
+}
+
+#: profile depth K: both the per-language model profile and the
+#: per-document profile keep their K most frequent grams (the paper's
+#: single knob). Integer out-of-place distances keep the replay exact.
+CT_TOP_K = 64
+CT_NGRAM_SIZES = (2, 3)
+
+
+def ct_normalize_py(s: str) -> str:
+    """The shared normalization, driver-side (training + simulators):
+    casefold to ascii lowercase, collapse every non-[a-z] run to one
+    space. Accented letters become separators — a deliberate loss (the
+    [a-z ] alphabet is the cheapest cross-engine-identical one; enough
+    signal survives in the grams around them)."""
+    import re as _pyre
+
+    return _pyre.sub(r"[^a-z]+", " ", s.lower()).strip()
+
+
+def char_ngram_profile_py(
+    s: str,
+    n_sizes: tuple[int, ...] = CT_NGRAM_SIZES,
+    top_k: int = CT_TOP_K,
+) -> list[tuple[str, int]]:
+    """Ranked (gram, rank) profile of one normalized string — the pure
+    Python definition both engines replay: count every n-gram for each
+    size, rank by (count desc, gram asc), keep the first ``top_k``."""
+    counts: dict[str, int] = {}
+    for n in n_sizes:
+        for i in range(len(s) - n + 1):
+            g = s[i : i + n]
+            counts[g] = counts.get(g, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [(g, r + 1) for r, (g, _c) in enumerate(ranked[:top_k])]
+
+
+def train_char_ngram_model(
+    samples: dict[str, str] | None = None,
+    n_sizes: tuple[int, ...] = CT_NGRAM_SIZES,
+    top_k: int = CT_TOP_K,
+) -> list[tuple[str, str, int]]:
+    """(lang, gram, rank) rows for every language profile — the
+    broadcastable model table (a few hundred rows for any realistic
+    language set; at 100 TB the corpus never moves for the join)."""
+    samples = CT_SAMPLES if samples is None else samples
+    rows: list[tuple[str, str, int]] = []
+    for lang in sorted(samples):
+        prof = char_ngram_profile_py(
+            ct_normalize_py(samples[lang]), n_sizes, top_k
+        )
+        rows.extend((lang, g, r) for g, r in prof)
+    return rows
+
+
+def langid_ngram(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model_rows: list[tuple[str, str, int]] | None = None,
+    n_sizes: tuple[int, ...] = CT_NGRAM_SIZES,
+    top_k: int = CT_TOP_K,
+) -> DataFrame:
+    """Character-n-gram language ID — Cavnar–Trenkle out-of-place
+    distance against broadcast language profiles (VERDICT r10 item 5;
+    the production-credible upgrade of the stopword-marker
+    :func:`langid`, which stays as the pinned reference variant).
+
+    Scale shape: n-gram explode is ~``sum(n_sizes)``×chars rows per
+    document, combined to one per-(doc, gram) count by a map-side-
+    combined groupBy; the per-document profile cut is a window
+    partitioned BY DOCUMENT (never global); the model table is a few
+    hundred rows and broadcast, so the corpus is joined where it
+    already lives. Everything is integer arithmetic — the DuckDB
+    replay is exact, not tolerance-banded.
+
+    Ties: profile rank breaks (count desc, gram asc); language argmin
+    breaks (distance asc, lang asc). Documents with NO grams after
+    normalization (empty / all-symbol text) → 'und' with NULL distance.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    model_rows = model_rows or train_char_ngram_model(
+        n_sizes=n_sizes, top_k=top_k
+    )
+    model = spark.createDataFrame(
+        model_rows, "lang string, gram string, rank_model int"
+    )
+    langs = spark.createDataFrame(
+        sorted({(r[0],) for r in model_rows}), "lang string"
+    )
+
+    norm = df.select(
+        F.col(id_col),
+        F.trim(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " ")
+        ).alias("_t"),
+    )
+    gram_arrays = [
+        F.expr(
+            f"CASE WHEN length(_t) >= {n} THEN "
+            f"transform(sequence(1, length(_t) - {n - 1}), "
+            f"i -> substring(_t, i, {n})) ELSE array() END"
+        )
+        for n in n_sizes
+    ]
+    grams = norm.select(
+        F.col(id_col), F.explode(F.concat(*gram_arrays)).alias("gram")
+    )
+    counts = grams.groupBy(id_col, "gram").agg(F.count("*").alias("_c"))
+    w_doc = Window.partitionBy(id_col).orderBy(
+        F.col("_c").desc(), F.col("gram")
+    )
+    prof = (
+        counts.withColumn("rank_doc", F.row_number().over(w_doc))
+        .where(F.col("rank_doc") <= top_k)
+        .select(id_col, "gram", "rank_doc")
+    )
+    dist = (
+        prof.join(F.broadcast(langs))
+        .join(F.broadcast(model), ["lang", "gram"], "left")
+        .groupBy(id_col, "lang")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("rank_doc") - F.col("rank_model")),
+                    F.lit(top_k),
+                )
+            ).alias("oop")
+        )
+    )
+    w_best = Window.partitionBy(id_col).orderBy("oop", "lang")
+    best = (
+        dist.withColumn("_rn", F.row_number().over(w_best))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "lang", "oop")
+    )
+    return df.select(id_col).join(best, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("lang"), F.lit("und")).alias("predicted_lang"),
+        F.col("oop").alias("oop_distance"),
+    )
+
+
 #: PII patterns — simple character-class regexes that parse identically
 #: under Java regex (Spark) and DuckDB's RE2 dialect.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
