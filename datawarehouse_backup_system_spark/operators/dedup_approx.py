@@ -293,7 +293,10 @@ def minhash_lsh_dedup(
     sh = word_shingles(df, id_col, text_col, shingle_n)
     if stage_path is not None:
         sh.write.mode("overwrite").parquet(stage_path)
-        sh = df.sparkSession.read.parquet(stage_path)
+        # explicit schema: an all-short corpus (no shingles) stages
+        # only _SUCCESS and inference would raise (review r11, the
+        # shards.py review-r8 trap)
+        sh = df.sparkSession.read.schema(sh.schema).parquet(stage_path)
     elif persist_shingles:
         sh = sh.persist()
     sigs = minhash_signature(sh, id_col, k)

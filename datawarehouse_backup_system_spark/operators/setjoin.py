@@ -45,11 +45,16 @@ def _ordered_sets(
             F.col(id_col).alias("id"), F.col("shingle").alias("token")
         )
     else:
+        from .text import tokens
+
+        # text.tokens, not an inline split copy: the planned
+        # coordinated trim migration (ADVICE r10→r11, documented on
+        # tokens()) must reach this consumer too (review r11)
         tok = (
             df.select(
                 F.col(id_col).alias("id"),
                 F.explode(
-                    F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+                    F.array_distinct(tokens(F.col(text_col)))
                 ).alias("token"),
             )
             .where(F.col("token") != "")
@@ -118,7 +123,12 @@ def prefix_jaccard_join(
     # decompression) or the stage is reused across runs.
     if stage_path is not None:
         per_doc.write.mode("overwrite").parquet(stage_path)
-        per_doc = df.sparkSession.read.parquet(stage_path)
+        # explicit schema: an all-empty corpus stages only _SUCCESS and
+        # inference would raise instead of yielding zero pairs — the
+        # shards.py review-r8 trap (review r11)
+        per_doc = df.sparkSession.read.schema(per_doc.schema).parquet(
+            stage_path
+        )
     pref = per_doc.select(
         "id",
         "n",

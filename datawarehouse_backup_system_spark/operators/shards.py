@@ -39,6 +39,19 @@ def shard_id_expr(key_col: str, n_shards: int, salt: str = "shard"):
     )
 
 
+def shard_order_exprs(key_col: str, salt: str = "shard") -> list:
+    """THE within-shard order — (md5(salt||key), key) — single-sourced
+    like :func:`shard_id_expr` (review r11: plans.corpus_build
+    hand-copied this half of the layout contract, the exact fork class
+    the r8 fix banned for the shard expression; a salt/recipe change
+    here would have silently made its packing-plan offsets coordinates
+    into a layout no file has)."""
+    return [
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+        F.col(key_col),
+    ]
+
+
 def shard_assign(
     df: DataFrame,
     key_col: str,
@@ -143,9 +156,7 @@ def export_shards(
     (
         assigned.repartition(n_shards, F.col("shard_id"))
         .sortWithinPartitions(
-            F.col("shard_id"),
-            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
-            F.col(key_col),
+            F.col("shard_id"), *shard_order_exprs(key_col, salt)
         )
         .write.mode("overwrite")
         .partitionBy("shard_id")

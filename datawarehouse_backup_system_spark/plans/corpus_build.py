@@ -118,7 +118,24 @@ def build_training_corpus(
     """Materialize a curated, deduplicated, re-balanced, packed, sharded
     training corpus under ``out_dir``. See module docstring."""
     out_dir = Path(out_dir)
-    n_input = docs.count()
+    # one pass for input count AND the NULL-id guard: a NULL id would
+    # silently vanish at the gate equi-join below (curation_report
+    # deliberately keeps it via null-safe joins) and would NULL its
+    # seq_id anyway — fail loudly up front instead (review r11), at no
+    # extra scan (rides the n_input aggregation).
+    _in = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col(id_col).isNull(), 1).otherwise(0)
+        ).alias("n_null"),
+    ).collect()[0]
+    n_input = int(_in["n"])
+    if int(_in["n_null"] or 0) > 0:
+        raise ValueError(
+            f"build_training_corpus: {_in['n_null']} document(s) carry a "
+            f"NULL {id_col!r} — seq_id stride packing needs non-null "
+            "integral ids; assign ids upstream"
+        )
 
     # 1. per-doc gates (auditable report is also written)
     report = curation_report(docs, id_col, text_col, keep_langs=keep_langs)
@@ -139,6 +156,15 @@ def build_training_corpus(
         F.col("node").alias(id_col)
     )
     kept = gated.join(non_canonical, id_col, "left_anti")
+    # stage the survivors: this lineage (gates join + MinHash-LSH +
+    # iterative dedup_groups) feeds FOUR downstream actions (count,
+    # copies agg, packing write, export) and would re-run its most
+    # expensive stages for each (review r11). Parquet staging is the
+    # repo's standard cut (the d02 stage_path pattern); the count then
+    # reads footers, not lineage.
+    kept_schema = kept.schema
+    kept.write.mode("overwrite").parquet(str(out_dir / "kept"))
+    kept = spark.read.schema(kept_schema).parquet(str(out_dir / "kept"))
     n_kept = kept.count()
 
     # 3. temperature resampling → physical copies with packed ids.
@@ -168,7 +194,12 @@ def build_training_corpus(
             F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("_c"),
         )
         .select(
-            (F.col("source_id") * stride + F.col("_c")).alias("seq_id"),
+            # bigint arithmetic: an IntegerType id times the stride
+            # wraps silently under non-ANSI mode above ~2^31/stride,
+            # colliding seq_ids across different source docs
+            # (review r11)
+            (F.col("source_id").cast("bigint") * stride + F.col("_c"))
+            .alias("seq_id"),
             "source_id",
             lang_col,
             text_col,
@@ -180,32 +211,46 @@ def build_training_corpus(
     # export_shards writes (md5(salt||seq_id) % n_shards, rows in
     # (md5, seq_id) order) — otherwise (shard, local_bin, offset) are
     # coordinates into a layout no file has (review r8).
+    # strict token count: a whitespace-only survivor is 0 tokens, the
+    # same accounting export_shards' manifest uses — the plain count
+    # reports 1 and would shift every later offset in its shard by a
+    # phantom token (review r11)
     with_tokens = exported.withColumn(
-        "n_tokens", F.size(text.tokens(F.col(text_col)))
+        "n_tokens", text.token_count_strict(F.col(text_col))
     )
-    from ..operators.shards import shard_id_expr
+    from ..operators.shards import shard_id_expr, shard_order_exprs
 
-    _md5 = F.md5(F.concat(F.lit("shard"), F.col("seq_id").cast("string")))
     packed = text.pack_sequences(
         with_tokens, "seq_id", "n_tokens", capacity, n_shards=n_shards,
-        # shard_assign's OWN expression, imported not copied (review r8:
-        # the hand-copied twin silently forked when the recipe changed)
+        # BOTH halves of the layout contract imported, never copied
+        # (review r8 banned the shard-expression fork; review r11 found
+        # the order expression still hand-copied)
         shard_expr=shard_id_expr("seq_id", n_shards),
-        order_exprs=[_md5, F.col("seq_id")],
+        order_exprs=shard_order_exprs("seq_id"),
     )
     packed.write.mode("overwrite").parquet(str(out_dir / "packing_plan"))
 
     # 5. sharded export (one file per shard, deterministic order) +
     # manifest FROM the written files
+    export_input = with_tokens.select(
+        "seq_id", "source_id", lang_col, text_col, "n_tokens"
+    )
     manifest_df = export_shards(
-        with_tokens.select("seq_id", "source_id", lang_col, text_col,
-                           "n_tokens"),
+        export_input,
         str(out_dir / "shards"), "seq_id", n_shards, text_col=text_col,
     )
     manifest = manifest_df.orderBy("shard_id").collect()  # n_shards rows
 
-    # 6. end-to-end determinism artifact: order-insensitive fingerprint
-    written = spark.read.parquet(str(out_dir / "shards"))
+    # 6. end-to-end determinism artifact: order-insensitive fingerprint.
+    # Explicit schema (the written layout = export input + shard_id),
+    # like export_shards' own re-read: a fully-gated-away corpus writes
+    # only _SUCCESS and inference would raise AFTER all the expensive
+    # work succeeded (review r11).
+    from ..operators.shards import shard_assign
+
+    written = spark.read.schema(
+        shard_assign(export_input, "seq_id", n_shards).schema
+    ).parquet(str(out_dir / "shards"))
     fp = table_fingerprint(
         written, columns=["seq_id", "source_id", text_col]
     ).collect()[0]

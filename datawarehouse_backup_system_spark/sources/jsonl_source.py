@@ -26,6 +26,15 @@ from pyspark.sql import types as T
 RAW_COL = "_raw_line"
 
 
+def _nonblank(value):
+    """True for lines with any NON-WHITESPACE content. F.trim strips
+    ASCII spaces only, so a tab-only separator line passed the old
+    trim-based filter and landed in the corrupt quarantine instead of
+    being dropped as blank (review r11) — contradicting the documented
+    'blank lines are dropped' contract."""
+    return F.length(F.regexp_replace(value, r"\s", "")) > 0
+
+
 def jsonl_projection(lines: DataFrame, schema: T.StructType) -> DataFrame:
     """The parse/quarantine projection over a frame of raw lines
     (column ``value``) — shared verbatim by the batch reader and
@@ -53,7 +62,7 @@ def jsonl_projection(lines: DataFrame, schema: T.StructType) -> DataFrame:
     parse_schema = T.StructType(
         list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
     )
-    nonblank = lines.where(F.length(F.trim(F.col("value"))) > 0)
+    nonblank = lines.where(_nonblank(F.col("value")))
     parsed = nonblank.select(
         F.col("value"),
         F.from_json(
@@ -117,10 +126,19 @@ def sample_schema(
     lines = [
         r["value"]
         for r in spark.read.text(paths)
-        .where(F.length(F.trim(F.col("value"))) > 0)
+        .where(_nonblank(F.col("value")))
         .limit(n_lines)
         .collect()
     ]
     inferred = spark.read.json(spark.sparkContext.parallelize(lines or ["{}"]))
-    fields = [f for f in inferred.schema.fields if f.name != "_corrupt_record"]
+    # drop the corrupt-record field under the SESSION'S configured name
+    # too, not just the stock default — a custom
+    # spark.sql.columnNameOfCorruptRecord otherwise leaks a phantom
+    # always-NULL string column into the returned schema (review r11)
+    try:
+        conf_name = spark.conf.get("spark.sql.columnNameOfCorruptRecord")
+    except Exception:  # noqa: BLE001 — unset conf on some builds
+        conf_name = "_corrupt_record"
+    drop = {"_corrupt_record", conf_name}
+    fields = [f for f in inferred.schema.fields if f.name not in drop]
     return T.StructType(fields)

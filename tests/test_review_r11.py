@@ -254,3 +254,180 @@ def test_bench_ref_regression_picks_min_total_reference(tmp_path, monkeypatch):
     got = bench._ref_regression(cur, art_dir=tmp_path, sf=0.1)
     assert got["ref"] == "BENCH_r09.json"  # min-total, not newest
     assert got["trigger"] is True  # vs r10 alone the ratio would pass
+
+
+# --------------------------------------------------------------------------
+# Review pass A (r11): setjoin / corpus_build / jsonl_source
+# --------------------------------------------------------------------------
+def test_corpus_build_seq_id_survives_int32_ids(spark, tmp_path):
+    """Review r11: seq_id = id*stride+copy wrapped in 32-bit arithmetic
+    for IntegerType ids above ~2^31/stride — negative/colliding seq_ids,
+    silently. Now computed in bigint."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.plans.corpus_build import (
+        build_training_corpus,
+    )
+
+    sentences = [
+        "the quick brown fox jumps over the lazy dog near the river "
+        "and it is a bright morning with plenty of light in the sky",
+        "a small group of children walked to the old market in town "
+        "and it was the kind of day that everyone seemed to enjoy",
+        "the engineers reviewed a draft of the new plan to improve "
+        "the harbor and it is likely that work begins in the spring",
+    ]
+    docs = spark.createDataFrame(
+        [(2_000_000_000 + i, s, "en") for i, s in enumerate(sentences)],
+        "doc_id int, text string, lang string",
+    )
+    res = build_training_corpus(
+        spark, docs, tmp_path / "c", max_epochs=3, n_shards=2,
+        capacity=128,
+    )
+    assert res.n_exported >= 3
+    shards = spark.read.parquet(str(tmp_path / "c" / "shards"))
+    assert shards.where(F.col("seq_id") < 0).count() == 0
+    n = shards.count()
+    assert shards.select("seq_id").distinct().count() == n
+
+
+def test_corpus_build_fully_filtered_corpus_returns_empty(spark, tmp_path):
+    """Review r11: an all-gated-away corpus crashed at the step-6
+    fingerprint re-read ('Unable to infer schema') AFTER all the
+    expensive work; explicit schemas make it return an empty result."""
+    from datawarehouse_backup_system_spark.plans.corpus_build import (
+        build_training_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", "en")],
+        "doc_id int, text string, lang string",
+    )
+    # an English doc under a German-only gate: lang_keep filters it
+    res = build_training_corpus(
+        spark, docs, tmp_path / "c", keep_langs=("de",), n_shards=2,
+    )
+    assert res.n_input == 1
+    assert res.n_kept == 0
+    assert res.n_exported == 0
+
+
+def test_corpus_build_rejects_null_ids(spark, tmp_path):
+    """Review r11: NULL-id docs silently vanished at the gate equi-join
+    (curation_report deliberately keeps them); now a loud ValueError."""
+    import pytest as _pytest
+
+    from datawarehouse_backup_system_spark.plans.corpus_build import (
+        build_training_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "good text here", "en"), (None, "orphan", "en")],
+        "doc_id int, text string, lang string",
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        build_training_corpus(spark, docs, tmp_path / "c")
+
+
+def test_corpus_build_stages_kept_and_single_sources_order(tmp_path):
+    """Review r11: the kept lineage re-executed MinHash+components for
+    every downstream action (now parquet-staged), and the within-shard
+    order expression was a hand-copied twin of export_shards' (now
+    imported from shards.shard_order_exprs). Source-contract pins."""
+    from pathlib import Path as _P
+
+    src = (
+        _P(__file__).resolve().parents[1]
+        / "datawarehouse_backup_system_spark/plans/corpus_build.py"
+    ).read_text()
+    assert "shard_order_exprs(" in src
+    assert 'parquet(str(out_dir / "kept"))' in src
+    assert "token_count_strict" in src  # manifest-consistent accounting
+
+
+def test_setjoin_stage_path_empty_corpus_yields_zero_pairs(
+    spark, tmp_path
+):
+    """Review r11: the stage_path read-back inferred schema, so an
+    all-empty corpus raised instead of returning zero pairs."""
+    from datawarehouse_backup_system_spark.operators.setjoin import (
+        prefix_jaccard_join,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "   "), (2, "")], "doc_id int, text string"
+    )
+    out = prefix_jaccard_join(
+        docs, "doc_id", "text", stage_path=str(tmp_path / "st")
+    )
+    assert out.count() == 0
+
+
+def test_minhash_stage_path_all_short_corpus_yields_zero_pairs(
+    spark, tmp_path
+):
+    """Review r11 (same trap, dedup_approx.py:296): a corpus with no
+    shingles stages only _SUCCESS; inference raised."""
+    from datawarehouse_backup_system_spark.operators.dedup_approx import (
+        minhash_lsh_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "also tiny")], "doc_id int, text string"
+    )
+    out = minhash_lsh_dedup(
+        docs, "doc_id", "text", stage_path=str(tmp_path / "sh")
+    )
+    assert out.count() == 0
+
+
+def test_jsonl_tab_only_lines_dropped_as_blank(spark, tmp_path):
+    """Review r11: F.trim strips ASCII spaces only, so tab/whitespace-
+    only lines were parsed and QUARANTINED as corrupt, polluting the
+    audit trail despite the 'blank lines are dropped' contract."""
+    from pyspark.sql import types as T
+
+    from datawarehouse_backup_system_spark.sources.jsonl_source import (
+        read_jsonl,
+        split_corrupt,
+    )
+
+    p = tmp_path / "x.jsonl"
+    p.write_text('{"a": 1}\n\t\n  \n\t \t\n{"a": 2}\n{bad\n')
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    good, bad = split_corrupt(read_jsonl(spark, str(p), schema))
+    assert sorted(r["a"] for r in good.collect()) == [1, 2]
+    assert bad.count() == 1  # ONLY the genuinely-malformed line
+
+
+def test_jsonl_sample_schema_respects_custom_corrupt_column(
+    spark, tmp_path
+):
+    """Review r11: sample_schema filtered only the literal
+    '_corrupt_record' name; a session-configured custom name leaked a
+    phantom always-NULL column into the inferred schema."""
+    from datawarehouse_backup_system_spark.sources.jsonl_source import (
+        sample_schema,
+    )
+
+    p = tmp_path / "x.jsonl"
+    p.write_text('{"a": 1}\n{broken\n{"a": 2}\n')
+    spark.conf.set("spark.sql.columnNameOfCorruptRecord", "_bad")
+    try:
+        schema = sample_schema(spark, str(p))
+    finally:
+        spark.conf.unset("spark.sql.columnNameOfCorruptRecord")
+    assert [f.name for f in schema.fields] == ["a"]
+
+
+def test_setjoin_unigrams_use_canonical_tokens():
+    """Review r11: the unigram path re-implemented split(trim, \\s+)
+    inline; the planned coordinated tokens() migration must reach it."""
+    from pathlib import Path as _P
+
+    src = (
+        _P(__file__).resolve().parents[1]
+        / "datawarehouse_backup_system_spark/operators/setjoin.py"
+    ).read_text()
+    assert "from .text import tokens" in src
