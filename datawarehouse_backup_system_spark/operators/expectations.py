@@ -55,8 +55,13 @@ def matches(col: str, pattern: str) -> Check:
 
 
 def satisfies(name: str, cond: Column) -> Check:
-    """Arbitrary row-level predicate that must hold."""
-    return Check(name, F.count_if(~cond))
+    """Arbitrary row-level predicate that must hold. A NULL-valued
+    predicate counts as a VIOLATION (review r11: count_if(~cond) skips
+    NULL, so an all-NULL column sailed through 'v > 0' as passed=True;
+    a check that never held on any row must not pass). Use an explicit
+    ``... | col.isNull()`` in the predicate to opt NULLs out, the same
+    convention in_range/matches encode with their isNotNull guards."""
+    return Check(name, F.count_if(~F.coalesce(cond, F.lit(False))))
 
 
 def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
@@ -115,10 +120,12 @@ def fk_exists(child: DataFrame, child_col: str, parent: DataFrame, parent_col: s
 
 def schema_drift_report(df: DataFrame, expected) -> list[dict]:
     """Detect drift between a DataFrame's schema and the registry
-    expectation: added / missing / type-changed / nullability-tightened
-    columns. Returns a row-per-finding list (driver-side — schemas are
-    metadata, never data-sized), each
-    ``{"column", "kind", "observed", "expected"}``.
+    expectation: added / missing / type-changed / nullability-changed
+    columns (BOTH directions — review r11: only the loosened direction
+    was reported, and the docstring promised the tightened one).
+    Returns a row-per-finding list (driver-side — schemas are metadata,
+    never data-sized), each ``{"column", "kind", "observed",
+    "expected"}``.
 
     The reference only validates WIDTH (SURVEY Q4/P3: extra columns
     reject, missing columns backfill); this is the complete ops-plane
@@ -152,5 +159,12 @@ def schema_drift_report(df: DataFrame, expected) -> list[dict]:
             findings.append({
                 "column": name, "kind": "nullability_loosened",
                 "observed": "nullable", "expected": "not null",
+            })
+        elif f.nullable and not o.nullable:
+            # tightening breaks downstream writers unioning in NULLs —
+            # drift the producer must see too (review r11)
+            findings.append({
+                "column": name, "kind": "nullability_tightened",
+                "observed": "not null", "expected": "nullable",
             })
     return findings

@@ -31,16 +31,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: partial-aggregate columns produced per (value) metric
-_PARTIAL_COLS = ("n_rows", "sum_v", "min_v", "max_v")
+_PARTIAL_COLS = ("n_rows", "n_vals", "sum_v", "min_v", "max_v")
 
 
 def partial_aggs(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     """One map-side-combinable groupBy producing the monoid partials
-    (count, sum, min, max) of ``value_col`` per key. ``value_col`` must
-    already be exact-typed (integer cents, not raw doubles) if the view
-    is hash-compared downstream."""
+    (count, non-null value count, sum, min, max) of ``value_col`` per
+    key. ``value_col`` must already be exact-typed (integer cents, not
+    raw doubles) if the view is hash-compared downstream.
+
+    ``n_vals`` is a separate partial from ``n_rows`` (review r11): SUM
+    skips NULL values while COUNT(*) counts every row, so deriving AVG
+    as sum_v/n_rows silently skewed any nullable metric column — AVG's
+    true denominator is the non-null count."""
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_rows"),
+        F.count(value_col).alias("n_vals"),
         F.sum(value_col).alias("sum_v"),
         F.min(value_col).alias("min_v"),
         F.max(value_col).alias("max_v"),
@@ -55,6 +61,7 @@ def merge_many(partials: DataFrame, keys: list[str]) -> DataFrame:
     the writer when ``_PARTIAL_COLS`` changes."""
     return partials.groupBy(*keys).agg(
         F.sum("n_rows").alias("n_rows"),
+        F.sum("n_vals").alias("n_vals"),
         F.sum("sum_v").alias("sum_v"),
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
@@ -82,8 +89,11 @@ def finalize(view: DataFrame) -> DataFrame:
     against Python ``//`` on negative aggregates (review r8)."""
     return view.select(
         *[c for c in view.columns if c not in _PARTIAL_COLS],
-        "n_rows", "sum_v", "min_v", "max_v",
-        F.expr("sum_v div n_rows").alias("avg_floor"),
+        "n_rows", "n_vals", "sum_v", "min_v", "max_v",
+        # n_vals, not n_rows (review r11): SUM skipped the NULLs, so
+        # the average must divide by the non-null count. An all-NULL
+        # group yields NULL (div by 0 is NULL non-ANSI) — the true AVG.
+        F.expr("sum_v div n_vals").alias("avg_floor"),
     )
 
 

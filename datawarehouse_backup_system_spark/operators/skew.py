@@ -55,9 +55,27 @@ def salted_join(
         # right/full/semi/anti against a salt-replicated build side return
         # duplicated or inverted results — refuse instead of corrupting
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
-    src = F.col(salt_source) if salt_source else F.concat_ws("\x01", *probe.columns)
+    if "_salt" in probe.columns or "_salt" in build.columns:
+        # withColumn would silently OVERWRITE (probe) or the join key
+        # would collide (build), then drop('_salt') destroys the
+        # caller's column in the output (review r11) — refuse loudly
+        raise ValueError(
+            "salted_join reserves the column name '_salt'; rename it "
+            "on the input frames"
+        )
+    # default salt source: hash the columns DIRECTLY — F.hash accepts
+    # any data type, where the old concat_ws('\\x01', *cols) failed at
+    # analysis time on map/struct columns and built a full row-wide
+    # string per row first; it also skipped NULL columns, collapsing
+    # rows that differ only in NULL pattern onto one replica
+    # (review r11; routing-only either way, join output identical)
+    srcs = (
+        [F.col(salt_source)]
+        if salt_source
+        else [F.col(c) for c in probe.columns]
+    )
     probe_s = probe.withColumn(
-        "_salt", F.pmod(F.hash(src, F.spark_partition_id()), F.lit(salt))
+        "_salt", F.pmod(F.hash(*srcs, F.spark_partition_id()), F.lit(salt))
     )
     build_s = build.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

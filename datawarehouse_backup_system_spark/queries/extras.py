@@ -443,10 +443,15 @@ clean AS (
 gl AS (
   SELECT DISTINCT _lid, _lp, substr(_lp, CAST(i AS INT), 3) AS gram
   FROM dirty, UNNEST(range(1, greatest(len(_lp) - 2, 1) + 1)) AS u(i)
+  UNION ALL
+  -- short-string sentinel block (r11): len < gram_n*(max_distance+1)=9
+  SELECT _lid, _lp, chr(1) AS gram FROM dirty WHERE len(_lp) < 9
 ),
 gr AS (
   SELECT DISTINCT _rid, _rp, substr(_rp, CAST(i AS INT), 3) AS gram
   FROM clean, UNNEST(range(1, greatest(len(_rp) - 2, 1) + 1)) AS u(i)
+  UNION ALL
+  SELECT _rid, _rp, chr(1) AS gram FROM clean WHERE len(_rp) < 9
 ),
 df AS (
   SELECT gram FROM (

@@ -431,3 +431,137 @@ def test_setjoin_unigrams_use_canonical_tokens():
         / "datawarehouse_backup_system_spark/operators/setjoin.py"
     ).read_text()
     assert "from .text import tokens" in src
+
+
+# --------------------------------------------------------------------------
+# Review pass B (r11): incremental / fuzzy / skew / expectations
+# --------------------------------------------------------------------------
+def test_incremental_avg_uses_nonnull_denominator(spark):
+    """Review r11: avg_floor divided sum_v (NULL-skipping) by n_rows
+    (all rows), skewing the maintained view's average for any nullable
+    metric column. A separate n_vals partial fixes the monoid."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.operators.incremental import (
+        finalize,
+        merge_partials,
+        partial_aggs,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", None), ("b", None), ("b", None), ("c", 7)],
+        "k string, v int",
+    )
+    h = df.where("v is not null or k = 'b'")
+    b = df.subtract(h)
+    view = merge_partials(
+        partial_aggs(h, ["k"], "v"), partial_aggs(b, ["k"], "v"), ["k"]
+    )
+    got = {r["k"]: r.asDict() for r in finalize(view).collect()}
+    assert got["a"]["n_rows"] == 2 and got["a"]["n_vals"] == 1
+    assert got["a"]["avg_floor"] == 10  # true AVG, not 10 div 2 = 5
+    assert got["b"]["avg_floor"] is None  # all-NULL group: NULL, not 0
+    assert got["c"]["avg_floor"] == 7
+
+
+def test_fuzzy_join_finds_short_string_pairs(spark):
+    """Review r11: 'abc' vs 'abd' (distance 1) shared no 3-gram and was
+    silently missed even with max_df=None, despite the 'exact blocking
+    recall' contract. The short-string sentinel block closes the q-gram
+    lemma hole."""
+    from datawarehouse_backup_system_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame([(1, "abc"), (2, "zz")], "id int, t string")
+    right = spark.createDataFrame(
+        [(10, "abd"), (20, "zx"), (30, "totally different long string")],
+        "id int, t string",
+    )
+    got = {
+        (r["id_l"], r["id_r"]): r["dist"]
+        for r in fuzzy_join(
+            left, right, "id", "id", "t", "t", max_df=None
+        ).collect()
+    }
+    assert got[(1, 10)] == 1
+    assert got[(2, 20)] == 1
+    assert (1, 30) not in got
+
+
+def test_fuzzy_join_rejects_gram_n_zero(spark):
+    import pytest as _pytest
+
+    from datawarehouse_backup_system_spark.operators.fuzzy import fuzzy_join
+
+    df = spark.createDataFrame([(1, "x")], "id int, t string")
+    with _pytest.raises(ValueError, match="gram_n"):
+        fuzzy_join(df, df, "id", "id", "t", "t", gram_n=0)
+
+
+def test_salted_join_handles_struct_columns_and_reserved_name(spark):
+    """Review r11: the default salt source concat_ws failed at analysis
+    time on struct/map probe columns (F.hash takes them directly), and
+    a pre-existing '_salt' column was silently overwritten then dropped."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame(
+        [(1, ("x", 2)), (1, ("y", 3)), (2, ("z", 4))],
+        "k int, payload struct<a: string, b: int>",
+    )
+    build = spark.createDataFrame([(1, "one"), (2, "two")], "k int, name string")
+    out = salted_join(probe, build, "k", salt=4)
+    assert out.count() == 3  # analysis no longer fails; join correct
+    assert sorted(r["name"] for r in out.collect()) == ["one", "one", "two"]
+
+    poisoned = probe.withColumn("_salt", F.lit(99))
+    with _pytest.raises(ValueError, match="_salt"):
+        salted_join(poisoned, build, "k")
+
+
+def test_satisfies_counts_null_predicate_as_violation(spark):
+    """Review r11: count_if(~cond) skipped NULL predicate rows, so an
+    all-NULL column PASSED 'v > 0'."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.operators.expectations import (
+        run_checks,
+        satisfies,
+    )
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (3,)], "v int"
+    )
+    rows = {
+        r["check_name"]: r.asDict()
+        for r in run_checks(
+            df, [satisfies("v_positive", F.col("v") > 0)]
+        ).collect()
+    }
+    assert rows["v_positive"]["violations"] == 2
+    assert rows["v_positive"]["passed"] is False
+
+
+def test_schema_drift_reports_both_nullability_directions(spark):
+    from pyspark.sql import types as T
+
+    from datawarehouse_backup_system_spark.operators.expectations import (
+        schema_drift_report,
+    )
+
+    expected = T.StructType([
+        T.StructField("a", T.StringType(), nullable=True),
+        T.StructField("b", T.StringType(), nullable=False),
+    ])
+    observed = T.StructType([
+        T.StructField("a", T.StringType(), nullable=False),  # tightened
+        T.StructField("b", T.StringType(), nullable=True),   # loosened
+    ])
+    df = spark.createDataFrame([], observed)
+    kinds = {
+        f["column"]: f["kind"] for f in schema_drift_report(df, expected)
+    }
+    assert kinds == {
+        "a": "nullability_tightened", "b": "nullability_loosened",
+    }
