@@ -83,6 +83,9 @@ def t11_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T11_SQL = f"""
 WITH toks AS (
+  -- literal-space split ON PURPOSE: _synth_multiline's Spark side
+  -- splits on ' ' (synthesis input, not tokenization) — review r11
+  -- changed only the five oracles whose Spark side uses tokens()
   SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
 ),
 synth AS (
@@ -171,7 +174,7 @@ def t12_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 T12_SQL = f"""
 WITH docs AS (
   SELECT doc_id, source,
-         CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
   FROM documents
 ),
 targets AS (
@@ -220,7 +223,7 @@ def t13_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T13_SQL = f"""
 WITH toks AS (
-  SELECT string_split(trim(text), ' ') AS t FROM documents
+  SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
 ),
 uni AS (SELECT 'uni' AS kind, unnest(t) AS term FROM toks),
 bi AS (
@@ -255,7 +258,7 @@ def t14_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T14_SQL = f"""
 WITH tf AS (
-  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
 ),
 cnt AS (
   SELECT doc_id, term, count(*) AS tf_count FROM tf GROUP BY doc_id, term
@@ -509,7 +512,7 @@ def t15_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T15_STRIDE = _T15_CHUNK - _T15_OVERLAP
 T15_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
 ),
 chunked AS (
   SELECT doc_id,
@@ -721,7 +724,7 @@ def t17_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 T17_SQL = f"""
 SELECT term AS token, count(*) AS est_count
 FROM (
-  SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
 )
 GROUP BY term
 HAVING count(*) >= {_T17_MIN_COUNT}

@@ -22,7 +22,15 @@ from datawarehouse_backup_system_spark.queries.base import QuerySpec, load
 
 def _with_neardups(docs: DataFrame) -> DataFrame:
     """``docs(doc_id, text)`` ∪ perturbed copies (id+100000, first 3
-    words dropped, only docs over 6 tokens)."""
+    words dropped, only docs over 6 tokens).
+
+    Base docs are SLICED to doc_id < 100000 (review r11): above that, a
+    base id would collide with another base doc's perturbed id and both
+    engines would silently merge two different texts under one doc_id —
+    identically wrong, so the oracle could never see it. The slice is a
+    no-op on every shipped fixture (max base doc_id 49999 at sf1) and
+    makes the id spaces disjoint by construction at any sf."""
+    docs = docs.where(F.col("doc_id") < 100000)
     toks = F.split(F.trim(F.col("text")), r"\s+")
     # filter BEFORE the select: after it, the unresolved F.col("text")
     # inside toks would re-resolve against the PERTURBED text, diverging
@@ -45,12 +53,13 @@ def _docs_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEARDUP_CORPUS_SQL = """
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents WHERE doc_id < 100000
   UNION ALL
   SELECT doc_id + 100000 AS doc_id,
          array_to_string(string_split_regex(trim(text), '\\s+')[4:], ' ') AS text
   FROM documents
-  WHERE len(string_split_regex(trim(text), '\\s+')) > 6
+  WHERE doc_id < 100000
+    AND len(string_split_regex(trim(text), '\\s+')) > 6
 """
 
 
@@ -58,7 +67,13 @@ _NEARDUP_CORPUS_SQL = """
 # d01 — exact dedup at scale: hash-groupBy keep min id
 # --------------------------------------------------------------------------
 def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load(spark, sf_dir, "documents")
+        # same doc_id < 100000 slice as _with_neardups (review r11):
+        # keeps the doubled id space collision-free at any sf
+        .where(F.col("doc_id") < 100000)
+        .select("doc_id", "text")
+    )
     doubled = docs.unionByName(
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     )
@@ -68,9 +83,9 @@ def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D01_SQL = """
 WITH doubled AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents WHERE doc_id < 100000
   UNION ALL
-  SELECT doc_id + 100000, text FROM documents
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 100000
 )
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
 FROM doubled

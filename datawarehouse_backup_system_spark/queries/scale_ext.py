@@ -84,6 +84,12 @@ def h01_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded 1-row collect: domain bounds for the fixed binning (the
     # same two numbers the oracle recomputes in its CTE)
     lo, hi = ev.agg(F.min("c"), F.max("c")).collect()[0]
+    if lo is None:
+        # empty/all-NULL input: flow through the SAME pipeline with a
+        # degenerate domain — every downstream frame is empty, so the
+        # result is the schema-stable empty set the oracle also returns
+        # (review r11: bin_width(None, ...) raised TypeError instead)
+        lo, hi = 0, 0
     w = qsk.bin_width(lo, hi, _H01_BINS)
     direct = qsk.binned_histogram(ev, "c", lo, hi, _H01_BINS)
     shards = [
@@ -276,6 +282,12 @@ def h02_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", cents(F.col("value")).alias("c")
     )
     lo, hi = ev.agg(F.min("c"), F.max("c")).collect()[0]
+    if lo is None:
+        # empty/all-NULL input: flow through the SAME pipeline with a
+        # degenerate domain — every downstream frame is empty, so the
+        # result is the schema-stable empty set the oracle also returns
+        # (review r11: bin_width(None, ...) raised TypeError instead)
+        lo, hi = 0, 0
     w = qsk.bin_width(lo, hi, _H01_BINS)
     hist = qsk.grouped_binned_histogram(
         ev, ["event_type"], "c", lo, hi, _H01_BINS
@@ -343,11 +355,28 @@ def z02_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("l_orderkey"), F.lit(64)).alias("rbucket"),
     ).withColumn("zbucket", F.expr(f"zcode div {_Z02_TILE_DIV}"))
 
+    # ONE corpus scan (review r11: the old three-subtree shape scanned
+    # and Morton-encoded lineitem once per layout plus once for the
+    # matching count): a single (zbucket, rbucket)-keyed aggregation
+    # reduces the corpus to ≤64×64 pair rows carrying per-pair stats
+    # AND the in-box row count; both layouts' per-bucket stats and the
+    # matching total then derive from that tiny frame.
+    in_box = F.col("d1").between(lo1, hi1) & F.col("d2").between(lo2, hi2)
+    # persisted: ≤64×64 rows, and the three consumers below (two
+    # layouts + matching) would otherwise each re-run the corpus scan —
+    # exchange reuse is a planner heuristic, the persist is a guarantee
+    pair = staged.groupBy("zbucket", "rbucket").agg(
+        F.min("d1").alias("min1"), F.max("d1").alias("max1"),
+        F.min("d2").alias("min2"), F.max("d2").alias("max2"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(in_box, 1).otherwise(0)).alias("cnt_match"),
+    ).persist()
+
     def layout(bucket_col: str, name: str) -> DataFrame:
-        per = staged.groupBy(F.col(bucket_col).alias("bucket")).agg(
-            F.min("d1").alias("min1"), F.max("d1").alias("max1"),
-            F.min("d2").alias("min2"), F.max("d2").alias("max2"),
-            F.count(F.lit(1)).alias("cnt"),
+        per = pair.groupBy(F.col(bucket_col).alias("bucket")).agg(
+            F.min("min1").alias("min1"), F.max("max1").alias("max1"),
+            F.min("min2").alias("min2"), F.max("max2").alias("max2"),
+            F.sum("cnt").alias("cnt"),
         )
         scan = (
             (F.col("min1") <= hi1) & (F.col("max1") >= lo1)
@@ -361,9 +390,9 @@ def z02_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).select(F.lit(name).alias("layout"), "*")
 
-    matching = staged.where(
-        F.col("d1").between(lo1, hi1) & F.col("d2").between(lo2, hi2)
-    ).agg(F.count(F.lit(1)).alias("rows_matching"))
+    matching = pair.agg(
+        F.sum("cnt_match").alias("rows_matching")
+    )
     return (
         layout("zbucket", "zorder")
         .unionByName(layout("rbucket", "rowkey"))
@@ -430,10 +459,15 @@ def q46_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit in TWO child scans (was eight): each
     orphan count is a LEFT join + null-flag sum riding the same pass as
     the row count, and the three lineitem FKs share one scan — their
-    parent key sets join consecutively (dims broadcast; the
-    orders parent is un-hinted so AQE picks broadcast at test sf and a
-    shuffle join at scale), then one stack() reshapes the three sums
-    into audit rows. O(child) work per child table, not per FK."""
+    parent key sets join consecutively, then one stack() reshapes the
+    three sums into audit rows. O(child) work per child table, not per
+    FK. NO broadcast hints anywhere (review r11): every parent key set
+    here grows linearly with sf, and a forced F.broadcast bypasses the
+    size threshold — at the docstring's own 100 TB regime that means
+    shipping a hundreds-of-millions-row build side whole (the 8 GB
+    broadcast hard limit / driver OOM). AQE broadcasts each side at
+    runtime exactly when it is actually small — the r10 jaccard_pairs
+    rule applied uniformly."""
     cust = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("pk_c"))
     ordk = load(spark, sf_dir, "orders").select(
@@ -445,7 +479,7 @@ def q46_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o_row = (
         load(spark, sf_dir, "orders").select("o_custkey")
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("pk_c"), "left")
+        .join(cust, F.col("o_custkey") == F.col("pk_c"), "left")
         .agg(
             F.count(F.lit(1)).alias("n_child"),
             F.sum(F.col("pk_c").isNull().cast("bigint")).alias("n_orphans"),
@@ -459,8 +493,8 @@ def q46_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey")
         .join(ordk, F.col("l_orderkey") == F.col("pk_o"), "left")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("pk_p"), "left")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("pk_s"), "left")
+        .join(part, F.col("l_partkey") == F.col("pk_p"), "left")
+        .join(supp, F.col("l_suppkey") == F.col("pk_s"), "left")
         .agg(
             F.count(F.lit(1)).alias("n_child"),
             F.sum(F.col("pk_o").isNull().cast("bigint")).alias("orph_o"),
@@ -583,10 +617,18 @@ def t32_lang_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         F.round(F.col("wq") / F.col("wq_total"), 6).alias("weight"),
-        F.round(
-            (F.col("wq") * F.col("n_total"))
-            / (F.col("wq_total") * F.col("n_docs")),
-            6,
+        # decimal(38,0) products (review r11): the int64 form wq*N is
+        # the exact overflow class w02's comment documents (Spark wraps
+        # silently with ANSI off, DuckDB raises) — route through the
+        # same decimal/HUGEINT micro-unit pattern; /1e6 of the floored
+        # micro value IS the 6-decimal result, bit-identical.
+        (
+            F.expr(
+                "cast((cast(wq as decimal(38,0)) * n_total * 1000000)"
+                " div (cast(wq_total as decimal(38,0)) * n_docs)"
+                " as bigint)"
+            )
+            / F.lit(1_000_000.0)
         ).alias("epochs"),
     )
 
@@ -604,7 +646,9 @@ tot AS (
 )
 SELECT lang, n_docs,
        round(CAST(wq AS DOUBLE) / wq_total, 6) AS weight,
-       round(CAST(wq * n_total AS DOUBLE) / (wq_total * n_docs), 6) AS epochs
+       CAST((CAST(wq AS HUGEINT) * n_total * 1000000)
+            // (CAST(wq_total AS HUGEINT) * n_docs) AS BIGINT)
+         / 1000000.0 AS epochs
 FROM per, tot
 """
 
@@ -707,6 +751,9 @@ def r08_recall_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ships it (bucket caps and collisions at production density), with
     # its pairs then restricted to the capped population — recall of
     # the real pipeline, measured on an exactly-known subset.
+    # the corpus helper slices base docs to doc_id < 100000 (r11), so
+    # the %100000 cap below can never alias a base id with a
+    # perturbed one at any sf
     full = _docs_with_neardups(spark, sf_dir)
     capped = full.where(F.col("doc_id") % 100000 < _R08_CAP)
     exact = prefix_jaccard_join(
@@ -841,12 +888,26 @@ _C03_BUCKETS = 20
 def c03_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.calibration import isotonic_calibrate
 
-    ev = load(spark, sf_dir, "events").select(
-        F.dayofweek("ts").alias("g"),
-        cents(F.col("value")).alias("c"),
-        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    ev = (
+        load(spark, sf_dir, "events")
+        # NULL drop, the h01/h02/h04 rule (review r11): Spark's
+        # greatest(0, NULL) SKIPS the null (and DuckDB's greatest(0,
+        # NULL)=0 agrees), so a value-less event silently fed bucket 0's
+        # calibrated rate on BOTH engines — oracle-blind pollution
+        .where(F.col("value").isNotNull())
+        .select(
+            F.dayofweek("ts").alias("g"),
+            cents(F.col("value")).alias("c"),
+            (F.col("event_type") == "purchase").cast("long").alias("y"),
+        )
     )
     lo, hi = ev.agg(F.min("c"), F.max("c")).collect()[0]
+    if lo is None:
+        # empty/all-NULL input: flow through the SAME pipeline with a
+        # degenerate domain — every downstream frame is empty, so the
+        # result is the schema-stable empty set the oracle also returns
+        # (review r11: bin_width(None, ...) raised TypeError instead)
+        lo, hi = 0, 0
     w = qsk.bin_width(lo, hi, _C03_BUCKETS)
     base = (
         ev.select(
@@ -873,6 +934,7 @@ WITH ev AS (
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM events
+  WHERE value IS NOT NULL  -- matches the sketch operators' NULL drop
 ),
 b AS (SELECT min(c) AS lo, max(c) AS hi FROM ev),
 p AS (SELECT lo, (hi - lo + {_C03_BUCKETS}) // {_C03_BUCKETS} AS w FROM b),
@@ -1045,6 +1107,12 @@ WHERE rev_u = (SELECT max(rev_u) FROM rev)
 def h04_sketch_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(cents(F.col("value")).alias("c"))
     lo, hi = ev.agg(F.min("c"), F.max("c")).collect()[0]
+    if lo is None:
+        # empty/all-NULL input: flow through the SAME pipeline with a
+        # degenerate domain — every downstream frame is empty, so the
+        # result is the schema-stable empty set the oracle also returns
+        # (review r11: bin_width(None, ...) raised TypeError instead)
+        lo, hi = 0, 0
     w = qsk.bin_width(lo, hi, _H01_BINS)
     hist = qsk.binned_histogram(ev, "c", lo, hi, _H01_BINS)
     sk = qsk.histogram_quantiles(hist, _H01_QS, lo, w).select(
@@ -1215,7 +1283,13 @@ def r09_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     # planted probes: vec_id+1e6, each component nudged by a
     # deterministic integer pattern scaled to 0.02 (cosine stays ≈ 1)
-    probes = emb.where(F.col("vec_id") % 100 == 0).select(
+    # vec_id < 1e6 bounds the probe slice so probe ids (vec_id+1e6)
+    # can never equal a corpus vec_id at any sf (review r11); the
+    # self-exclusion below is also mirrored in the oracle now so the
+    # two engines can never desync on a residual collision
+    probes = emb.where(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 1_000_000)
+    ).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.transform(
             "embedding",
@@ -1247,12 +1321,13 @@ _R09_BUCKET = " + ".join(
 
 R09_SQL = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-p0 AS (SELECT vec_id, e FROM v WHERE vec_id % 100 = 0),
+p0 AS (SELECT vec_id, e FROM v
+       WHERE vec_id % 100 = 0 AND vec_id < 1000000),
 probes AS (
   SELECT vec_id + 1000000 AS query_id,
          list(e[i + 1] + 0.02 * (((vec_id * 7 + i) % 5) - 2) ORDER BY i)
            AS qe
-  FROM p0, UNNEST(range(64)) AS u(i)
+  FROM p0, UNNEST(range(len(e))) AS u(i)
   GROUP BY vec_id
 ),
 vb AS (SELECT vec_id, e,
@@ -1273,6 +1348,7 @@ scored AS (
                         * sqrt(list_dot_product(c.e, c.e)), 0),
                6) AS score
   FROM qp JOIN vb c ON c.bucket = qp.bucket
+  WHERE c.vec_id <> qp.query_id  -- mirrors bucketed_ann's self-exclusion
 ),
 topk AS (
   SELECT query_id, neighbor_id FROM (

@@ -565,3 +565,159 @@ def test_schema_drift_reports_both_nullability_directions(spark):
     assert kinds == {
         "a": "nullability_tightened", "b": "nullability_loosened",
     }
+
+
+# --------------------------------------------------------------------------
+# Review pass C (r11): spec-layer oracle-blindness (scale_ext/curation_ext)
+# --------------------------------------------------------------------------
+def test_quantile_family_handles_all_null_values(spark, tmp_path):
+    """Review r11: an empty/all-NULL value column crashed h02/c03/h04 at
+    bin_width(None, ...) with TypeError while their oracles return
+    empty — now the degenerate domain flows through to a schema-stable
+    empty result (a07 already guarded this)."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.queries.scale_ext import (
+        c03_isotonic_calibration,
+        h02_group_quantiles,
+        h04_sketch_vs_exact,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, 10, "view"), (2, 11, "purchase")],
+        "event_id int, user_id int, event_type string",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.lit(None).cast("double").alias("value"),
+        F.lit("2026-01-05 10:00:00").cast("timestamp").alias("ts"),
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    for fn in (h02_group_quantiles, c03_isotonic_calibration,
+               h04_sketch_vs_exact):
+        out = fn(spark, str(tmp_path))
+        assert out.count() == 0, fn.__name__
+
+
+def test_c03_drops_null_value_rows():
+    """Review r11 (oracle-blind on BOTH engines: Spark greatest(0,NULL)
+    skips the NULL and DuckDB greatest(0,NULL)=0): value-less events fed
+    bucket 0's calibrated rate. Pin the NULL drop in both engines."""
+    import inspect
+
+    from datawarehouse_backup_system_spark.queries import scale_ext
+
+    src = inspect.getsource(scale_ext.c03_isotonic_calibration)
+    assert 'F.col("value").isNotNull()' in src
+    assert "value IS NOT NULL" in scale_ext.C03_SQL
+
+
+def test_t32_epochs_survives_int64_scale(spark):
+    """Review r11: t32's epochs kept the int64 products the adjacent
+    w02 comment documents as overflowing (~4e8 docs in one language);
+    now routed through decimal(38,0) like w02. Evaluate the shipped
+    expression at overflow-scale literals: the int64 form wraps
+    negative, the decimal form gives the true ratio."""
+    import inspect
+
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.queries import scale_ext
+
+    src = inspect.getsource(scale_ext.t32_lang_temperature)
+    assert "decimal(38,0)" in src
+    assert "HUGEINT" in scale_ext.T32_SQL
+
+    n = 400_000_000  # one language with 4e8 docs
+    wq = int((n ** 0.5) * 1_000_000)
+    row = spark.createDataFrame(
+        [(wq, n, wq, n)], "wq long, n_total long, wq_total long, n_docs long"
+    ).select(
+        (
+            F.expr(
+                "cast((cast(wq as decimal(38,0)) * n_total * 1000000)"
+                " div (cast(wq_total as decimal(38,0)) * n_docs)"
+                " as bigint)"
+            )
+            / F.lit(1_000_000.0)
+        ).alias("epochs")
+    ).collect()[0]
+    assert row["epochs"] == 1.0  # the int64 form wrapped negative here
+
+
+def test_neardup_corpus_base_ids_sliced(spark):
+    """Review r11: above 100000 base docs, a base doc_id collided with
+    another doc's perturbed id (+100000) and BOTH engines silently
+    merged two texts under one id — oracle-blind. The helper now slices
+    base docs to doc_id < 100000 on both engines."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.queries.llm_ops import (
+        _NEARDUP_CORPUS_SQL,
+        _with_neardups,
+    )
+
+    docs = spark.createDataFrame(
+        [(5, "one two three four five six seven eight nine ten"),
+         (100005, "a completely different text with many many words here")],
+        "doc_id int, text string",
+    )
+    corpus = _with_neardups(docs)
+    rows = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    assert len(rows) == 2  # base 5 + its perturbed copy, nothing else
+    # id 100005 is doc 5's PERTURBED copy, not the out-of-range base doc
+    assert rows[100005] == "four five six seven eight nine ten"
+    assert "completely different" not in " ".join(rows.values())
+    assert "doc_id < 100000" in _NEARDUP_CORPUS_SQL
+
+
+def test_q46_has_no_forced_broadcasts():
+    """Review r11: forced F.broadcast of sf-linear parent key sets
+    bypasses the size threshold and breaks at the spec's own 100 TB
+    regime (8 GB broadcast hard limit); AQE picks per-run."""
+    import inspect
+
+    from datawarehouse_backup_system_spark.queries import scale_ext
+
+    assert "F.broadcast(" not in inspect.getsource(scale_ext.q46_fk_orphans)
+
+
+def test_r09_oracle_mirrors_self_exclusion_and_dims():
+    """Review r11: the oracle scored a corpus vector equal to the probe
+    id (Spark's bucketed_ann excludes it) and hardcoded 64 dims; plus
+    the probe slice is now bounded below 1e6 on both engines."""
+    from datawarehouse_backup_system_spark.queries import scale_ext
+
+    assert "c.vec_id <> qp.query_id" in scale_ext.R09_SQL
+    assert "vec_id < 1000000" in scale_ext.R09_SQL
+    assert "range(64)" not in scale_ext.R09_SQL
+    import inspect
+
+    assert "1_000_000" in inspect.getsource(scale_ext.r09_recall_planted)
+
+
+def test_curation_oracles_use_regex_tokenization():
+    """Review r11: five curation oracles split on a literal space while
+    their Spark sides tokenize via tokens() (\\s+) — latent divergence
+    on any multi-space/tab text, contradicting tokens()'s documented
+    all-consumers-agree contract."""
+    from datawarehouse_backup_system_spark.queries import curation_ext as c
+
+    for sql in (c.T12_SQL, c.T14_SQL, c.T15_SQL, c.T17_SQL):
+        assert "string_split(trim(text), ' ')" not in sql, sql[:80]
+
+
+def test_z02_is_one_scan(spark):
+    """Review r11: z02 claimed 'ONE staged scan' but executed three;
+    the (zbucket, rbucket) pair rollup + persist makes it true — and
+    the restructure must not change the report."""
+    from datawarehouse_backup_system_spark.queries.scale_ext import (
+        z02_skipping_report,
+    )
+
+    out = z02_skipping_report(spark, "/root/testdata/sf0.001")
+    rows = {r["layout"]: r.asDict() for r in out.collect()}
+    assert set(rows) == {"zorder", "rowkey"}
+    assert rows["rowkey"]["n_buckets"] == 64
+    assert (
+        rows["zorder"]["rows_matching"] == rows["rowkey"]["rows_matching"]
+    )
