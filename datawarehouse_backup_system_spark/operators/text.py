@@ -276,9 +276,17 @@ def langid_ngram(
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    model_rows = model_rows or train_char_ngram_model(
-        n_sizes=n_sizes, top_k=top_k
-    )
+    # `is None`, not `or` (review r11): an explicitly-passed EMPTY model
+    # must mean "no languages → everything 'und'", not silently swap in
+    # the default trained table
+    if model_rows is None:
+        model_rows = train_char_ngram_model(n_sizes=n_sizes, top_k=top_k)
+    if not model_rows:
+        return df.select(
+            F.col(id_col),
+            F.lit("und").alias("predicted_lang"),
+            F.lit(None).cast("bigint").alias("oop_distance"),
+        )
     model = spark.createDataFrame(
         model_rows, "lang string, gram string, rank_model int"
     )

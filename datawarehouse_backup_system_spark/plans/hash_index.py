@@ -87,11 +87,13 @@ def _index_root(warehouse_dir: Path, table_name: str) -> Path:
 
 
 def _catalog_name(warehouse_dir: Path, table_name: str) -> str:
-    """Session-catalog identifier, unique per warehouse path (tests run
-    many warehouses in one session; two warehouses must never share an
-    index registration)."""
+    """Session-catalog identifier, unique per (warehouse path, RAW table
+    name) — the digest covers both (review r11: sanitizing the name
+    alone collapsed 'a.b' and 'a_b' onto one catalog entry while their
+    roots/manifests stayed separate, cross-wiring two tables' indexes);
+    the sanitized name stays in the identifier for readability only."""
     digest = hashlib.md5(
-        str(Path(warehouse_dir).resolve()).encode()
+        f"{Path(warehouse_dir).resolve()}\x00{table_name}".encode()
     ).hexdigest()[:10]
     safe = re.sub(r"[^a-zA-Z0-9_]", "_", table_name)
     return f"hashidx_{safe}_{digest}"
@@ -113,17 +115,24 @@ def _write_manifest(root: Path, man: dict) -> None:
 
 def live_write_pairs(
     table_path: Path,
-) -> tuple[set[tuple[str, str]], dict[tuple[str, str], list[str]]] | None:
-    """The live ``(write_id, ingest_date)`` pair set plus the data files
-    carrying each pair, from the table's file listing — the ground truth
-    the plain-path read scans. Returns None when any live data file does
-    not fit the write-id format's naming (the index then cannot claim to
-    cover the table and the caller must fall back)."""
+) -> (
+    tuple[set[tuple[str, str]], dict[tuple[str, str], list[str]], int]
+    | None
+):
+    """The live ``(write_id, ingest_date)`` pair set, the data files
+    carrying each pair, and the total data-file byte size, from ONE
+    walk of the table's file listing — the ground truth the plain-path
+    read scans (the size rides along so the caller's footprint
+    threshold never needs a second recursive walk — review r11).
+    Returns None when any live data file does not fit the write-id
+    format's naming (the index then cannot claim to cover the table
+    and the caller must fall back)."""
     pairs: set[tuple[str, str]] = set()
     files: dict[tuple[str, str], list[str]] = {}
+    n_bytes = 0
     base = Path(table_path)
     if not base.exists():
-        return set(), {}
+        return set(), {}, 0
     for f in base.rglob("*.parquet"):
         rel = f.relative_to(base)
         if any(part.startswith(("_", ".")) for part in rel.parts):
@@ -135,7 +144,11 @@ def live_write_pairs(
         key = (m.group(1), pm.group(1))
         pairs.add(key)
         files.setdefault(key, []).append(str(f))
-    return pairs, files
+        try:
+            n_bytes += f.stat().st_size
+        except OSError:
+            pass
+    return pairs, files, n_bytes
 
 
 def _ensure_table(
@@ -162,17 +175,21 @@ def history_hash_frame(
     table_path: Path,
     table_name: str,
     n_buckets: int | None = None,
+    listed: tuple | None = None,
 ) -> DataFrame | None:
     """The committed-history ``row_hash`` frame for J2, bucketed on
     ``row_hash`` so the anti-join never shuffles it. None ⇒ the index
     cannot serve this table right now; use the plain path.
 
+    ``listed``: a :func:`live_write_pairs` result the caller already
+    computed (the ingest path's footprint probe shares the walk).
+
     Must be called under the warehouse WriterLease (catch-up appends).
     """
-    listed = live_write_pairs(table_path)
+    listed = live_write_pairs(table_path) if listed is None else listed
     if listed is None:
         return None
-    pairs, pair_files = listed
+    pairs, pair_files, _n_bytes = listed
     if not pairs:
         return None  # empty history: the plain anti-join is free
     root = _index_root(Path(warehouse_dir), table_name)
@@ -201,23 +218,45 @@ def history_hash_frame(
                 ).alias("write_id"),
                 F.col("ingest_date").cast("string").alias("ingest_date"),
             )
-            _ensure_table_dir = root / "data"
-            _ensure_table_dir.mkdir(parents=True, exist_ok=True)
-            (
-                rows.write.mode("append")
-                .format("parquet")
-                .bucketBy(man["n_buckets"], "row_hash")
-                .sortBy("row_hash")
-                .option("path", str(_ensure_table_dir))
-                .saveAsTable(name)
+            data_dir = root / "data"
+            data_dir.mkdir(parents=True, exist_ok=True)
+            # THE bucketed-write recipe, imported not re-implemented
+            # (review r11 — the shards.py single-sourcing rule)
+            from ..operators.bucketed import write_bucketed
+
+            write_bucketed(
+                rows, name, ["row_hash"], man["n_buckets"],
+                sort_cols=["row_hash"], path=str(data_dir), mode="append",
             )
             for w, d in missing:
                 dates = man["entries"].setdefault(w, [])
                 if d not in dates:
                     dates.append(d)
             _write_manifest(root, man)
+        # manifest-overclaim guard (review r11): a manifest claiming
+        # coverage over an index whose parquet was lost (partial
+        # restore, manual delete) would otherwise serve an EMPTY hash
+        # frame and silently re-admit every previously-seen row —
+        # provably inconsistent, so refuse and fall back.
+        if not any((root / "data").glob("*.parquet")):
+            raise RuntimeError(
+                "index manifest claims coverage but the index data dir "
+                "holds no parquet — lost/partially-restored index"
+            )
         _ensure_table(spark, name, root, man["n_buckets"])
         idx = spark.table(name)
+        live = spark.createDataFrame(
+            sorted(pairs), "write_id string, ingest_date string"
+        )
+        # broadcast semi-join preserves the bucketed (hashpartitioning
+        # on row_hash) output of the index scan, so the downstream
+        # anti-join still plans zero Exchange on this side. Built
+        # INSIDE the try (review r11): an analysis error here — e.g. a
+        # foreign same-named catalog table with the wrong schema — must
+        # fall back, not crash the ingest.
+        return idx.join(
+            F.broadcast(live), ["write_id", "ingest_date"], "left_semi"
+        ).select("row_hash")
     except Exception as exc:  # noqa: BLE001 — fallback is always correct
         warnings.warn(
             f"hash index for {table_name!r} unavailable "
@@ -227,13 +266,3 @@ def history_hash_frame(
             stacklevel=2,
         )
         return None
-    live = spark.createDataFrame(
-        sorted(pairs), "write_id string, ingest_date string"
-    )
-    # broadcast semi-join preserves the bucketed (hashpartitioning on
-    # row_hash) output of the index scan, so the downstream anti-join
-    # still plans zero Exchange on this side
-    return (
-        idx.join(F.broadcast(live), ["write_id", "ingest_date"], "left_semi")
-        .select("row_hash")
-    )

@@ -322,15 +322,20 @@ class IngestJob:
         tests/test_hash_index.py). The index validates itself against
         the live file listing and falls back to the plain path whenever
         it cannot account for the table — fallback is always correct."""
-        from datawarehouse_backup_system_spark.operators.graph import (
-            _stage_du,
-        )
         from datawarehouse_backup_system_spark.plans import hash_index
 
         tp = self.table_path(schema)
-        if _stage_du(str(tp), self.spark) >= hash_index.index_min_bytes():
+        # ONE directory walk serves both the footprint threshold and
+        # the live-pair listing (review r11: a separate _stage_du pass
+        # re-walked every data file per ingested file)
+        listed = hash_index.live_write_pairs(tp)
+        if (
+            listed is not None
+            and listed[2] >= hash_index.index_min_bytes()
+        ):
             idx = hash_index.history_hash_frame(
-                self.spark, Path(self.warehouse_dir), tp, schema.table_name
+                self.spark, Path(self.warehouse_dir), tp,
+                schema.table_name, listed=listed,
             )
             if idx is not None:
                 return deduped.join(idx, "row_hash", "left_anti")

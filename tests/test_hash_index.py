@@ -97,7 +97,7 @@ def test_index_ignores_rolled_back_write_like_plain_read(
     tp = job.table_path(schema)
 
     r0 = job.process_file(fx["files"][0])
-    pairs0, _files0 = hash_index.live_write_pairs(tp)
+    pairs0, _files0, _b0 = hash_index.live_write_pairs(tp)
     r1 = job.process_file(fx["files"][1])
     assert r0.rows_loaded > 0 and r1.rows_loaded > 0
 
@@ -106,7 +106,7 @@ def test_index_ignores_rolled_back_write_like_plain_read(
     job._dedup_against_history(probe, schema).count()
 
     # simulate file-0's write being rolled away AFTER it was indexed
-    pairs1, files1 = hash_index.live_write_pairs(tp)
+    pairs1, files1, _b1 = hash_index.live_write_pairs(tp)
     for key in pairs0:
         for f in files1[key]:
             os.unlink(f)

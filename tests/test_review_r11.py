@@ -721,3 +721,94 @@ def test_z02_is_one_scan(spark):
     assert (
         rows["zorder"]["rows_matching"] == rows["rowkey"]["rows_matching"]
     )
+
+
+# --------------------------------------------------------------------------
+# Review pass D (r11): this round's own additions
+# --------------------------------------------------------------------------
+def test_hash_index_catalog_name_disambiguates_raw_names(tmp_path):
+    """Review r11: sanitizing the table name alone collapsed 'a.b' and
+    'a_b' onto ONE catalog identifier while their roots stayed separate
+    — cross-wiring two tables' indexes. The digest now covers the raw
+    name."""
+    from datawarehouse_backup_system_spark.plans.hash_index import (
+        _catalog_name,
+    )
+
+    assert _catalog_name(tmp_path, "a.b") != _catalog_name(tmp_path, "a_b")
+    assert _catalog_name(tmp_path, "t") != _catalog_name(
+        tmp_path / "other", "t"
+    )
+
+
+def test_hash_index_refuses_manifest_overclaim(spark, tmp_path, indexed_env=None):
+    """Review r11: a manifest claiming coverage over a lost/partially-
+    restored index data dir served an EMPTY hash frame and silently
+    re-admitted every previously-seen row. Now it warns and falls back."""
+    import os
+    import warnings as _warnings
+
+    from fixtures import generate_f1
+
+    import test_ingest as ti
+    from datawarehouse_backup_system_spark.plans import hash_index
+
+    os.environ["SPARK_GRAFT_J2_INDEX_MIN_BYTES"] = "1"
+    os.environ["SPARK_GRAFT_J2_INDEX_BUCKETS"] = "4"
+    try:
+        fx = generate_f1(tmp_path)
+        job = ti.make_job(spark, tmp_path, fx)
+        r0 = job.process_file(fx["files"][0])
+        schema = job.registry.get("mini_campaign_events")
+        probe = job.read_table(schema).select("row_hash").limit(1)
+        job._dedup_against_history(probe, schema).count()  # build index
+
+        data_dir = (
+            tmp_path / "warehouse" / "_hashidx" / schema.table_name / "data"
+        )
+        for f in data_dir.glob("*.parquet"):
+            f.unlink()  # simulate the lost-index restore
+
+        with _warnings.catch_warnings(record=True) as w:
+            _warnings.simplefilter("always")
+            out = hash_index.history_hash_frame(
+                spark, tmp_path / "warehouse",
+                job.table_path(schema), schema.table_name,
+            )
+        assert out is None
+        assert any("unavailable" in str(x.message) for x in w)
+        # and the ingest path still dedups correctly via the fallback
+        dup = tmp_path / "last24h__re0.csv"
+        dup.write_bytes(fx["files"][0].read_bytes())
+        assert job.process_file(dup).rows_loaded == 0
+        assert r0.rows_loaded > 0
+    finally:
+        os.environ.pop("SPARK_GRAFT_J2_INDEX_MIN_BYTES", None)
+        os.environ.pop("SPARK_GRAFT_J2_INDEX_BUCKETS", None)
+
+
+def test_langid_ngram_empty_model_means_und(spark):
+    """Review r11: `model_rows or ...` silently swapped an explicit
+    empty model for the default trained one."""
+    from datawarehouse_backup_system_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "the house and the dog")], "doc_id int, text string"
+    )
+    rows = text.langid_ngram(df, "doc_id", "text", model_rows=[]).collect()
+    assert rows[0]["predicted_lang"] == "und"
+    assert rows[0]["oop_distance"] is None
+
+
+def test_dedup_against_history_single_walk():
+    """Review r11: the footprint probe re-walked the whole table tree
+    after live_write_pairs already had; one walk now serves both."""
+    from pathlib import Path as _P
+
+    src = (
+        _P(__file__).resolve().parents[1]
+        / "datawarehouse_backup_system_spark/plans/ingest.py"
+    ).read_text()
+    body = src.split("def _dedup_against_history")[1].split("\n    def ")[0]
+    assert "_stage_du(" not in body  # no second walk
+    assert "listed=listed" in src

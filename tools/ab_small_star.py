@@ -50,10 +50,14 @@ def main() -> int:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()  # warm JVM
 
     results: dict[str, list[dict]] = {"new": [], "old": []}
-    # one throwaway warmup (shuffle dirs, codegen) before the timed grid
-    g03_wcc_sessions(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # one throwaway warmup PER VARIANT (review r11: warming only NEW
+    # left OLD's first timed round carrying its plan's codegen compile —
+    # a bias toward NEW on exactly the question the tool settles)
+    for fn in (NEW, OLD):
+        graph._small_star = fn
+        g03_wcc_sessions(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
     for i in range(rounds):
         for label, fn in (("new", NEW), ("old", OLD)):
             graph._small_star = fn
