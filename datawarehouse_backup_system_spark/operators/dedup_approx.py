@@ -303,10 +303,13 @@ def minhash_lsh_dedup(
     cands = lsh_candidate_pairs(
         lsh_bands(sigs, id_col, k, band_size), id_col, max_bucket_size
     )
-    scored = jaccard_pairs(
-        cands, sh, id_col,
-        broadcast_pairs=max_bucket_size is not None,
-    )
+    # AQE strategy even when capped (review r11): max_bucket_size
+    # bounds PER-BUCKET fan-out, not the TOTAL pair count — a near-dup-
+    # heavy corpus yields Theta(N) candidate pairs under any cap, and a
+    # forced broadcast ships them through the driver (the exact OOM
+    # path the r10 fix closed for the uncapped case). AQE broadcasts at
+    # runtime exactly when the pair set is actually small.
+    scored = jaccard_pairs(cands, sh, id_col)
     return scored.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard"
     )

@@ -15,16 +15,18 @@ Three families the round-2 verdict asked to put under the hard
   numbers themselves are hash-verified — this is the artifact a real
   user asks of any ANN ("what recall does this config actually get?").
 - **s01** — batch replay of bounded-state streaming dedup
-  (``streaming.ingest_stream.streaming_dedup``): a duplicate content
-  hash arriving within the watermark horizon of the previous occurrence
-  is dropped; beyond the horizon it survives (bounded state ⇒ late
-  duplicates are the documented trade-off). Expressed as gap-islands
-  over a keyed window so the exact same semantics run on both engines.
+  (``streaming.ingest_stream.streaming_dedup``): first-occurrence-
+  anchored (r11) — the streaming state stores the FIRST occurrence's
+  expiry and duplicates do not extend it; a duplicate within the
+  horizon of its anchor is dropped, the first event beyond it starts a
+  new anchor. Spark side: the production ``watermark_dedup_batch``
+  replay; oracle side: a recursive-CTE anchor walk.
 
 At 100 TB: m01 stays in whole-stage codegen (pure hex/substring
 expressions — a metadata predicate usable before any decode); r* reuse
-the bucketed candidate-generation joins (the exact baseline is the only
-quadratic piece and it is restricted to the bounded probe set); s01 is
+the bucketed candidate-generation joins (the exact baseline is
+restricted to the probe set, which is ABSOLUTELY bounded (≤2000 rows
+at any sf — llm_ops._probe_slice), so it is O(N), never quadratic); s01 is
 one keyed shuffle (hash-partition by content hash), no global sort.
 """
 
@@ -32,10 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 from ..operators import similarity
-from ..operators.hashing import HASH_SEP
 from ..operators.multimodal import decode_features, png_dims
 from .base import QuerySpec, load
 
@@ -288,7 +288,9 @@ def _recall_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:
 
 def _emb_queries(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     emb = load(spark, sf_dir, "embeddings")
-    return emb, emb.where(F.col("vec_id") % 100 == 0)
+    from .llm_ops import _probe_slice
+
+    return emb, emb.where(_probe_slice())
 
 
 def r01_recall_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,7 +325,7 @@ def r04_recall_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _exact_topk_sql(k: int) -> str:
     return f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 100 = 0),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 100 = 0 AND vec_id < 200000),
 scored AS (
   SELECT q.query_id, v.vec_id AS neighbor_id,
          ROUND(list_dot_product(qe, e)
@@ -548,56 +550,64 @@ _S01_GAP_MIN = 30
 
 def s01_watermark_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch query pinning the SEMANTICS of ``streaming_dedup``
-    (``streaming/ingest_stream.py:91``): duplicates of a content hash
-    within the 30-minute state horizon of the previous occurrence are
-    dropped; a duplicate arriving after the horizon expires survives
-    (bounded state). Gap-islands over a keyed window express exactly
-    that: keep a row iff it is the first of its hash or follows the
-    previous occurrence by more than the horizon.
+    (``streaming/ingest_stream.py:91``) via the production batch replay
+    ``watermark_dedup_batch`` — FIRST-OCCURRENCE-ANCHORED (review r11):
+    the streaming state stores the first occurrence's expiry and
+    duplicates do NOT extend it, so a sub-horizon chain 10:00/10:20/
+    10:40 keeps 10:00 AND 10:40. The previous lag-gap replay dropped
+    10:40 — and its oracle replayed the same lag rule, so the spec was
+    structurally blind to the mismatch (latent on the fixture: 0
+    divergent rows at sf0.01, pytest-pinned divergence on a synthetic
+    chain in tests/test_streaming.py). The oracle now replays the
+    anchor rule with a recursive CTE.
     """
+    from ..streaming.ingest_stream import watermark_dedup_batch
+
     ev = load(spark, sf_dir, "events")
-    parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
-        for c in ("user_id", "event_type")
-    ]
-    hashed = ev.withColumn("row_hash", F.md5(F.concat_ws(HASH_SEP, *parts)))
-    w = Window.partitionBy("row_hash").orderBy("ts", "event_id")
-    ts_us = F.unix_micros(F.col("ts"))
-    gap_us = ts_us - F.lag(ts_us).over(w)
-    return (
-        hashed.withColumn("gap_us", gap_us)
-        .where(
-            F.col("gap_us").isNull()
-            | (F.col("gap_us") > _S01_GAP_MIN * 60 * 1_000_000)
-        )
-        .select(
-            "event_id",
-            "user_id",
-            "event_type",
-            ts_us.alias("ts_us"),
-            "row_hash",
-        )
+    kept = watermark_dedup_batch(
+        ev, ["user_id", "event_type"], watermark_s=_S01_GAP_MIN * 60
+    )
+    return kept.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "row_hash",
     )
 
 
 S01_SQL = f"""
-WITH hashed AS (
+WITH RECURSIVE hashed AS (
   SELECT event_id, user_id, event_type, ts,
          md5(concat_ws(chr(1),
              coalesce(CAST(user_id AS VARCHAR), '<NULL>'),
              coalesce(event_type, '<NULL>'))) AS row_hash
   FROM events
 ),
-gapped AS (
-  SELECT *,
-         epoch_us(ts) - lag(epoch_us(ts)) OVER (
-           PARTITION BY row_hash ORDER BY ts, event_id
-         ) AS gap_us
+ordered AS (
+  SELECT *, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY row_hash
+                            ORDER BY ts, event_id) AS rn
   FROM hashed
+),
+anchors AS (
+  -- first occurrence per hash anchors the state; each recursive step
+  -- advances every still-live hash to its FIRST event strictly beyond
+  -- the anchor's horizon (the idealized prompt-eviction semantics of
+  -- dropDuplicatesWithinWatermark)
+  SELECT row_hash, rn, ts_us FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT n.row_hash, n.rn, n.ts_us
+  FROM anchors a, LATERAL (
+    SELECT o.row_hash, o.rn, o.ts_us FROM ordered o
+    WHERE o.row_hash = a.row_hash
+      AND o.ts_us > a.ts_us + {_S01_GAP_MIN} * 60 * 1000000
+    ORDER BY o.rn LIMIT 1
+  ) n
 )
-SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, row_hash
-FROM gapped
-WHERE gap_us IS NULL OR gap_us > {_S01_GAP_MIN} * 60 * 1000000
+SELECT o.event_id, o.user_id, o.event_type, o.ts_us, o.row_hash
+FROM anchors a
+JOIN ordered o ON o.row_hash = a.row_hash AND o.rn = a.rn
 """
 
 

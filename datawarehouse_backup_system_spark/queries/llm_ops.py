@@ -13,11 +13,23 @@ scores with id tiebreaks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datawarehouse_backup_system_spark.operators import dedup_approx, similarity, text
 from datawarehouse_backup_system_spark.queries.base import QuerySpec, load
+
+
+def _probe_slice():
+    """THE bounded ANN probe predicate: every 100th vector, CAPPED at
+    id 200000 so the probe set is <= 2000 rows at ANY scale factor
+    (review r11: a pure %100 slice is an unbounded 1% FRACTION of the
+    corpus — force-broadcast as the query side, it grows linearly and
+    the exact baselines go quadratic; an absolute cap keeps the
+    broadcast genuinely bounded and every exact baseline O(N)). A no-op
+    on every shipped fixture (max vec_id 20000 at sf1). Mirrored
+    verbatim in every probe-set oracle SQL."""
+    return (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 200_000)
 
 
 def _with_neardups(docs: DataFrame) -> DataFrame:
@@ -297,13 +309,13 @@ WHERE ROUND(list_dot_product(a.e, b.e)
 # --------------------------------------------------------------------------
 def d06_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 100 == 0)
+    queries = emb.where(_probe_slice())
     return similarity.brute_force_topk(emb, queries, k=5)
 
 
 D06_SQL = """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 100 = 0),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 100 = 0 AND vec_id < 200000),
 scored AS (
   SELECT q.query_id, v.vec_id AS neighbor_id,
          ROUND(list_dot_product(qe, e)
@@ -324,14 +336,14 @@ SELECT query_id, neighbor_id, score, rank FROM (
 # --------------------------------------------------------------------------
 def d07_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 100 == 0)
+    queries = emb.where(_probe_slice())
     return similarity.bucketed_ann(emb, queries, k=3, n_bits=8)
 
 
 D07_SQL = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 vb AS (SELECT vec_id, e, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM v),
-q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM vb WHERE vec_id % 100 = 0),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM vb WHERE vec_id % 100 = 0 AND vec_id < 200000),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
          ROUND(list_dot_product(qe, c.e)
@@ -352,14 +364,14 @@ SELECT query_id, neighbor_id, score, rank FROM (
 # --------------------------------------------------------------------------
 def d08_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 100 == 0)
+    queries = emb.where(_probe_slice())
     return similarity.bucketed_ann(emb, queries, k=3, n_bits=8, multi_probe=1)
 
 
 D08_SQL = f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 vb AS (SELECT vec_id, e, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM v),
-q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM vb WHERE vec_id % 100 = 0),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM vb WHERE vec_id % 100 = 0 AND vec_id < 200000),
 qp AS (  -- the query's own bucket + its 8 Hamming-1 neighbors
   SELECT query_id, qe, bucket FROM q
   UNION ALL
@@ -389,7 +401,7 @@ def d10_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer path (similarity.train_centroids) is recall-tested in
     tests/test_similarity_ops.py instead."""
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 100 == 0)
+    queries = emb.where(_probe_slice())
     return similarity.ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=2)
 
 
@@ -420,7 +432,8 @@ probes AS (
              PARTITION BY q.vec_id
              ORDER BY COALESCE({_cos_sql('q.e', 'c.ce')}, -2) DESC, c.cid ASC
            ) AS rn
-    FROM v q CROSS JOIN cents c WHERE q.vec_id % 100 = 0
+    FROM v q CROSS JOIN cents c
+  WHERE q.vec_id % 100 = 0 AND q.vec_id < 200000
   ) WHERE rn <= 2
 ),
 scored AS (
@@ -446,7 +459,7 @@ def d11_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential dot product, so bucket bits match bit-for-bit."""
     emb = load(spark, sf_dir, "embeddings")
     planes = similarity.deterministic_planes(64, 8)
-    queries = emb.where(F.col("vec_id") % 100 == 0)
+    queries = emb.where(_probe_slice())
     return similarity.bucketed_ann(emb, queries, k=3, multi_probe=1, planes=planes)
 
 
@@ -462,7 +475,7 @@ def _d11_sql() -> str:
     return f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 vb AS (SELECT vec_id, e, CAST({bucket} AS BIGINT) AS bucket FROM v),
-q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM vb WHERE vec_id % 100 = 0),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM vb WHERE vec_id % 100 = 0 AND vec_id < 200000),
 qp AS (
   SELECT query_id, qe, bucket FROM q
   UNION ALL
@@ -767,6 +780,15 @@ FROM m
 # t06 — concat-and-chunk sequence packing for training batches
 # --------------------------------------------------------------------------
 def t06_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n_shards stays the default 8 HERE because this spec is a
+    CORRECTNESS pin, not a production configuration (review r11): the
+    shard count is a shared oracle constant, and 8 window partitions at
+    fixture scale is the cheapest plan — but 8 partitions over a real
+    corpus is a straggler by construction (N/8 rows sorted per task).
+    Production callers size ``n_shards`` to the cluster, as the
+    operator docstring and ``plans/corpus_build.py`` already do; the
+    operator's behavior at any shard count is partition-count-
+    independent (pytest-pinned in test_llm_ops)."""
     docs = load(spark, sf_dir, "documents")
     counted = docs.select(
         "doc_id", text.token_count(F.col("text")).alias("n_tokens")
@@ -883,8 +905,13 @@ def t09_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap non-trivial (171 contaminated docs at sf0.01); production
     decontamination uses the same operator at n=8..13."""
     docs = load(spark, sf_dir, "documents")
-    ev = docs.where(F.col("doc_id") % 97 == 0)
-    tr = docs.where(F.col("doc_id") % 97 != 0)
+    # absolute cap (review r11): a pure %97 slice is an unbounded ~1%
+    # fraction — its broadcast shingle set grows with the corpus,
+    # violating contamination()'s small-by-construction precondition.
+    # Real eval benchmarks are FIXED-size; cap mirrors the oracle.
+    is_ev = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 97_000)
+    ev = docs.where(is_ev)
+    tr = docs.where(~is_ev)
     return dedup_approx.contamination(tr, ev, "doc_id", "text", n=3)
 
 
@@ -898,10 +925,11 @@ sh AS (
   FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
   WHERE len(t) >= 3
 ),
-ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+ev AS (SELECT DISTINCT shingle FROM sh
+       WHERE doc_id % 97 = 0 AND doc_id < 97000)
 SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
 FROM sh JOIN ev USING (shingle)
-WHERE sh.doc_id % 97 <> 0
+WHERE NOT (sh.doc_id % 97 = 0 AND sh.doc_id < 97000)
 GROUP BY sh.doc_id
 """
 

@@ -107,6 +107,62 @@ def streaming_dedup(
     )
 
 
+def watermark_dedup_batch(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    watermark_s: int = 1800,
+) -> DataFrame:
+    """Deterministic BATCH replay of :func:`streaming_dedup`'s
+    state semantics — FIRST-OCCURRENCE-ANCHORED, not lag-gap (review
+    r11): ``dropDuplicatesWithinWatermark`` stores the FIRST occurrence
+    and its expiry; later duplicates are dropped against that anchor
+    and do NOT extend its life, so a chain 10:00/10:20/10:40 under a
+    30-min horizon keeps 10:00 AND 10:40 — where a lag rule (gap from
+    the PREVIOUS occurrence) would drop 10:40 and diverge from the
+    streaming operator on any ≥3-event chain spanning the horizon.
+
+    Determinization note: the live operator's beyond-horizon behavior
+    additionally depends on watermark PROGRESS (state is evicted when
+    the global watermark passes the anchor's expiry, which depends on
+    micro-batch boundaries); this replay pins the idealized
+    prompt-eviction semantics — the fixed point the stream converges to
+    — with the boundary choice "survives iff strictly more than
+    ``watermark_s`` after its anchor".
+
+    Scale shape: one hash-partitioned shuffle on ``row_hash``; the
+    anchored scan is inherently sequential per hash, so it runs as an
+    Arrow-batched ``applyInPandas`` over each hash's occurrence list —
+    group size = one content hash's duplicate multiplicity (small in
+    any real corpus; a pathological single-hash flood skews one task,
+    the same bound the streaming state store has).
+    """
+    import pandas as pd
+
+    hashed = with_row_hash(events, key_cols)
+    src = hashed.withColumn("_ts_us", F.unix_micros(F.col(ts_col)))
+    horizon_us = int(watermark_s) * 1_000_000
+
+    def _anchors(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["_ts_us", order_col]).reset_index(drop=True)
+        keep = []
+        anchor = None
+        for t in pdf["_ts_us"]:
+            if anchor is None or t > anchor + horizon_us:
+                anchor = t
+                keep.append(True)
+            else:
+                keep.append(False)
+        return pdf[pd.Series(keep)]
+
+    return (
+        src.groupBy("row_hash")
+        .applyInPandas(_anchors, src.schema)
+        .drop("_ts_us")
+    )
+
+
 def user_activity_state(
     events: DataFrame,
     watermark: str = "30 minutes",

@@ -812,3 +812,55 @@ def test_dedup_against_history_single_walk():
     body = src.split("def _dedup_against_history")[1].split("\n    def ")[0]
     assert "_stage_du(" not in body  # no second walk
     assert "listed=listed" in src
+
+
+# --------------------------------------------------------------------------
+# Review pass E (r11): llm_ops/extras spec layer
+# --------------------------------------------------------------------------
+def test_probe_slice_is_absolutely_bounded(spark):
+    """Review r11: the ANN probe set was a pure %100 slice — an
+    unbounded 1% FRACTION of the corpus, force-broadcast as the query
+    side and making every exact recall baseline quadratic. The shared
+    predicate now caps ids absolutely (≤2000 probes at any sf)."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.queries.llm_ops import (
+        _probe_slice,
+    )
+
+    df = spark.range(0, 1_000_000).select(F.col("id").alias("vec_id"))
+    n = df.where(_probe_slice()).count()
+    assert n == 2000  # bounded regardless of corpus size
+    # and the oracles carry the same cap
+    from datawarehouse_backup_system_spark.queries import llm_ops
+
+    assert "vec_id < 200000" in llm_ops.D07_SQL
+    assert "vec_id < 200000" in llm_ops.D08_SQL
+    assert "vec_id < 200000" in llm_ops.D10_SQL
+    assert "vec_id < 200000" in llm_ops.D11_SQL
+
+
+def test_t09_eval_set_is_absolutely_bounded():
+    """Review r11: the %97 eval slice grew linearly with the corpus and
+    its broadcast shingle set with it; real eval benchmarks are fixed-
+    size, so the slice now caps ids (≤1000 eval docs at any sf)."""
+    import inspect
+
+    from datawarehouse_backup_system_spark.queries import llm_ops
+
+    src = inspect.getsource(llm_ops.t09_decontaminate)
+    assert "97_000" in src
+    assert "doc_id < 97000" in llm_ops.T09_SQL
+
+
+def test_minhash_pairs_use_aqe_not_forced_broadcast():
+    """Review r11: max_bucket_size bounds PER-BUCKET fan-out, not the
+    TOTAL pair count (a near-dup-heavy corpus yields Theta(N) pairs
+    under any cap), so minhash_lsh_dedup no longer opts into a forced
+    pair broadcast — AQE broadcasts when the set is actually small."""
+    import inspect
+
+    from datawarehouse_backup_system_spark.operators import dedup_approx
+
+    src = inspect.getsource(dedup_approx.minhash_lsh_dedup)
+    assert "broadcast_pairs" not in src

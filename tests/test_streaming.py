@@ -887,3 +887,76 @@ def test_stream_heavy_hitters_recovers_mid_swap_crash(spark, tmp_path):
         for r in spark.read.parquet(str(state)).collect()
     }
     assert summary == {"hot": 50}  # history recovered, nothing lost
+
+
+def test_watermark_dedup_batch_matches_live_stream_on_chain(
+    spark, tmp_path, t0
+):
+    """Review r11 (s01): dropDuplicatesWithinWatermark is FIRST-
+    OCCURRENCE-ANCHORED — duplicates do not extend the anchor's life —
+    so a 10:00/10:20/10:40 chain under a 30-min horizon keeps 10:00 AND
+    10:40. The old lag-gap batch replay dropped 10:40 (gap 20 min from
+    the PREVIOUS occurrence); this drives the REAL stream over the
+    chain and asserts the production batch replay reproduces it."""
+    src = str(tmp_path / "events")
+    keys = ["user_id", "event_type"]
+    chain = [
+        (0, t0, 1, "click", 1.0, "{}"),
+        (1, t0 + dt.timedelta(minutes=20), 1, "click", 1.0, "{}"),
+    ]
+    # watermark advancer between the anchor's expiry (10:30) and the
+    # third event (10:40): state evicts but 10:40 is not yet late
+    advancer = [(100, t0 + dt.timedelta(minutes=65), 2, "view", 1.0, "{}")]
+    third = [(2, t0 + dt.timedelta(minutes=40), 1, "click", 1.0, "{}")]
+
+    _write_batch(spark, src, chain)
+    stream = st.stream_source(spark, src)
+    name = f"chain_{uuid.uuid4().hex[:8]}"
+    q = _run_to_memory(
+        st.streaming_dedup(stream, keys).select("event_id"), name
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(spark, src, advancer)
+        q.processAllAvailable()
+        _write_batch(spark, src, third)
+        q.processAllAvailable()
+        live = sorted(
+            r["event_id"] for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+    finally:
+        q.stop()
+    assert live == [0, 2, 100]  # 10:40 SURVIVES: anchored, not lag-gap
+
+    batch_rows = spark.createDataFrame(
+        chain + advancer + third, st.EVENT_SCHEMA
+    )
+    replay = sorted(
+        r["event_id"]
+        for r in st.watermark_dedup_batch(
+            batch_rows, keys, watermark_s=1800
+        ).collect()
+    )
+    assert replay == live  # the batch replay pins the live semantics
+
+
+def test_watermark_dedup_batch_anchor_rule_unit(spark, t0):
+    """Anchor-rule unit pin, partitioning-independent: sub-horizon
+    chains collapse to anchors every >horizon step; the first event
+    always survives; ties break on the order column."""
+    rows = [
+        (i, t0 + dt.timedelta(minutes=m), 7, "click", 1.0, "{}")
+        for i, m in enumerate([0, 20, 40, 45, 80, 80])
+    ]
+    df = spark.createDataFrame(rows, st.EVENT_SCHEMA)
+    for frame in (df, df.repartition(13)):
+        kept = sorted(
+            r["event_id"]
+            for r in st.watermark_dedup_batch(
+                frame, ["user_id", "event_type"], watermark_s=1800
+            ).collect()
+        )
+        # anchors: 0 (00:00), 2 (00:40 > 00:30), 4 (01:20 > 01:10);
+        # 00:20/00:45 are inside their anchors' horizons; the second
+        # 01:20 event ties on ts and loses on event_id
+        assert kept == [0, 2, 4]
