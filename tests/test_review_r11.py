@@ -864,3 +864,29 @@ def test_minhash_pairs_use_aqe_not_forced_broadcast():
 
     src = inspect.getsource(dedup_approx.minhash_lsh_dedup)
     assert "broadcast_pairs" not in src
+
+
+def test_bench_ref_regression_reads_history(tmp_path, monkeypatch):
+    """The driver's committed artifacts truncate the per-query dict, so
+    bench.py self-records full timings to BENCH_history.jsonl; clean
+    history entries serve as references and contended ones are ignored."""
+    import json
+
+    import bench
+
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_REF", raising=False)
+    ref = {f"q{i:02d}_x": 1.0 for i in range(1, 25)}
+    hist = [
+        {"sf": 0.1, "queries": {k: v * 2 for k, v in ref.items()},
+         "contended": True},   # noisy entry must be ignored
+        {"sf": 0.1, "queries": ref, "contended": False},
+        {"sf": 1.0, "queries": ref, "contended": False},  # wrong sf
+    ]
+    (tmp_path / "BENCH_history.jsonl").write_text(
+        "\n".join(json.dumps(e) for e in hist) + "\n"
+    )
+    cur = {k: v * 1.5 for k, v in ref.items()}
+    got = bench._ref_regression(cur, art_dir=tmp_path, sf=0.1)
+    assert got["trigger"] is True
+    assert got["ref"].startswith("hist")
+    assert got["ratio"] == 1.5  # compared vs the CLEAN entry, not the noisy
