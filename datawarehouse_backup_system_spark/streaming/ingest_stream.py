@@ -131,35 +131,47 @@ def watermark_dedup_batch(
     — with the boundary choice "survives iff strictly more than
     ``watermark_s`` after its anchor".
 
-    Scale shape: one hash-partitioned shuffle on ``row_hash``; the
-    anchored scan is inherently sequential per hash, so it runs as an
-    Arrow-batched ``applyInPandas`` over each hash's occurrence list —
-    group size = one content hash's duplicate multiplicity (small in
-    any real corpus; a pathological single-hash flood skews one task,
-    the same bound the streaming state store has).
+    Scale shape: ONE hash-partitioned shuffle — but grouped by a
+    BUCKET of hashes (xxhash64 % n_buckets), not per hash: the anchored
+    scan is sequential only WITHIN a hash, so each Arrow batch sorts by
+    (hash, ts, order) and runs one linear pass that resets its anchor
+    at every hash boundary. Per-hash grouping measured 7.6 s at sf0.1
+    against 0.3 s for the old window query — ~10k tiny pandas groups
+    paid Spark's per-group overhead, not Python time; bucket grouping
+    brings it back to a bounded number of linear-scan tasks and also
+    spreads a pathological single-hash flood no worse than the
+    streaming state store does.
     """
-    import pandas as pd
+    import numpy as np
 
     hashed = with_row_hash(events, key_cols)
-    src = hashed.withColumn("_ts_us", F.unix_micros(F.col(ts_col)))
+    src = hashed.withColumn(
+        "_ts_us", F.unix_micros(F.col(ts_col))
+    ).withColumn(
+        "_bucket", F.pmod(F.xxhash64("row_hash"), F.lit(256))
+    )
     horizon_us = int(watermark_s) * 1_000_000
 
-    def _anchors(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["_ts_us", order_col]).reset_index(drop=True)
-        keep = []
-        anchor = None
-        for t in pdf["_ts_us"]:
-            if anchor is None or t > anchor + horizon_us:
-                anchor = t
-                keep.append(True)
-            else:
-                keep.append(False)
-        return pdf[pd.Series(keep)]
+    def _anchors(pdf):
+        pdf = pdf.sort_values(
+            ["row_hash", "_ts_us", order_col]
+        ).reset_index(drop=True)
+        hs = pdf["row_hash"].to_numpy()
+        ts = pdf["_ts_us"].to_numpy()
+        keep = np.zeros(len(pdf), dtype=bool)
+        cur = None
+        anchor = 0
+        for i in range(len(pdf)):
+            if hs[i] != cur or ts[i] > anchor + horizon_us:
+                cur = hs[i]
+                anchor = ts[i]
+                keep[i] = True
+        return pdf[keep]
 
     return (
-        src.groupBy("row_hash")
+        src.groupBy("_bucket")
         .applyInPandas(_anchors, src.schema)
-        .drop("_ts_us")
+        .drop("_ts_us", "_bucket")
     )
 
 
