@@ -41,7 +41,15 @@ def tokens(text: Column) -> Column:
     match; a coordinated tokens()+oracle regex-trim migration is
     planned as one future change rather than per-operator drift —
     fixing it piecemeal would silently invalidate the pinned spec
-    hashes one operator at a time."""
+    hashes one operator at a time.
+
+    Second known divergence, same disposition (review r11 pass F):
+    Java's ``\\s`` includes vertical tab U+000B, DuckDB/RE2's does not,
+    so a document containing ``\\x0B`` tokenizes differently across
+    engines (latent: the synthetic fixtures carry none). The planned
+    migration replaces ``\\s`` with an explicit character class both
+    regex dialects read identically (``[ \\t\\n\\f\\r\\x0B]``) in
+    tokens() AND every oracle in the same change."""
     return F.split(F.trim(text), r"\s+")
 
 

@@ -334,7 +334,10 @@ def r06_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _R06_APPROX_SQL = f"""
 WITH {_PQ_CODEBOOK_SQL},
-q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id % 100 = 0),
+q AS (SELECT vec_id AS query_id, e FROM v
+      -- the r11 absolute probe cap (llm_ops._probe_slice), missed
+      -- here in the first pass (review r11 pass F)
+      WHERE vec_id % 100 = 0 AND vec_id < 200000),
 qsub AS (
   SELECT q.query_id, ss.subspace,
          list_slice(q.e, ss.subspace * 8 + 1, ss.subspace * 8 + 8) AS qv

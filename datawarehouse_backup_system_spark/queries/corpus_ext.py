@@ -101,7 +101,15 @@ def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (centroids = 8 smallest vec_ids, same as d10) so the oracle can
     replay cluster assignment; the k-means-trained path is recall-tested
     in pytest. Output: every vector with its cluster and keep verdict."""
-    emb = load(spark, sf_dir, "embeddings")
+    # absolute population bound (review r11 pass F, the r07 pattern):
+    # the spec pins n_clusters=8 for oracle replay, so the
+    # within-cluster pair join is Σ Bᵢ² ≈ N²/8 on BOTH engines — bound
+    # the spec's input so it can never go quadratic with sf (a no-op on
+    # every shipped fixture; production semantic_dedup scales
+    # n_clusters with the corpus instead, SCALE.md)
+    emb = load(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 20_000
+    )
     return semantic_dedup(
         emb, "vec_id", "embedding", tau=_D12_TAU, n_clusters=_D12_CLUSTERS
     )
@@ -115,7 +123,8 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 D12_SQL = f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id < 20000),
 cents AS (SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT {_D12_CLUSTERS}),
 assign AS (
   SELECT vec_id, e, cid AS list_id FROM (

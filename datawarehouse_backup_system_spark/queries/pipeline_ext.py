@@ -92,6 +92,11 @@ def t22_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=_T22_BUCKETS,
         alpha=1.0,
         quantize_decimals=9,
+        # stage=False in the SPEC layer (review r11 pass F): the
+        # operator's persisted token frame stays pinned in executor
+        # storage until a NEXT call that a one-shot driver/bench
+        # session never makes; the stage exists for production reuse
+        stage=False,
     )
 
 
@@ -174,7 +179,8 @@ SELECT doc_id,
 FROM sel
 """
 _D09_FINAL = "SELECT node, MIN(r) AS canonical_id FROM reach GROUP BY node"
-assert _D09_FINAL in D09_SQL, "d09 oracle changed shape; update t23 tail"
+if _D09_FINAL not in D09_SQL:  # ValueError, not assert: -O strips asserts
+    raise ValueError("d09 oracle changed shape; update t23 tail")
 T23_SQL = D09_SQL.replace(_D09_FINAL, "") + _T23_TAIL
 
 
@@ -298,6 +304,7 @@ def t26_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.bigram_lm_scores(
         docs, "doc_id", "text",
         pair_buckets=_T26_PAIR_B, ctx_buckets=_T26_CTX_B, k=_T26_K,
+        stage=False,  # same storage-pinning rationale as t22 (r11)
     )
 
 
@@ -564,30 +571,42 @@ def t30_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a high-OOV source either needs vocab budget or is noise. Vocab is
     ≤K rows → broadcast left-semi flag; two aggs otherwise."""
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "source",
-        F.explode(text.tokens(F.col("text"))).alias("token"),
-    ).where(F.col("token") != "")
+    # ONE tokenize+explode pass (review r11 pass F: the exploded frame
+    # fed both the vocab build and the flag join — two corpus scans —
+    # and the join ran per token OCCURRENCE): roll up to
+    # (source, token, cnt) first; the vocab derives from the compact
+    # rollup and the flag join input shrinks from occurrences to
+    # distinct (source, token) pairs.
+    counts = (
+        docs.select(
+            "source",
+            F.explode(text.tokens(F.col("text"))).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # persisted: distinct (source, token) pairs — compact — and it
+        # feeds both the vocab build and the flag join (the z02 rule:
+        # exchange reuse is a heuristic, the persist is a guarantee)
+        .persist()
+    )
     vocab = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("c"))
+        counts.groupBy("token")
+        .agg(F.sum("cnt").alias("c"))
         .orderBy(F.col("c").desc(), F.col("token"))
         .limit(_T30_K)
         .select("token")
     )
-    flagged = tok.join(
+    flagged = counts.join(
         F.broadcast(vocab.withColumn("_in", F.lit(1))), "token", "left"
     )
+    oov_cnt = F.sum(
+        F.when(F.col("_in").isNull(), F.col("cnt")).otherwise(0)
+    )
     return flagged.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_oov"),
-        F.round(
-            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
-            / F.count(F.lit(1)),
-            6,
-        ).alias("oov_rate"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        oov_cnt.cast("bigint").alias("n_oov"),
+        F.round(oov_cnt / F.sum("cnt"), 6).alias("oov_rate"),
     )
 
 

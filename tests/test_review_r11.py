@@ -890,3 +890,77 @@ def test_bench_ref_regression_reads_history(tmp_path, monkeypatch):
     assert got["trigger"] is True
     assert got["ref"].startswith("hist")
     assert got["ratio"] == 1.5  # compared vs the CLEAN entry, not the noisy
+
+
+# --------------------------------------------------------------------------
+# Review pass F (r11): analytics_ext/corpus_ext/pipeline_ext spec layer
+# --------------------------------------------------------------------------
+def test_pass_f_source_contracts():
+    """Review r11 pass F, source-contract pins: r06's oracle carries the
+    absolute probe cap; d12's population is absolutely bounded on both
+    engines (its n_clusters is a pinned oracle constant, so the within-
+    cluster join is N²/8); t22/t26 pass stage=False in the spec layer
+    (the persisted slot outlived every one-shot session); the t23
+    oracle-splice guard raises instead of assert (stripped under -O);
+    the \\x0B Java-vs-RE2 tokenizer divergence is documented on
+    tokens() with the migration plan."""
+    import inspect
+
+    from datawarehouse_backup_system_spark.operators.text import tokens
+    from datawarehouse_backup_system_spark.queries import (
+        analytics_ext,
+        corpus_ext,
+        pipeline_ext,
+    )
+
+    assert "vec_id < 200000" in analytics_ext._R06_APPROX_SQL
+    assert "vec_id < 20000" in corpus_ext.D12_SQL
+    assert "20_000" in inspect.getsource(corpus_ext.d12_semantic_dedup)
+    assert "stage=False" in inspect.getsource(pipeline_ext.t22_dsir_weights)
+    assert "stage=False" in inspect.getsource(pipeline_ext.t26_bigram_lm)
+    src = inspect.getsource(pipeline_ext)
+    assert 'raise ValueError("d09 oracle changed shape' in src
+    assert "x0B" in (tokens.__doc__ or "")
+
+
+def test_t30_single_rollup_parity(spark):
+    """Review r11 pass F: t30 tokenized the corpus twice and flagged per
+    token OCCURRENCE; the (source, token, cnt) rollup must preserve the
+    exact output (occurrence-weighted OOV counts, not distinct)."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x x x y"), (2, "a", "x z"), (3, "b", "y y q q q")],
+        "doc_id int, source string, text string",
+    )
+    # replicate the spec's rollup algebra with a tiny top-2 vocab:
+    # x (4 occurrences), q (3) -> vocab {x, q}
+    counts = (
+        docs.select(
+            "source",
+            F.explode(text.tokens(F.col("text"))).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = (
+        counts.groupBy("token").agg(F.sum("cnt").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("token")).limit(2)
+        .select("token")
+    )
+    flagged = counts.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "token", "left"
+    )
+    oov = F.sum(F.when(F.col("_in").isNull(), F.col("cnt")).otherwise(0))
+    got = {
+        r["source"]: (r["n_tokens"], r["n_oov"])
+        for r in flagged.groupBy("source").agg(
+            F.sum("cnt").alias("n_tokens"), oov.alias("n_oov")
+        ).collect()
+    }
+    # source a: tokens x,x,x,y,x,z = 6; vocab {x,q} -> oov y,z = 2
+    # source b: y,y,q,q,q = 5; oov y,y = 2
+    assert got == {"a": (6, 2), "b": (5, 2)}
