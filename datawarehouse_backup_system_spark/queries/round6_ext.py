@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..operators import quantiles as qsk
 from ..operators.behavior import ewma_dyadic
 from ..operators.calibration import conformal_threshold
+from ..operators.hashing import md5_prefix_long
 from ..operators.incremental import finalize, merge_partials, partial_aggs
 from ..operators.skyline import skyline_2d
 from .base import QuerySpec, load
@@ -38,8 +39,14 @@ def u06_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         cents(F.col("o_totalprice")).alias("price_c"),
     )
-    history = orders.where(F.col("o_orderdate") < F.lit(_U06_SPLIT))
-    batch = orders.where(F.col("o_orderdate") >= F.lit(_U06_SPLIT))
+    # NULL-exhaustive split (review r11): a NULL date fails BOTH < and
+    # >= and would vanish from the maintained view while the oracle's
+    # full recompute keeps it — route NULLs into history explicitly
+    is_batch = F.coalesce(
+        F.col("o_orderdate") >= F.lit(_U06_SPLIT), F.lit(False)
+    )
+    history = orders.where(~is_batch)
+    batch = orders.where(is_batch)
     view = partial_aggs(history, ["o_orderpriority"], "price_c")
     updated = merge_partials(
         view, partial_aggs(batch, ["o_orderpriority"], "price_c"),
@@ -56,7 +63,9 @@ SELECT o_orderpriority,
        CAST(sum(c) AS BIGINT) AS sum_v,
        min(c) AS min_v,
        max(c) AS max_v,
-       CAST(sum(c) AS BIGINT) // count(*) AS avg_floor
+       -- count(c), not count(*): finalize divides by the non-null
+       -- value count (r11 n_vals fix); latent until a NULL price
+       CAST(sum(c) AS BIGINT) // count(c) AS avg_floor
 FROM (
   SELECT o_orderpriority,
          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
@@ -95,10 +104,20 @@ def _z03_pos(key_sql: str, i: int) -> str:
 
 def z03_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    max_ok = li.agg(F.max("l_orderkey")).first()[0]
-    per_file = (max_ok + _Z03_FILES) // _Z03_FILES
-    rows = li.select(
-        F.expr(f"(l_orderkey - 1) div {per_file}").alias("file_id"),
+    # per_file rides the plan as a broadcast 1-row aggregate (review
+    # r11, the q49/q51/skyline pattern): the old driver-side .first()
+    # ran an extra full lineitem scan job just to bake a Python literal
+    # into the expressions, and crashed with TypeError on an empty
+    # table (NULL max). In-lineage, an empty table flows to an empty
+    # result.
+    params = li.agg(
+        F.expr(
+            f"cast((max(l_orderkey) + {_Z03_FILES}) div {_Z03_FILES}"
+            " as bigint)"
+        ).alias("_pf")
+    )
+    rows = li.crossJoin(F.broadcast(params)).select(
+        F.expr("(l_orderkey - 1) div _pf").alias("file_id"),
         "l_partkey",
     )
     # one explode(x3) + one (file, word)-keyed bit_or builds every
@@ -296,11 +315,10 @@ def c04_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         cents(F.col("value")).alias("score"),
         (
-            F.expr(
-                "cast(conv(substr(md5(cast(event_id as string)), 1, 14),"
-                " 16, 10) as bigint) % 1000000"
-            )
-            < 500000
+            # THE hash recipe, imported not inlined (review r11:
+            # hashing.md5_prefix_long's single-definition contract)
+            md5_prefix_long(F.col("event_id").cast("string")) % 1_000_000
+            < 500_000
         ).alias("is_cal"),
     )
     return conformal_threshold(
@@ -477,7 +495,10 @@ def q50_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").select(
         "p_partkey", F.col("p_type").startswith("PROMO").alias("is_promo")
     )
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # no broadcast hint (review r11: part grows linearly with sf and a
+    # forced hint disables AQE's size fallback — the cohort_retention
+    # r10 rule); AQE broadcasts it at runtime while it is actually small
+    j = li.join(part, li.l_partkey == part.p_partkey)
     return j.agg(
         F.sum(F.when(F.col("is_promo"), F.col("price_c")).otherwise(0))
         .alias("promo_c"),
@@ -485,7 +506,13 @@ def q50_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "promo_c",
         "total_c",
-        F.expr("(promo_c * 1000000) div total_c").alias("promo_ppm"),
+        # DECIMAL promotion (review r11, the q49 pattern): promo_c*1e6
+        # wraps int64 at roughly sf 3 — silent garbage on Spark, a
+        # range error on DuckDB
+        F.expr(
+            "cast((cast(promo_c as decimal(38,0)) * 1000000)"
+            " div total_c as bigint)"
+        ).alias("promo_ppm"),
     )
 
 
@@ -493,8 +520,9 @@ Q50_SQL = """
 SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN c ELSE 0 END) AS BIGINT)
          AS promo_c,
        CAST(sum(c) AS BIGINT) AS total_c,
-       CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN c ELSE 0 END) AS BIGINT)
-         * 1000000 // CAST(sum(c) AS BIGINT) AS promo_ppm
+       CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN c ELSE 0 END)
+                 AS HUGEINT)
+         * 1000000 // CAST(sum(c) AS BIGINT) AS BIGINT) AS promo_ppm
 FROM (
   SELECT l_partkey, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
   FROM lineitem
@@ -749,10 +777,16 @@ def u07_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"), "c_name",
     )
-    a_hist = a.where(F.col("o_orderdate") < _U07_SPLIT)
-    a_new = a.where(F.col("o_orderdate") >= _U07_SPLIT)
-    b_hist = b.where(F.col("custkey") % 10 != 0)
-    b_new = b.where(F.col("custkey") % 10 == 0)
+    # NULL-exhaustive splits (review r11, the u06 rule): a NULL date or
+    # NULL key fails both sides of a </>= or !=/== pair and would
+    # vanish from the maintained view while the oracle's plain join
+    # keeps it
+    a_is_new = F.coalesce(F.col("o_orderdate") >= _U07_SPLIT, F.lit(False))
+    b_is_new = F.coalesce(F.col("custkey") % 10 == 0, F.lit(False))
+    a_hist = a.where(~a_is_new)
+    a_new = a.where(a_is_new)
+    b_hist = b.where(~b_is_new)
+    b_new = b.where(b_is_new)
     view = a_hist.join(b_hist, ["custkey"])   # the materialized state
     out = merge_join_view(view, a_hist, a_new, b_hist, b_new, ["custkey"])
     return out.select("o_orderkey", "custkey", "c_name", "total_cents")

@@ -32,6 +32,51 @@ from .base import QuerySpec, load
 #: linked. Compared in exact integer MICROSECONDS on both engines —
 #: second-truncation could flip a boundary edge between engines.
 _G03_GAP_US = 43_200 * 1_000_000
+#: canonical alias: round9's g05/h0x share THIS gap and THIS edge build
+SESSION_GAP_US = _G03_GAP_US
+
+
+def session_edges(
+    spark: SparkSession, sf_dir: str, max_lag: int
+) -> DataFrame:
+    """(src, dst) raw succession edges with lags 1..``max_lag`` inside
+    the 12 h session gap — THE single edge builder for the session
+    graph family (review r11: g03/g04/g05 carried four hand-copied
+    Spark twins of the same gap/edge recipe; a gap or tie-break change
+    in one silently desynced the others from their shared-graph
+    docstrings). ONE user-window pass and ONE explode over it (a
+    per-lag self-union would re-evaluate the window subtree per branch
+    on top of the shared exchange — SCALE.md measured lesson)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    cols = [F.col("event_id").alias("_id"), us.alias("_us")]
+    lags = range(1, max_lag + 1)
+    for j in lags:
+        cols += [
+            F.lag("event_id", j).over(w).alias(f"_p{j}"),
+            F.lag(us, j).over(w).alias(f"_p{j}us"),
+        ]
+    succ = ev.select(*cols)
+    cand = F.array(*[
+        F.struct(
+            F.col(f"_p{j}").alias("src"),
+            F.col("_id").alias("dst"),
+            (
+                F.col(f"_p{j}").isNotNull()
+                & ((F.col("_us") - F.col(f"_p{j}us"))
+                   <= F.lit(SESSION_GAP_US))
+            ).alias("ok"),
+        )
+        for j in lags
+    ])
+    return (
+        succ.select(F.explode(cand).alias("c"))
+        .where(F.col("c.ok"))
+        .select("c.src", "c.dst")
+    )
 
 
 def g03_wcc_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,21 +89,7 @@ def g03_wcc_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter-bound iteration (a heavy user's month-long session chain
     converges in the same handful of rounds as a short one)."""
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    succ = ev.select(
-        "event_id",
-        F.unix_micros("ts").alias("_us"),
-        F.lag("event_id").over(w).alias("_prev_id"),
-        F.lag(F.unix_micros("ts")).over(w).alias("_prev_us"),
-    )
-    edges = succ.where(
-        F.col("_prev_id").isNotNull()
-        & ((F.col("_us") - F.col("_prev_us")) <= F.lit(_G03_GAP_US))
-    ).select(
-        F.col("_prev_id").alias("src"), F.col("event_id").alias("dst")
-    )
+    edges = session_edges(spark, sf_dir, max_lag=1)
     labels = connected_components(
         edges, nodes=ev.select("event_id")
     )
@@ -112,39 +143,7 @@ def g04_triangle_participation(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-ordered orientation (operators/graph.py:triangle_counts) —
     wedges are generated only at each triangle's lowest-(degree,id)
     corner, bounding work at O(m^1.5) independent of hub skew."""
-    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros("ts")
-    succ = ev.select(
-        F.col("event_id").alias("_id"),
-        us.alias("_us"),
-        F.lag("event_id", 1).over(w).alias("_p1"),
-        F.lag(us, 1).over(w).alias("_p1us"),
-        F.lag("event_id", 2).over(w).alias("_p2"),
-        F.lag(us, 2).over(w).alias("_p2us"),
-    )
-    # ONE explode over the single window pass instead of a two-branch
-    # self-union that re-evaluates the window subtree twice on top of
-    # the shared exchange (SCALE.md measured lesson; applied r9, same
-    # shape as round9_ext._session_edges_pow3)
-    cand = F.array(*[
-        F.struct(
-            F.col(f"_p{j}").alias("src"),
-            F.col("_id").alias("dst"),
-            (
-                F.col(f"_p{j}").isNotNull()
-                & ((F.col("_us") - F.col(f"_p{j}us")) <= F.lit(_G03_GAP_US))
-            ).alias("ok"),
-        )
-        for j in (1, 2)
-    ])
-    edges = (
-        succ.select(F.explode(cand).alias("c"))
-        .where(F.col("c.ok"))
-        .select("c.src", "c.dst")
-    )
+    edges = session_edges(spark, sf_dir, max_lag=2)
     return triangle_counts(edges).select(
         F.col("node").alias("event_id"), "n_triangles"
     )

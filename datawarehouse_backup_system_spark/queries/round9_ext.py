@@ -35,46 +35,19 @@ from ..operators.graph import core_numbers
 from .base import QuerySpec, load
 
 #: session gap, exact integer microseconds on both engines (g03's)
-_G05_GAP_US = 43_200 * 1_000_000
+from .round8_ext import SESSION_GAP_US as _G05_GAP_US  # one gap, one source
 #: fixed refinement rounds replayed by the oracle; ≥ convergence on
 #: the spec data (8 at sf0.01, 10 at sf0.1) with margin
 _G05_ROUNDS = 12
 
 
 def _session_edges_pow3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(src, dst) raw succession edges with lags 1..3 inside the
-    session gap — ONE user-window pass and ONE explode over it (a
-    three-branch self-union would re-evaluate the window subtree
-    three times on top of the shared exchange — the SCALE.md
-    measured lesson, applied here as in graph._directed)."""
-    from pyspark.sql import Window
+    """Lag-1..3 session succession edges — delegates to THE shared
+    builder (round8_ext.session_edges; review r11 consolidated the four
+    hand-copied gap/edge twins into one parameterized function)."""
+    from .round8_ext import session_edges
 
-    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros("ts")
-    cols = [F.col("event_id").alias("_id"), us.alias("_us")]
-    for j in (1, 2, 3):
-        cols += [
-            F.lag("event_id", j).over(w).alias(f"_p{j}"),
-            F.lag(us, j).over(w).alias(f"_p{j}us"),
-        ]
-    succ = ev.select(*cols)
-    cand = F.array(*[
-        F.struct(
-            F.col(f"_p{j}").alias("src"),
-            F.col("_id").alias("dst"),
-            (
-                F.col(f"_p{j}").isNotNull()
-                & ((F.col("_us") - F.col(f"_p{j}us")) <= F.lit(_G05_GAP_US))
-            ).alias("ok"),
-        )
-        for j in (1, 2, 3)
-    ])
-    return (
-        succ.select(F.explode(cand).alias("c"))
-        .where(F.col("c.ok"))
-        .select("c.src", "c.dst")
-    )
+    return session_edges(spark, sf_dir, max_lag=3)
 
 
 def g05_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,7 +224,16 @@ _D14_OFFSET = 1_000_000
 
 
 def _wrapped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # base docs sliced below the twin offset (review r11, the
+    # _with_neardups rule): above it a wrapped id would collide with a
+    # real doc_id and BOTH engines would merge two documents' token
+    # sets under one id — identically wrong, oracle-blind. No-op on
+    # every shipped fixture.
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _D14_OFFSET)
+        .select("doc_id", "text")
+    )
     wrapped = docs.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + F.lit(_D14_OFFSET)).alias("doc_id"),
         F.concat(
@@ -278,11 +260,11 @@ def d14_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D14_SQL = f"""
 WITH corpus AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents WHERE doc_id < {_D14_OFFSET}
   UNION ALL
   SELECT doc_id + {_D14_OFFSET},
          '{_D14_HDR} ' || text || ' {_D14_FTR}'
-  FROM documents WHERE doc_id % 10 = 0
+  FROM documents WHERE doc_id % 10 = 0 AND doc_id < {_D14_OFFSET}
 ),
 toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus

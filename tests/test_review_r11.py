@@ -964,3 +964,98 @@ def test_t30_single_rollup_parity(spark):
     # source a: tokens x,x,x,y,x,z = 6; vocab {x,q} -> oov y,z = 2
     # source b: y,y,q,q,q = 5; oov y,y = 2
     assert got == {"a": (6, 2), "b": (5, 2)}
+
+
+# --------------------------------------------------------------------------
+# Review pass G (r11): round6/7/8/9 spec layer
+# --------------------------------------------------------------------------
+def test_pass_g_source_contracts(spark):
+    """Review r11 pass G pins: q50's ppm runs in DECIMAL on both engines
+    (the int64 product wrapped at ~sf3) with no forced part broadcast;
+    the u06 oracle divides by the non-null count; u06/u07 splits are
+    NULL-exhaustive; z03's per_file rides the plan (the driver .first()
+    ran an extra scan and crashed on empty input); c04 imports THE hash
+    recipe; d14 slices base ids below its twin offset on both engines;
+    one shared session-edge builder serves g03/g04/g05."""
+    import inspect
+
+    from datawarehouse_backup_system_spark.queries import (
+        round6_ext,
+        round8_ext,
+        round9_ext,
+    )
+
+    q50 = inspect.getsource(round6_ext.q50_promo_share)
+    assert "decimal(38,0)" in q50 and "F.broadcast" not in q50
+    assert "HUGEINT" in round6_ext.Q50_SQL
+    assert "count(c)" in round6_ext.U06_SQL
+    assert "coalesce" in inspect.getsource(
+        round6_ext.u06_incremental_agg_view
+    ).lower()
+    assert "coalesce" in inspect.getsource(
+        round6_ext.u07_incremental_join_view
+    ).lower()
+    z03 = inspect.getsource(round6_ext.z03_bloom_point_lookup)
+    assert "crossJoin(F.broadcast(params))" in z03
+    assert ".first()[0]" not in z03  # no driver-side collect remains
+    assert "md5_prefix_long" in inspect.getsource(
+        round6_ext.c04_conformal_threshold
+    )
+    assert "_D14_OFFSET" in inspect.getsource(round9_ext._wrapped_corpus)
+    assert "doc_id < 1000000" in round9_ext.D14_SQL
+    # one edge builder, three consumers
+    assert "session_edges(spark, sf_dir, max_lag=1)" in inspect.getsource(
+        round8_ext.g03_wcc_sessions
+    )
+    assert "session_edges(spark, sf_dir, max_lag=2)" in inspect.getsource(
+        round8_ext.g04_triangle_participation
+    )
+    assert "session_edges" in inspect.getsource(
+        round9_ext._session_edges_pow3
+    )
+
+
+def test_z03_empty_lineitem_returns_empty(spark, tmp_path):
+    """Review r11: z03 crashed with TypeError on an empty table (NULL
+    max at the driver); in-lineage params flow to an empty result."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.queries.round6_ext import (
+        z03_bloom_point_lookup,
+    )
+
+    spark.createDataFrame(
+        [], "l_orderkey bigint, l_partkey bigint, l_extendedprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    assert z03_bloom_point_lookup(spark, str(tmp_path)).count() == 0
+
+
+def test_u06_u07_keep_null_split_rows(spark, monkeypatch, tmp_path):
+    """Review r11: rows whose split column is NULL fell out of BOTH
+    branches of the incremental views while the oracles' full
+    recomputes kept them."""
+    import datetime as dt
+
+    from datawarehouse_backup_system_spark.queries import round6_ext
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, 100.0, dt.date(1996, 1, 1), "1-URGENT"),
+            (2, 20, 200.0, None, "1-URGENT"),  # NULL date must survive
+            (3, 10, 300.0, dt.date(1998, 1, 1), "2-HIGH"),
+        ],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate date, o_orderpriority string",
+    )
+    customer = spark.createDataFrame(
+        [(10, "a"), (20, "b"), (None, "ghost")],
+        "c_custkey long, c_name string",
+    )
+    orders.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    customer.write.mode("overwrite").parquet(
+        str(tmp_path / "customer.parquet")
+    )
+    agg = round6_ext.u06_incremental_agg_view(spark, str(tmp_path))
+    assert sum(r["n_rows"] for r in agg.collect()) == 3  # NULL row counted
+    join = round6_ext.u07_incremental_join_view(spark, str(tmp_path))
+    assert join.count() == 3  # NULL-date order joins like the full join
