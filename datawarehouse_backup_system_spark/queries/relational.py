@@ -16,7 +16,10 @@ from datawarehouse_backup_system_spark.operators.cast import (
     scrub_nulls,
     strip_trailing_dot_zero,
 )
-from datawarehouse_backup_system_spark.operators.hashing import HASH_SEP
+from datawarehouse_backup_system_spark.operators.hashing import (
+    HASH_SEP,
+    row_hash_col,
+)
 from datawarehouse_backup_system_spark.queries.base import QuerySpec, load
 
 
@@ -137,8 +140,11 @@ WHERE o_orderkey <= 5000
 def q05_self_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     hash_cols = ["l_partkey", "l_suppkey", "l_returnflag", "l_linestatus"]
-    parts = [F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in hash_cols]
-    hashed = li.withColumn("row_hash", F.md5(F.concat_ws(HASH_SEP, *parts)))
+    # THE canonical null-safe content key, imported not inlined
+    # (review r11: q05 copied row_hash_col's body while q06/q08 drifted
+    # into NULL-blind variants — the divergence the helper exists to
+    # prevent)
+    hashed = li.withColumn("row_hash", row_hash_col(hash_cols))
     w = Window.partitionBy("row_hash").orderBy("l_orderkey", "l_linenumber")
     return (
         hashed.withColumn("_rn", F.row_number().over(w))
@@ -172,13 +178,13 @@ FROM (
 # --------------------------------------------------------------------------
 def q06_crossfile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    key = F.md5(
-        F.concat_ws(
-            HASH_SEP, F.col("user_id").cast("string"), F.col("event_type"),
-            F.col("props"),
-        )
+    # null-safe canonical key (review r11: the NULL-blind concat_ws let
+    # (NULL, 'x') collide with ('x', NULL) on BOTH engines — incoming
+    # rows falsely dropped as replay duplicates, oracle-blind; latent
+    # on the NULL-free fixtures)
+    hashed = ev.withColumn(
+        "row_hash", row_hash_col(["user_id", "event_type", "props"])
     )
-    hashed = ev.withColumn("row_hash", key)
     history = hashed.where(F.col("event_id") < 5000).select("row_hash").distinct()
     incoming = hashed.where(F.col("event_id") >= 5000)
     return incoming.join(history, "row_hash", "left_anti").select(
@@ -188,7 +194,10 @@ def q06_crossfile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q06_SQL = """
 WITH hashed AS (
-  SELECT *, md5(concat_ws(chr(1), CAST(user_id AS VARCHAR), event_type, props)) AS row_hash
+  SELECT *, md5(concat_ws(chr(1),
+             coalesce(CAST(user_id AS VARCHAR), '<NULL>'),
+             coalesce(event_type, '<NULL>'),
+             coalesce(props, '<NULL>'))) AS row_hash
   FROM events
 )
 SELECT event_id, user_id, event_type
@@ -218,22 +227,18 @@ Q07_SQL = "SELECT MAX(o_orderkey) AS last_id, COUNT(*) AS n_rows FROM orders"
 # --------------------------------------------------------------------------
 def q08_distinct_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = load(spark, sf_dir, "customer")
-    h = F.md5(
-        F.concat_ws(
-            HASH_SEP,
-            F.col("c_name"),
-            F.col("c_mktsegment"),
-            F.col("c_nationkey").cast("string"),
-        )
-    )
+    # null-safe canonical key (review r11, same class as q06)
+    h = row_hash_col(["c_name", "c_mktsegment", "c_nationkey"])
     return cu.select(h.alias("row_hash")).agg(
         F.countDistinct("row_hash").alias("n_distinct")
     )
 
 
 Q08_SQL = """
-SELECT COUNT(DISTINCT md5(concat_ws(chr(1), c_name, c_mktsegment,
-                          CAST(c_nationkey AS VARCHAR)))) AS n_distinct
+SELECT COUNT(DISTINCT md5(concat_ws(chr(1),
+           coalesce(c_name, '<NULL>'),
+           coalesce(c_mktsegment, '<NULL>'),
+           coalesce(CAST(c_nationkey AS VARCHAR), '<NULL>')))) AS n_distinct
 FROM customer
 """
 
@@ -267,9 +272,16 @@ def q10_retention_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_before = Window.orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # grand total as a broadcast 1-row aggregate (review r11): the old
+    # Window.partitionBy() funneled the whole table through a SECOND
+    # single-partition pass just for one scalar. The running-sum window
+    # below stays — oldest-first eviction is an order-DEFINED
+    # semantics, and the production operator (operators/retention.py)
+    # runs it over metadata-sized file listings, not data rows.
+    total = ev.agg(F.sum("size_b").alias("total"))
     sized = ev.withColumn(
         "before_me", F.coalesce(F.sum("size_b").over(w_before), F.lit(0))
-    ).withColumn("total", F.sum("size_b").over(Window.partitionBy()))
+    ).crossJoin(F.broadcast(total))
     # delete oldest while remaining > 90% of original total
     return sized.where(F.col("before_me") * 10 < F.col("total")).select(
         "event_id", "size_b"

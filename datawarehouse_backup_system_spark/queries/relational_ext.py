@@ -287,6 +287,14 @@ FROM v GROUP BY label
 # q33 — ranking functions: rank / dense_rank / ntile over user activity
 # --------------------------------------------------------------------------
 def q33_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale note (review r11): the unpartitioned window single-
+    partitions the per-user counts frame — acceptable ONLY because
+    ntile is inherently global (its bucket boundaries need the total
+    ordered count) and this spec exists to pin the three rank
+    functions' tie semantics. Production global ranking without ntile
+    uses the two-phase presplit shape (sampling.weighted_reservoir) or
+    e02's percentile-band tier; at e02's 2 GiB threshold this plan is
+    the wrong tool and the docstrings there say what to use."""
     ev = load(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
     w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
@@ -402,7 +410,10 @@ WITH agg AS (
                             AND o_totalprice NOT BETWEEN 0 AND 10000000) AS v2,
          COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
                             AND NOT regexp_matches(o_orderstatus, '^[FOP]$')) AS v3,
-         COUNT(*) FILTER (WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS v4
+         -- IS NULL counts as a violation: satisfies() treats a NULL
+         -- predicate as failed (r11 rule); the bare NOT regexp skipped it
+         COUNT(*) FILTER (WHERE o_orderpriority IS NULL
+                             OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS v4
   FROM orders
 )
 SELECT check_name, violations, n_rows, violations = 0 AS passed FROM (

@@ -1059,3 +1059,81 @@ def test_u06_u07_keep_null_split_rows(spark, monkeypatch, tmp_path):
     assert sum(r["n_rows"] for r in agg.collect()) == 3  # NULL row counted
     join = round6_ext.u07_incremental_join_view(spark, str(tmp_path))
     assert join.count() == 3  # NULL-date order joins like the full join
+
+
+# --------------------------------------------------------------------------
+# Review pass H (r11): relational spec layer + canonical hashing
+# --------------------------------------------------------------------------
+def test_pass_h_null_safe_hash_keys(spark):
+    """Review r11: q06/q08 hashed with NULL-blind concat_ws on BOTH
+    engines, so (NULL,'x') collided with ('x',NULL) — incoming rows
+    falsely dropped as replay duplicates, oracle-blind. Both now route
+    through the canonical row_hash_col; prove the null-safety the old
+    key lacked."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.operators.hashing import (
+        row_hash_col,
+    )
+
+    df = spark.createDataFrame(
+        [(5, None, "x"), (5, "x", None)],
+        "user_id int, event_type string, props string",
+    )
+    hashes = [
+        r["h"]
+        for r in df.select(
+            row_hash_col(["user_id", "event_type", "props"]).alias("h")
+        ).collect()
+    ]
+    assert hashes[0] != hashes[1]  # NULL position is distinguishing
+    # the NULL-blind form collided (the defect)
+    blind = F.md5(
+        F.concat_ws(
+            "\x01", F.col("user_id").cast("string"),
+            F.col("event_type"), F.col("props"),
+        )
+    )
+    old = [r["h"] for r in df.select(blind.alias("h")).collect()]
+    assert old[0] == old[1]
+
+    import inspect
+
+    from datawarehouse_backup_system_spark.queries import relational
+
+    for fn in (relational.q05_self_dedup_first,
+               relational.q06_crossfile_dedup,
+               relational.q08_distinct_hashes):
+        assert "row_hash_col" in inspect.getsource(fn), fn.__name__
+    assert "coalesce(event_type, '<NULL>')" in relational.Q06_SQL
+    assert "coalesce(c_mktsegment, '<NULL>')" in relational.Q08_SQL
+
+
+def test_pass_h_q10_total_not_windowed():
+    """Review r11: q10 computed the grand total with a SECOND
+    single-partition whole-table window; now a broadcast 1-row agg."""
+    import inspect
+
+    from datawarehouse_backup_system_spark.queries import relational
+
+    src = inspect.getsource(relational.q10_retention_eviction)
+    assert 'F.sum("size_b").over(Window.partitionBy())' not in src
+    assert "crossJoin(F.broadcast(total))" in src
+
+
+def test_pass_h_q36_oracle_counts_null_priority(spark):
+    """Review r11: the q36 oracle's bare NOT regexp FILTER skipped NULL
+    priorities while satisfies() counts them as violations (r11 rule);
+    verify the repaired SQL agrees with Spark on a NULL-bearing frame."""
+    import duckdb
+
+    from datawarehouse_backup_system_spark.queries import relational_ext
+
+    assert "o_orderpriority IS NULL" in relational_ext.Q36_SQL
+    con = duckdb.connect()
+    n = con.execute(
+        "SELECT COUNT(*) FILTER (WHERE o_orderpriority IS NULL "
+        "OR NOT regexp_matches(o_orderpriority, '^[1-5]-')) "
+        "FROM (VALUES ('1-URGENT'), (NULL), ('bogus')) t(o_orderpriority)"
+    ).fetchone()[0]
+    assert n == 2  # NULL + bogus, matching satisfies()'s count
