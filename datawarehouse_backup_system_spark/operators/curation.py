@@ -41,25 +41,43 @@ def curation_report(
     The quality gate's stopword list follows ``keep_langs[0]`` — a gate
     testing English stopwords against a corpus curated for another
     language would fail virtually every document (review r7)."""
-    lang = text.langid(df, id_col, text_col).select(id_col, "predicted_lang")
-    qual = text.quality_features(
-        df, id_col, text_col, lang=keep_langs[0]
-    ).select(id_col, "quality_keep")
-    rep = text.repetition_features(df, id_col, text_col).select(
-        id_col, "repetition_keep"
+    # each signal frame is COLLAPSED to one row per id before joining
+    # (review r11): the analysis operators are row-wise, so k docs
+    # sharing an id (NULL or duplicated) produced k rows per frame and
+    # the three null-safe joins cross-multiplied to k^4 report rows.
+    # The collapse is false-biased (min: any failing copy fails the
+    # id) and deterministic (min predicted_lang), making the r9
+    # "collapse into one report row per NULL/duplicate id" contract
+    # actually true.
+    lang = (
+        text.langid(df, id_col, text_col)
+        .groupBy(id_col)
+        .agg(F.min("predicted_lang").alias("predicted_lang"))
+    )
+    qual = (
+        text.quality_features(df, id_col, text_col, lang=keep_langs[0])
+        .groupBy(id_col)
+        .agg(F.min("quality_keep").alias("quality_keep"))
+    )
+    rep = (
+        text.repetition_features(df, id_col, text_col)
+        .groupBy(id_col)
+        .agg(F.min("repetition_keep").alias("repetition_keep"))
     )
     h = row_hash_col([text_col])  # the SAME canonical rule exact_dedup uses
-    dedup = df.select(
-        F.col(id_col),
-        (F.col(id_col) == F.min(id_col).over(Window.partitionBy(h))).alias(
-            "dedup_keep"
-        ),
+    dedup = (
+        df.select(
+            F.col(id_col),
+            (
+                F.col(id_col) == F.min(id_col).over(Window.partitionBy(h))
+            ).alias("dedup_keep"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("dedup_keep").alias("dedup_keep"))
     )
     # null-safe joins (review r9): a NULL doc id broke the plain
     # equality joins and silently dropped the row from the report,
-    # contradicting the 'never dropped here' contract. (The analysis
-    # operators group by id, so multiple NULL-id docs collapse into
-    # one NULL report row — documented limit of a NULL key.)
+    # contradicting the 'never dropped here' contract.
     def _nsj(a: DataFrame, b: DataFrame) -> DataFrame:
         bb = b.withColumnRenamed(id_col, "_rhs_id")
         return a.join(
@@ -164,13 +182,27 @@ def domain_blocklist(
         )
         return (
             df.withColumn("host", host)
-            .join(ids_blocked, F.col(id_col) == F.col("_bid"), "left")
-            .withColumn("blocked", F.col("_bid").isNotNull())
-            .drop("_bid")
+            # eqNullSafe (review r11): a NULL-id doc with a blocklisted
+            # URL matched nothing under plain equality and sailed
+            # through as blocked=false
+            .join(
+                ids_blocked.withColumn("_blk", F.lit(True)),
+                F.col(id_col).eqNullSafe(F.col("_bid")),
+                "left",
+            )
+            # explicit match flag (review r11): for a NULL-id match the
+            # joined _bid is itself NULL, so isNotNull() read a real
+            # match as "no match"
+            .withColumn("blocked", F.coalesce(F.col("_blk"), F.lit(False)))
+            .drop("_bid", "_blk")
         )
     lit_patterns = F.array(*[F.lit(str(p).lower()) for p in patterns])
+    # coalesce (review r11): a NULL url yielded blocked=NULL here but
+    # blocked=false in the DataFrame branch — the row vanished from
+    # BOTH where(blocked) and where(~blocked); the two representations
+    # now agree that an un-parseable URL is not blocked
     return df.withColumn("host", host).withColumn(
-        "blocked", F.arrays_overlap(suf, lit_patterns)
+        "blocked", F.coalesce(F.arrays_overlap(suf, lit_patterns), F.lit(False))
     )
 
 
@@ -195,6 +227,10 @@ def domain_cap(
     for pathological hosts, pre-filter with a groupBy count and
     sample-limit those keys before windowing.
     """
+    if "_rk" in df.columns:
+        # loud failure, not silent column loss (review r11: the r8/r9
+        # reserved-name rule, already enforced in weighted_reservoir)
+        raise ValueError("domain_cap reserves the column name '_rk'")
     w = Window.partitionBy(domain_col).orderBy(*order_by, F.col(id_col))
     return (
         df.withColumn("_rk", F.row_number().over(w))

@@ -44,9 +44,16 @@ def cleanup_files(*paths: str | Path) -> int:
 def _files_by_mtime(folder: str | Path) -> list[tuple[Path, float, int]]:
     out = []
     for p in Path(folder).rglob("*"):
-        if p.is_file():
-            st = p.stat()
-            out.append((p, st.st_mtime, st.st_size))
+        try:
+            if p.is_file():
+                st = p.stat()
+                out.append((p, st.st_mtime, st.st_size))
+        except OSError:
+            # a concurrent ingest/cleanup removed the file between
+            # rglob and stat (review r11): skip it — the unlink side
+            # already tolerates the same race via missing_ok=True, and
+            # a crash here aborted the whole eviction pass
+            continue
     out.sort(key=lambda x: x[1])  # O1: oldest first
     return out
 

@@ -24,8 +24,23 @@ _BUCKETS = 1_000_000
 
 
 def _bucket(key: Column, salt: str = "") -> Column:
-    """Uniform bucket 0..999999 from md5 (conv handles the hex)."""
-    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    """Uniform bucket 0..999999 from md5 (conv handles the hex).
+
+    NULL keys hash the '<NULL>' sentinel (review r11): the old
+    F.concat propagated NULL, so hash_sample silently DROPPED NULL-key
+    rows even at fraction=1.0, hash_split routed them all to the
+    alphabetically-last split, and stratified_sample ranked them first
+    in every stratum. For non-NULL keys the bytes are unchanged — the
+    FROZEN 8-hex recipe (hashing.md5_prefix_long's exception list) and
+    every pinned oracle replay are unaffected; the spec oracles replay
+    the non-null form because their key columns are primary keys, and
+    the NULL branch is pytest-pinned instead."""
+    h = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.coalesce(key.cast("string"), F.lit("<NULL>")),
+        )
+    )
     return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _BUCKETS)
 
 
@@ -82,6 +97,10 @@ def stratified_sample(
     state is one counter, so a hot stratum costs its partition only."""
     from pyspark.sql import Window
 
+    if "_rn" in df.columns:
+        # loud failure, not silent column loss (review r11: the
+        # weighted_reservoir reserved-name rule, applied consistently)
+        raise ValueError("stratified_sample reserves the column name '_rn'")
     w = Window.partitionBy(stratum_col).orderBy(
         _bucket(F.col(key_col), salt), F.col(key_col)
     )
@@ -204,6 +223,11 @@ def quantile_filter(
     """
     from pyspark.sql import Window
 
+    if "_rk" in df.columns or "_n" in df.columns:
+        # loud failure, not silent column loss (review r11)
+        raise ValueError(
+            "quantile_filter reserves the column names '_rk' and '_n'"
+        )
     if not 0 <= drop_frac < 1:
         raise ValueError("drop_frac must be in [0, 1)")
     scored = df.where(F.col(score_col).isNotNull())
@@ -248,8 +272,11 @@ def quantile_filter_approx(
         F.percentile_approx(score_col, drop_frac, accuracy).alias("_cut")
     )
     return (
+        # no broadcast hint (review r11): cuts is one row PER STRATUM —
+        # per-host strata reach millions of rows and the forced hint
+        # bypasses the size threshold; AQE broadcasts when small
         df.join(
-            F.broadcast(cuts.withColumnRenamed(stratum_col, "_stratum")),
+            cuts.withColumnRenamed(stratum_col, "_stratum"),
             F.col(stratum_col).eqNullSafe(F.col("_stratum")),
         )
         .where(F.col(score_col) >= F.col("_cut"))
@@ -301,7 +328,11 @@ def negative_samples(
         pair_bucket.asc(), F.col("neg_id").asc()
     )
     return (
-        c.join(F.broadcast(a), F.col("_adom") != F.col("_cdom"))
+        # null-safe inequality (review r11): NULL != x is NULL, so a
+        # NULL-domain anchor silently got ZERO negatives and NULL-domain
+        # corpus rows could never serve as negatives — under the
+        # documented semantic NULL is simply a different domain
+        c.join(F.broadcast(a), ~F.col("_adom").eqNullSafe(F.col("_cdom")))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("anchor_id", "neg_id", "rank")
@@ -335,7 +366,14 @@ def weighted_sample(
         raise ValueError("scale must be positive")
     b = _bucket(F.col(key_col), salt)
     w = F.col(weight_col).cast("bigint")
-    kept = df.where(b * F.lit(scale) < w * F.lit(_BUCKETS))
+    # DECIMAL promotion (review r11): weight*1e6 or bucket*scale wraps
+    # int64 past ~9.2e12 in non-ANSI mode, silently INVERTING keep/drop
+    # for exactly the heaviest rows PPS most wants — the q49/q50/w02
+    # overflow class, applied to the comparison itself
+    kept = df.where(
+        b * F.lit(scale).cast("decimal(38,0)")
+        < w.cast("decimal(38,0)") * F.lit(_BUCKETS)
+    )
     return kept.withColumn(
         "p_num", F.least(w, F.lit(scale)).cast("bigint")
     ).withColumn("p_den", F.lit(scale).cast("bigint"))

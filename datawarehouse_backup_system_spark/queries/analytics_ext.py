@@ -191,8 +191,8 @@ SELECT doc_id, n_chars,
        CAST({_W01_SCALE} AS BIGINT) AS p_den
 FROM documents
 WHERE (CAST('0x' || substr(md5('{_W01_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
-            AS BIGINT) % 1000000) * {_W01_SCALE}
-      < n_chars * 1000000
+            AS BIGINT) % 1000000)::HUGEINT * {_W01_SCALE}
+      < n_chars::HUGEINT * 1000000  -- HUGEINT mirrors the r11 decimal promotion
 """
 
 

@@ -876,7 +876,8 @@ cand AS (
                || CAST(a.anchor_id AS VARCHAR) || '|'
                || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000
            AS bucket
-  FROM anchors a JOIN documents d ON d.source <> a.adom
+  -- IS DISTINCT FROM mirrors the operator's null-safe inequality (r11)
+  FROM anchors a JOIN documents d ON d.source IS DISTINCT FROM a.adom
 )
 SELECT anchor_id, neg_id, CAST(rank AS INT) AS rank FROM (
   SELECT anchor_id, neg_id,

@@ -1137,3 +1137,159 @@ def test_pass_h_q36_oracle_counts_null_priority(spark):
         "FROM (VALUES ('1-URGENT'), (NULL), ('bogus')) t(o_orderpriority)"
     ).fetchone()[0]
     assert n == 2  # NULL + bogus, matching satisfies()'s count
+
+
+# --------------------------------------------------------------------------
+# Review pass I (r11): sampling/curation/retention library operators
+# --------------------------------------------------------------------------
+def test_hash_sample_keeps_null_keys_at_full_fraction(spark):
+    """Review r11: _bucket propagated NULL (F.concat), so a '100%
+    sample' silently dropped NULL-key rows, hash_split routed them all
+    to the last split, and stratified_sample always ranked them first."""
+    from datawarehouse_backup_system_spark.operators.sampling import (
+        hash_sample,
+        hash_split,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "a"), (3, "b")], "k int, s string"
+    )
+    assert hash_sample(df, "k", 1.0).count() == 3
+    split = hash_split(df, "k", {"train": 0.5, "test": 0.5})
+    assert split.count() == 3  # the NULL-key row gets a split too
+    assert split.where("split is null").count() == 0
+    # NULL keys no longer displace real rows deterministically: with
+    # n_per_stratum=1 the selected row per stratum is hash-ordered,
+    # not NULLS-FIRST
+    out = stratified_sample(df, "k", "s", 1)
+    assert out.count() == 2
+
+
+def test_negative_samples_null_domain_is_different(spark):
+    """Review r11: NULL != x is NULL, so a NULL-domain anchor got zero
+    negatives; NULL is simply a different domain now (both engines)."""
+    from datawarehouse_backup_system_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "web"), (2, "book"), (3, None)], "doc_id int, dom string"
+    )
+    anchors = spark.createDataFrame(
+        [(10, None)], "doc_id int, dom string"
+    )
+    out = negative_samples(corpus, "doc_id", "dom", anchors, k=4)
+    negs = sorted(r["neg_id"] for r in out.collect())
+    assert negs == [1, 2]  # both non-NULL domains; NULL==NULL excluded
+
+
+def test_weighted_sample_survives_huge_weights(spark):
+    """Review r11: bucket*scale / weight*1e6 wrapped int64 past ~9.2e12,
+    INVERTING keep/drop for the heaviest rows; decimal promotion keeps
+    p=1 rows always included."""
+    from datawarehouse_backup_system_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10**13) for i in range(20)], "doc_id int, w long"
+    )
+    out = weighted_sample(df, "doc_id", "w", scale=10**13)
+    assert out.count() == 20  # inclusion probability exactly 1
+
+
+def test_curation_report_one_row_per_duplicate_id(spark):
+    """Review r11: k docs sharing an id produced k^4 report rows (the
+    row-wise signal frames cross-multiplied through three null-safe
+    joins); each signal now collapses to one false-biased row per id."""
+    from datawarehouse_backup_system_spark.operators.curation import (
+        curation_report,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "the quick brown fox jumps over the lazy dog")] * 3
+        + [(1, "the children are playing in the garden with the dog")],
+        "doc_id int, text string",
+    )
+    rep = curation_report(df, "doc_id", "text")
+    assert rep.count() == 2  # one NULL-id row + one real row, not 27+1
+
+
+def test_domain_blocklist_null_semantics_agree(spark):
+    """Review r11: the two blocklist branches disagreed on NULL
+    handling (NULL-id docs unblocked under plain equality; NULL urls
+    blocked=NULL in the literal branch vs false in the DF branch)."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.operators.curation import (
+        domain_blocklist,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "http://blocked.com/x"), (2, None), (3, "http://ok.org/")],
+        "doc_id int, url string",
+    )
+    lit = domain_blocklist(df, "doc_id", "url", ["blocked.com"])
+    pat = domain_blocklist(
+        df, "doc_id", "url",
+        spark.createDataFrame([("blocked.com",)], "pattern string"),
+    )
+    for out in (lit, pat):
+        rows = {r["doc_id"]: r["blocked"] for r in out.collect()}
+        assert rows[None] is True   # NULL-id doc with blocked URL
+        assert rows[2] is False     # NULL url: consistently unblocked
+        assert rows[3] is False
+        # no row vanishes from the keep/reject partition
+        assert out.where(F.col("blocked")).count() + out.where(
+            ~F.col("blocked")
+        ).count() == 3
+
+
+def test_retention_scan_survives_concurrent_delete(tmp_path, monkeypatch):
+    """Review r11: a file deleted between rglob and stat crashed the
+    whole eviction pass; it is now skipped like the unlink side."""
+    from pathlib import Path
+
+    from datawarehouse_backup_system_spark.operators import retention
+
+    (tmp_path / "a.bin").write_bytes(b"x" * 10)
+    (tmp_path / "b.bin").write_bytes(b"y" * 10)
+    real_stat = Path.stat
+
+    def racy_stat(self, **kw):
+        if self.name == "b.bin":
+            self.unlink(missing_ok=True)
+            raise FileNotFoundError(self)
+        return real_stat(self, **kw)
+
+    monkeypatch.setattr(Path, "stat", racy_stat)
+    files = retention._files_by_mtime(tmp_path)
+    assert [p.name for p, _, _ in files] == ["a.bin"]
+
+
+def test_sampling_reserved_name_guards(spark):
+    """Review r11: stratified_sample/quantile_filter/domain_cap
+    silently overwrote then dropped caller columns named _rn/_rk/_n."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.operators.curation import (
+        domain_cap,
+    )
+    from datawarehouse_backup_system_spark.operators.sampling import (
+        quantile_filter,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5)], "k int, s string, score int"
+    ).withColumn("_rn", F.lit(9)).withColumn("_rk", F.lit(9)).withColumn(
+        "_n", F.lit(9)
+    )
+    with _pytest.raises(ValueError, match="_rn"):
+        stratified_sample(df, "k", "s", 1)
+    with _pytest.raises(ValueError, match="_rk"):
+        quantile_filter(df, "k", "s", "score")
+    with _pytest.raises(ValueError, match="_rk"):
+        domain_cap(df, "s", [F.col("score").desc()], 1, id_col="k")
