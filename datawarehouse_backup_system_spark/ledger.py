@@ -262,10 +262,20 @@ class Ledger:
         }
 
     def tombstoned_writes(self, table_name: str) -> list[str]:
-        """write_ids of ``table_name`` carrying a restore tombstone or an
-        abort marker — the set whose lingering data files vacuum() may
-        safely delete (an unknown/in-progress write-id is NOT in this
-        list, so vacuum can never race a concurrent publish)."""
+        """write_ids of ``table_name`` carrying a restore tombstone, or
+        an abort marker with NO commit — the set whose lingering data
+        files vacuum() may safely delete (an unknown/in-progress
+        write-id is NOT in this list, so vacuum can never race a
+        concurrent publish).
+
+        ABORTED alone is not enough (review r11): the exactly-once
+        streaming sink's documented abort-then-replay flow re-appends
+        the SAME deterministic write-id after a failed epoch, so its
+        state set is {begin, aborted, begin, commit} — a LIVE committed
+        write that the old any-abort rule let vacuum() delete (silent
+        data loss, then PATH_NOT_FOUND on time travel). A later COMMIT
+        supersedes an earlier abort; RESTORED always tombstones (it
+        retires a commit by design)."""
         rows = (
             self.read()
             .where(
@@ -277,9 +287,12 @@ class Ledger:
             .agg(F.collect_set("status").alias("states"))
             .collect()
         )
-        return [
-            r["file_name"].rsplit(":", 1)[-1]
-            for r in rows
-            if {STATUS_WRITE_RESTORED, STATUS_WRITE_ABORTED}
-            & set(r["states"])
-        ]
+        out = []
+        for r in rows:
+            states = set(r["states"])
+            if STATUS_WRITE_RESTORED in states or (
+                STATUS_WRITE_ABORTED in states
+                and STATUS_WRITE_COMMIT not in states
+            ):
+                out.append(r["file_name"].rsplit(":", 1)[-1])
+        return out

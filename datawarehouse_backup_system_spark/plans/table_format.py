@@ -111,12 +111,21 @@ class WriterLease:
         # were write-only). A day is far past any debugging window and
         # far past any TTL a live writer could still be running under.
         now = time.time()
-        for d in self.path.parent.glob("_writer.lease.stale.*.displaced.*"):
-            try:
-                if now - d.stat().st_mtime > 86_400:
-                    d.unlink(missing_ok=True)
-            except OSError:
-                pass
+        # age out ALL lease forensic debris (review r11: the old glob
+        # covered only the stale-steal path; release-path tombs and
+        # displaced tokens accumulated forever). A day is far past any
+        # debugging window or live TTL; the canonical '_writer.lease'
+        # itself never matches these dotted patterns.
+        for pat in (
+            "_writer.lease.stale.*",
+            "_writer.lease.release.*",
+        ):
+            for d in self.path.parent.glob(pat):
+                try:
+                    if now - d.stat().st_mtime > 86_400:
+                        d.unlink(missing_ok=True)
+                except OSError:
+                    pass
         for attempt in (0, 1):
             try:
                 fd = os.open(
@@ -164,7 +173,23 @@ class WriterLease:
                     if stolen != holder:
                         try:
                             os.link(tomb, self.path)
-                        except OSError:
+                        except OSError as exc:
+                            if exc.errno != errno.EEXIST:
+                                # link unsupported (linkless fs) or
+                                # other non-collision failure (review
+                                # r11: the bare handler displaced a
+                                # LIVE fresh lease here, admitting two
+                                # writers — the same non-EEXIST rename
+                                # fallback r10 added to release()).
+                                # Check-then-rename: the residual
+                                # stat→rename window is documented on
+                                # release() and OCC-backstopped.
+                                try:
+                                    if not self.path.exists():
+                                        os.rename(tomb, self.path)
+                                        continue  # steal lost; retry
+                                except OSError:
+                                    pass
                             # a THIRD writer already re-created the
                             # lease at path. Do NOT unlink the tomb:
                             # it is the displaced second writer's only
@@ -261,15 +286,18 @@ class WriterLease:
         except OSError as exc:
             if exc.errno != errno.EEXIST:
                 # link unsupported (FAT/some network mounts) or other
-                # non-collision failure (ADVICE r9): rename restores
-                # the thief's lease atomically — the canonical path is
-                # empty (we just renamed it away), so nothing newer can
-                # be clobbered by the restore itself. Only EEXIST means
-                # a NEWER lease already landed; there the displace-to-
-                # diagnostic path below is the correct non-clobber move.
+                # non-collision failure (ADVICE r9): restore the
+                # thief's lease by rename. Review r11: rename CLOBBERS,
+                # and a new writer's O_EXCL create can land between the
+                # link failure and the rename — so check existence
+                # first, narrowing the window to stat→rename (a
+                # residual TOCTOU on linkless filesystems only; the
+                # commit-point OCC/CAS re-check is the backstop, and
+                # hard-link filesystems never enter this branch).
                 try:
-                    os.rename(tomb, self.path)
-                    return
+                    if not self.path.exists():
+                        os.rename(tomb, self.path)
+                        return
                 except OSError:
                     pass  # fall through to the diagnostic displace
             try:
@@ -629,6 +657,30 @@ def _stats_aggs(columns: list[str]) -> list:
     return aggs
 
 
+def drop_tombstoned_files(
+    files: list[str], tombstoned: set[str] | None
+) -> list[str]:
+    """Drop files whose ``w<write_id>-`` prefix is in ``tombstoned``
+    (``Ledger.tombstoned_writes``). Review r11: manifests are advisory
+    caches that restore/rewrite/retention never rewrite, so a
+    tombstoned-but-unvacuumed file still on disk passes the existence
+    post-filter and ``read_pruned`` returns the retired version's rows
+    ALONGSIDE the replacement's — duplicated/stale answers until
+    vacuum. Pass the ledger's tombstone set to exclude them; None keeps
+    the old existence-only semantics (correct once vacuum has run)."""
+    if not tombstoned:
+        return files
+    import re as _re
+
+    out = []
+    for f in files:
+        m = _re.search(r"/w([0-9a-f]+)-[^/]*$", f)
+        if m and m.group(1) in tombstoned:
+            continue
+        out.append(f)
+    return out
+
+
 def _live_decoded_files(uris: list[str]) -> list[str]:
     """Advisory-cache post-filter shared by pruned_files and
     bloom_candidate_files (review r9: the loop lived as two verbatim
@@ -743,6 +795,7 @@ def pruned_files(
     lo,
     hi,
     manifest_dir: Path | None = None,
+    tombstoned: set[str] | None = None,
 ) -> list[str]:
     """Data files whose [min, max] range for ``column`` intersects
     [lo, hi], per the stats manifest — the files a range query must
@@ -756,8 +809,10 @@ def pruned_files(
         | ((F.col(f"min_{column}") <= hi) & (F.col(f"max_{column}") >= lo))
     )
     files = [r["_file"] for r in keep.select("_file").collect()]
-    # advisory-cache post-filter (shared helper — see _live_decoded_files)
-    return _live_decoded_files(files)
+    # advisory-cache post-filters (see _live_decoded_files and
+    # drop_tombstoned_files — the latter excludes retired-but-
+    # unvacuumed write-ids when the caller passes the ledger set)
+    return drop_tombstoned_files(_live_decoded_files(files), tombstoned)
 
 
 def read_pruned(
@@ -767,12 +822,15 @@ def read_pruned(
     lo,
     hi,
     manifest_dir: Path | None = None,
+    tombstoned: set[str] | None = None,
 ) -> DataFrame:
     """Range read through the manifest: scan only intersecting files,
     then apply the exact predicate (file stats admit false positives,
     never false negatives). Equals the full-scan filter by construction;
     the pytest pins both the equality and that files were skipped."""
-    files = pruned_files(spark, path, column, lo, hi, manifest_dir)
+    files = pruned_files(
+        spark, path, column, lo, hi, manifest_dir, tombstoned
+    )
     if not files:
         try:
             schema = spark.read.parquet(str(path)).schema
@@ -1202,6 +1260,7 @@ def bloom_candidate_files(
     manifest_dir: Path | None = None,
     n_bits: int = 1 << 13,
     n_hashes: int = 3,
+    tombstoned: set[str] | None = None,
 ) -> list[str]:
     """Files that MAY contain ``column = value`` per the bloom manifest
     (no false negatives; false positives at the filter's rate). Same
@@ -1226,7 +1285,9 @@ def bloom_candidate_files(
         cond = bit if cond is None else cond & bit
     files = [r["_file"] for r in m.where(cond).select("_file").collect()]
     # advisory-cache post-filter (shared helper — see _live_decoded_files)
-    return _live_decoded_files(files)
+    return drop_tombstoned_files(
+        _live_decoded_files(files), tombstoned
+    )
 
 
 def rewrite_with_retry(

@@ -132,7 +132,8 @@ def watermark_dedup_batch(
     ``watermark_s`` after its anchor".
 
     Scale shape: ONE hash-partitioned shuffle — but grouped by a
-    BUCKET of hashes (xxhash64 % n_buckets), not per hash: the anchored
+    BUCKET of hashes (hex_prefix_long(row_hash) % 256 — THE shared
+    hash recipe), not per hash: the anchored
     scan is sequential only WITHIN a hash, so each Arrow batch sorts by
     (hash, ts, order) and runs one linear pass that resets its anchor
     at every hash boundary. Per-hash grouping measured 7.6 s at sf0.1
@@ -144,11 +145,18 @@ def watermark_dedup_batch(
     """
     import numpy as np
 
+    from datawarehouse_backup_system_spark.operators.hashing import (
+        hex_prefix_long,
+    )
+
     hashed = with_row_hash(events, key_cols)
     src = hashed.withColumn(
         "_ts_us", F.unix_micros(F.col(ts_col))
     ).withColumn(
-        "_bucket", F.pmod(F.xxhash64("row_hash"), F.lit(256))
+        # THE hash recipe (hex_prefix_long over the existing digest),
+        # not a fresh xxhash64 variant — review r11, the
+        # single-definition rule in operators/hashing.py
+        "_bucket", F.pmod(hex_prefix_long(F.col("row_hash")), F.lit(256))
     )
     horizon_us = int(watermark_s) * 1_000_000
 
@@ -158,14 +166,26 @@ def watermark_dedup_batch(
         ).reset_index(drop=True)
         hs = pdf["row_hash"].to_numpy()
         ts = pdf["_ts_us"].to_numpy()
-        keep = np.zeros(len(pdf), dtype=bool)
-        cur = None
-        anchor = 0
-        for i in range(len(pdf)):
-            if hs[i] != cur or ts[i] > anchor + horizon_us:
-                cur = hs[i]
-                anchor = ts[i]
-                keep[i] = True
+        n = len(pdf)
+        # vectorized fast path (review r11): the first occurrence of
+        # every hash is ALWAYS kept, and single-occurrence hashes (the
+        # vast majority of any real corpus) need no walk at all — the
+        # Python loop runs only over multi-occurrence segments, so
+        # interpreter time is proportional to the DUPLICATE minority.
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = hs[1:] != hs[:-1]
+        keep = first.copy()
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], n)
+        for s0, e0 in zip(
+            starts[ends - starts > 1], ends[ends - starts > 1]
+        ):
+            anchor = ts[s0]
+            for i in range(s0 + 1, e0):
+                if ts[i] > anchor + horizon_us:
+                    anchor = ts[i]
+                    keep[i] = True
         return pdf[keep]
 
     return (

@@ -1293,3 +1293,107 @@ def test_sampling_reserved_name_guards(spark):
         quantile_filter(df, "k", "s", "score")
     with _pytest.raises(ValueError, match="_rk"):
         domain_cap(df, "s", [F.col("score").desc()], 1, id_col="k")
+
+
+# --------------------------------------------------------------------------
+# Review pass J (r11): streaming/table_format/ledger
+# --------------------------------------------------------------------------
+def test_tombstoned_writes_spares_abort_then_commit(spark, tmp_path):
+    """Review r11 (silent data loss): the exactly-once sink's documented
+    abort-then-replay leaves {begin, aborted, begin, commit} on ONE
+    deterministic write-id — a LIVE committed write the old any-abort
+    rule let vacuum() delete. A later COMMIT now supersedes the abort;
+    RESTORED always tombstones."""
+    from datawarehouse_backup_system_spark import ledger as lm
+    from datawarehouse_backup_system_spark.ledger import Ledger
+
+    led = Ledger(spark, tmp_path / "_ledger")
+    mk = f"{lm.WRITE_MARKER_PREFIX}t:"
+    led.append(mk + "aaaa", lm.STATUS_WRITE_BEGIN)
+    led.append(mk + "aaaa", lm.STATUS_WRITE_ABORTED)   # failed epoch
+    led.append(mk + "aaaa", lm.STATUS_WRITE_BEGIN)     # replay
+    led.append(mk + "aaaa", lm.STATUS_WRITE_COMMIT)    # committed!
+    led.append(mk + "bbbb", lm.STATUS_WRITE_BEGIN)
+    led.append(mk + "bbbb", lm.STATUS_WRITE_ABORTED)   # genuinely dead
+    led.append(mk + "cccc", lm.STATUS_WRITE_BEGIN)
+    led.append(mk + "cccc", lm.STATUS_WRITE_COMMIT)
+    led.append(mk + "cccc", lm.STATUS_WRITE_RESTORED)  # retired
+    dead = set(led.tombstoned_writes("t"))
+    assert dead == {"bbbb", "cccc"}  # aaaa is LIVE, never vacuumable
+    assert "aaaa" in {w for w, _ in led.committed_writes("t")}
+
+
+def test_pruned_reads_can_exclude_tombstoned_files():
+    """Review r11: manifests retain entries for tombstoned-but-
+    unvacuumed files, so pruned reads surfaced retired rows alongside
+    the rewrite's until vacuum ran; the ledger tombstone set now
+    threads through as an optional post-filter."""
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        drop_tombstoned_files,
+    )
+
+    files = [
+        "file:///w/t/ingest_date=2026-01-01/wdeadbeefcafe0001-part-0.parquet",
+        "file:///w/t/ingest_date=2026-01-01/w1111222233334444-part-0.parquet",
+    ]
+    assert drop_tombstoned_files(files, {"deadbeefcafe0001"}) == files[1:]
+    assert drop_tombstoned_files(files, None) == files
+    assert drop_tombstoned_files(files, set()) == files
+
+
+def test_lease_forensics_glob_covers_release_debris(tmp_path):
+    """Review r11: the acquire-time ager swept only stale.*.displaced.*;
+    release-path tombs accumulated forever."""
+    import os
+    import time
+
+    from datawarehouse_backup_system_spark.plans.table_format import (
+        WriterLease,
+    )
+
+    old = time.time() - 100_000
+    for name in (
+        "_writer.lease.stale.x.displaced.ab",
+        "_writer.lease.release.y",
+        "_writer.lease.release.y.displaced.cd",
+    ):
+        p = tmp_path / name
+        p.write_text("tok")
+        os.utime(p, (old, old))
+    fresh = tmp_path / "_writer.lease.release.fresh"
+    fresh.write_text("tok")  # recent: must survive
+    with WriterLease(tmp_path):
+        pass
+    left = {p.name for p in tmp_path.glob("_writer.lease.*")}
+    assert left == {"_writer.lease.release.fresh"}
+
+
+def test_watermark_dedup_batch_vectorized_parity(spark, t0=None):
+    """Review r11: the vectorized fast path (wholesale-keep unique
+    hashes, walk only duplicate segments) must equal the naive scan on
+    a mixed frame; interpreter work is now proportional to duplicates."""
+    import datetime as dt
+
+    from datawarehouse_backup_system_spark.streaming.ingest_stream import (
+        EVENT_SCHEMA,
+        watermark_dedup_batch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(30):  # 30 unique single-occurrence users
+        rows.append((eid, t0, u, "solo", 1.0, "{}"))
+        eid += 1
+    for m in (0, 20, 40, 45, 80):  # one chained duplicate user
+        rows.append((eid, t0 + dt.timedelta(minutes=m), 99, "chain", 1.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    kept = sorted(
+        r["event_id"]
+        for r in watermark_dedup_batch(
+            df, ["user_id", "event_type"], watermark_s=1800
+        ).collect()
+    )
+    # all 30 solos + chain anchors at 0, 40, 80 minutes
+    assert kept == list(range(30)) + [30, 32, 34]
