@@ -1,5 +1,5 @@
 """Round-11 extension specs: Cavnar–Trenkle character-n-gram language
-identification (t34).
+identification (t34) and short-string fuzzy resolution (f02).
 
 t34 is the production-credible upgrade the r10 verdict asked for
 (missing-item 3 / next-round item 5): the stopword-marker heuristic
@@ -13,8 +13,14 @@ ranking, the model as an inline VALUES table generated from the same
 trained rows, missing-gram penalty, (distance, lang) argmin), so the
 spec is EXACT, not tolerance-banded.
 
-Reference analog: none (the daemon has no NLP); extends the §2.6 text
-family the way t03/t19 do.
+f02 makes the round-11 fuzzy_join short-string sentinel block an
+oracle-EXERCISED path, not just a replayed one: 3-char codes below the
+q-gram lemma bound can only match through the short block, and the
+oracle replays the full quadratic distance filter — the exactness
+theorem for max_df=None blocking, the d13/d14 oracle pattern.
+
+Reference analog: none (the daemon has no NLP / fuzzy matching);
+extends the §2.6 text family the way t03/t19 and f01 do.
 """
 
 from __future__ import annotations
@@ -94,11 +100,96 @@ LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
 T34_SQL = _t34_sql()
 
 
+# --------------------------------------------------------------------------
+# f02 — fuzzy resolution over SHORT strings: the q-gram lemma hole made
+# exercise-able. 3-char codes at gram_n=3/max_distance=1 sit below the
+# lemma bound gram_n*(max_distance+1)=6, so every match here flows
+# through the r11 sentinel short-block — the regime f01's long customer
+# names never touch. The oracle replays the blocking THEOREM (the full
+# quadratic distance filter): with max_df=None the blocked join must
+# equal it exactly, which is precisely the exact-recall claim the
+# sentinel was added to make true.
+# --------------------------------------------------------------------------
+_F02_N = 400  # short-code population (bounded: the short block is all-pairs)
+
+
+def f02_fuzzy_short_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.fuzzy import fuzzy_join, resolve_best
+    from .base import load as _load
+
+    cust = _load(spark, sf_dir, "customer").where(
+        F.col("c_custkey") <= _F02_N
+    )
+    k = F.col("c_custkey")
+    code = F.concat(
+        F.char(F.lit(97) + k % 26),
+        F.char(F.lit(97) + (k / 26).cast("long") % 26),
+        F.char(F.lit(97) + (k / 676).cast("long") % 26),
+    )
+    clean = cust.select("c_custkey", code.alias("code"))
+    # dirty twin: middle char forced to 'q' (distance <= 1 from source)
+    dirty = cust.select(
+        (k + 1_000_000).alias("dirty_id"),
+        F.concat(
+            F.substring(code, 1, 1), F.lit("q"), F.substring(code, 3, 1)
+        ).alias("dcode"),
+    )
+    matches = fuzzy_join(
+        dirty, clean, "dirty_id", "c_custkey", "dcode", "code",
+        gram_n=3, max_df=None, max_distance=1,
+    )
+    return resolve_best(matches, "dirty_id_l", "c_custkey_r").select(
+        F.col("dirty_id_l").alias("dirty_id"),
+        F.col("c_custkey_r").alias("matched_custkey"),
+        "dist",
+    )
+
+
+F02_SQL = f"""
+WITH clean AS (
+  SELECT c_custkey,
+         chr(CAST(97 + c_custkey % 26 AS INT))
+         || chr(CAST(97 + (c_custkey // 26) % 26 AS INT))
+         || chr(CAST(97 + (c_custkey // 676) % 26 AS INT)) AS code
+  FROM customer WHERE c_custkey <= {_F02_N}
+),
+dirty AS (
+  SELECT c_custkey + 1000000 AS dirty_id,
+         substr(code, 1, 1) || 'q' || substr(code, 3, 1) AS dcode
+  FROM clean
+),
+-- the blocking THEOREM: every 3-char pair is in the sentinel short
+-- block (len 3 < gram_n*(max_distance+1) = 6) and max_df is NULL, so
+-- the blocked join must equal the full quadratic distance filter
+matches AS (
+  SELECT d.dirty_id, c.c_custkey,
+         CAST(levenshtein(d.dcode, c.code) AS INT) AS dist
+  FROM dirty d CROSS JOIN clean c
+  WHERE levenshtein(d.dcode, c.code) <= 1
+)
+SELECT dirty_id, matched_custkey, dist FROM (
+  SELECT dirty_id, c_custkey AS matched_custkey, dist,
+         row_number() OVER (PARTITION BY dirty_id
+                            ORDER BY dist, c_custkey) AS rn
+  FROM matches
+) WHERE rn = 1
+"""
+
+
 SPECS = [
     QuerySpec(
         "t34_langid_ngram", t34_langid_ngram, T34_SQL,
         "Cavnar-Trenkle character-n-gram language ID: broadcast ranked "
         "2/3-gram profiles, integer out-of-place distance, full method "
         "replayed in the oracle including the trained model table",
+    ),
+    QuerySpec(
+        "f02_fuzzy_short_resolve", f02_fuzzy_short_resolve, F02_SQL,
+        "fuzzy resolution over 3-char codes below the q-gram lemma "
+        "bound: every match flows through the sentinel short block; "
+        "oracle replays the full quadratic distance filter (exactness "
+        "theorem for max_df=None blocking)",
     ),
 ]

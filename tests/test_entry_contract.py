@@ -20,7 +20,7 @@ def test_oracle_keys_subset_of_queries():
     # COVERAGE.md; parity pinned in tests/test_folded_twins.py) + a08
     # (r7) + g03/g04/w05 (r8) — the floor tracks len(queries()) at HEAD
     # so deleting any spec trips a test (VERDICT r7 item 4)
-    assert len(q) >= 147
+    assert len(q) >= 148
     # every query is oracle-checked (q30's sketches compare against
     # exact counts via tolerance booleans since round 2)
     assert set(q) - set(o) == set()
