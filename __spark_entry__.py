@@ -26,97 +26,66 @@ from datawarehouse_backup_system_spark.queries.base import (  # noqa: E402
 
 _ALL_SPECS = list(relational.SPECS) + list(relational_ext.SPECS)
 
-try:  # LLM-pipeline extension queries (dedup/similarity/text)
-    from datawarehouse_backup_system_spark.queries import llm_ops
+# Extension spec modules load LOUDLY (review r11): the old per-module
+# `except ImportError: pass` meant a genuine import error (renamed
+# helper, broken transitive import) silently deleted that module's
+# whole spec family from queries()/oracle_sql() — the gate then went
+# green over the shrunken contract. None of these modules is optional.
+import importlib  # noqa: E402
 
-    _ALL_SPECS += list(llm_ops.SPECS)
-except ImportError:
-    pass
+for _mod in (
+    "llm_ops",
+    "extras",
+    "curation_ext",
+    "analytics_ext",
+    "corpus_ext",
+    "pipeline_ext",
+    "scale_ext",
+    "round6_ext",
+    "round7_ext",
+    "round8_ext",
+    "round9_ext",
+    "round10_ext",
+    "round11_ext",
+):
+    _ALL_SPECS += list(
+        importlib.import_module(
+            f"datawarehouse_backup_system_spark.queries.{_mod}"
+        ).SPECS
+    )
 
-try:  # multimodal / recall / streaming-parity extension queries
-    from datawarehouse_backup_system_spark.queries import extras
+# duplicate spec names would dedupe last-wins inside as_query_dict and
+# silently drop the earlier query from ALL verification (review r11) —
+# fail at import, where the collision was introduced
+_seen: dict[str, int] = {}
+for _s in _ALL_SPECS:
+    _seen[_s.name] = _seen.get(_s.name, 0) + 1
+_dups = sorted(n for n, c in _seen.items() if c > 1)
+if _dups:
+    raise ValueError(f"duplicate spec name(s) in the contract: {_dups}")
 
-    _ALL_SPECS += list(extras.SPECS)
-except ImportError:
-    pass
 
-try:  # round-4 curation extensions (line dedup, mixture, vocab, tfidf, SQ8)
-    from datawarehouse_backup_system_spark.queries import curation_ext
+_HISTORY_CACHE: list[tuple[int, dict]] | None = None
 
-    _ALL_SPECS += list(curation_ext.SPECS)
-except ImportError:
-    pass
 
-try:  # behavioral analytics / PPS sampling / bloom join / PQ extensions
-    from datawarehouse_backup_system_spark.queries import analytics_ext
-
-    _ALL_SPECS += list(analytics_ext.SPECS)
-except ImportError:
-    pass
-
-try:  # round-4 corpus extensions (CMS, SemDeDup, entropy, blocklist, PageRank)
-    from datawarehouse_backup_system_spark.queries import corpus_ext
-
-    _ALL_SPECS += list(corpus_ext.SPECS)
-except ImportError:
-    pass
-
-try:  # pipeline extensions (dup spans, DSIR, leakage split, domain cap, LR)
-    from datawarehouse_backup_system_spark.queries import pipeline_ext
-
-    _ALL_SPECS += list(pipeline_ext.SPECS)
-except ImportError:
-    pass
-
-try:  # scale extensions (prefix-filter join, quantile sketch, SCD2 PIT, Q17)
-    from datawarehouse_backup_system_spark.queries import scale_ext
-
-    _ALL_SPECS += list(scale_ext.SPECS)
-except ImportError:
-    pass
-
-try:  # round-6 extensions (incremental view, bloom index, skyline, EWMA,
-    # conformal, log2 histogram)
-    from datawarehouse_backup_system_spark.queries import round6_ext
-
-    _ALL_SPECS += list(round6_ext.SPECS)
-except ImportError:
-    pass
-
-try:  # round-7 extensions (frequent-pattern co-occurrence mining)
-    from datawarehouse_backup_system_spark.queries import round7_ext
-
-    _ALL_SPECS += list(round7_ext.SPECS)
-except ImportError:
-    pass
-
-try:  # round-8 extensions (large-star/small-star connected components)
-    from datawarehouse_backup_system_spark.queries import round8_ext
-
-    _ALL_SPECS += list(round8_ext.SPECS)
-except ImportError:
-    pass
-
-try:  # round-9 extensions (k-core decomposition)
-    from datawarehouse_backup_system_spark.queries import round9_ext
-
-    _ALL_SPECS += list(round9_ext.SPECS)
-except ImportError:
-    pass
-
-try:  # round-10 extensions (HyperBall tolerance spec, dup-span removal)
-    from datawarehouse_backup_system_spark.queries import round10_ext
-
-    _ALL_SPECS += list(round10_ext.SPECS)
-except ImportError:
-    pass
-
-try:  # round-11 extensions (Cavnar-Trenkle character-n-gram langid)
-    from datawarehouse_backup_system_spark.queries import round11_ext
-
-    _ALL_SPECS += list(round11_ext.SPECS)
-except ImportError:
-    pass
+def _correctness_history() -> list[tuple[int, dict]]:
+    """All CORRECTNESS_r*.json files parsed ONCE per process (review
+    r11: the per-spec sort key re-globbed and re-parsed every file for
+    every spec — O(specs × rounds) JSON parses on every import of this
+    module by every tool)."""
+    global _HISTORY_CACHE
+    if _HISTORY_CACHE is None:
+        out = []
+        for p in _REPO.glob("CORRECTNESS_r*.json"):
+            m = re.search(r"r(\d+)", p.name)
+            if not m:
+                continue
+            try:
+                out.append((int(m.group(1)), json.loads(p.read_text())))
+            except (OSError, json.JSONDecodeError):
+                continue
+        _HISTORY_CACHE = out
+    return _HISTORY_CACHE
 
 
 def _staleness_key(name: str) -> int:
@@ -138,15 +107,7 @@ def _staleness_key(name: str) -> int:
     last_green = -1
     latest_seen = -1
     latest_red = False
-    for p in _REPO.glob("CORRECTNESS_r*.json"):
-        m = re.search(r"r(\d+)", p.name)
-        if not m:
-            continue
-        rnd = int(m.group(1))
-        try:
-            rows = json.loads(p.read_text())
-        except (OSError, json.JSONDecodeError):
-            continue
+    for rnd, rows in _correctness_history():
         row = rows.get(name)
         if not row:
             continue

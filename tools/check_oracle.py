@@ -27,6 +27,15 @@ from datawarehouse_backup_system_spark.queries.base import TABLES  # noqa: E402
 from datawarehouse_backup_system_spark.session import get_spark  # noqa: E402
 
 
+def _tz_aware_cols(df: pd.DataFrame) -> set:
+    return {
+        c
+        for c in df.columns
+        if pd.api.types.is_datetime64_any_dtype(df[c])
+        and getattr(df[c].dtype, "tz", None) is not None
+    }
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
@@ -65,6 +74,17 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, bool, str]:
         return False, False, f"row count {len(a)} vs {len(b)}"
     if sorted(a.columns) != sorted(b.columns):
         return False, False, f"columns {sorted(a.columns)} vs {sorted(b.columns)}"
+    # tz-awareness divergence is a HARD failure like the dtype-kind
+    # check (review r11): canon() equalizes tz-aware and naive
+    # timestamps, but the driver's value hash is representation-
+    # sensitive ('…+00:00' vs naive render) — exactly the local-green/
+    # driver-red blind spot this tool exists to prevent
+    tza, tzb = _tz_aware_cols(a), _tz_aware_cols(b)
+    if tza != tzb and len(a) > 0:
+        return False, False, (
+            f"tz-awareness divergence: spark {sorted(tza)} vs oracle "
+            f"{sorted(tzb)} — driver hash would mismatch"
+        )
     a, b = canon(a), canon(b)
     exact = True
     close = True
@@ -79,9 +99,18 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, bool, str]:
                        "driver hash would mismatch")
             continue
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            import numpy as _np
+
             avf = av.astype(float)
             bvf = bv.astype(float)
-            eq = (avf == bvf) | (avf.isna() & bvf.isna())
+            # -0.0 == 0.0 under ==, but the driver's hash renders them
+            # differently (review r11): compare sign bits on zeros too
+            sign_mismatch = (
+                (avf == 0.0)
+                & (bvf == 0.0)
+                & (_np.signbit(avf.to_numpy()) != _np.signbit(bvf.to_numpy()))
+            )
+            eq = ((avf == bvf) & ~sign_mismatch) | (avf.isna() & bvf.isna())
             if not eq.all():
                 exact = False
                 diff = (avf - bvf).abs()
@@ -118,7 +147,16 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if Path(p).exists():
+        if Path(p).is_dir():
+            # Spark-written directory-style table (make_scaled_sf.py
+            # output): DuckDB needs the part-file glob, else the view
+            # binding raises IOException and zero queries run
+            # (review r11 — the scaled sf could never be oracle-checked)
+            con.execute(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     spark = get_spark(app_name="check-oracle")
@@ -134,7 +172,17 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {exc}")
             continue
         if name not in oracles:
-            print(f"rows-only  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            if len(sdf) == 0:
+                # the driver's weaker rows-only check requires rows>0;
+                # a green local gate over 0 rows was a false pass
+                # (review r11)
+                failures.append(name)
+                print(f"FAIL  rows-only {name}: 0 rows")
+            else:
+                print(
+                    f"rows-only  {name}: {len(sdf)} rows "
+                    f"({time.time()-t0:.1f}s)"
+                )
             continue
         try:
             desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()

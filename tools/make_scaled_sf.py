@@ -40,9 +40,14 @@ def main() -> int:
     out.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name="make-scaled-sf")
 
-    docs = spark.read.parquet(f"{SRC}/documents.parquet")
-    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
-    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    # base.load, not raw spark.read (review r11): it handles the
+    # TIMESTAMP(NANOS) testdata encoding and pins the UTC session TZ —
+    # a raw read crashes at schema inference on nanos generations
+    from datawarehouse_backup_system_spark.queries.base import load
+
+    docs = load(spark, SRC, "documents")
+    li = load(spark, SRC, "lineitem")
+    ev = load(spark, SRC, "events")
     doc_off = docs.agg(F.max("doc_id")).first()[0] + 1
     ok_off = li.agg(F.max("l_orderkey")).first()[0] + 1
     ev_off = ev.agg(F.max("event_id")).first()[0] + 1
