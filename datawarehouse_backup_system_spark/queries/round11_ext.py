@@ -19,8 +19,16 @@ q-gram lemma bound can only match through the short block, and the
 oracle replays the full quadratic distance filter — the exactness
 theorem for max_df=None blocking, the d13/d14 oracle pattern.
 
-Reference analog: none (the daemon has no NLP / fuzzy matching);
-extends the §2.6 text family the way t03/t19 and f01 do.
+v02 extends the replica-verification family: `operators/audit.py`'s
+fingerprint (v01) answers "do these two copies hold the same data?";
+`table_diff` answers the follow-up "show me exactly which rows moved"
+with one full-outer null-safe-compare join whose output is
+drift-proportional.
+
+Reference analog: none (the daemon has no NLP / fuzzy matching and
+verifies loads by row count only); extends the §2.6 text family the
+way t03/t19 and f01 do, and the §2 verification surface the way v01
+does.
 """
 
 from __future__ import annotations
@@ -178,6 +186,97 @@ SELECT dirty_id, matched_custkey, dist FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# v02 — keyed replica diff: the row-level drill-down behind a v01
+# fingerprint mismatch. The right "replica" is the orders table with
+# deterministic synthetic drift (rows removed, rows added under a
+# collision-safe key offset, single- and multi-column in-place changes),
+# so the expected diff is exactly derivable and the oracle replays the
+# same full-outer null-safe comparison. Output is drift-proportional —
+# the 100 TB shape (never a full dump).
+# --------------------------------------------------------------------------
+_V02_COMPARE = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def v02_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.audit import table_diff
+
+    base = load(spark, sf_dir, "orders").select("o_orderkey", *_V02_COMPARE)
+    k = F.col("o_orderkey")
+    drifted = (
+        base.where(k % 89 != 3)  # dropped rows -> 'removed'
+        .withColumn(
+            "o_orderstatus",
+            F.when((k % 83).isin(11, 13), F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                (k % 83).isin(7, 13), F.col("o_totalprice") + F.lit(1.0)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(  # new keys -> 'added' (offset clears any real key)
+            base.where(k % 97 == 5).withColumn(
+                "o_orderkey", k + F.lit(100_000_000)
+            )
+        )
+    )
+    return table_diff(base, drifted, ["o_orderkey"], _V02_COMPARE)
+
+
+V02_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderpriority
+  FROM orders
+),
+drifted AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 83 IN (11, 13) THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 83 IN (7, 13) THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderpriority
+  FROM base WHERE o_orderkey % 89 <> 3
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderpriority
+  FROM base WHERE o_orderkey % 97 = 5
+),
+j AS (
+  SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+         l.o_orderkey IS NOT NULL AS in_l,
+         r.o_orderkey IS NOT NULL AS in_r,
+         l.o_custkey IS DISTINCT FROM r.o_custkey AS d_custkey,
+         l.o_orderstatus IS DISTINCT FROM r.o_orderstatus AS d_status,
+         l.o_totalprice IS DISTINCT FROM r.o_totalprice AS d_price,
+         l.o_orderpriority IS DISTINCT FROM r.o_orderpriority AS d_prio
+  FROM base l FULL JOIN drifted r ON l.o_orderkey = r.o_orderkey
+)
+SELECT o_orderkey, status,
+       CASE WHEN status = 'changed' THEN concat_ws(',',
+         CASE WHEN d_custkey THEN 'o_custkey' END,
+         CASE WHEN d_status THEN 'o_orderstatus' END,
+         CASE WHEN d_price THEN 'o_totalprice' END,
+         CASE WHEN d_prio THEN 'o_orderpriority' END)
+       END AS changed_cols
+FROM (
+  SELECT o_orderkey,
+         CASE WHEN NOT in_l THEN 'added'
+              WHEN NOT in_r THEN 'removed'
+              WHEN d_custkey OR d_status OR d_price OR d_prio
+                THEN 'changed' END AS status,
+         d_custkey, d_status, d_price, d_prio
+  FROM j
+)
+WHERE status IS NOT NULL
+"""
+
+
 SPECS = [
     QuerySpec(
         "t34_langid_ngram", t34_langid_ngram, T34_SQL,
@@ -191,5 +290,12 @@ SPECS = [
         "bound: every match flows through the sentinel short block; "
         "oracle replays the full quadratic distance filter (exactness "
         "theorem for max_df=None blocking)",
+    ),
+    QuerySpec(
+        "v02_table_diff", v02_table_diff, V02_SQL,
+        "keyed replica diff: full-outer null-safe comparison emitting "
+        "only drifted rows (added/removed/changed + changed-column "
+        "CSV) — the row-level drill-down behind a v01 fingerprint "
+        "mismatch",
     ),
 ]

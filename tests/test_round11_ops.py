@@ -127,3 +127,84 @@ def test_ct_model_is_deterministic_and_bounded():
         ranks = [r for lg, _g, r in m1 if lg == lang]
         assert ranks == list(range(1, len(ranks) + 1))
         assert len(ranks) <= text.CT_TOP_K
+
+
+# ---------------------------------------------------------------------------
+# v02 — keyed replica diff (operators/audit.table_diff)
+# ---------------------------------------------------------------------------
+
+
+def test_table_diff_statuses_and_changed_cols(spark):
+    from datawarehouse_backup_system_spark.operators.audit import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k bigint, s string, v bigint",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 10),          # identical -> no output row
+         (2, "B", 20),          # one column changed
+         (4, "x", 41),          # two columns changed (CSV in col order)
+         (5, "e", 50)],         # new key -> added
+        "k bigint, s string, v bigint",
+    )
+    got = {
+        r["k"]: (r["status"], r["changed_cols"])
+        for r in table_diff(left, right, ["k"]).collect()
+    }
+    assert got == {
+        2: ("changed", "s"),
+        3: ("removed", None),
+        4: ("changed", "s,v"),
+        5: ("added", None),
+    }
+
+
+def test_table_diff_null_safe_comparison(spark):
+    from datawarehouse_backup_system_spark.operators.audit import table_diff
+
+    left = spark.createDataFrame(
+        [(1, None), (2, "b"), (3, None)], "k bigint, s string"
+    )
+    right = spark.createDataFrame(
+        [(1, None), (2, None), (3, "now")], "k bigint, s string"
+    )
+    got = {
+        r["k"]: (r["status"], r["changed_cols"])
+        for r in table_diff(left, right, ["k"]).collect()
+    }
+    # NULL <=> NULL is equal (k=1 silent); value<->NULL both directions
+    # are changes — the exact cases a naive `=` comparison loses
+    assert got == {2: ("changed", "s"), 3: ("changed", "s")}
+
+
+def test_table_diff_default_compare_is_shared_non_key(spark):
+    from datawarehouse_backup_system_spark.operators.audit import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", 99)], "k bigint, s string, only_left bigint"
+    )
+    right = spark.createDataFrame(
+        [(1, "z", 3.5)], "k bigint, s string, only_right double"
+    )
+    rows = table_diff(left, right, ["k"]).collect()
+    # one-sided columns are ignored; only the shared non-key column
+    # participates in the comparison
+    assert [(r["k"], r["status"], r["changed_cols"]) for r in rows] == [
+        (1, "changed", "s")
+    ]
+
+
+def test_table_diff_empty_and_identical_inputs(spark):
+    from datawarehouse_backup_system_spark.operators.audit import table_diff
+
+    df = spark.createDataFrame([(1, "a")], "k bigint, s string")
+    empty = df.where("k < 0")
+    assert table_diff(df, df, ["k"]).count() == 0
+    assert [
+        (r["status"],) for r in table_diff(df, empty, ["k"]).collect()
+    ] == [("removed",)]
+    assert [
+        (r["status"],) for r in table_diff(empty, df, ["k"]).collect()
+    ] == [("added",)]
+    assert table_diff(empty, empty, ["k"]).count() == 0
