@@ -50,10 +50,18 @@ def table_fingerprint(
     column order may differ. ``fingerprint`` is the exact decimal sum of
     per-row hashes, returned as DECIMAL(38,0).
     """
+    from .skew import fan_out_small_scan
+
     keys = list(group_by or [])
     cols = columns if columns is not None else [
         c for c in df.columns if c not in keys
     ]
+    # the fingerprint pass is pure per-row hashing (measured on v01),
+    # so a single-small-file scan would run it all on one task: project
+    # to exactly the hashed + key columns and conditionally fan out
+    # (`skew.fan_out_small_scan` — no-op on corpus-scale inputs)
+    sel = keys + [c for c in cols if c not in set(keys)]
+    df = fan_out_small_scan(df.select(*sel))
     # prefix of the row_hash digest directly — md5(md5(x)) added a
     # second full hash per row for zero extra uniformity (measured on
     # v01: the fingerprint pass is pure hashing)

@@ -85,25 +85,18 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     # Stage the token array once: higher-order functions are interpreted
     # (no codegen / no common-subexpression elimination), so referencing
     # the raw split() inside the transform lambda would re-split the text
-    # per element. Repartition ONLY when the source has fewer partitions
-    # than cores (a single small file — the local/test shape), so the
-    # explode parallelizes; a corpus-sized input already carries
-    # thousands of scan partitions, and the old unconditional
-    # repartition was a full corpus shuffle (all columns, text
-    # included) that also COLLAPSED partition count at 100 TB —
-    # contradicting contamination's "one linear pass, no corpus-side
-    # shuffle" contract (review r10). getNumPartitions is plan
-    # metadata, no job.
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        cur_parts = df.rdd.getNumPartitions()
-    except Exception:  # noqa: BLE001 — exotic plans: keep the safe path
-        cur_parts = n_parts
-    if cur_parts < n_parts:
-        df = df.repartition(n_parts)
-    staged = df.select(
-        F.col(id_col), _tokens(F.col(text_col)).alias("_toks")
+    # per element. fan_out_small_scan: conditional repartition so the
+    # explode parallelizes on a single-small-file local source while a
+    # corpus-scale input (thousands of scan partitions) skips the
+    # shuffle — the r10 fix for the unconditional full-corpus variant,
+    # now single-sourced in operators/skew.py.
+    from datawarehouse_backup_system_spark.operators.skew import (
+        fan_out_small_scan,
     )
+
+    staged = fan_out_small_scan(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
     toks = F.col("_toks")
     # n parallel slices zipped, then a trivial concat lambda: ~3× faster
     # than transform(sequence)+element_at (higher-order lambdas are

@@ -47,12 +47,20 @@ def _ordered_sets(
     else:
         from .text import tokens
 
+        from .skew import fan_out_small_scan
+
         # text.tokens, not an inline split copy: the planned
         # coordinated trim migration (ADVICE r10→r11, documented on
-        # tokens()) must reach this consumer too (review r11)
+        # tokens()) must reach this consumer too (review r11).
+        # fan_out_small_scan: the tokenize+explode is the CPU-heavy
+        # pre-shuffle stage (conditional — no-op at corpus scale);
+        # the shingle_n>1 branch gets the same via word_shingles.
         tok = (
-            df.select(
-                F.col(id_col).alias("id"),
+            fan_out_small_scan(
+                df.select(F.col(id_col).alias("id"), F.col(text_col))
+            )
+            .select(
+                "id",
                 F.explode(
                     F.array_distinct(tokens(F.col(text_col)))
                 ).alias("token"),

@@ -82,3 +82,31 @@ def salted_join(
     )
     out = probe_s.join(build_s, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def fan_out_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a NARROW projected frame to the session's
+    default parallelism — only when its current partition count is
+    below it (partition-SHAPE skew: all the work in one task).
+
+    The local/test trap this closes: a few-MB single-row-group parquet
+    scan plans ONE input partition, so CPU-heavy map work downstream
+    (per-row hashing, n-gram explosion, regex normalization) runs
+    single-threaded until the first shuffle. A corpus-scale input
+    already carries thousands of scan partitions and skips the shuffle
+    entirely — the word_shingles conditional-repartition rule (review
+    r10: the UNCONDITIONAL variant was the scale killer — a full-corpus
+    re-shuffle that also COLLAPSED partition count at 100 TB).
+
+    Call it on the PROJECTED frame (ids + just the columns the
+    expansion reads), never the raw source row, so the added local
+    shuffle moves the minimum. getNumPartitions is plan metadata — no
+    job runs; exotic un-RDD-able plans keep the safe unshuffled path.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — exotic plans: keep the safe path
+        return df
+    return df.repartition(target) if cur < target else df

@@ -308,6 +308,17 @@ def langid_ngram(
             F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " ")
         ).alias("_t"),
     )
+    # fan a small-file source out before the CPU-bound gram explosion
+    # (`skew.fan_out_small_scan`): a few-MB single-parquet local source
+    # otherwise runs the normalize + explode + count partials on ONE
+    # task; a corpus-scale input already carries thousands of scan
+    # partitions and skips this. The shuffle moves only (id, normalized
+    # text) — never the source row.
+    from datawarehouse_backup_system_spark.operators.skew import (
+        fan_out_small_scan,
+    )
+
+    norm = fan_out_small_scan(norm)
     gram_arrays = [
         F.expr(
             f"CASE WHEN length(_t) >= {n} THEN "
@@ -869,11 +880,19 @@ def dup_spans(
     across different span texts is the accepted (2^-56-scale) error, the
     same trade every shingle op in this repo makes.
     """
+    from datawarehouse_backup_system_spark.operators.skew import (
+        fan_out_small_scan,
+    )
+
     # Span hashes are built INSIDE an array expression and only the
     # BIGINT hashes are exploded — exploding positions while carrying
     # the token array would copy the O(L) array into each of the L span
-    # rows (O(L²) bytes per document at scale).
-    toks = df.select(
+    # rows (O(L²) bytes per document at scale). fan_out_small_scan: the
+    # tokenize + L×md5 per doc is the CPU-dominant pre-shuffle stage
+    # (conditional — no-op on corpus-scale inputs).
+    toks = fan_out_small_scan(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col),
         tokens(F.col(text_col)).alias("_t"),
     )
@@ -991,7 +1010,15 @@ def remove_dup_spans(
     (`hashing.md5_prefix_long` — the cross-engine recipe), never span
     text; a cross-text collision is the accepted 2^-56-scale error.
     """
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    from datawarehouse_backup_system_spark.operators.skew import (
+        fan_out_small_scan,
+    )
+
+    # fan_out_small_scan: same rationale as dup_spans (the tokenize +
+    # per-span md5 build is the CPU-dominant pre-shuffle stage)
+    toks = fan_out_small_scan(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
     # span-hash array built INSIDE the expression; guard inside
     # when/otherwise, not .where() — see dup_spans (predicate-reorder
     # safety), same construction
