@@ -208,3 +208,20 @@ def test_table_diff_empty_and_identical_inputs(spark):
         (r["status"],) for r in table_diff(empty, df, ["k"]).collect()
     ] == [("added",)]
     assert table_diff(empty, empty, ["k"]).count() == 0
+
+
+def test_fan_out_small_scan_conditional(spark):
+    from datawarehouse_backup_system_spark.operators.skew import (
+        fan_out_small_scan,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    small = spark.createDataFrame([(i,) for i in range(100)], "x bigint")
+    small1 = small.coalesce(1)
+    fanned = fan_out_small_scan(small1)
+    assert fanned.rdd.getNumPartitions() == target
+    # values survive the round-robin shuffle untouched
+    assert sorted(r["x"] for r in fanned.collect()) == list(range(100))
+    # an already-parallel frame is returned as-is (no extra shuffle)
+    wide = small.repartition(target)
+    assert fan_out_small_scan(wide) is wide
