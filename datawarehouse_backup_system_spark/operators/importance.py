@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datawarehouse_backup_system_spark.operators import text
+
 #: staged token frames from prior dsir_weights(stage=True) calls —
 #: evicted on the next call or by release_staged() (same single-slot
 #: policy as lm.py). Guarded by _STAGED_LOCK: without it, two
@@ -182,7 +184,7 @@ def dsir_weights(
     tok = df.select(
         F.col(id_col),
         target_pred.alias("_is_tgt"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+        F.explode(text.tokens(F.col(text_col))).alias("token"),
     ).where(F.col("token") != "").select(
         # hash ONCE before any persist/reuse (review r10): the staged
         # frame carries one BIGINT bucket per token, not the string

@@ -56,15 +56,15 @@ def bigram_rows(df: DataFrame, id_col: str, text_col: str,
     # measured ~10× slower at sf0.1 — interpreted per-element lambdas
     # dominated the whole t26 query. Same bucket values either way; the
     # oracle SQL is untouched.
-    # REGEX end-trim, not F.trim (review r10): trim strips ASCII
-    # spaces only, so a trailing newline/tab left an empty edge token
-    # and a spurious ('word','') bigram polluting the '' buckets and
-    # every colliding doc's avg_logp. \s-trim yields no edge empties
-    # (split on \s+ never produces interior empties), and the oracle
-    # replays the identical regex.
-    t = F.split(
-        F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
-    )
+    # text.tokens(), not a local split recipe (r11 coordinated
+    # migration): the r10 fix regex-trimmed here alone, which left the
+    # repo with two divergent tokenizations (ADVICE r10→r11); tokens()
+    # now carries the full-whitespace trim + explicit WS_CLASS split
+    # itself, so the '' edge-token hazard is gone for every consumer
+    # and this module shares the single definition.
+    from datawarehouse_backup_system_spark.operators.text import tokens
+
+    t = tokens(F.col(text_col))
     pairs = F.when(
         F.size(t) >= 2,
         F.arrays_zip(

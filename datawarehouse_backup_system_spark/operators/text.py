@@ -28,29 +28,52 @@ STOPWORDS = {
 SUBWORD_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
+#: THE whitespace class, shared by tokens() and every oracle replay —
+#: explicit, because the shorthand diverges across regex dialects:
+#: Java's ``\s`` includes vertical tab U+000B, DuckDB/RE2's does not.
+WS_CLASS = r"[ \t\n\f\r\x0B]"
+
+
+def ws_trim(text: Column) -> Column:
+    """Strip leading/trailing whitespace of ANY kind (the full
+    :data:`WS_CLASS`, not F.trim's ASCII-space-only)."""
+    return F.regexp_replace(text, f"^{WS_CLASS}+|{WS_CLASS}+$", "")
+
+
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization, SPACE-only trim.
+    """Whitespace tokenization: full-whitespace trim, split on runs of
+    :data:`WS_CLASS`.
 
-    Known divergence (ADVICE r10→r11, documented like
-    :func:`token_count_strict`'s quirk): ``F.trim`` strips only ASCII
-    spaces, so text with a leading/trailing ``\\n``/``\\t`` yields an
-    empty '' edge token here, while ``lm.bigram_rows`` regex-trims ALL
-    whitespace and does not. Every consumer of this function
-    (remove_dup_spans, shingles, simhash, quality features) and its
-    paired oracle SQL agrees on THIS behavior, so the two engines
-    match; a coordinated tokens()+oracle regex-trim migration is
-    planned as one future change rather than per-operator drift —
-    fixing it piecemeal would silently invalidate the pinned spec
-    hashes one operator at a time.
+    r11 coordinated migration (the change ADVICE r10→r11 planned): the
+    old form (``split(trim(text), '\\s+')``) space-only-trimmed, so a
+    leading/trailing ``\\n``/``\\t`` produced an empty '' edge token in
+    every consumer (shingles, span hashes, quality features, counts) —
+    a real wart on any corpus where documents end in newlines — and
+    ``\\s`` itself read differently across engines (see WS_CLASS).
+    tokens(), ``lm.bigram_rows``, and every oracle replay
+    (:func:`tokens_sql` — conformance-pytest-enforced) switched to this
+    recipe in ONE change, so the engines still agree exactly; the
+    shipped fixtures carry no edge control-whitespace, so every pinned
+    spec result is unchanged (verified by a full 149-spec sweep).
 
-    Second known divergence, same disposition (review r11 pass F):
-    Java's ``\\s`` includes vertical tab U+000B, DuckDB/RE2's does not,
-    so a document containing ``\\x0B`` tokenizes differently across
-    engines (latent: the synthetic fixtures carry none). The planned
-    migration replaces ``\\s`` with an explicit character class both
-    regex dialects read identically (``[ \\t\\n\\f\\r\\x0B]``) in
-    tokens() AND every oracle in the same change."""
-    return F.split(F.trim(text), r"\s+")
+    Remaining pinned quirk: empty and whitespace-only text still yields
+    ``['']`` (``split('') == ['']``) — use :func:`token_count_strict`
+    where that must count 0."""
+    return F.split(ws_trim(text), f"{WS_CLASS}+")
+
+
+def tokens_sql(expr: str = "text", esc: int = 2) -> str:
+    """THE DuckDB replay of :func:`tokens` — generated from the same
+    WS_CLASS so the two engines can never fork. ``esc`` is the
+    backslash depth the call site's Python string context needs (2 for
+    plain ``\"\"\"`` SQL strings, 1 for ``r\"\"\"`` raw strings); a
+    conformance pytest greps the spec layer so no site can drift from
+    this recipe."""
+    cls = WS_CLASS.replace("\\", "\\" * esc)
+    return (
+        f"string_split_regex(regexp_replace({expr}, "
+        f"'^{cls}+|{cls}+$', '', 'g'), '{cls}+')"
+    )
 
 
 def token_count(text: Column) -> Column:
@@ -62,10 +85,12 @@ def token_count_strict(text: Column) -> Column:
     (``split('')`` is ``['']``, so the plain count reports 1). The lm /
     importance operators already drop the '' token; use this variant
     where the accounting must agree with them (review r8: the shard
-    manifest counted a shard of empty docs as n_docs tokens). The plain
-    variant stays as-is — its quirk is pinned by several spec oracles
-    and the two engines agree on it."""
-    return F.when(F.trim(text) == "", F.lit(0)).otherwise(
+    manifest counted a shard of empty docs as n_docs tokens). The
+    emptiness test is :func:`ws_trim`-based (r11 migration), so a
+    ``'\\n'``-only document counts 0 here — the space-only F.trim form
+    counted its two phantom edge tokens. The plain variant keeps its
+    pinned ``['']`` quirk; both engines agree on it."""
+    return F.when(ws_trim(text) == "", F.lit(0)).otherwise(
         F.size(tokens(text))
     )
 

@@ -161,7 +161,7 @@ WITH t AS (
     -- \s+ regex split, matching text.tokens on the Spark side — a
     -- literal-space split diverges on tab/newline whitespace
     -- (review r8; every other token spec already pairs regex↔regex)
-    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+    SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+')) AS tok
     FROM documents
   ) WHERE tok <> ''
 ),

@@ -37,7 +37,13 @@ from pyspark.sql import functions as F
 from ..operators import zorder
 from ..operators.quantize import quantize_embeddings
 from ..operators.sampling import domain_mixture
-from ..operators.text import line_dedup, tfidf_top_terms, token_count, vocab_topk
+from ..operators.text import (
+    line_dedup,
+    tfidf_top_terms,
+    token_count,
+    tokens,
+    vocab_topk,
+)
 from .base import QuerySpec, load
 
 # --------------------------------------------------------------------------
@@ -174,7 +180,7 @@ def t12_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 T12_SQL = f"""
 WITH docs AS (
   SELECT doc_id, source,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
+         CAST(len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+')) AS INT) AS n_tokens
   FROM documents
 ),
 targets AS (
@@ -223,7 +229,7 @@ def t13_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T13_SQL = f"""
 WITH toks AS (
-  SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+') AS t FROM documents
 ),
 uni AS (SELECT 'uni' AS kind, unnest(t) AS term FROM toks),
 bi AS (
@@ -258,7 +264,7 @@ def t14_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T14_SQL = f"""
 WITH tf AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+  SELECT doc_id, unnest(string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+')) AS term FROM documents
 ),
 cnt AS (
   SELECT doc_id, term, count(*) AS tf_count FROM tf GROUP BY doc_id, term
@@ -421,7 +427,7 @@ def c01_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = dedup_groups(pairs)
     n_tok = corpus.select(
         F.col("doc_id"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        token_count(F.col("text")).alias("n_tokens"),
     )
     members = groups.join(n_tok, groups.node == n_tok.doc_id).select(
         "canonical_id", "node", "n_tokens"
@@ -458,18 +464,18 @@ corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 40
   UNION ALL
   SELECT doc_id + 1000,
-         array_to_string(string_split_regex(trim(text), '\\s+')[3:], ' ')
+         array_to_string(string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+')[3:], ' ')
   FROM documents
-  WHERE doc_id < 40 AND len(string_split_regex(trim(text), '\\s+')) > 8
+  WHERE doc_id < 40 AND len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+')) > 8
   UNION ALL
   SELECT doc_id + 2000,
-         array_to_string(string_split_regex(trim(text), '\\s+')[5:], ' ')
+         array_to_string(string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+')[5:], ' ')
   FROM documents
-  WHERE doc_id < 40 AND len(string_split_regex(trim(text), '\\s+')) > 8
+  WHERE doc_id < 40 AND len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+')) > 8
 ),
 ntok AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
+         CAST(len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+')) AS INT) AS n_tokens
   FROM corpus
 ),
 members AS (
@@ -512,7 +518,7 @@ def t15_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _T15_STRIDE = _T15_CHUNK - _T15_OVERLAP
 T15_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+') AS t FROM documents
 ),
 chunked AS (
   SELECT doc_id,
@@ -569,7 +575,7 @@ def i01_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup_approx import incremental_neardup_pairs
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = tokens(F.col("text"))
     new = docs.where((F.col("doc_id") % 7 == 0) & (F.size(toks) > 6)).select(
         (F.col("doc_id") + 500000).alias("doc_id"),
         F.array_join(F.slice(toks, 4, F.size(toks) - 3), " ").alias("text"),
@@ -600,12 +606,12 @@ I01_SQL = f"""
 WITH hist AS (SELECT doc_id, text FROM documents),
 new_batch AS (
   SELECT doc_id + 500000 AS doc_id,
-         array_to_string(string_split_regex(trim(text), '\\s+')[4:], ' ') AS text
+         array_to_string(string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+')[4:], ' ') AS text
   FROM documents
-  WHERE doc_id % 7 = 0 AND len(string_split_regex(trim(text), '\\s+')) > 6
+  WHERE doc_id % 7 = 0 AND len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+')) > 6
 ),
-toks_hist AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM hist),
-toks_new AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM new_batch),
+toks_hist AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+') AS t FROM hist),
+toks_new AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+') AS t FROM new_batch),
 sh_hist AS (
   SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
   FROM toks_hist, UNNEST(range(len(t) - 2)) AS u(i) WHERE len(t) >= 3
@@ -724,7 +730,7 @@ def t17_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 T17_SQL = f"""
 SELECT term AS token, count(*) AS est_count
 FROM (
-  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+  SELECT unnest(string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+')) AS term FROM documents
 )
 GROUP BY term
 HAVING count(*) >= {_T17_MIN_COUNT}

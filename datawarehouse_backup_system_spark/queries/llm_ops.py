@@ -43,7 +43,7 @@ def _with_neardups(docs: DataFrame) -> DataFrame:
     no-op on every shipped fixture (max base doc_id 49999 at sf1) and
     makes the id spaces disjoint by construction at any sf."""
     docs = docs.where(F.col("doc_id") < 100000)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = text.tokens(F.col("text"))
     # filter BEFORE the select: after it, the unresolved F.col("text")
     # inside toks would re-resolve against the PERTURBED text, diverging
     # from the oracle's original-length filter for 7-9-token docs and
@@ -68,10 +68,10 @@ _NEARDUP_CORPUS_SQL = """
   SELECT doc_id, text FROM documents WHERE doc_id < 100000
   UNION ALL
   SELECT doc_id + 100000 AS doc_id,
-         array_to_string(string_split_regex(trim(text), '\\s+')[4:], ' ') AS text
+         array_to_string(string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+')[4:], ' ') AS text
   FROM documents
   WHERE doc_id < 100000
-    AND len(string_split_regex(trim(text), '\\s+')) > 6
+    AND len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+')) > 6
 """
 
 
@@ -121,7 +121,7 @@ def d02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D02_SQL = f"""
 WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
-toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus),
+toks AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+') AS t FROM corpus),
 sh AS (
   SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
   FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
@@ -199,7 +199,7 @@ def _simhash_sql_bits() -> str:
 D03_SQL = f"""
 WITH tok AS (
   SELECT doc_id, md5(u.token) AS h
-  FROM documents, UNNEST(string_split_regex(trim(text), '\\s+')) AS u(token)
+  FROM documents, UNNEST(string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+')) AS u(token)
 )
 SELECT doc_id, {_simhash_sql_bits()} AS simhash
 FROM tok GROUP BY doc_id
@@ -514,7 +514,7 @@ def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T01_SQL = r"""
 SELECT doc_id,
-       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       len(string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+')) AS n_tokens,
        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords,
        len(text) AS n_chars_calc
 FROM documents
@@ -533,9 +533,9 @@ T02_SQL = r"""
 WITH f AS (
   SELECT doc_id, text,
          len(text) AS n_chars_text,
-         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+')) AS n_tokens,
          len(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
-         len(list_filter(string_split_regex(trim(text), '\s+'),
+         len(list_filter(string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+'),
              x -> x IN ('the','a','of','and','to','in','is','it'))) AS stop_hits,
          len(text) - len(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS n_punct
   FROM documents
@@ -564,7 +564,7 @@ def _langid_fragments() -> tuple[str, str]:
     for lang, words in sorted(text.STOPWORDS.items()):
         lst = ", ".join(f"'{w}'" for w in words)
         hit_exprs.append(
-            f"len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN ({lst}))) AS hits_{lang}"
+            f"len(list_filter(string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+'), x -> x IN ({lst}))) AS hits_{lang}"
         )
     langs = sorted(text.STOPWORDS)
     cases = []
@@ -619,7 +619,7 @@ def _neardup_corpus_and_pairs(
     """Shared by d09/c01: the two-generation perturbed corpus and its
     verified near-dup pairs (word-trigram Jaccard ≥ 0.5)."""
     docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = text.tokens(F.col("text"))
     gen = [docs.select("doc_id", "text")]
     for g, drop in ((1, 2), (2, 4)):
         gen.append(
@@ -660,16 +660,16 @@ WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 40
   UNION ALL
   SELECT doc_id + 1000,
-         array_to_string(string_split_regex(trim(text), '\\s+')[3:], ' ')
+         array_to_string(string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+')[3:], ' ')
   FROM documents
-  WHERE doc_id < 40 AND len(string_split_regex(trim(text), '\\s+')) > 8
+  WHERE doc_id < 40 AND len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+')) > 8
   UNION ALL
   SELECT doc_id + 2000,
-         array_to_string(string_split_regex(trim(text), '\\s+')[5:], ' ')
+         array_to_string(string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+')[5:], ' ')
   FROM documents
-  WHERE doc_id < 40 AND len(string_split_regex(trim(text), '\\s+')) > 8
+  WHERE doc_id < 40 AND len(string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+')) > 8
 ),
-toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus),
+toks AS (SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+') AS t FROM corpus),
 sh AS (
   SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
   FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
@@ -799,7 +799,7 @@ def t06_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 T06_SQL = r"""
 WITH counted AS (
   SELECT doc_id, doc_id % 8 AS shard,
-         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+         len(string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+')) AS n_tokens
   FROM documents
 ),
 c AS (
@@ -827,7 +827,7 @@ def t07_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T07_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+') AS t FROM documents
 ),
 base AS (
   SELECT doc_id, len(t) AS n_tokens,
@@ -884,8 +884,8 @@ WITH b AS (
 agg AS (
   SELECT shard_id, CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
          MIN(doc_id) AS min_key, MAX(doc_id) AS max_key,
-         CAST(SUM(CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END)
+         CAST(SUM(CASE WHEN regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g') = '' THEN 0
+                  ELSE len(string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+')) END)
               AS BIGINT) AS n_tokens
   FROM b GROUP BY shard_id
 )
@@ -917,7 +917,7 @@ def t09_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T09_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+') AS t FROM documents
 ),
 sh AS (
   SELECT DISTINCT doc_id,
@@ -948,7 +948,7 @@ def _t10_sql() -> str:
     hit_exprs, case_sql = _langid_fragments()
     return rf"""
 WITH toks AS (
-  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM documents
+  SELECT doc_id, text, string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+') AS t FROM documents
 ),
 q AS (
   SELECT doc_id,

@@ -39,7 +39,7 @@ def t21_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T21_SQL = r"""
 WITH d AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+') AS t
   FROM documents WHERE doc_id < 500
 ),
 spans AS (
@@ -104,7 +104,7 @@ T22_SQL = rf"""
 WITH tok AS (
   SELECT doc_id, lang, token FROM (
     SELECT doc_id, lang,
-           unnest(string_split_regex(trim(text), '\s+')) AS token
+           unnest(string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+')) AS token
     FROM documents
   ) t WHERE token <> ''
 ),
@@ -256,7 +256,7 @@ T25_SQL = rf"""
 WITH f AS (
   SELECT doc_id,
          CAST(len(text) AS DOUBLE) AS f_chars,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS f_tok,
+         CAST(len(string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+')) AS DOUBLE) AS f_tok,
          CAST(len(text) - len(regexp_replace(text, '[.,;:!?''"()-]', '', 'g'))
               AS DOUBLE) * 1.0 / (CAST(len(text) AS DOUBLE) + 1.0) AS f_punct
   FROM documents
@@ -311,8 +311,7 @@ def t26_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 T26_SQL = rf"""
 WITH d AS (
   SELECT doc_id,
-         string_split_regex(regexp_replace(text, '^\s+|\s+$', ''),
-                            '\s+') AS t
+         string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+') AS t
   FROM documents
 ),
 bg AS (
@@ -424,7 +423,7 @@ def t27_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 T27_SQL = r"""
 SELECT source, lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+       CAST(SUM(len(string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+'))) AS BIGINT)
          AS total_tokens,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(MIN(n_chars) AS BIGINT) AS min_chars,
@@ -482,7 +481,7 @@ def t28_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T28_SQL = r"""
 WITH d AS (
-  SELECT source, string_split_regex(trim(text), '\s+') AS t FROM documents
+  SELECT source, string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+') AS t FROM documents
 ),
 tri AS (
   SELECT source,
@@ -534,8 +533,8 @@ def t29_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
 T29_SQL = rf"""
 WITH f AS (
   SELECT source,
-         len(string_split_regex(trim(text), '\s+')) AS n,
-         (len(string_split_regex(trim(text), '\s+')) + {_T29_MAXLEN - 1})
+         len(string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+')) AS n,
+         (len(string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+')) + {_T29_MAXLEN - 1})
            // {_T29_MAXLEN} AS seqs
   FROM documents
 )
@@ -613,7 +612,7 @@ def t30_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 T30_SQL = rf"""
 WITH tok AS (
   SELECT source, token FROM (
-    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS token
+    SELECT source, unnest(string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+')) AS token
     FROM documents
   ) t WHERE token <> ''
 ),

@@ -260,7 +260,7 @@ def t33_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T33_SQL = rf"""
 WITH d AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+') AS t
   FROM documents WHERE doc_id < 500
 ),
 spans AS (

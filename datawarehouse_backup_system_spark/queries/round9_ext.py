@@ -267,7 +267,7 @@ WITH corpus AS (
   FROM documents WHERE doc_id % 10 = 0 AND doc_id < {_D14_OFFSET}
 ),
 toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus
+  SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+') AS t FROM corpus
 ),
 tok AS (
   SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS token

@@ -45,7 +45,7 @@ def d13_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 D13_SQL = f"""
 WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
 toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus
+  SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+') AS t FROM corpus
 ),
 tok AS (
   SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS token
@@ -791,7 +791,7 @@ WITH corpus AS (
   SELECT * FROM ({_NEARDUP_CORPUS_SQL}) c0 WHERE doc_id % 100000 < {_R08_CAP}
 ),
 toks AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus
+  SELECT doc_id, string_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r\\x0B]+|[ \\t\\n\\f\\r\\x0B]+$', '', 'g'), '[ \\t\\n\\f\\r\\x0B]+') AS t FROM corpus
 ),
 tok AS (
   SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS token

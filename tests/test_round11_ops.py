@@ -4,6 +4,8 @@ documented divergence vs the stopword-marker reference variant."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from datawarehouse_backup_system_spark.operators import text
 
 
@@ -225,3 +227,91 @@ def test_fan_out_small_scan_conditional(spark):
     # an already-parallel frame is returned as-is (no extra shuffle)
     wide = small.repartition(target)
     assert fan_out_small_scan(wide) is wide
+
+
+# ---------------------------------------------------------------------------
+# r11 coordinated tokens() migration (ADVICE r10->r11): full-whitespace
+# trim + explicit WS_CLASS split, one recipe on both engines
+# ---------------------------------------------------------------------------
+
+
+def test_tokens_cross_engine_parity_on_adversarial_whitespace(spark):
+    """Spark tokens() and the DuckDB tokens_sql() replay agree token-
+    for-token on every edge the migration touched: trailing/leading
+    \\n/\\t, interior control whitespace, vertical tab (the Java-vs-RE2
+    \\s divergence), whitespace-only and empty text."""
+    import duckdb
+
+    docs = [
+        (1, "hello world\n"),
+        (2, "\t leading tab"),
+        (3, "a\x0bb"),           # VT: Java \s includes it, RE2 \s does not
+        (4, "a \t\n b\r\fc"),
+        (5, "\n\t "),            # whitespace-only
+        (6, ""),
+        (7, "plain text"),
+    ]
+    df = spark.createDataFrame(docs, "id int, text string")
+    got_spark = {
+        r["id"]: list(r["t"])
+        for r in df.select("id", text.tokens(F.col("text")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", __import__("pandas").DataFrame(
+        docs, columns=["id", "text"]
+    ))
+    got_duck = {
+        r[0]: list(r[1])
+        for r in con.execute(
+            f"SELECT id, {text.tokens_sql('text', esc=1)} AS t FROM docs"
+        ).fetchall()
+    }
+    assert got_spark == got_duck
+    # and the semantics themselves: no empty edge tokens anywhere, VT
+    # splits, whitespace-only/empty collapse to the pinned ['']
+    assert got_spark[1] == ["hello", "world"]
+    assert got_spark[2] == ["leading", "tab"]
+    assert got_spark[3] == ["a", "b"]
+    assert got_spark[4] == ["a", "b", "c"]
+    assert got_spark[5] == [""] and got_spark[6] == [""]
+
+
+def test_token_count_strict_zero_for_control_whitespace_only(spark):
+    df = spark.createDataFrame(
+        [(1, "\n"), (2, "  "), (3, ""), (4, "a b")], "id int, text string"
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", text.token_count_strict(F.col("text")).alias("n")
+        ).collect()
+    }
+    # the space-only-trim form counted (1, "\n") as 2 phantom tokens
+    assert got == {1: 0, 2: 0, 3: 0, 4: 2}
+
+
+def test_spec_layer_tokenization_conforms_to_tokens_sql():
+    """Single-definition enforcement: every string_split_regex call in
+    the spec layer must be the tokens_sql() recipe (at either backslash
+    depth) — no site can drift back to a local tokenization."""
+    import pathlib
+    import re
+
+    qdir = (
+        pathlib.Path(text.__file__).resolve().parents[1] / "queries"
+    )
+    cls1 = re.escape(r"[ \t\n\f\r\x0B]")
+    cls2 = re.escape(r"[ \\t\\n\\f\\r\\x0B]")
+    canon = re.compile(
+        r"string_split_regex\(regexp_replace\([a-z_]+, "
+        rf"'\^(?:{cls1}|{cls2})\+\|(?:{cls1}|{cls2})\+\$', '', 'g'\), "
+        rf"'(?:{cls1}|{cls2})\+'\)"
+    )
+    for p in sorted(qdir.glob("*.py")):
+        src = p.read_text()
+        n_calls = src.count("string_split_regex(")
+        n_canon = len(canon.findall(src))
+        assert n_calls == n_canon, (
+            f"{p.name}: {n_calls - n_canon} string_split_regex site(s) "
+            "diverge from text.tokens_sql()"
+        )
