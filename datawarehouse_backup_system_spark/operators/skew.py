@@ -100,12 +100,27 @@ def fan_out_small_scan(df: DataFrame) -> DataFrame:
 
     Call it on the PROJECTED frame (ids + just the columns the
     expansion reads), never the raw source row, so the added local
-    shuffle moves the minimum. getNumPartitions is plan metadata — no
-    job runs; exotic un-RDD-able plans keep the safe unshuffled path.
+    shuffle moves the minimum.
+
+    Adaptive-plan guard (r11 session review): on an exchange-bearing
+    frame Catalyst wraps the plan in AdaptiveSparkPlanExec, whose
+    ``.rdd`` EXECUTES every upstream query stage eagerly just to
+    answer getNumPartitions (measured: a 2M-row groupBy ran its whole
+    shuffle map side inside the probe) — and then reports the
+    post-AQE-coalesce count, which would trigger a second, pointless
+    repartition of work AQE already sized. Such a frame is post-shuffle
+    and already carries full parallelism, so the right move is to
+    return it untouched. Exchange-free plans are never wrapped
+    adaptive, so for them getNumPartitions stays the pure plan-metadata
+    probe this helper assumes; exotic un-RDD-able plans keep the safe
+    unshuffled path.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
+        ep = df._jdf.queryExecution().executedPlan()
+        if "AdaptiveSparkPlan" in ep.getClass().getSimpleName():
+            return df
         cur = df.rdd.getNumPartitions()
     except Exception:  # noqa: BLE001 — exotic plans: keep the safe path
         return df

@@ -100,10 +100,31 @@ def _catalog_name(warehouse_dir: Path, table_name: str) -> str:
 
 
 def _read_manifest(root: Path) -> dict | None:
+    """None unless the manifest parses AND has the expected shape —
+    ``man["entries"]`` is consumed before :func:`history_hash_frame`'s
+    fallback try, so a valid-JSON-but-wrong-shape file (truncated
+    rewrite restored from backup, hand edit) would otherwise crash the
+    ingest with a KeyError instead of degrading to the plain path.
+    Treating it as absent re-reads the live files into a fresh index —
+    the bootstrap path, always correct."""
     try:
-        return json.loads((root / "manifest.json").read_text())
+        man = json.loads((root / "manifest.json").read_text())
     except (OSError, ValueError):
         return None
+    if (
+        not isinstance(man, dict)
+        or not isinstance(man.get("n_buckets"), int)
+        or man["n_buckets"] < 1
+        or not isinstance(man.get("entries"), dict)
+        or not all(
+            isinstance(w, str)
+            and isinstance(dates, list)
+            and all(isinstance(d, str) for d in dates)
+            for w, dates in man["entries"].items()
+        )
+    ):
+        return None
+    return man
 
 
 def _write_manifest(root: Path, man: dict) -> None:
@@ -126,7 +147,15 @@ def live_write_pairs(
     threshold never needs a second recursive walk — review r11).
     Returns None when any live data file does not fit the write-id
     format's naming (the index then cannot claim to cover the table
-    and the caller must fall back)."""
+    and the caller must fall back).
+
+    Deliberately pathlib-local (NOT the graph._stage_du Hadoop-FS
+    pattern): the write-id format this indexes is POSIX-by-design
+    (WriterLease hard links, os.rename publishes), so a scheme'd
+    warehouse path cannot arise from a working deployment; on one this
+    returns empty ⇒ the J2 auto-switch stays on the always-correct
+    plain path rather than half-trusting a listing the lease protocol
+    never covered."""
     pairs: set[tuple[str, str]] = set()
     files: dict[tuple[str, str], list[str]] = {}
     n_bytes = 0

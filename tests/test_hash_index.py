@@ -145,6 +145,53 @@ def test_index_refuses_unaccountable_files(spark, tmp_path, indexed_env):
     )
 
 
+def test_malformed_manifest_shape_rebootstraps_not_crashes(
+    spark, tmp_path, indexed_env
+):
+    """A manifest that parses as JSON but has the wrong SHAPE (hand
+    edit, truncated rewrite restored from backup) must read as absent —
+    ``man["entries"]`` is consumed before history_hash_frame's fallback
+    try, so without the shape gate this was a KeyError crashing the
+    ingest cycle instead of the bootstrap re-read (r11 session review)."""
+    import json
+
+    from datawarehouse_backup_system_spark.plans import hash_index
+
+    fx = generate_f1(tmp_path)
+    job = ti.make_job(spark, tmp_path, fx)
+    schema = job.registry.get("mini_campaign_events")
+    r0 = job.process_file(fx["files"][0])
+    assert r0.rows_loaded > 0
+
+    # build the index, then corrupt the manifest four shape-level ways
+    probe = job.read_table(schema).select("row_hash").limit(1)
+    job._dedup_against_history(probe, schema).count()
+    root = hash_index._index_root(
+        tmp_path / "warehouse", schema.table_name
+    )
+    man_path = root / "manifest.json"
+    good = json.loads(man_path.read_text())
+    for bad in (
+        ["not", "a", "dict"],
+        {"entries": {}},  # n_buckets missing
+        {"n_buckets": "4", "entries": {}},  # n_buckets not an int
+        {"n_buckets": 4, "entries": {"w": "2020-01-01"}},  # dates not list
+    ):
+        man_path.write_text(json.dumps(bad))
+        assert hash_index._read_manifest(root) is None
+    # and the full J2 path survives it: re-bootstrap, still exact
+    replay = tmp_path / "last24h__remanifest.csv"
+    replay.write_bytes(fx["files"][0].read_bytes())
+    assert job.process_file(replay).rows_loaded == 0
+    # the re-bootstrap rewrote a well-formed manifest covering at least
+    # every pair the intact one held (an empty-append write during the
+    # replay cycle may add a pair; it must never lose one)
+    reborn = hash_index._read_manifest(root)
+    assert reborn is not None and reborn["n_buckets"] == good["n_buckets"]
+    for w, dates in good["entries"].items():
+        assert set(dates) <= set(reborn["entries"].get(w, []))
+
+
 def test_retention_partition_drop_reflected_without_rebuild(
     spark, tmp_path, indexed_env
 ):

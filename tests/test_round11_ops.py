@@ -229,6 +229,31 @@ def test_fan_out_small_scan_conditional(spark):
     assert fan_out_small_scan(wide) is wide
 
 
+def test_fan_out_small_scan_never_executes_adaptive_plans(spark):
+    """An exchange-bearing frame is AdaptiveSparkPlanExec-wrapped, and
+    .rdd on that wrapper EXECUTES every upstream stage just to report a
+    partition count (then reports the post-AQE-coalesce count, queuing
+    a second pointless shuffle). The guard must return such frames
+    untouched WITHOUT running any job (r11 session review)."""
+    from pyspark.sql import functions as F
+
+    from datawarehouse_backup_system_spark.operators.skew import (
+        fan_out_small_scan,
+    )
+
+    sc = spark.sparkContext
+    agg = (
+        spark.createDataFrame([(i,) for i in range(1000)], "x bigint")
+        .groupBy((F.col("x") % 10).alias("k"))
+        .count()
+    )
+    jobs_before = len(sc.statusTracker().getJobIdsForGroup())
+    out = fan_out_small_scan(agg)
+    jobs_after = len(sc.statusTracker().getJobIdsForGroup())
+    assert out is agg  # identity: no repartition stacked on the shuffle
+    assert jobs_after == jobs_before  # and the probe ran NO job
+
+
 # ---------------------------------------------------------------------------
 # r11 coordinated tokens() migration (ADVICE r10->r11): full-whitespace
 # trim + explicit WS_CLASS split, one recipe on both engines
