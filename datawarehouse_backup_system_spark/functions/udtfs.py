@@ -8,11 +8,16 @@ path uses, and pytest pins the two bit-equal. The UDTF exists so the
 engine's surface covers the escape hatch users reach for first.
 
 Sentence splitting semantics (canonical, engine-portable): a sentence
-boundary is ``[.!?]`` followed by whitespace. Implemented everywhere as
-mark-then-split — replace ``([.!?])\\s+`` with the terminator plus a
-``\\x01`` marker, split on the marker, drop empties — because RE2
-(DuckDB) has no lookbehind, so the naive ``(?<=[.!?])\\s+`` split can't
-be replayed by the oracle.
+boundary is ``[.!?]`` followed by whitespace — the explicit
+:data:`~..operators.text.WS_CLASS`, not the ``\\s`` shorthand, because
+``\\s`` reads differently in every dialect this family spans (Python
+``re`` on str: full Unicode whitespace incl. NBSP; Java: ASCII with
+vertical tab; DuckDB/RE2: ASCII without vertical tab — the same
+three-way fork the r11 tokens() migration closed for tokenization).
+Implemented everywhere as mark-then-split — replace the boundary with
+the terminator plus a ``\\x01`` marker, split on the marker, drop
+empties — because RE2 (DuckDB) has no lookbehind, so the naive
+``(?<=[.!?])\\s+`` split can't be replayed by the oracle.
 """
 
 from __future__ import annotations
@@ -22,8 +27,12 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datawarehouse_backup_system_spark.operators.text import WS_CLASS
+
 SENT_MARK = "\x01"
-_BOUNDARY = re.compile(r"([.!?])\s+")
+#: WS_CLASS is pure ASCII-class syntax, so Python re and Java read it
+#: identically (and T31's oracle carries the same literal for RE2)
+_BOUNDARY = re.compile(f"([.!?]){WS_CLASS}+")
 
 
 def split_sentences_py(text: str | None) -> list[str]:
@@ -41,7 +50,9 @@ def split_sentences_py(text: str | None) -> list[str]:
 
 def sentences_expr(text: Column) -> Column:
     """Expression twin: array<string> of sentences, codegen-friendly."""
-    marked = F.regexp_replace(F.trim(text), r"([.!?])\s+", "$1" + SENT_MARK)
+    marked = F.regexp_replace(
+        F.trim(text), f"([.!?]){WS_CLASS}+", "$1" + SENT_MARK
+    )
     return F.filter(F.split(marked, SENT_MARK), lambda s: s != "")
 
 

@@ -25,7 +25,9 @@ STOPWORDS = {
 }
 
 #: crude BPE-ish subword splitter: letter runs, digit runs, single symbols
-SUBWORD_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+#: \s spelled out (r11 session review): inside the negated class a
+#: dialect-divergent \s makes VT a 'symbol' token in RE2 but not Java
+SUBWORD_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\f\r\x0B]"
 
 
 #: THE whitespace class, shared by tokens() and every oracle replay —
@@ -130,7 +132,9 @@ def quality_features(
         F.col(id_col),
         F.length(t).alias("n_chars_text"),
         token_count(t).alias("n_tokens"),
-        F.length(F.regexp_replace(t, r"\s", "")).alias("n_nonspace"),
+        # WS_CLASS, not \s: the T02 oracle replays this in RE2,
+        # whose \s lacks vertical tab (r11 session review)
+        F.length(F.regexp_replace(t, WS_CLASS, "")).alias("n_nonspace"),
         stopword_hits(t, lang).alias("stop_hits"),
         punct_count(t).alias("n_punct"),
     )
@@ -869,6 +873,11 @@ def normalize_text(
     (Spark's regexp_replace is global by default).
     """
     out = F.regexp_replace(col, r"[\x00-\x1F\x7F]", " ")
+    # \s is dialect-safe HERE (unlike tokens()/n_nonspace): the
+    # control-char pass above already mapped every character the Java
+    # and RE2 \s definitions disagree on (all of \t\n\x0B\f\r are in
+    # \x00-\x1F) to a space, so both engines' \s+ only ever sees
+    # literal spaces (r11 session review)
     out = F.trim(F.regexp_replace(out, r"\s+", " "))
     if fold_accents:
         out = F.translate(out, ACCENT_SRC, ACCENT_DST)

@@ -434,12 +434,12 @@ F01_SQL = """
 WITH dirty AS (
   SELECT c_custkey + 1000000 AS _lid,
          regexp_replace(lower(trim(substr(c_name, 1, 4) || substr(c_name, 6))),
-                        '\\s+', ' ', 'g') AS _lp
+                        '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g') AS _lp
   FROM customer
 ),
 clean AS (
   SELECT c_custkey AS _rid,
-         regexp_replace(lower(trim(c_name)), '\\s+', ' ', 'g') AS _rp
+         regexp_replace(lower(trim(c_name)), '[ \\t\\n\\f\\r\\x0B]+', ' ', 'g') AS _rp
   FROM customer
 ),
 gl AS (

@@ -515,7 +515,7 @@ def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 T01_SQL = r"""
 SELECT doc_id,
        len(string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+')) AS n_tokens,
-       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\f\r\x0B]')) AS n_subwords,
        len(text) AS n_chars_calc
 FROM documents
 """
@@ -534,7 +534,7 @@ WITH f AS (
   SELECT doc_id, text,
          len(text) AS n_chars_text,
          len(string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+')) AS n_tokens,
-         len(regexp_replace(text, '\s', '', 'g')) AS n_nonspace,
+         len(regexp_replace(text, '[ \t\n\f\r\x0B]', '', 'g')) AS n_nonspace,
          len(list_filter(string_split_regex(regexp_replace(text, '^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$', '', 'g'), '[ \t\n\f\r\x0B]+'),
              x -> x IN ('the','a','of','and','to','in','is','it'))) AS stop_hits,
          len(text) - len(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS n_punct

@@ -683,7 +683,7 @@ d AS (
   SELECT doc_id,
          list_filter(
            string_split(
-             regexp_replace(trim(text), '([.!?])\s+', '\1' || chr(1), 'g'),
+             regexp_replace(trim(text), '([.!?])[ \t\n\f\r\x0B]+', '\1' || chr(1), 'g'),
              chr(1)),
            x -> x <> '') AS sents
   FROM inj

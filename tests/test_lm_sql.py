@@ -142,6 +142,14 @@ def test_udtf_sentences_match_expression_path(spark):
         (3, "Trailing dot."),        # no whitespace after → one sentence
         (4, "A.B stays joined. but this splits"),
         (5, ""),
+        # adversarial whitespace (r11 session review): the twins used
+        # three different \s dialects — Python re (Unicode, matches
+        # NBSP), Java (ASCII with VT), RE2 (ASCII without VT); all now
+        # share the explicit WS_CLASS, so VT splits everywhere and NBSP
+        # splits nowhere
+        (6, "Vertical.\x0btab boundary"),
+        (7, "Unicode. nbsp is NOT a boundary"),
+        (8, "Newline?\nboundary. \t mixed"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     via_expr = (
@@ -158,3 +166,10 @@ def test_udtf_sentences_match_expression_path(spark):
     py = {(i, j, s) for i, t in rows for j, s in enumerate(split_sentences_py(t))}
     assert set(map(key, via_udtf)) == py
     assert not any(r["doc_id"] == 5 for r in via_udtf)  # empty → no rows
+    # pinned WS_CLASS semantics, not just twin agreement
+    by_doc = {}
+    for r in sorted(via_udtf, key=key):
+        by_doc.setdefault(r["doc_id"], []).append(r["sentence"])
+    assert by_doc[6] == ["Vertical.", "tab boundary"]  # VT splits
+    assert by_doc[7] == [rows[6][1]]  # NBSP does not split anywhere
+    assert by_doc[8] == ["Newline?", "boundary.", "mixed"]

@@ -315,6 +315,46 @@ def test_token_count_strict_zero_for_control_whitespace_only(spark):
     assert got == {1: 0, 2: 0, 3: 0, 4: 2}
 
 
+def test_counts_cross_engine_parity_on_vertical_tab(spark):
+    """n_nonspace (t02) and subword_count (t01) replace/extract with a
+    regex the oracle replays in RE2, whose \\s lacks vertical tab — so
+    the \\s shorthand diverged on VT-bearing text (Spark/Java dropped a
+    VT from n_nonspace, DuckDB counted it; and RE2 made VT a 'symbol'
+    subword). Both recipes now spell out the class; pin cross-engine
+    equality on the exact characters the dialects disagree on."""
+    import duckdb
+
+    docs = [(1, "a\x0bb c."), (2, "x\ty\nz"), (3, "plain text!")]
+    df = spark.createDataFrame(docs, "id int, text string")
+    got_spark = {
+        r["id"]: (r["ns"], r["sw"])
+        for r in df.select(
+            "id",
+            F.length(F.regexp_replace(F.col("text"), text.WS_CLASS, ""))
+            .alias("ns"),
+            text.subword_count(F.col("text")).alias("sw"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "docs", __import__("pandas").DataFrame(docs, columns=["id", "text"])
+    )
+    got_duck = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            r"""
+            SELECT id,
+                   len(regexp_replace(text, '[ \t\n\f\r\x0B]', '', 'g')),
+                   len(regexp_extract_all(
+                       text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\f\r\x0B]'))
+            FROM docs
+            """
+        ).fetchall()
+    }
+    assert got_spark == got_duck
+    assert got_spark[1] == (4, 4)  # VT+space removed; subwords a,b,c,'.'
+
+
 def test_spec_layer_tokenization_conforms_to_tokens_sql():
     """Single-definition enforcement: every string_split_regex call in
     the spec layer must be the tokens_sql() recipe (at either backslash
