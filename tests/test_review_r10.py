@@ -206,7 +206,10 @@ def test_langid_tokenizes_once_in_plan(spark):
     )
     out = langid(df, "id", "text")
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("split(trim(") == 1, plan
+    # count any split(...) spelling: the r11 tokens() migration renamed
+    # the subtree from split(trim(..), '\s+') to the WS_CLASS recipe —
+    # the once-only contract is what this pins, not the spelling
+    assert plan.count("split(") == 1, plan
     assert out.collect()[0]["predicted_lang"] == "en"
 
 
