@@ -175,14 +175,23 @@ def test_staged_round_root_warns_on_scheme_clear_failure(spark):
 # ADVICE r10 item 5 — tokens()/bigram_rows divergence is documented
 # --------------------------------------------------------------------------
 def test_tokens_divergence_documented():
-    """ADVICE r10 (lm.py:59): the repo carries two tokenizations
-    (tokens() space-only-trims; bigram_rows regex-trims). The chosen
-    resolution is a documented divergence + one coordinated future
-    migration; pin the documentation so it cannot silently drop."""
+    """ADVICE r10 (lm.py:59): the repo carried two tokenizations
+    (tokens() space-only-trims; bigram_rows regex-trims). Originally
+    this pinned the interim documented-divergence state; the r11
+    coordinated migration then RESOLVED it, so the pin upgrades with
+    it: one recipe (tokens/WS_CLASS), no local split in any consumer,
+    and the migration documented where the divergence note was."""
+    import inspect
+
+    from datawarehouse_backup_system_spark.operators import importance, lm
     from datawarehouse_backup_system_spark.operators.text import tokens
 
     assert "bigram_rows" in (tokens.__doc__ or "")
-    assert "divergence" in (tokens.__doc__ or "").lower()
+    assert "migration" in (tokens.__doc__ or "").lower()
+    # the consumers ADVICE flagged now share the single definition
+    assert "tokens(" in inspect.getsource(lm.bigram_rows)
+    assert "F.split(" not in inspect.getsource(lm.bigram_rows)
+    assert "text.tokens(" in inspect.getsource(importance.dsir_weights)
 
 
 # --------------------------------------------------------------------------
@@ -920,7 +929,11 @@ def test_pass_f_source_contracts():
     assert "stage=False" in inspect.getsource(pipeline_ext.t26_bigram_lm)
     src = inspect.getsource(pipeline_ext)
     assert 'raise ValueError("d09 oracle changed shape' in src
-    assert "x0B" in (tokens.__doc__ or "")
+    # the \x0B Java-vs-RE2 note moved from tokens.__doc__ to WS_CLASS
+    # itself when the r11 migration replaced \s with the explicit class
+    from datawarehouse_backup_system_spark.operators.text import WS_CLASS
+
+    assert "\\x0B" in WS_CLASS and "WS_CLASS" in (tokens.__doc__ or "")
 
 
 def test_t30_single_rollup_parity(spark):
