@@ -420,8 +420,16 @@ def main() -> int:
     # is ALWAYS emitted. A soft wall-clock budget degrades best-of-2 to
     # best-of-1, and a hard budget stops the loop, marking the remainder
     # "skipped" — partial timings beat none.
-    soft_budget = float(os.environ.get("SPARK_GRAFT_BENCH_SOFT_S", "900"))
-    hard_budget = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_S", "1500"))
+    # Defaults sized so the contention RETRY is actually admissible for
+    # the full 150-query suite (r11 session measurement: one full
+    # attempt runs ~800 s clean / ~1000 s contended, so the old 1500 s
+    # hard budget could never satisfy `elapsed + pause + 1.2*wall <
+    # hard` — the whole-suite retry the r10 verdict asked for was dead
+    # code exactly on the official artifact it exists to protect; it
+    # only ever fired for allowlist runs). 2700 s admits one retry;
+    # the soft budget keeps best-of-2 through a clean attempt.
+    soft_budget = float(os.environ.get("SPARK_GRAFT_BENCH_SOFT_S", "1100"))
+    hard_budget = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_S", "2700"))
     bench_t0 = time.time()
 
     def _time_once(name: str) -> float:
