@@ -76,20 +76,30 @@ def contamination(
     )
 
 
-def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document DISTINCT word n-gram shingle SET as an array:
+    (id, shset). Documents shorter than n words are dropped — the same
+    population :func:`word_shingles` emits, just one row per document
+    instead of one per shingle.
 
-    Expression-only: split → sequence → transform → explode. Documents
-    shorter than n words produce no shingles.
+    This is the r11-optimization representation of the shingle relation:
+    keeping the set in-row means per-document derivations (minhash
+    signature, set size, pairwise intersection) stay NARROW expressions
+    instead of explode → corpus-wide shuffle → re-aggregate round trips
+    (guide §2.3/§2.4 — fewer exchanges, fewer bytes; the exploded form
+    remains for consumers that genuinely join ON the shingle value,
+    e.g. decontamination).
     """
     # Stage the token array once: higher-order functions are interpreted
     # (no codegen / no common-subexpression elimination), so referencing
     # the raw split() inside the transform lambda would re-split the text
     # per element. fan_out_small_scan: conditional repartition so the
-    # explode parallelizes on a single-small-file local source while a
-    # corpus-scale input (thousands of scan partitions) skips the
-    # shuffle — the r10 fix for the unconditional full-corpus variant,
-    # now single-sourced in operators/skew.py.
+    # gram expansion parallelizes on a single-small-file local source
+    # while a corpus-scale input (thousands of scan partitions) skips
+    # the shuffle — the r10 fix for the unconditional full-corpus
+    # variant, now single-sourced in operators/skew.py.
     from datawarehouse_backup_system_spark.operators.skew import (
         fan_out_small_scan,
     )
@@ -115,11 +125,22 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
         zipped, lambda x: F.concat_ws(" ", *[x[f"t{j}"] for j in range(n)])
     )
     # distinctness per (id, shingle) only needs per-ROW dedup (each doc is
-    # one row): array_distinct before the explode replaces a full
-    # cross-partition DISTINCT shuffle with a narrow per-row operation
-    return (
-        staged.where(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
+    # one row): array_distinct is a narrow per-row operation
+    return staged.where(F.size(toks) >= n).select(
+        F.col(id_col), F.array_distinct(grams).alias("shset")
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Expression-only: :func:`shingle_sets` exploded. Documents shorter
+    than n words produce no shingles. Use this form only when the
+    consumer joins ON the shingle value; per-document derivations are
+    cheaper on the un-exploded set (see :func:`shingle_sets`).
+    """
+    return shingle_sets(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode(F.col("shset")).alias("shingle")
     )
 
 
@@ -148,6 +169,64 @@ def minhash_signature(
         for i in range(k)
     ]
     return staged.groupBy(id_col).agg(*aggs)
+
+
+def minhash_mins(shset: Column, k: int = 9) -> Column:
+    """Per-ROW minhash signature of a shingle-set array: array<bigint>
+    of the K Kirsch-Mitzenmacher minima, byte-identical to
+    :func:`minhash_signature`'s mh0..mh{k-1} (parity pytest-pinned).
+
+    One fold over the set (the :func:`simhash_expr` pattern): the inner
+    transform materializes ONE md5 split per element — interpreted HOFs
+    have no CSE, so binding the (h1, h2) struct array first keeps the
+    hash single-evaluation — and the aggregate's zip_with updates all K
+    running minima per element. No explode, no groupBy, NO SHUFFLE:
+    the signature becomes a linear map over the corpus (r11
+    optimization; the grouped variant shuffled one partially-aggregated
+    row per (id, map-partition) — this form shuffles nothing at all).
+    """
+    assert 1 <= k <= 127, "k*2^56 must fit signed 64-bit"
+    hpairs = F.transform(
+        F.transform(shset, F.md5),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 14), 16, 10)
+            .cast("bigint")
+            .alias("h1"),
+            F.conv(F.substring(h, 15, 14), 16, 10)
+            .cast("bigint")
+            .alias("h2"),
+        ),
+    )
+    idx = F.array(*[F.lit(i).cast("bigint") for i in range(k)])
+    init = F.array(
+        *[F.lit(9223372036854775807).cast("bigint") for _ in range(k)]
+    )
+    return F.aggregate(
+        hpairs,
+        init,
+        lambda acc, x: F.zip_with(
+            acc, idx, lambda m, i: F.least(m, x["h1"] + i * x["h2"])
+        ),
+    )
+
+
+def minhash_signature_sets(
+    docsh: DataFrame, id_col: str, k: int = 9, set_col: str = "shset"
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) from a :func:`shingle_sets` frame — the
+    shuffle-free signature pass (see :func:`minhash_mins`). The _mins
+    array is bound in its own projection; CollapseProject keeps it
+    single-evaluation because an expensive expression referenced K
+    times is never inlined (plan-pinned in tests)."""
+    return docsh.select(
+        F.col(id_col), minhash_mins(F.col(set_col), k).alias("_mins")
+    ).select(
+        F.col(id_col),
+        *[
+            F.element_at(F.col("_mins"), i + 1).alias(f"mh{i}")
+            for i in range(k)
+        ],
+    )
 
 
 def lsh_bands(sigs: DataFrame, id_col: str, k: int, band_size: int) -> DataFrame:
@@ -268,41 +347,80 @@ def minhash_lsh_dedup(
     """Full MinHash-LSH near-dup pipeline → verified duplicate pairs
     (id_a < id_b, exact jaccard ≥ threshold).
 
-    The shingle set is referenced by FOUR subtrees (signatures, pair
-    intersection ×2, sizes). Three materialization tiers, chosen by
-    MEASUREMENT (sf0.1, local[32], best-of-2):
+    r11 OPTIMIZATION — the shingle relation stays in its PER-DOCUMENT
+    ARRAY form (:func:`shingle_sets`) end to end:
 
-    - default (recompute): 2.9 s — re-running the split+zip explode per
-      consumer beats building an InMemoryRelation of the exploded rows.
-    - ``persist_shingles=True``: 5.4 s — the columnar cache BUILD of
-      ~10⁶ (id, shingle) rows costs more than four recomputes; only
-      right when the upstream corpus scan itself is expensive (remote
-      storage, decompression) so recompute is the dominant term.
-    - ``stage_path``: 2.7 s — parquet staging wins outright and is the
-      100 TB switch: consumers scan columnar storage with pruning,
-      executor loss never recomputes the explode, and the stage is
-      reusable across runs over the same corpus snapshot.
+    - signatures are a per-row fold (:func:`minhash_mins`) — the old
+      explode → groupBy(id) signature pass and its exchange are gone;
+    - set sizes are ``F.size`` — the old sizes groupBy and its two
+      joins are gone;
+    - pair verification joins the candidate list to the array frame
+      twice and computes |A∩B| as ``size(array_intersect(..))`` —
+      the old form equi-joined the FULL exploded shingle relation on
+      (id, shingle), which at corpus scale re-shuffled every shingle
+      occurrence; now only candidate documents' sets move (AQE
+      broadcasts the candidate list when it is small).
+
+    Values are identical (same md5-derived minima, |A∩B| over the same
+    distinct sets — parity pytest-pinned; the DuckDB oracle is
+    unchanged). Plan: 2 exchanges touch corpus-derived data (hot-bucket
+    window + band self-join — the one shuffle LSH fundamentally needs)
+    instead of 6.
+
+    The array frame is referenced by THREE subtrees (signatures, verify
+    ×2). Materialization tiers:
+
+    - default (recompute): re-running the tokenize+gram projection per
+      consumer beats building an InMemoryRelation (measured r7, re-
+      measured r11 on the array form).
+    - ``persist_shingles=True``: caches the (id, shset) frame — far
+      cheaper to build than the old exploded cache, but it still pins
+      a corpus-sized frame in executor storage; only right when the
+      upstream corpus scan itself is expensive.
+    - ``stage_path``: parquet-stages the array frame (the 100 TB
+      switch: consumers scan columnar storage, executor loss never
+      recomputes the gram expansion, and the stage is reusable across
+      runs over the same corpus snapshot).
     """
-    sh = word_shingles(df, id_col, text_col, shingle_n)
+    docsh = shingle_sets(df, id_col, text_col, shingle_n)
     if stage_path is not None:
-        sh.write.mode("overwrite").parquet(stage_path)
+        docsh.write.mode("overwrite").parquet(stage_path)
         # explicit schema: an all-short corpus (no shingles) stages
         # only _SUCCESS and inference would raise (review r11, the
         # shards.py review-r8 trap)
-        sh = df.sparkSession.read.schema(sh.schema).parquet(stage_path)
+        docsh = df.sparkSession.read.schema(docsh.schema).parquet(stage_path)
     elif persist_shingles:
-        sh = sh.persist()
-    sigs = minhash_signature(sh, id_col, k)
+        docsh = docsh.persist()
+    sigs = minhash_signature_sets(docsh, id_col, k)
     cands = lsh_candidate_pairs(
         lsh_bands(sigs, id_col, k, band_size), id_col, max_bucket_size
     )
-    # AQE strategy even when capped (review r11): max_bucket_size
+    # AQE strategy for the verify joins (review r11): max_bucket_size
     # bounds PER-BUCKET fan-out, not the TOTAL pair count — a near-dup-
     # heavy corpus yields Theta(N) candidate pairs under any cap, and a
     # forced broadcast ships them through the driver (the exact OOM
     # path the r10 fix closed for the uncapped case). AQE broadcasts at
     # runtime exactly when the pair set is actually small.
-    scored = jaccard_pairs(cands, sh, id_col)
+    a = docsh.select(F.col(id_col).alias("id_a"), F.col("shset").alias("_sa"))
+    b = docsh.select(F.col(id_col).alias("id_b"), F.col("shset").alias("_sb"))
+    scored = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sa", "_sb"))
+            .cast("bigint")
+            .alias("n_inter"),
+            F.size("_sa").cast("bigint").alias("n_a"),
+            F.size("_sb").cast("bigint").alias("n_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+    )
     return scored.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard"
     )
@@ -563,12 +681,21 @@ def incremental_neardup_pairs(
 
     Output: (id_new, id_hist, n_inter, n_new, n_hist, jaccard) for
     pairs with exact Jaccard >= threshold.
+
+    r11 optimization: the same per-document-array form as
+    :func:`minhash_lsh_dedup` — shuffle-free signatures
+    (:func:`minhash_mins`), in-row set sizes, and array_intersect
+    verification, so the HISTORY side's shingle occurrences are never
+    exploded or re-shuffled per batch (only candidate documents' sets
+    move through the verify joins).
     """
-    sh_new = word_shingles(new_df, id_col, text_col, shingle_n)
-    sh_hist = word_shingles(history_df, id_col, text_col, shingle_n)
-    bands_new = lsh_bands(minhash_signature(sh_new, id_col, k), id_col, k, band_size)
+    dn = shingle_sets(new_df, id_col, text_col, shingle_n)
+    dh = shingle_sets(history_df, id_col, text_col, shingle_n)
+    bands_new = lsh_bands(
+        minhash_signature_sets(dn, id_col, k), id_col, k, band_size
+    )
     bands_hist = lsh_bands(
-        minhash_signature(sh_hist, id_col, k), id_col, k, band_size
+        minhash_signature_sets(dh, id_col, k), id_col, k, band_size
     )
     bands_hist = cap_hot_buckets(
         bands_hist, ["band_idx", "band_key"], max_bucket_size
@@ -588,26 +715,27 @@ def incremental_neardup_pairs(
         .select("id_new", "id_hist")
         .distinct()
     )
-    sizes_new = sh_new.groupBy(id_col).agg(F.count("*").alias("n_new"))
-    sizes_hist = sh_hist.groupBy(id_col).agg(F.count("*").alias("n_hist"))
     # candidates are batch-bounded (tiny new side × capped history
     # buckets) ONLY when the cap is set — same rule as jaccard_pairs
     cand_side = F.broadcast(cand) if max_bucket_size is not None else cand
-    inter = (
-        cand_side
-        .join(sh_new.select(F.col(id_col).alias("id_new"), "shingle"), "id_new")
-        .join(
-            sh_hist.select(F.col(id_col).alias("id_hist"), "shingle"),
-            ["id_hist", "shingle"],
-        )
-        .groupBy("id_new", "id_hist")
-        .agg(F.count("*").alias("n_inter"))
-    )
     return (
-        inter.join(
-            sizes_new.withColumnRenamed(id_col, "id_new"), "id_new"
+        cand_side.join(
+            dn.select(F.col(id_col).alias("id_new"), F.col("shset").alias("_sn")),
+            "id_new",
         )
-        .join(sizes_hist.withColumnRenamed(id_col, "id_hist"), "id_hist")
+        .join(
+            dh.select(F.col(id_col).alias("id_hist"), F.col("shset").alias("_sh")),
+            "id_hist",
+        )
+        .select(
+            "id_new",
+            "id_hist",
+            F.size(F.array_intersect("_sn", "_sh"))
+            .cast("bigint")
+            .alias("n_inter"),
+            F.size("_sn").cast("bigint").alias("n_new"),
+            F.size("_sh").cast("bigint").alias("n_hist"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter")

@@ -631,17 +631,13 @@ def _neardup_corpus_and_pairs(
             )
         )
     corpus = gen[0].unionByName(gen[1]).unionByName(gen[2])
-    sh = dedup_approx.word_shingles(corpus, "doc_id", "text", 3)
-    pairs = dedup_approx.jaccard_pairs(
-        dedup_approx.lsh_candidate_pairs(
-            dedup_approx.lsh_bands(
-                dedup_approx.minhash_signature(sh, "doc_id", 9), "doc_id", 9, 3
-            ),
-            "doc_id",
-        ),
-        sh,
-        "doc_id",
-    ).where(F.col("jaccard") >= 0.5)
+    # the full pipeline (array-form shingle sets, shuffle-free per-row
+    # signatures, array_intersect verify — r11 optimization) with the
+    # same parameters the old hand-assembled explode pipeline used
+    pairs = dedup_approx.minhash_lsh_dedup(
+        corpus, "doc_id", "text", shingle_n=3, k=9, band_size=3,
+        threshold=0.5,
+    )
     return corpus, pairs
 
 

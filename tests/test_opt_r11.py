@@ -1,0 +1,85 @@
+"""Round-11 OPTIMIZATION parity pins for the array-form shingle/minhash
+rewrite (operators/dedup_approx.py).
+
+The optimization replaced the exploded (id, shingle) relation with a
+per-document array (``shingle_sets``) and the explode→groupBy signature
+pass with a per-row fold (``minhash_mins``). These tests pin the claims
+the docstrings make:
+
+1. value parity — the new signature pass is byte-identical to the old
+   grouped one on the same corpus;
+2. population parity — ``shingle_sets`` covers exactly the documents and
+   shingles ``word_shingles`` emitted;
+3. plan contract — the signature pass is shuffle-free (zero Exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datawarehouse_backup_system_spark.operators.dedup_approx import (
+    minhash_signature,
+    minhash_signature_sets,
+    shingle_sets,
+    word_shingles,
+)
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "a completely different document about spark shuffles"),
+    (4, "short doc"),  # < n tokens: must be dropped by BOTH paths
+    (5, "  leading and trailing   whitespace  padded   text here  "),
+    (6, "dup dup dup dup dup dup"),  # degenerate: one distinct shingle
+    (7, None),  # NULL text: dropped by both paths
+    (8, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+]
+SCHEMA = "doc_id long, text string"
+
+
+def test_minhash_mins_matches_grouped_signature(spark):
+    """minhash_mins (per-row fold) vs minhash_signature (explode +
+    groupBy): identical (id, mh0..mh8) rows — same md5 halves, same
+    Kirsch-Mitzenmacher minima."""
+    df = spark.createDataFrame(CORPUS, SCHEMA)
+    new = minhash_signature_sets(
+        shingle_sets(df, "doc_id", "text", 3), "doc_id", k=9
+    )
+    old = minhash_signature(word_shingles(df, "doc_id", "text", 3), "doc_id", k=9)
+    assert sorted(new.collect()) == sorted(old.collect())
+
+
+def test_minhash_mins_parity_other_k_and_n(spark):
+    """Parity holds away from the defaults (k=5, shingle_n=2)."""
+    df = spark.createDataFrame(CORPUS, SCHEMA)
+    new = minhash_signature_sets(
+        shingle_sets(df, "doc_id", "text", 2), "doc_id", k=5
+    )
+    old = minhash_signature(word_shingles(df, "doc_id", "text", 2), "doc_id", k=5)
+    assert sorted(new.collect()) == sorted(old.collect())
+
+
+def test_shingle_sets_population_matches_word_shingles(spark):
+    """shingle_sets exploded == the historical word_shingles relation:
+    same documents survive the >= n filter, same distinct shingles."""
+    df = spark.createDataFrame(CORPUS, SCHEMA)
+    exploded = shingle_sets(df, "doc_id", "text", 3).select(
+        "doc_id", F.explode("shset").alias("shingle")
+    )
+    legacy = word_shingles(df, "doc_id", "text", 3)
+    assert sorted(exploded.collect()) == sorted(legacy.collect())
+    # the short, NULL-text docs are genuinely absent
+    ids = {r["doc_id"] for r in exploded.select("doc_id").distinct().collect()}
+    assert 4 not in ids and 7 not in ids and 6 in ids
+
+
+def test_signature_pass_is_shuffle_free(spark):
+    """The r11 claim the rewrite exists for: signatures are a linear map
+    — no Exchange anywhere in the signature plan (the old explode +
+    groupBy variant shuffled once)."""
+    df = spark.createDataFrame(CORPUS, SCHEMA)
+    sigs = minhash_signature_sets(
+        shingle_sets(df, "doc_id", "text", 3), "doc_id", k=9
+    )
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
