@@ -940,6 +940,7 @@ def neighborhood_function(
     lg_config_k: int = 12,
     stage_path: str | None = None,
     stage_bucketed: bool | None = None,
+    stage_rounds_above: int = 4,
 ) -> DataFrame:
     """HyperBall (Boldi–Vigna, "In-Core Computation of Geometric
     Centralities with HyperBall", public literature): the per-node
@@ -982,12 +983,76 @@ def neighborhood_function(
     a crawl/quality prior.
     """
     spark = edges.sparkSession
-    root = _staged_round_root(stage_path, "dwbss-nf-", spark)
     e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    k = F.lit(int(lg_config_k))
+    # UNROLLED LAZY TIER (r11 optimization, the pagerank
+    # stage_rounds_above precedent): for a small fixed radius over a
+    # small edge source, with no explicit staging demand, compose every
+    # round lazily and union the per-radius estimate projections — ONE
+    # job, no per-round parquet round trips. Output-equivalent to the
+    # staged tier: all radii 0..max_radius are emitted (the staged
+    # early stop only SKIPS post-saturation rounds, whose estimates
+    # are constant — and every consumer of a truncated run fills
+    # forward/truncates, so extra constant rows change nothing). The
+    # per-radius union duplicates the sketch lineage (radius r's
+    # subtree re-runs r joins; ~r²/2 joins total, parallel subtrees) —
+    # measured FASTER locally than r staged rounds (sf0.1 g06/h06:
+    # 5.5 s -> 3.9 s, OPTIMIZATION_r11.md) because at that size the
+    # cost is sequential-job latency, not bytes. The SIZE GATE is what
+    # keeps it honest at 100 TB: duplicated lineages re-scan the edge
+    # source ~r²/2 times, so above the byte threshold (optimizer-stats
+    # probe of the canonical edge frame; the e02/_stage_static_side
+    # threshold pattern) the staged tier with early stop runs
+    # unchanged — as it does for real HyperBall radii (8+) and for any
+    # forced staging demand.
+    import os as _os
+
+    unroll_max_bytes = int(
+        _os.environ.get("SPARK_GRAFT_NF_UNROLL_MAX_BYTES", str(1 << 30))
+    )
+    try:
+        e_bytes = int(
+            e._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — no stats ⟹ take the scale-safe tier
+        e_bytes = unroll_max_bytes + 1
+    if (
+        stage_path is None
+        and stage_bucketed is not True
+        and max_radius <= stage_rounds_above
+        and e_bytes <= unroll_max_bytes
+    ):
+        d = _directed(e)
+        sk = d.groupBy(F.col("a").alias("node")).agg(
+            F.hll_sketch_agg(F.col("a"), k).alias("sketch")
+        )
+
+        def _est(frame: DataFrame, radius: int) -> DataFrame:
+            return frame.select(
+                "node",
+                F.lit(radius).alias("radius"),
+                F.round(F.hll_sketch_estimate("sketch"))
+                .cast("bigint")
+                .alias("n_reachable_est"),
+            )
+
+        out = _est(sk, 0)
+        for t in range(1, max_radius + 1):
+            contrib = d.join(
+                sk.select(F.col("node").alias("b"), "sketch"), "b"
+            ).select(F.col("a").alias("node"), "sketch")
+            sk = (
+                contrib.unionByName(sk)
+                .groupBy("node")
+                .agg(F.hll_union_agg("sketch").alias("sketch"))
+            )
+            out = out.unionByName(_est(sk, t))
+        return out
+
+    root = _staged_round_root(stage_path, "dwbss-nf-", spark)
     d, drop_stage = _stage_static_side(
         _directed(e), root, "edges", "b", bucketed=stage_bucketed
     )
-    k = F.lit(int(lg_config_k))
     # radius 0: each node's ball is {itself}
     sk = d.groupBy(F.col("a").alias("node")).agg(
         F.hll_sketch_agg(F.col("a"), k).alias("sketch")

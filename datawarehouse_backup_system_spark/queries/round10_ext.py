@@ -67,40 +67,85 @@ def _g06_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("src", "dst")
 
 
-def _g06_exact_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact radius-capped BFS neighborhood counts (v, radius,
-    n_reachable), radius 0..R, by distinct reachable-pair expansion —
-    linear on this chain-like graph (ball <= 2r+1). Shared by g06
-    (per-radius counts) and h06 (harmonic from the counts)."""
-    e = _canon(
-        _g06_edges(spark, sf_dir).select(
-            F.col("src").alias("u"), F.col("dst").alias("v")
+def _g06_directed(edges: DataFrame) -> DataFrame:
+    """Canonical directed (a, b) edge list from a (src, dst) frame —
+    the BFS's join side. Referenced by R+1 subtrees of the expansion
+    (nodes + one join per round); deliberately NOT persisted — the
+    sf0.1 A/B measured recompute at 2.37 s vs 4.43 s persisted (cache
+    build + lost AQE on the cached subtree outweigh 4 re-evaluations
+    of a cheap windowed edge build). At cluster scale the edge side
+    the per-round machinery actually hammers is staged inside
+    neighborhood_function already."""
+    return _directed(
+        _canon(
+            edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         )
     )
-    d = _directed(e)
+
+
+def _g06_exact_wide(d: DataFrame) -> DataFrame:
+    """Exact radius-capped BFS ball sizes over a directed (a, b) edge
+    frame, WIDE: (v, _n0.._n{R}) with _nr = |{u : dist(v, u) <= r}|.
+    Shared by g06 (stacked to long form) and h06 (consumed wide for
+    the harmonic sum).
+
+    r11 optimization (guide §2.4): the old shape accumulated a
+    distinct pair set per radius and UNIONED four per-radius groupBys,
+    each carrying its own full copy of the expansion lineage — Spark
+    plans no cross-subtree reuse here (measured: 78 Exchange nodes /
+    68 parquet scans in the final adaptive plan, zero ReusedExchange).
+    This shape runs ONE frontier expansion that tracks each pair's
+    first-reach radius (union + min-agg per round — textbook BFS
+    layering, so ``fr`` is the true distance), then ONE conditional-sum
+    aggregation emits every cumulative ball size. Counts are provably
+    identical: |ball(v, r)| = #{u : fr(v, u) <= r}; the pair set
+    itself stays linear on this chain-like graph (ball <= 2r+1),
+    unchanged."""
     nodes = d.select(F.col("a").alias("v")).distinct()
-    # Disjoint join-side names (_ja/_jb): `pairs` accumulates d's
+    # Disjoint join-side names (_ja/_jb): `reached` accumulates d's
     # lineage after round 1, so d["b"] would be an ambiguous self-join
     dj = d.select(F.col("a").alias("_ja"), F.col("b").alias("_jb"))
-    pairs = nodes.select("v", F.col("v").alias("u"))
-    per_radius = [
-        pairs.groupBy("v").agg(F.count(F.lit(1)).alias("n_reachable"))
-        .select("v", F.lit(0).alias("radius"), "n_reachable")
-    ]
+    reached = nodes.select(
+        "v", F.col("v").alias("u"), F.lit(0).alias("fr")
+    )
     for r in range(1, _G06_RADIUS + 1):
-        pairs = pairs.unionByName(
-            pairs.join(dj, F.col("u") == F.col("_ja")).select(
-                "v", F.col("_jb").alias("u")
-            )
-        ).distinct()
-        per_radius.append(
-            pairs.groupBy("v").agg(F.count(F.lit(1)).alias("n_reachable"))
-            .select("v", F.lit(r).alias("radius"), "n_reachable")
+        cand = (
+            reached.where(F.col("fr") == r - 1)
+            .join(dj, F.col("u") == F.col("_ja"))
+            .select("v", F.col("_jb").alias("u"), F.lit(r).alias("fr"))
         )
-    exact = per_radius[0]
-    for frame in per_radius[1:]:
-        exact = exact.unionByName(frame)
-    return exact
+        # min-agg both dedups this round's candidates and keeps the
+        # first-reach radius for pairs seen earlier (BFS invariant)
+        reached = (
+            reached.unionByName(cand)
+            .groupBy("v", "u")
+            .agg(F.min("fr").alias("fr"))
+        )
+    return reached.groupBy("v").agg(
+        *[
+            F.sum(
+                F.when(F.col("fr") <= r, F.lit(1)).otherwise(F.lit(0))
+            ).cast("bigint").alias(f"_n{r}")
+            for r in range(_G06_RADIUS + 1)
+        ]
+    )
+
+
+def _g06_exact_bfs(d: DataFrame) -> DataFrame:
+    """Long-form exact BFS counts (v, radius, n_reachable), radius
+    0..R over a directed (a, b) edge frame — :func:`_g06_exact_wide`
+    stacked (one generate, no join)."""
+    wide = _g06_exact_wide(d)
+    stack_args = ", ".join(
+        f"{r}, _n{r}" for r in range(_G06_RADIUS + 1)
+    )
+    return wide.select(
+        "v",
+        F.expr(
+            f"stack({_G06_RADIUS + 1}, {stack_args}) "
+            "as (radius, n_reachable)"
+        ),
+    )
 
 
 def g06_hyperball_neighborhood(
@@ -115,21 +160,33 @@ def g06_hyperball_neighborhood(
     (n² frontier state). Early sketch saturation (possible on short
     chains) is filled forward from the node's last emitted radius —
     a saturated ball is constant by definition."""
-    exact = _g06_exact_bfs(spark, sf_dir)
-    # HyperBall estimates; saturation fill-forward per node
+    # no persist on the directed edge list: an interleaved A/B at
+    # sf0.1 measured the recompute BFS at 2.37 s vs 4.43 s persisted
+    # (cache build + lost AQE on the cached subtree cost more than the
+    # 4 re-evaluations of a cheap edge build; the r10 bucketed-staging
+    # lesson again) — see OPTIMIZATION_r11.md
+    exact = _g06_exact_bfs(_g06_directed(_g06_edges(spark, sf_dir)))
+    # HyperBall estimates; saturation fill-forward per node. r11: the
+    # fill is a last-non-null window over the JOINED frame, not a
+    # separate max-radius subquery — the old `last` frame was a second
+    # full reference to nf, which under the unrolled lazy tier re-ran
+    # the whole sketch pipeline (the staged tier had hidden that cost
+    # behind parquet-backed rounds). Identical semantics: the staged
+    # early stop only ever omits a contiguous TAIL of radii, so
+    # carrying the last emitted estimate forward equals the old
+    # "fill from the node's max emitted radius".
     nf = neighborhood_function(
         _g06_edges(spark, sf_dir), max_radius=_G06_RADIUS
     )
-    wlast = Window.partitionBy("node").orderBy(F.desc("radius"))
-    last = (
-        nf.withColumn("_rn", F.row_number().over(wlast))
-        .where(F.col("_rn") == 1)
-        .select("node", F.col("n_reachable_est").alias("_last_est"))
-    )
     est = exact.join(
         nf.withColumnRenamed("node", "v"), ["v", "radius"], "left"
-    ).join(last.withColumnRenamed("node", "v"), "v")
-    filled = F.coalesce(F.col("n_reachable_est"), F.col("_last_est"))
+    )
+    wfill = (
+        Window.partitionBy("v")
+        .orderBy("radius")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last("n_reachable_est", ignorenulls=True).over(wfill)
     tol = F.greatest(F.lit(1.0), F.lit(0.05) * F.col("n_reachable"))
     return est.select(
         F.col("v").alias("event_id"),
@@ -209,24 +266,18 @@ def h06_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes zero to later terms, so early stop is sum-equivalent."""
     from ..operators.graph import harmonic_centrality_approx
 
-    exact = _g06_exact_bfs(spark, sf_dir)
-    wide = exact.groupBy("v").agg(
-        *[
-            F.max(
-                F.when(F.col("radius") == r, F.col("n_reachable"))
-            ).alias(f"_n{r}")
-            for r in range(_G06_RADIUS + 1)
-        ]
-    )
+    # wide frame straight from the one-lineage BFS (r11 optimization;
+    # see _g06_exact_wide) — the old long->wide re-pivot is gone. No
+    # persist on the edge list (measured slower at sf0.1; the g06 A/B)
+    edges = _g06_edges(spark, sf_dir)
+    wide = _g06_exact_wide(_g06_directed(edges))
     h_exact = (
         (F.col("_n1") - F.col("_n0")) / F.lit(1.0)
         + (F.col("_n2") - F.col("_n1")) / F.lit(2.0)
         + (F.col("_n3") - F.col("_n2")) / F.lit(3.0)
     )
     approx = harmonic_centrality_approx(
-        neighborhood_function(
-            _g06_edges(spark, sf_dir), max_radius=_G06_RADIUS
-        )
+        neighborhood_function(edges, max_radius=_G06_RADIUS)
     ).select(F.col("node").alias("v"), F.col("harmonic").alias("_h_app"))
     joined = wide.select("v", h_exact.alias("_h_ex")).join(
         approx, "v", "left"

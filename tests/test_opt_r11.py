@@ -83,3 +83,59 @@ def test_signature_pass_is_shuffle_free(spark):
     )
     plan = sigs._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_neighborhood_function_unrolled_matches_staged(spark):
+    """r11: the unrolled lazy tier (small radius, no staging demand)
+    must reproduce the staged tier's estimates per (node, radius) —
+    modulo the staged tier's early stop, which only omits
+    post-saturation radii whose estimates are constant."""
+    import random
+
+    from datawarehouse_backup_system_spark.operators.graph import (
+        neighborhood_function,
+    )
+
+    rng = random.Random(7)
+    raw = [(rng.randrange(30), rng.randrange(30)) for _ in range(50)]
+    df = spark.createDataFrame(raw, "src bigint, dst bigint")
+    unrolled = {
+        (r["node"], r["radius"]): r["n_reachable_est"]
+        for r in neighborhood_function(df, max_radius=3).collect()
+    }
+    staged = {
+        (r["node"], r["radius"]): r["n_reachable_est"]
+        for r in neighborhood_function(
+            df, max_radius=3, stage_rounds_above=0
+        ).collect()
+    }
+    assert set(staged) <= set(unrolled)
+    for key, v in staged.items():
+        assert unrolled[key] == v, key
+    # radii the staged early stop skipped carry the saturated constant
+    for (node, radius), v in unrolled.items():
+        if (node, radius) not in staged:
+            assert v == staged[(node, max(r for n2, r in staged if n2 == node))]
+
+
+def test_neighborhood_function_size_gate_forces_staged(
+    spark, monkeypatch, tmp_path
+):
+    """r11: the unrolled tier is size-gated — with the byte threshold
+    at 0 every call must take the scale-safe STAGED tier (observable:
+    stage_path receives est_r* round dirs)."""
+    from datawarehouse_backup_system_spark.operators.graph import (
+        neighborhood_function,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_NF_UNROLL_MAX_BYTES", "0")
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src bigint, dst bigint"
+    )
+    out = neighborhood_function(
+        df, max_radius=2, stage_path=str(tmp_path / "nf")
+    )
+    assert out.count() > 0
+    assert any(
+        p.name.startswith("est_r") for p in (tmp_path / "nf").iterdir()
+    )

@@ -293,14 +293,21 @@ def test_neighborhood_function_uses_bucketed_auto_switch(
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "src bigint, dst bigint"
     )
+    # stage_rounds_above=0 forces the STAGED tier (r11 added an
+    # unrolled lazy tier for small radii that never stages — this pin
+    # is about the staged tier's bucketed switch, so opt out of it)
     base = {
         (r["node"], r["radius"]): r["n_reachable_est"]
-        for r in neighborhood_function(edges, max_radius=2).collect()
+        for r in neighborhood_function(
+            edges, max_radius=2, stage_rounds_above=0
+        ).collect()
     }
     monkeypatch.setenv("SPARK_GRAFT_GRAPH_BUCKET_MIN_BYTES", "0")
     bucketed = {
         (r["node"], r["radius"]): r["n_reachable_est"]
-        for r in neighborhood_function(edges, max_radius=2).collect()
+        for r in neighborhood_function(
+            edges, max_radius=2, stage_rounds_above=0
+        ).collect()
     }
     assert base == bucketed
     assert not [
