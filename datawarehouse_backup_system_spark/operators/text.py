@@ -294,21 +294,175 @@ def langid_ngram(
     top_k: int = CT_TOP_K,
 ) -> DataFrame:
     """Character-n-gram language ID — Cavnar–Trenkle out-of-place
-    distance against broadcast language profiles (VERDICT r10 item 5;
-    the production-credible upgrade of the stopword-marker
-    :func:`langid`, which stays as the pinned reference variant).
+    distance against per-language rank maps carried in the plan
+    (VERDICT r10 item 5; the production-credible upgrade of the
+    stopword-marker :func:`langid`, which stays as the pinned
+    reference variant).
 
-    Scale shape: n-gram explode is ~``sum(n_sizes)``×chars rows per
-    document, combined to one per-(doc, gram) count by a map-side-
-    combined groupBy; the per-document profile cut is a window
-    partitioned BY DOCUMENT (never global); the model table is a few
-    hundred rows and broadcast, so the corpus is joined where it
-    already lives. Everything is integer arithmetic — the DuckDB
-    replay is exact, not tolerance-banded.
+    Scale shape (r11 optimization): every step of the method is
+    per-document — gram counting, the top-``top_k`` (count desc, gram
+    asc) profile cut, the per-language out-of-place sum, the
+    (distance, lang) argmin — so the WHOLE query is one map-only
+    projection: sort the document's gram multiset, run-length encode
+    it, rank-sort the runs, score each language against a literal
+    ``gram → rank`` map (a few hundred entries total), take the
+    struct-min. ZERO Exchange at any scale (the grouped predecessor
+    shuffled the ~``sum(n_sizes)``×chars gram explosion twice and the
+    per-language scores a third time; it survives as
+    :func:`langid_ngram_grouped`, parity-pinned). Everything is
+    integer arithmetic — the DuckDB replay is exact, not
+    tolerance-banded.
 
     Ties: profile rank breaks (count desc, gram asc); language argmin
     breaks (distance asc, lang asc). Documents with NO grams after
     normalization (empty / all-symbol text) → 'und' with NULL distance.
+
+    Precondition (same as the oracle replay's GROUP BY): ``id_col``
+    identifies one document per row. Rows are scored independently —
+    the grouped predecessor instead BLENDED duplicate ids' texts into
+    one profile, a shape no caller relied on (ids are unique in every
+    spec and fixture).
+    """
+    spark = df.sparkSession
+    # `is None`, not `or` (review r11): an explicitly-passed EMPTY model
+    # must mean "no languages → everything 'und'", not silently swap in
+    # the default trained table
+    if model_rows is None:
+        model_rows = train_char_ngram_model(n_sizes=n_sizes, top_k=top_k)
+    if not model_rows:
+        return df.select(
+            F.col(id_col),
+            F.lit("und").alias("predicted_lang"),
+            F.lit(None).cast("bigint").alias("oop_distance"),
+        )
+    by_lang: dict[str, list[tuple[str, int]]] = {}
+    for lang, g, r in model_rows:
+        by_lang.setdefault(lang, []).append((g, r))
+    langs = sorted(by_lang)
+
+    norm = df.select(
+        F.col(id_col),
+        F.trim(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " ")
+        ).alias("_t"),
+    )
+    # fan a small-file source out before the CPU-bound per-row scoring
+    # (`skew.fan_out_small_scan`): with zero downstream shuffles the
+    # whole computation would otherwise run on a single-partition local
+    # scan's one task; a corpus-scale input already carries thousands
+    # of scan partitions and skips this. The shuffle moves only
+    # (id, normalized text) — never the source row.
+    from datawarehouse_backup_system_spark.operators.skew import (
+        fan_out_small_scan,
+    )
+
+    norm = fan_out_small_scan(norm)
+    gram_arrays = [
+        F.expr(
+            f"CASE WHEN length(_t) >= {n} THEN "
+            f"transform(sequence(1, length(_t) - {n - 1}), "
+            f"i -> substring(_t, i, {n})) ELSE array() END"
+        )
+        for n in n_sizes
+    ]
+    # sorted gram multiset → run-length encode → (count, gram) runs.
+    # 0-based run-start positions via transform's index (NOT
+    # sequence(1, size): sequence(1, 0) counts DOWN and would fabricate
+    # positions for empty docs).
+    d = norm.select(
+        F.col(id_col), F.array_sort(F.concat(*gram_arrays)).alias("_gs")
+    )
+    runs = (
+        "zip_with("
+        "  _starts,"
+        "  concat(slice(_starts, 2, size(_starts)), array(size(_gs))),"
+        "  (s, e) -> struct(e - s AS c, element_at(_gs, s + 1) AS gram)"
+        ")"
+    )
+    d = d.withColumn(
+        "_starts",
+        F.expr(
+            "filter(transform(_gs, (x, i) -> i),"
+            " i -> i = 0 OR element_at(_gs, i + 1) != element_at(_gs, i))"
+        ),
+    ).withColumn(
+        "_prof",
+        # guard empty docs explicitly: zip_with pads the shorter side
+        # with NULL, so the empty-array case would fabricate one
+        # (NULL, NULL) run instead of an empty profile
+        F.when(F.size("_gs") == 0, F.expr("array()").cast(
+            "array<struct<c:int,gram:string>>"
+        )).otherwise(
+            F.expr(
+                "slice(array_sort("
+                f"{runs},"
+                " (a, b) -> CASE WHEN a.c > b.c THEN -1"
+                "                WHEN a.c < b.c THEN 1"
+                "                WHEN a.gram < b.gram THEN -1"
+                "                WHEN a.gram > b.gram THEN 1"
+                "                ELSE 0 END"
+                f"), 1, {int(top_k)})"
+            )
+        ),
+    )
+    # per-language out-of-place distance: rank_doc is the profile
+    # position (1-based transform index), rank_model a literal-map
+    # lookup, missing grams cost top_k — identical to the grouped
+    # variant's left-join + coalesce
+    def _oop_for(rank_map):
+        scored = F.transform(
+            F.col("_prof"),
+            lambda x, i: F.coalesce(
+                F.abs((i + F.lit(1)) - F.element_at(rank_map, x["gram"])),
+                F.lit(int(top_k)),
+            ),
+        )
+        return F.aggregate(
+            scored, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+        )
+
+    oop_cols = [
+        _oop_for(
+            F.create_map(
+                *[
+                    x
+                    for g, r in by_lang[lang]
+                    for x in (F.lit(g), F.lit(r))
+                ]
+            )
+        ).alias(f"_oop_{lang}")
+        for lang in langs
+    ]
+    d = d.select(F.col(id_col), F.size("_prof").alias("_np"), *oop_cols)
+    cands = [
+        F.struct(
+            F.col(f"_oop_{lang}").alias("oop"), F.lit(lang).alias("lang")
+        )
+        for lang in langs
+    ]
+    best = cands[0] if len(cands) == 1 else F.least(*cands)
+    return d.select(
+        F.col(id_col),
+        F.when(F.col("_np") > 0, best["lang"])
+        .otherwise(F.lit("und"))
+        .alias("predicted_lang"),
+        F.when(F.col("_np") > 0, best["oop"]).alias("oop_distance"),
+    )
+
+
+def langid_ngram_grouped(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model_rows: list[tuple[str, str, int]] | None = None,
+    n_sizes: tuple[int, ...] = CT_NGRAM_SIZES,
+    top_k: int = CT_TOP_K,
+) -> DataFrame:
+    """The pre-r11-optimization relational formulation of
+    :func:`langid_ngram` — gram explode → (doc, gram) groupBy →
+    per-doc window cut → broadcast model join → (doc, lang) groupBy →
+    argmin window. Kept as the parity reference for the map-only
+    rewrite (tests/test_opt_r11.py); not used by any spec or plan.
     """
     from pyspark.sql import Window
 

@@ -139,3 +139,86 @@ def test_neighborhood_function_size_gate_forces_staged(
     assert any(
         p.name.startswith("est_r") for p in (tmp_path / "nf").iterdir()
     )
+
+
+# ---------------------------------------------------------------------------
+# t34 — map-only langid_ngram rewrite (operators/text.py)
+
+
+LANGID_CORPUS = [
+    (0, "The children are playing in the old house with their dog."),
+    (1, "Les enfants jouent dans la vieille maison avec leur chien."),
+    (2, "Los ninos juegan en la casa vieja con su perro cada dia."),
+    (3, "Die Kinder spielen in dem alten Haus mit ihrem Hund."),
+    (4, ""),                     # normalizes to nothing -> und/NULL
+    (5, "12345 !!! ???"),        # all-symbol -> und/NULL
+    (6, "zz"),                   # one bigram, matches no profile well
+    (7, "the of and to in is it " * 3),
+    (8, "der die das und ein ist zu den " * 3),
+    (9, None),                   # NULL text -> und/NULL
+    (10, "a"),                   # below every gram size -> und/NULL
+    (11, "ab"),                  # exactly one bigram
+    (12, "   x   y   "),         # whitespace-heavy normalization
+]
+
+
+def test_langid_ngram_maponly_matches_grouped(spark):
+    """Value parity: the map-only rewrite (run-length-encoded gram
+    profile + literal rank-map scoring + struct-min) is row-identical
+    to the grouped relational predecessor on every edge class —
+    natural-language, empty, symbol-only, NULL, sub-gram-length."""
+    from datawarehouse_backup_system_spark.operators import text
+
+    df = spark.createDataFrame(LANGID_CORPUS, "doc_id int, text string")
+    new = sorted(
+        map(tuple, text.langid_ngram(df, "doc_id", "text").collect())
+    )
+    old = sorted(
+        map(
+            tuple,
+            text.langid_ngram_grouped(df, "doc_id", "text").collect(),
+        )
+    )
+    assert new == old
+
+
+def test_langid_ngram_maponly_parity_other_k_and_sizes(spark):
+    """Parity holds away from the defaults (trigram-only, top_k=7 —
+    exercises the missing-gram penalty literal and short profiles)."""
+    from datawarehouse_backup_system_spark.operators import text
+
+    df = spark.createDataFrame(LANGID_CORPUS, "doc_id int, text string")
+    model = text.train_char_ngram_model(n_sizes=(3,), top_k=7)
+    kw = dict(model_rows=model, n_sizes=(3,), top_k=7)
+    new = sorted(
+        map(tuple, text.langid_ngram(df, "doc_id", "text", **kw).collect())
+    )
+    old = sorted(
+        map(
+            tuple,
+            text.langid_ngram_grouped(
+                df, "doc_id", "text", **kw
+            ).collect(),
+        )
+    )
+    assert new == old
+
+
+def test_langid_ngram_is_shuffle_free_on_parallel_input(spark):
+    """The r11 claim the rewrite exists for: on an input that already
+    carries full parallelism (fan_out_small_scan no-op), the WHOLE
+    query is one map-only projection — zero Exchange, zero Join, zero
+    Window in the plan (the grouped predecessor had 6/3/2)."""
+    from datawarehouse_backup_system_spark.operators import text
+
+    df = spark.createDataFrame(
+        LANGID_CORPUS, "doc_id int, text string"
+    ).repartition(64)
+    out = text.langid_ngram(df, "doc_id", "text")
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the input repartition above is upstream of the scan we build on;
+    # AdaptiveSparkPlan wraps it — count operator names, not substrings
+    body = plan.split("== Final Plan ==")[-1]
+    for op in ("Exchange hashpartitioning", "Join", "Window"):
+        assert op not in body, (op, body)
