@@ -823,10 +823,19 @@ def core_numbers(
     iterations: int = 32,
     stage_path: str | None = None,
     stage_bucketed: bool | None = None,
+    stage_every: int | None = None,
 ) -> DataFrame:
     """k-core decomposition → ``(node, core)`` over the undirected
     simple graph: core = the largest k such that the node survives in
     the k-core (every member has ≥ k neighbors inside).
+
+    ``stage_every``: stage (parquet + signature check) every k-th
+    round instead of every round — the r11 chunked-staging tier; see
+    the in-body comment for the equivalence argument and the byte
+    gate. ``None`` (default) auto-selects: 6 when the edge source's
+    optimizer-stats footprint is ≤ ``SPARK_GRAFT_KC_CHUNK_MAX_BYTES``
+    (default 1 GiB), else 1 (the scale-safe per-round fixpoint stop);
+    ``SPARK_GRAFT_KC_STAGE_EVERY`` overrides outright.
 
     Algorithm: iterated neighborhood H-index refinement (Lü et al.,
     "The H-index of a network node and its relation to degree and
@@ -883,6 +892,8 @@ def core_numbers(
     composes with g03/g04 as a link-quality prior for corpus curation
     (core number ranks pages by embeddedness; low-core = periphery).
     """
+    import os as _os
+
     from pyspark.sql import Observation
 
     if iterations < 1:
@@ -890,6 +901,46 @@ def core_numbers(
     spark = edges.sparkSession
     root = _staged_round_root(stage_path, "dwbss-kc-", spark)
     e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    # CHUNKED STAGING (r11 optimization): unlike the star rounds (whose
+    # round references its input ~4×, so lazy composition grows the
+    # plan 4^k — measured and rejected in connected_components'
+    # docstring), one H-index round references the labels frame exactly
+    # ONCE — composing k rounds lazily grows the plan LINEARLY. Staging
+    # every k-th round instead of every round replaces k sequential
+    # (job + parquet round-trip) barriers with one k-join job: at local
+    # / test scale the per-round cost is job latency, not bytes
+    # (measured on g05: 10 staged rounds ≈ 6.6 s at sf0.1). The byte
+    # gate keeps 100 TB honest: past a converged fixpoint a chunk runs
+    # up to k−1 full-graph joins the per-round signature stop would
+    # have skipped, so a big edge source keeps stage_every=1 (and the
+    # per-round restartable-progress property). Fixpoint equivalence:
+    # the H-index sequence is pointwise monotone non-increasing, so
+    # boundary-signature equality implies every intermediate round was
+    # already constant, and overshoot rounds past the fixpoint are
+    # no-ops — the returned VALUES are identical for any stage_every
+    # (parity-pinned in tests/test_opt_r11.py); the `iterations` cap
+    # counts real rounds exactly in both modes.
+    if stage_every is None:
+        env = _os.environ.get("SPARK_GRAFT_KC_STAGE_EVERY")
+        if env is not None:
+            stage_every = int(env)
+        else:
+            max_b = int(
+                _os.environ.get(
+                    "SPARK_GRAFT_KC_CHUNK_MAX_BYTES", str(1 << 30)
+                )
+            )
+            try:
+                e_bytes = int(
+                    e._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            except Exception:  # noqa: BLE001 — no stats ⟹ scale-safe tier
+                e_bytes = max_b + 1
+            stage_every = 6 if e_bytes <= max_b else 1
+    stage_every = max(1, int(stage_every))
     # directed (both orientations) edge list, staged ONCE — every
     # round joins against it; bucketed on the join key by default so
     # the per-round join never re-shuffles it (module helper docstring)
@@ -900,9 +951,13 @@ def core_numbers(
         labels = d.groupBy("a").agg(F.count(F.lit(1)).alias("val"))
         cur = None
         prev_sig = None
-        for i in range(iterations):
-            nxt_lab = _kcore_round(d, labels)
-            nxt = f"{root}/r{i + 1}"
+        done = 0
+        while done < iterations:
+            k_this = min(stage_every, iterations - done)
+            nxt_lab = labels
+            for _ in range(k_this):
+                nxt_lab = _kcore_round(d, nxt_lab)
+            nxt = f"{root}/r{done + k_this}"
             obs = Observation()
             # double xor-hash signature — see connected_components
             nxt_lab.observe(
@@ -920,6 +975,7 @@ def core_numbers(
                 _stage_rm(cur, spark)  # superseded round
             cur = nxt
             labels = spark.read.parquet(nxt)
+            done += k_this
             if sig == prev_sig:
                 break
             prev_sig = sig
