@@ -242,14 +242,20 @@ def _ref_regression(
     for p in paths:
         try:
             art = json.loads(p.read_text())
+            # driver-wrapped artifacts ({n, rc, tail, parsed}) carry
+            # their one-line JSON under "parsed" — from r12 on that
+            # line packs the slowest ~34 per-query timings (enough
+            # for the >=20-common gate below), so unwrap it
+            if "parsed" in art and isinstance(art["parsed"], dict):
+                art = art["parsed"] or {}
             # timings are only comparable at the SAME scale factor —
             # an sf1 allowlist run vs an sf0.1 reference would read as
             # a huge spurious "regression" and burn a retry
             if sf is not None and art.get("sf") not in (None, sf):
                 continue
-            # only artifacts carrying the FULL per-query dict qualify
-            # (the driver-wrapped shape truncates to top10 — too sparse
-            # an intersection to be a reliable reference; the
+            # only artifacts carrying a usable per-query dict qualify
+            # (pre-r12 driver-wrapped shapes truncate to top10 — too
+            # sparse an intersection to be a reliable reference; the
             # self-recorded history below is the full-fidelity path
             # for the driver's own runs)
             q = art.get("queries") or {}
@@ -632,9 +638,8 @@ def main() -> int:
         m = re.match(r"[a-z]+", name)
         fam = m.group(0) if m else "other"
         families[fam] = round(families.get(fam, 0.0) + sec, 3)
-    top10 = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
-    )
+    order = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    top10 = dict(order[:10])
     compact = {
         "metric": "headline-suite wall seconds (noop-forced, warm JVM, best of 2; best of 3 for the slowest)",
         "value": total,
@@ -667,7 +672,30 @@ def main() -> int:
         "jvm_uptime_s": jvm_up_s,
         "data_fp": data_fp,
     }
-    print(json.dumps(compact))
+    # Per-query timings in the DRIVER-PARSED line (VERDICT r11 item 2:
+    # PERF_r11 had per_query={} / bench_ok=false because only
+    # families/top10 survived the driver's 2000-char stdout tail — the
+    # FULL 150-query dict is ~4 KB and its NAMES alone exceed the
+    # window, so it physically cannot fit). Pack slowest-first (name
+    # tiebreak) until the tight-serialized line reaches the window,
+    # covering the queries that dominate the total; the packing is
+    # deterministic, so two same-round runs (32c vs 8c scaling) share
+    # composition on every query whose rank is stable. Full fidelity
+    # still ships in the big line above and in BENCH_history.jsonl.
+    packed: dict[str, float] = {}
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_TAIL_BUDGET", "1980"))
+    compact["n_queries_in_line"] = 999  # 3-char placeholder for sizing
+
+    def _csize(d: dict) -> int:
+        return len(json.dumps(d, separators=(",", ":")))
+
+    for name, sec in order:
+        if _csize({**compact, "queries": {**packed, name: sec}}) > budget:
+            break
+        packed[name] = sec
+    compact["queries"] = packed
+    compact["n_queries_in_line"] = len(packed)
+    print(json.dumps(compact, separators=(",", ":")))
     # self-recorded full-fidelity history: the driver's committed
     # artifact truncates the per-query dict (only top10 survives), so
     # every run appends its full timings here — the next run's

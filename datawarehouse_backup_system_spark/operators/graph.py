@@ -923,8 +923,14 @@ def core_numbers(
     if stage_every is None:
         env = _os.environ.get("SPARK_GRAFT_KC_STAGE_EVERY")
         if env is not None:
-            stage_every = int(env)
-        else:
+            # malformed value (empty string, '4x') falls through to the
+            # byte-gated auto tier instead of sinking the whole call
+            # (ADVICE r11)
+            try:
+                stage_every = int(env)
+            except ValueError:
+                stage_every = None
+        if stage_every is None:
             max_b = int(
                 _os.environ.get(
                     "SPARK_GRAFT_KC_CHUNK_MAX_BYTES", str(1 << 30)

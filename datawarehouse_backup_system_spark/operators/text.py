@@ -238,6 +238,13 @@ CT_SAMPLES = {
 CT_TOP_K = 64
 CT_NGRAM_SIZES = (2, 3)
 
+#: langid_ngram embeds the model as literal create_map expressions, so
+#: plan/codegen size scales with langs × top_k; above this many distinct
+#: (lang, gram) pairs it falls back to the broadcast-join grouped
+#: variant (ADVICE r11). The shipped trained model is ~langs × 128
+#: pairs — far under the bound.
+LANGID_LITERAL_MAX_ROWS = 4096
+
 
 def ct_normalize_py(s: str) -> str:
     """The shared normalization, driver-side (training + simulators):
@@ -322,6 +329,17 @@ def langid_ngram(
     the grouped predecessor instead BLENDED duplicate ids' texts into
     one profile, a shape no caller relied on (ids are unique in every
     spec and fixture).
+
+    Model-size bound (ADVICE r11): the rank maps are LITERAL
+    ``create_map`` expressions, so plan and codegen size scale with
+    ``langs × top_k``. Above :data:`LANGID_LITERAL_MAX_ROWS` distinct
+    (lang, gram) pairs the call auto-falls back to
+    :func:`langid_ngram_grouped` (broadcast-join model — same values
+    on unique-id inputs, graceful at any model size). Duplicate
+    (lang, gram) pairs are deduped first-occurrence-wins before the
+    maps are built (the default EXCEPTION mapKeyDedupPolicy would
+    otherwise fail at runtime; the shipped trained model carries no
+    duplicates, so declared results are unchanged).
     """
     spark = df.sparkSession
     # `is None`, not `or` (review r11): an explicitly-passed EMPTY model
@@ -335,9 +353,21 @@ def langid_ngram(
             F.lit("und").alias("predicted_lang"),
             F.lit(None).cast("bigint").alias("oop_distance"),
         )
-    by_lang: dict[str, list[tuple[str, int]]] = {}
+    by_lang: dict[str, dict[str, int]] = {}
     for lang, g, r in model_rows:
-        by_lang.setdefault(lang, []).append((g, r))
+        # first occurrence wins on duplicate (lang, gram) — create_map
+        # raises under mapKeyDedupPolicy=EXCEPTION (ADVICE r11)
+        by_lang.setdefault(lang, {}).setdefault(g, r)
+    if sum(len(v) for v in by_lang.values()) > LANGID_LITERAL_MAX_ROWS:
+        deduped = [
+            (lang, g, r)
+            for lang in sorted(by_lang)
+            for g, r in by_lang[lang].items()
+        ]
+        return langid_ngram_grouped(
+            df, id_col, text_col, model_rows=deduped,
+            n_sizes=n_sizes, top_k=top_k,
+        )
     langs = sorted(by_lang)
 
     norm = df.select(
@@ -426,7 +456,7 @@ def langid_ngram(
             F.create_map(
                 *[
                     x
-                    for g, r in by_lang[lang]
+                    for g, r in by_lang[lang].items()
                     for x in (F.lit(g), F.lit(r))
                 ]
             )
@@ -462,7 +492,15 @@ def langid_ngram_grouped(
     :func:`langid_ngram` — gram explode → (doc, gram) groupBy →
     per-doc window cut → broadcast model join → (doc, lang) groupBy →
     argmin window. Kept as the parity reference for the map-only
-    rewrite (tests/test_opt_r11.py); not used by any spec or plan.
+    rewrite (tests/test_opt_r11.py), and as the auto-fallback target
+    when a user model exceeds LANGID_LITERAL_MAX_ROWS; not used by any
+    spec or plan on the default model.
+
+    Duplicate-id divergence (ADVICE r11): this variant BLENDS duplicate
+    ``id_col`` rows' texts into one profile (groupBy semantics), while
+    the map-only rewrite scores each row independently — the two differ
+    on non-unique ids. Duplicate (lang, gram) model pairs are summed
+    here (join semantics), deduped first-occurrence-wins there.
     """
     from pyspark.sql import Window
 
@@ -688,8 +726,16 @@ def repetition_features(
         .otherwise(0)
         .alias("n_tri_distinct"),
     )
+    # explode the tokenize INLINE, not the _toks attribute: an attribute
+    # child lets InferFiltersFromGenerate push a size>0 filter below the
+    # projection, re-tokenizing every row in the Filter (the
+    # word_shingles r12 fix; same rows either way — split() is never
+    # empty and explode drops NULL-text rows like the filter did)
     top = (
-        arr.select(F.col(id_col), F.explode(toks).alias("_tok"))
+        src.select(
+            F.col(id_col),
+            F.explode(tokens(F.col(text_col))).alias("_tok"),
+        )
         .groupBy(id_col, "_tok")
         .agg(F.count("*").alias("_n"))
         .groupBy(id_col)
@@ -1084,27 +1130,15 @@ def dup_spans(
         F.col(id_col),
         tokens(F.col(text_col)).alias("_t"),
     )
-    # The guard must live INSIDE the expression (when/otherwise), not in
-    # a .where(): FilterExec hoists inferred isnotnull(...) constraints
-    # ahead of the size predicate, which would evaluate the transform on
-    # short docs where sequence(0, size-n) turns negative and slice
-    # throws. A total expression (empty array for short docs) is safe
-    # under any predicate reordering; explode then drops empty arrays.
-    span_arr = toks.select(
-        F.col(id_col),
-        F.when(
-            F.size("_t") >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size("_t") - n),
-                lambda i: md5_prefix_long(
-                    F.concat_ws(" ", F.slice(F.col("_t"), i + 1, n))
-                ),
-            ),
-        )
-        .otherwise(F.array().cast("array<bigint>"))
-        .alias("_hs"),
+    # The guard lives INSIDE the expression (when/otherwise), not in a
+    # .where() — see _span_hash_expr. The span-hash array is exploded
+    # INLINE (r12, the word_shingles fix): aliasing it first made the
+    # generator child an attribute, so InferFiltersFromGenerate's
+    # size>0 filter was pushed below the projection and every span was
+    # md5'd TWICE per row (t21 measured 1.08 → 2.02 s at sf0.1).
+    spans = toks.select(
+        F.col(id_col), F.explode(_span_hash_expr(F.col("_t"), n)).alias("span_h")
     )
-    spans = span_arr.select(F.col(id_col), F.explode("_hs").alias("span_h"))
     # Single derivation of `spans`: collapse to one row per (span, doc)
     # with its in-doc multiplicity, count the span's distinct docs with a
     # window over that compact set, then aggregate per doc. A span is
@@ -1144,6 +1178,28 @@ def dup_spans(
                 6,
             ).alias("dup_frac"),
         )
+    )
+
+
+def _span_hash_expr(tok_arr: Column, n: int) -> Column:
+    """Rolling n-token span hashes of a token array, as one TOTAL
+    expression (empty array below n tokens). The guard must live INSIDE
+    the expression (when/otherwise), not in a .where(): FilterExec
+    hoists inferred isnotnull(...) constraints ahead of the size
+    predicate, which would evaluate the transform on short docs where
+    sequence(0, size-n) turns negative and slice throws. Shared by
+    dup_spans and remove_dup_spans so the span recipe can never fork."""
+    return (
+        F.when(
+            F.size(tok_arr) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tok_arr) - n),
+                lambda i: md5_prefix_long(
+                    F.concat_ws(" ", F.slice(tok_arr, i + 1, n))
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
     )
 
 
@@ -1207,26 +1263,16 @@ def remove_dup_spans(
     toks = fan_out_small_scan(
         df.select(F.col(id_col), F.col(text_col))
     ).select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
-    # span-hash array built INSIDE the expression; guard inside
-    # when/otherwise, not .where() — see dup_spans (predicate-reorder
-    # safety), same construction
-    span_arr = toks.select(
+    # span-hash array built by the shared _span_hash_expr (total
+    # expression — predicate-reorder safety) and POSEXPLODED INLINE
+    # (r12, the word_shingles fix: an attribute child would let
+    # InferFiltersFromGenerate push a size>0 filter below the
+    # projection, hashing every span twice per row)
+    spans = toks.select(
         F.col(id_col),
-        "_t",
-        F.when(
-            F.size("_t") >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size("_t") - n),
-                lambda i: md5_prefix_long(
-                    F.concat_ws(" ", F.slice(F.col("_t"), i + 1, n))
-                ),
-            ),
-        )
-        .otherwise(F.array().cast("array<bigint>"))
-        .alias("_hs"),
-    )
-    spans = span_arr.select(
-        F.col(id_col), F.posexplode("_hs").alias("_start", "span_h")
+        F.posexplode(_span_hash_expr(F.col("_t"), n)).alias(
+            "_start", "span_h"
+        ),
     )
     per_span = spans.groupBy("span_h").agg(
         F.countDistinct(F.col(id_col)).alias("_docs"),
@@ -1245,7 +1291,7 @@ def remove_dup_spans(
         ).alias("_keeps"),
     )
     empty = F.array().cast("array<int>")
-    with_cuts = span_arr.join(start_sets, id_col, "left").select(
+    with_cuts = toks.join(start_sets, id_col, "left").select(
         F.col(id_col),
         "_t",
         F.coalesce(F.col("_cuts"), empty).alias("_cuts"),
