@@ -294,21 +294,29 @@ def _large_star(e: DataFrame) -> DataFrame:
     neighborhood. Preserves components; shrinks tall chains toward
     local minima in parallel.
 
-    Both orientations come from ONE explode over the edge scan (a
-    two-branch self-union evaluates the upstream twice — SCALE.md
-    measured lesson), and m(a) = least(a, min(b)) is computed AFTER
-    the agg (F.first is nondeterministic to Catalyst and poisons plan
-    reuse)."""
+    m(a) = least(a, min(b)) is computed AFTER the agg (F.first is
+    nondeterministic to Catalyst and poisons plan reuse). The join
+    branch reads ``e`` DIRECTLY: on a canonical input the b>a
+    orientation of the directed view IS the (lo, hi) row set, so the
+    old ``_directed(e).where(b > a)`` explode+filter re-derived the
+    input it already had (r12 measured on g03 — one less pass over the
+    doubled row set per round). Output rows are already canonical
+    (m ≤ a < b ⟹ lo < hi strictly) but may carry DUPLICATES — two
+    edges (a1, b), (a2, b) with m(a1) = m(a2) collapse — so consumers
+    needing a set must distinct; the round composition defers that to
+    the round-final _canon (one exchange per round instead of two;
+    duplicate volume is bounded by |e| since each input edge emits
+    exactly one row, and _small_star's min-aggregates are
+    duplicate-insensitive)."""
     d = _directed(e)
     m = d.groupBy("a").agg(F.min("b").alias("_mn")).select(
         "a", F.least(F.col("a"), F.col("_mn")).alias("m")
     )
-    out = (
-        d.where(F.col("b") > F.col("a"))
+    return (
+        e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
         .join(m, "a")
-        .select(F.col("m").alias("u"), F.col("b").alias("v"))
+        .select(F.col("m").alias("lo"), F.col("b").alias("hi"))
     )
-    return _canon(out)
 
 
 def _small_star(e: DataFrame) -> DataFrame:
@@ -658,14 +666,29 @@ def connected_components(
     # live until process exit (shared lifecycle in ..scratch), one per
     # CALL SITE, cleared on re-entry (review r9)
     root = _staged_round_root(stage_path, "dwbss-wcc-", spark)
-    # round 0's input stays UNstaged: its plan is one flat pass over
-    # the caller's edges and round 1 reads round 0's staged output, so
-    # no lineage can compound — saves a full write+read of the largest
-    # edge set. The convergence signature rides the write job itself
-    # via Observation (no separate read-back agg): one job per round.
-    e = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
-    cur = None
-    prev_sig = None
+    # Round 0 (the canonicalized INPUT) is STAGED first (r12; measured
+    # on g03 — round 1 was ~5× a steady round): a star round references
+    # its input twice (the m-aggregate and the join branch), so an
+    # unstaged round 0 evaluated the caller's whole edge-build lineage
+    # — at g03 that is a corpus window — twice inside round 1's job.
+    # One write of E + two cheap parquet scans beats two evaluations of
+    # an arbitrary upstream, doubles as restartable progress for the
+    # input, and its signature (riding the staging write's Observation,
+    # no extra job) lets an already-converged input stop after ONE
+    # round instead of two. The convergence signature rides each
+    # round's write job likewise: one job per round.
+    e0 = _canon(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    r0 = f"{root}/r0"
+    obs0 = Observation()
+    e0.observe(
+        obs0,
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(lo, hi))"), F.lit(0)).alias("h1"),
+        F.coalesce(F.expr("bit_xor(xxhash64(hi, lo))"), F.lit(0)).alias("h2"),
+    ).write.mode("overwrite").parquet(r0)
+    e = spark.read.parquet(r0)
+    cur = r0
+    prev_sig = (obs0.get["n"], obs0.get["h1"], obs0.get["h2"])
     for i in range(max_iter):
         nxt = f"{root}/r{i + 1}"
         obs = Observation()
