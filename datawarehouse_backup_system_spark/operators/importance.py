@@ -89,6 +89,45 @@ def bucket_logratio(
     return _bucket_logratio_from_buckets(src_b, tgt_b, n_buckets, alpha)
 
 
+def _logratio_tail(counts: DataFrame, n_buckets: int, alpha: float) -> DataFrame:
+    """(bucket, src_cnt, tgt_cnt) — possibly missing absent buckets —
+    → the B-row smoothed logratio table.
+
+    Totals ride a single-partition WINDOW over the B-row counts frame
+    instead of a separate ``.agg`` + crossJoin (r12, guide §2.4): the
+    old shape consumed the counts subtree TWICE (once for the 1-row
+    totals broadcast, once for the per-bucket select), and with a lazy
+    upstream (``stage=False``) each consumption re-ran the corpus
+    tokenize+hash aggregation. One partition of B ≤ ~10⁴ rows is
+    scale-free; the arithmetic is unchanged (same sums, same doubles).
+    """
+    from pyspark.sql import Window
+
+    spark = counts.sparkSession
+    base = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    joined = base.join(counts, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("src_cnt"), F.lit(0)).alias("src_cnt"),
+        F.coalesce(F.col("tgt_cnt"), F.lit(0)).alias("tgt_cnt"),
+    )
+    w = Window.partitionBy()
+    a = F.lit(float(alpha))
+    b = F.lit(float(n_buckets))
+    return joined.select(
+        "bucket",
+        (
+            F.log(
+                (F.col("tgt_cnt") + a)
+                / (F.sum("tgt_cnt").over(w) + a * b)
+            )
+            - F.log(
+                (F.col("src_cnt") + a)
+                / (F.sum("src_cnt").over(w) + a * b)
+            )
+        ).alias("logratio"),
+    )
+
+
 def _bucket_logratio_from_buckets(
     src_b: DataFrame,
     tgt_b: DataFrame,
@@ -99,36 +138,29 @@ def _bucket_logratio_from_buckets(
     hash-once path dsir_weights stages (review r10: staging raw token
     strings recomputed md5+conv+pmod three times per action and cached
     strings instead of one BIGINT per token)."""
-    spark = src_b.sparkSession
-    base = spark.range(n_buckets).select(F.col("id").alias("bucket"))
 
     def counts(b: DataFrame, out: str) -> DataFrame:
         return b.groupBy("bucket").agg(F.count(F.lit(1)).alias(out))
 
-    src = counts(src_b, "src_cnt")
-    tgt = counts(tgt_b, "tgt_cnt")
-    joined = (
-        base.join(src, "bucket", "left")
-        .join(tgt, "bucket", "left")
-        .select(
-            "bucket",
-            F.coalesce(F.col("src_cnt"), F.lit(0)).alias("src_cnt"),
-            F.coalesce(F.col("tgt_cnt"), F.lit(0)).alias("tgt_cnt"),
-        )
+    joined = counts(src_b, "src_cnt").join(
+        counts(tgt_b, "tgt_cnt"), "bucket", "full"
     )
-    # totals via a window-free cross join against a 1-row agg (broadcast)
-    totals = joined.agg(
-        F.sum("src_cnt").alias("src_total"), F.sum("tgt_cnt").alias("tgt_total")
+    return _logratio_tail(joined, n_buckets, alpha)
+
+
+def _bucket_logratio_from_flagged(
+    flagged: DataFrame, n_buckets: int, alpha: float = 1.0
+) -> DataFrame:
+    """Fused ratio build over ONE (bucket, _is_tgt) frame (r12, guide
+    §2.3 "aggregate before you shuffle" / §2.4): the target side is by
+    construction a FILTER of the source side, so both count tables come
+    out of a single ``groupBy(bucket)`` pass — one corpus scan where
+    the two-frame path re-ran the tokenize+hash lineage per side."""
+    counts = flagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("src_cnt"),
+        F.count_if(F.col("_is_tgt")).alias("tgt_cnt"),
     )
-    a = F.lit(float(alpha))
-    b = F.lit(float(n_buckets))
-    return joined.crossJoin(F.broadcast(totals)).select(
-        "bucket",
-        (
-            F.log((F.col("tgt_cnt") + a) / (F.col("tgt_total") + a * b))
-            - F.log((F.col("src_cnt") + a) / (F.col("src_total") + a * b))
-        ).alias("logratio"),
-    )
+    return _logratio_tail(counts, n_buckets, alpha)
 
 
 def dsir_weights(
@@ -202,11 +234,13 @@ def dsir_weights(
                     pass
             tok = tok.persist()
             _LIVE_STAGED.append(tok)
-    ratio = _bucket_logratio_from_buckets(
-        tok.select("bucket"),
-        tok.where(F.col("_is_tgt")).select("bucket"),
-        n_buckets,
-        alpha,
+    # fused single-pass counts (r12): the target side is a filter of
+    # the same frame, so one groupBy(bucket) with a conditional count
+    # replaces the two per-side aggregations — with stage=False this
+    # cuts the ratio build from four lazy corpus scans (2 count aggs ×
+    # the totals/select double-consumption) to ONE
+    ratio = _bucket_logratio_from_flagged(
+        tok.select("bucket", "_is_tgt"), n_buckets, alpha
     )
     if quantize_decimals is not None:
         ratio = ratio.select(

@@ -198,8 +198,12 @@ def score_with_model(
 #: the lock + release fix in r9 and cites lm.py as the pattern source,
 #: but lm.py itself was never hardened — two concurrent stage=True
 #: calls could double-pop the slot or unpersist each other's live
-#: frame). The lock makes evict+stage atomic; concurrent staged callers
-#: should still pass stage=False.
+#: frame). The lock makes evict+stage atomic. r12: the slot also holds
+#: the BOUNDED fused model-count frame (≤ pair+ctx buckets rows), which
+#: is persisted regardless of ``stage`` — so concurrent calls can evict
+#: each other's count frame too; the consequence is recompute, never
+#: corruption, and the corpus-sized rows frame still only persists
+#: under stage=True.
 _LIVE_STAGED: list[DataFrame] = []
 
 import threading as _threading  # noqa: E402 — lock for the slot above
@@ -242,32 +246,69 @@ def bigram_lm_scores(
       the filtering key: threshold it or take per-domain quantiles
       (compose with text.quality / curation.domain_cap).
 
-    In-corpus composition means the bigram-rows subtree feeds the two
-    model aggs AND the scoring join; with ``stage=True`` (default) the
+    In-corpus composition means the bigram-rows subtree feeds the fused
+    model agg AND the scoring join; with ``stage=True`` (default) the
     rows are persisted so the corpus is tokenized/hashed ONCE per action
-    (2× wall on a 5 k-doc corpus, more at scale) — the prior call's
-    stage is evicted on the next call (or by :func:`release_staged`).
-    ``stage=False`` keeps the plan fully lazy (no executor-memory
-    pinning) at the cost of four scans (three bigram passes + the
-    id universe).
+    — the prior call's stage is evicted on the next call (or by
+    :func:`release_staged`). ``stage=False`` leaves the corpus-sized
+    rows lazy (no corpus-sized executor-memory pinning) at the cost of
+    two bigram passes (model + scoring — the fundamental minimum) plus
+    the id universe; the fused model-count frame (bounded by
+    pair_buckets + ctx_buckets rows at any corpus size) is persisted in
+    the same slot either way.
     For train-on-A/score-B or incremental-merge setups use
     :func:`bigram_model` + :func:`score_with_model` directly.
     """
     rows = bigram_rows(df, id_col, text_col, pair_buckets, ctx_buckets)
+    staged: list[DataFrame] = []
     if stage:
-        with _STAGED_LOCK:
-            while _LIVE_STAGED:
-                old = _LIVE_STAGED.pop()
-                try:
-                    old.unpersist()
-                except Exception:  # noqa: BLE001
-                    # the owning session may be stopped (bench rounds)
-                    # — the cache died with it; drop the stale handle
-                    pass
-            rows = rows.persist()
-            _LIVE_STAGED.append(rows)
-    pair_cnt = rows.groupBy("bp").agg(F.count(F.lit(1)).alias("c_pair"))
-    ctx_cnt = rows.groupBy("bc").agg(F.count(F.lit(1)).alias("c_ctx"))
+        rows = rows.persist()
+        staged.append(rows)
+    # Fused model build (r12, guide §2.3 "aggregate before you shuffle"
+    # / §2.4): each bigram row feeds BOTH count tables, so explode a
+    # 2-element (kind, bucket) array and count in ONE aggregation —
+    # one corpus pass where the two per-table groupBys re-ran the
+    # tokenize+hash lineage each (the dominant cost with stage=False).
+    # The result is bounded by pair_buckets + ctx_buckets rows at ANY
+    # corpus size, so persisting it is scale-free and stops the two
+    # broadcast builds in _score_rows from re-running the pass; it
+    # rides the same single-slot eviction as the staged rows.
+    both = (
+        rows.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("kind"), F.col("bp").alias("bucket")
+                    ),
+                    F.struct(
+                        F.lit(1).alias("kind"), F.col("bc").alias("bucket")
+                    ),
+                )
+            ).alias("kb")
+        )
+        .groupBy(
+            F.col("kb.kind").alias("kind"), F.col("kb.bucket").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    staged.append(both)
+    with _STAGED_LOCK:
+        while _LIVE_STAGED:
+            old = _LIVE_STAGED.pop()
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001
+                # the owning session may be stopped (bench rounds)
+                # — the cache died with it; drop the stale handle
+                pass
+        _LIVE_STAGED.extend(staged)
+    pair_cnt = both.where(F.col("kind") == 0).select(
+        F.col("bucket").alias("bp"), F.col("c").alias("c_pair")
+    )
+    ctx_cnt = both.where(F.col("kind") == 1).select(
+        F.col("bucket").alias("bc"), F.col("c").alias("c_ctx")
+    )
     base = df.select(F.col(id_col)).distinct()
     return _score_rows(
         rows, base, (pair_cnt, ctx_cnt), id_col, pair_buckets, k

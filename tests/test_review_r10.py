@@ -668,7 +668,9 @@ def test_lm_release_staged_and_lock_exist(spark):
     df = spark.createDataFrame([(1, "a b c")], "id int, text string")
     out = lm.bigram_lm_scores(df, "id", "text", stage=True)
     assert out.count() == 1
-    assert len(lm._LIVE_STAGED) == 1
+    # r12: the slot holds the staged rows AND the bounded fused
+    # model-count frame (stage=False holds only the latter)
+    assert len(lm._LIVE_STAGED) == 2
     lm.release_staged()
     assert lm._LIVE_STAGED == []
     assert lm._STAGED_LOCK is not None
